@@ -1,0 +1,273 @@
+"""HTML5 tree builder (from scratch) — the subset static rule evaluation needs.
+
+Implements the tree-construction behaviors the conformance fixtures exercise
+(SURVEY.md §7.2, §7.6-1): html/body scaffolding, void elements, implied end
+tags (p, li, dd/dt, td/th/tr, thead/tbody/tfoot, option), implied ``tbody``
+insertion in tables, unclosed-tag recovery (pop-until-match), entity decoding
+(via the tokenizer), raw-text elements (script/style).
+
+Deliberate deviations from the full WHATWG algorithm (documented per
+SURVEY.md §7.6-1 — fixtures must not rely on these):
+
+- No adoption-agency reconstruction for mis-nested formatting elements:
+  ``<b><i></b>x</i>`` closes ``i`` when ``</b>`` pops past it, and the stray
+  ``</i>`` is ignored, so ``x`` lands in ``b``'s parent rather than in a
+  reconstructed ``<i>``.
+- No quirks-mode distinctions; no foster-parenting of table-adjacent text.
+- ``<head>`` content is kept only when an explicit ``<head>`` tag is present;
+  otherwise head-only tags (title/meta/...) land in an implied ``head``.
+
+Tokenization rides on stdlib ``html.parser.HTMLParser`` (entity decoding via
+``convert_charrefs``, CDATA content model for script/style) — see
+``goose_parser_ray/html/__init__.py`` for the provenance note.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from goose_parser_ray.html.dom import Document, Element, Text
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+HEAD_ONLY = frozenset("title meta link style base".split())
+
+# Start tags that implicitly close an open <p> (WHATWG "in body" subset).
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr "
+        "listing main menu nav ol p pre section summary table ul li dd dt "
+        "plaintext xmp"
+    ).split()
+)
+
+# tag -> set of open tags that a new instance implicitly closes (nearest first)
+SIBLING_CLOSERS: dict[str, frozenset[str]] = {
+    "li": frozenset(["li"]),
+    "dd": frozenset(["dd", "dt"]),
+    "dt": frozenset(["dd", "dt"]),
+    "option": frozenset(["option"]),
+    "optgroup": frozenset(["option", "optgroup"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "thead": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tbody": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "tfoot": frozenset(["thead", "tbody", "tfoot", "tr", "td", "th"]),
+    "colgroup": frozenset(["colgroup"]),
+}
+
+# Implied-end-tag scope limits: never auto-close past these containers.
+SCOPE_BOUNDARIES = frozenset(
+    "html body table tbody thead tfoot tr td th ul ol dl select".split()
+)
+
+TABLE_SECTIONS = frozenset(["thead", "tbody", "tfoot"])
+
+
+class _Builder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.document = Document()
+        self._order = 1
+        self.html = self._new("html")
+        self.document.append(self.html)
+        self.head: Element | None = None
+        self.body: Element | None = None
+        # open-element stack; document + html always at the bottom
+        self.stack: list[Element] = [self.document, self.html]
+
+    # -- helpers -----------------------------------------------------------
+    def _new(self, tag: str, attrs: dict[str, str] | None = None) -> Element:
+        el = Element(tag, attrs)
+        el.order = self._order
+        self._order += 1
+        return el
+
+    @property
+    def top(self) -> Element:
+        return self.stack[-1]
+
+    def _ensure_body(self) -> Element:
+        if self.body is None:
+            self.body = self._new("body")
+            self.html.append(self.body)
+        if len(self.stack) == 2:  # only document+html open
+            self.stack.append(self.body)
+        return self.body
+
+    def _ensure_head(self) -> Element:
+        if self.head is None:
+            self.head = self._new("head")
+            # head precedes body inside html
+            self.html.children.insert(0, self.head)
+            self.head.parent = self.html
+        return self.head
+
+    def _open_tags(self) -> list[str]:
+        return [e.tag for e in self.stack]
+
+    def _close_implied(self, closers: frozenset[str]) -> None:
+        """Pop open elements whose tag is in ``closers``, stopping at the
+        nearest scope boundary."""
+        while len(self.stack) > 2:
+            tag = self.top.tag
+            if tag in closers:
+                self.stack.pop()
+            elif tag in SCOPE_BOUNDARIES:
+                break
+            else:
+                break
+
+    def _close_p(self) -> None:
+        # close an open <p> if one is open within the current scope
+        for el in reversed(self.stack):
+            if el.tag == "p":
+                while self.stack.pop() is not el:
+                    pass
+                return
+            if el.tag in SCOPE_BOUNDARIES:
+                return
+
+    def _nearest_open(self, tags: frozenset[str]) -> Element | None:
+        for el in reversed(self.stack):
+            if el.tag in tags:
+                return el
+        return None
+
+    # -- tokenizer callbacks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attr_map = {k: (v if v is not None else "") for k, v in attrs}
+
+        if tag == "html":
+            self.html.attrs.update(attr_map)
+            return
+        if tag == "head":
+            head = self._ensure_head()
+            head.attrs.update(attr_map)
+            self.stack.append(head)
+            return
+        if tag == "body":
+            body = self._ensure_body()
+            body.attrs.update(attr_map)
+            if self.top is not body:
+                # re-point stack at body (drop any stray head context)
+                while len(self.stack) > 2:
+                    self.stack.pop()
+                self.stack.append(body)
+            return
+
+        # head-only tags before any body content go into an implied head
+        in_head = self.head is not None and self.head in self.stack
+        if tag in HEAD_ONLY and self.body is None and not in_head:
+            parent: Element = self._ensure_head()
+            el = self._new(tag, attr_map)
+            parent.append(el)
+            if tag not in VOID_ELEMENTS and tag != "style":
+                pass  # title/style content handled as data with head on stack
+            if tag in ("title", "style"):
+                self.stack.append(el)
+            return
+
+        if not in_head and self.body is None:
+            self._ensure_body()
+        elif in_head and tag not in HEAD_ONLY and tag not in ("script",):
+            # body content while head open: close head, open body
+            while len(self.stack) > 2:
+                self.stack.pop()
+            self._ensure_body()
+        if len(self.stack) == 2:
+            self._ensure_body()
+
+        # --- implied end tags -------------------------------------------
+        if tag in P_CLOSERS:
+            self._close_p()
+        closers = SIBLING_CLOSERS.get(tag)
+        if closers:
+            self._close_implied(closers)
+
+        # --- implied table structure -------------------------------------
+        if tag == "tr":
+            table = self._nearest_open(frozenset(["table"]))
+            if table is not None and self.top.tag == "table":
+                tbody = self._new("tbody")
+                self.top.append(tbody)
+                self.stack.append(tbody)
+        elif tag in ("td", "th"):
+            if self.top.tag in ("table",) or self.top.tag in TABLE_SECTIONS:
+                if self.top.tag == "table":
+                    tbody = self._new("tbody")
+                    self.top.append(tbody)
+                    self.stack.append(tbody)
+                tr = self._new("tr")
+                self.top.append(tr)
+                self.stack.append(tr)
+
+        el = self._new(tag, attr_map)
+        self.top.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            # <div/> is parsed as a start tag by browsers; mirror that
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        if tag == "html":
+            return
+        if tag in ("head", "body"):
+            while len(self.stack) > 2:
+                self.stack.pop()
+            return
+        # pop-until-match recovery: find nearest open element with this tag
+        target = None
+        for el in reversed(self.stack[2:]):
+            if el.tag == tag:
+                target = el
+                break
+        if target is None:
+            return  # stray end tag: ignore
+        while self.stack and self.stack[-1] is not target:
+            self.stack.pop()
+        if self.stack:
+            self.stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        if len(self.stack) == 2 or (self.body is None and self.head is None):
+            if data.strip() == "":
+                return  # inter-tag whitespace before any content
+            self._ensure_body()
+        elif len(self.stack) == 2:
+            self._ensure_body()
+        self.top.append(Text(data))
+
+    def handle_comment(self, data: str) -> None:  # comments are dropped
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE html>
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+
+def parse_html(markup: str) -> Document:
+    """Parse an HTML fragment or document into a :class:`Document`.
+
+    One call per document row — invoked inside the extract actor
+    (SURVEY.md §3.4 stage 4), never on the driver for bulk data.
+    """
+    builder = _Builder()
+    builder.feed(markup)
+    builder.close()
+    return builder.document
