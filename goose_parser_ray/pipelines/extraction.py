@@ -1,0 +1,198 @@
+"""The flagship extraction pipeline (SURVEY.md §3.4, north_rule).
+
+``build_extraction_pipeline``: lazy Dataset → Dataset —
+read-side pruning happens in the caller's reader; then
+
+  normalize/salt (stateless tasks)
+  → ExtractActor pool (fixed size, DOM parse + rules/boilerplate)
+  → regroup (only when salting is on — the single shuffle)
+
+``extract_corpus``: the resumable job runner — processes partitions in
+waves, commits each partition's output directory atomically, records a
+manifest row per partition, and skips completed partitions on restart
+(SURVEY.md §4.2, FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from goose_parser_ray.rules import compile_rules
+from goose_parser_ray.sources.io import read_documents
+from goose_parser_ray.stages.extract import ExtractActor
+from goose_parser_ray.stages.normalize import make_normalize_fn
+from goose_parser_ray.stages.regroup import regroup_salted
+from goose_parser_ray.state.manifest import Manifest, PartitionRecord
+from goose_parser_ray import __version__ as CODE_VERSION
+
+# Salting protects actor heaps from mega-docs; anything below this span count
+# is cheaper to process in place than to split and re-shuffle.
+DEFAULT_SALT_THRESHOLD = 512
+
+
+def default_pool_size() -> int:
+    """Deterministic pool sizing (autoscaling disabled per BASELINE.json:6):
+    all CPUs minus a reserve for the read/normalize/write stages."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus - 2)
+
+
+def build_extraction_pipeline(
+    ds: ray.data.Dataset,
+    rules: dict | None = None,
+    *,
+    num_partitions: int = 64,
+    salt_threshold: int | None = DEFAULT_SALT_THRESHOLD,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+    strip_boilerplate: bool = True,
+    drop_errors: bool = False,
+) -> ray.data.Dataset:
+    """Wire the stages onto ``ds`` (lazy — nothing executes here)."""
+    pool = concurrency if concurrency is not None else default_pool_size()
+    threshold = salt_threshold if salt_threshold is not None else 1 << 30
+    ds = ds.map_batches(
+        make_normalize_fn(num_partitions, threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(
+        ExtractActor,
+        fn_constructor_kwargs={
+            "rules": rules,
+            "strip_boilerplate": strip_boilerplate,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(pool, pool),  # fixed size: deterministic scaling runs
+        num_cpus=1,
+    )
+    if salt_threshold is not None:
+        ds = regroup_salted(ds)
+    if drop_errors:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["error"], pa.scalar(""))),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def _chunk(seq: list[int], n_chunks: int) -> list[list[int]]:
+    size = max(1, math.ceil(len(seq) / n_chunks))
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def _partition_metrics(part_dir: Path) -> tuple[int, int, int]:
+    """(row_count, span_count, error_count) from written parquet — column-
+    pruned scan of two small columns, no spans payload read."""
+    dataset = pads.dataset(str(part_dir), format="parquet")
+    tbl = dataset.to_table(columns=["n_spans", "error"])
+    rows = tbl.num_rows
+    span_count = pc.sum(tbl["n_spans"]).as_py() or 0
+    error_count = pc.sum(
+        pc.cast(pc.not_equal(tbl["error"], ""), pa.int64())
+    ).as_py() or 0
+    return rows, span_count, error_count
+
+
+def extract_corpus(
+    input_path: str,
+    output_path: str,
+    rules: dict | None = None,
+    *,
+    num_partitions: int = 16,
+    waves: int = 4,
+    salt_threshold: int | None = DEFAULT_SALT_THRESHOLD,
+    concurrency: int | None = None,
+    batch_size: int = 64,
+    strip_boilerplate: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict.
+
+    Resume granularity is the partition: a wave writes to
+    ``<output>/_tmp/wave/partition_id=K/`` then each partition directory is
+    atomically renamed into place and its manifest row written. A rerun
+    skips every manifested partition — byte-identical final output, no
+    re-processing (FIXTURES.md F6)."""
+    out = Path(output_path)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = Manifest(output_path)
+    rules_hash = compile_rules(rules).plan_hash if rules is not None else "boilerplate"
+
+    done = manifest.completed_partitions(rules_hash)
+    pending = [p for p in range(num_partitions) if p not in done]
+    summary = {
+        "num_partitions": num_partitions,
+        "skipped": len(done),
+        "processed": 0,
+        "rows": 0,
+        "spans": 0,
+        "errors": 0,
+    }
+    if not pending:
+        return summary
+
+    for wave_ids in _chunk(pending, waves):
+        t0 = time.monotonic()
+        wave_set = set(wave_ids)
+        tmp = out / "_tmp" / "wave"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # leftovers from a killed run
+        ds = read_documents(input_path)
+        ds = build_extraction_pipeline(
+            ds,
+            rules,
+            num_partitions=num_partitions,
+            salt_threshold=salt_threshold,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            strip_boilerplate=strip_boilerplate,
+        )
+        ds = ds.map_batches(
+            lambda t, keep=wave_set: t.filter(
+                pc.is_in(t["partition_id"], pa.array(sorted(keep), pa.int32()))
+            ),
+            batch_format="pyarrow",
+        )
+        ds.write_parquet(str(tmp), partition_cols=["partition_id"])
+        wall = time.monotonic() - t0
+
+        for pid in wave_ids:
+            src = tmp / f"partition_id={pid}"
+            dst = out / f"partition_id={pid}"
+            if not src.exists():
+                src.mkdir(parents=True)  # empty partition still commits
+            if dst.exists():
+                shutil.rmtree(dst)
+            src.rename(dst)
+            rows, spans, errors = (
+                _partition_metrics(dst) if any(dst.iterdir()) else (0, 0, 0)
+            )
+            manifest.mark_complete(
+                PartitionRecord(
+                    partition_id=pid,
+                    status="complete",
+                    row_count=rows,
+                    span_count=spans,
+                    error_count=errors,
+                    wall_s=round(wall / len(wave_ids), 4),
+                    rules_hash=rules_hash,
+                    code_version=CODE_VERSION,
+                    input_path=str(input_path),
+                )
+            )
+            summary["processed"] += 1
+            summary["rows"] += rows
+            summary["spans"] += spans
+            summary["errors"] += errors
+        shutil.rmtree(out / "_tmp", ignore_errors=True)
+    return summary

@@ -1,0 +1,69 @@
+"""Normalize + salt stage — stateless ``map_batches`` tasks (SURVEY.md §3.4
+stage 3, §4.2 "salting").
+
+Adds ``partition_id = stable_hash(doc_id) % P`` (the ONE partitioning key,
+reused by the write layout and the manifest — SURVEY.md §2.6 S3) and splits
+mega-documents (span count > ``salt_threshold``) into ``(doc_id, salt)``
+chunk rows so no single row blows an actor's heap; the regroup stage
+reassembles them (§2.6 S1). Unsalted docs carry ``salt=0, n_salts=1`` and
+skip the regroup shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from goose_parser_ray.spans import SPAN_STRUCT
+
+
+def stable_hash(s: str) -> int:
+    """Deterministic across processes and runs (SURVEY.md §7.6-7) —
+    crc32, not ``hash()``."""
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+NORMALIZED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("salt", pa.int32()),
+        ("n_salts", pa.int32()),
+        ("partition_id", pa.int32()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+
+def make_normalize_fn(num_partitions: int, salt_threshold: int = 256):
+    """Build the stage fn (compile-time params captured once; the returned fn
+    is a plain function → stateless Ray tasks)."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out = {"doc_id": [], "salt": [], "n_salts": [], "partition_id": [], "spans": []}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            doc_id = str(doc_id)
+            pid = stable_hash(doc_id) % num_partitions
+            spans = sorted(spans or [], key=lambda s: s["offset"])
+            if len(spans) <= salt_threshold:
+                out["doc_id"].append(doc_id)
+                out["salt"].append(0)
+                out["n_salts"].append(1)
+                out["partition_id"].append(pid)
+                out["spans"].append(spans)
+            else:
+                chunks = [
+                    spans[i : i + salt_threshold]
+                    for i in range(0, len(spans), salt_threshold)
+                ]
+                for k, chunk in enumerate(chunks):
+                    out["doc_id"].append(doc_id)
+                    out["salt"].append(k)
+                    out["n_salts"].append(len(chunks))
+                    out["partition_id"].append(pid)
+                    out["spans"].append(chunk)
+        return pa.Table.from_pydict(out, schema=NORMALIZED_SCHEMA)
+
+    return normalize

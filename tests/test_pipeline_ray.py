@@ -1,0 +1,159 @@
+"""Ray pipeline tests: pipeline == oracle, salting round-trip identity,
+poison quarantine, manifest resume (SURVEY.md §5.2-2/3, FIXTURES.md F6)."""
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from goose_parser_ray.pipelines import build_extraction_pipeline, extract_corpus
+from goose_parser_ray.sources.corpus import generate_corpus_table
+from goose_parser_ray.spans import extract_document
+from goose_parser_ray.state.manifest import Manifest
+
+
+def seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    """40-doc corpus with mega-docs; oracle extractions computed single-
+    process (the golden producer, FIXTURES.md F2)."""
+    tmp = tmp_path_factory.mktemp("corpus")
+    tbl = generate_corpus_table(40, seed=42, mega_doc_every=10, mega_spans=300)
+    path = tmp / "documents.parquet"
+    pq.write_table(tbl, path)
+    oracle = {
+        d: extract_document(d, s)
+        for d, s in zip(tbl["doc_id"].to_pylist(), tbl["spans"].to_pylist())
+    }
+    return str(path), oracle
+
+
+def test_pipeline_matches_oracle_with_salting(corpus):
+    path, oracle = corpus
+    ds = ray.data.read_parquet(path)
+    out = build_extraction_pipeline(
+        ds, num_partitions=8, salt_threshold=64, concurrency=2, batch_size=16
+    )
+    res = out.to_pandas()
+    assert len(res) == len(oracle)
+    assert (res["error"] != "").sum() == 0
+    for _, row in res.iterrows():
+        assert seq(row["spans"]) == seq(oracle[row["doc_id"]]), row["doc_id"]
+        # salting round-trip ≡ identity incl. offsets (SURVEY.md §7.6-3)
+        assert [s["offset"] for s in row["spans"]] == list(
+            range(len(row["spans"]))
+        )
+
+
+def test_pipeline_no_salting_fast_path(corpus):
+    path, oracle = corpus
+    ds = ray.data.read_parquet(path)
+    out = build_extraction_pipeline(
+        ds, num_partitions=8, salt_threshold=None, concurrency=2, batch_size=16
+    )
+    res = out.to_pandas()
+    for _, row in res.iterrows():
+        assert seq(row["spans"]) == seq(oracle[row["doc_id"]])
+
+
+def test_rules_mode_through_pipeline(corpus, ray_session):
+    path, _ = corpus
+    rules = {"collection": [{"name": "heads", "scope": "h1", "type": "array"}]}
+    ds = ray.data.read_parquet(path)
+    out = build_extraction_pipeline(
+        ds, rules, num_partitions=4, salt_threshold=64, concurrency=2, batch_size=16
+    )
+    res = out.to_pandas()
+    assert (res["error"] != "").sum() == 0
+    assert len(res) == 40
+
+
+def test_poison_document_quarantine(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from goose_parser_ray.spans import DOCUMENTS_SCHEMA
+
+    rows = [
+        {
+            "doc_id": "ok-1",
+            "spans": [{"kind": "html", "text": "<p>fine</p>", "media_ref": "", "offset": 0}],
+        },
+        {
+            "doc_id": "bad-1",
+            "spans": [{"kind": "no-such-kind", "text": "x", "media_ref": "", "offset": 0}],
+        },
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    ds = ray.data.from_arrow(tbl)
+    out = build_extraction_pipeline(
+        ds, num_partitions=2, salt_threshold=None, concurrency=1, batch_size=8
+    ).to_pandas()
+    assert len(out) == 2
+    ok = out[out["doc_id"] == "ok-1"].iloc[0]
+    bad = out[out["doc_id"] == "bad-1"].iloc[0]
+    assert ok["error"] == "" and ok["n_spans"] == 1
+    assert "no-such-kind" in bad["error"] and bad["n_spans"] == 0
+
+
+def test_extract_corpus_resume_exactness(corpus, tmp_path):
+    path, oracle = corpus
+    out_dir = tmp_path / "out"
+
+    # full run
+    s1 = extract_corpus(
+        str(path), str(out_dir), num_partitions=8, waves=2,
+        salt_threshold=64, concurrency=2,
+    )
+    assert s1["processed"] == 8 and s1["rows"] == 40
+
+    full = ray.data.read_parquet(str(out_dir)).to_pandas()
+    ref = {r["doc_id"]: seq(r["spans"]) for _, r in full.iterrows()}
+
+    # simulate a kill after 3 partitions: drop 5 outputs + manifests
+    manifest = Manifest(str(out_dir))
+    for pid in range(3, 8):
+        shutil.rmtree(out_dir / f"partition_id={pid}", ignore_errors=True)
+        (manifest.dir / f"partition-{pid:05d}.json").unlink()
+
+    s2 = extract_corpus(
+        str(path), str(out_dir), num_partitions=8, waves=2,
+        salt_threshold=64, concurrency=2,
+    )
+    assert s2["skipped"] == 3 and s2["processed"] == 5
+
+    resumed = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(resumed) == 40
+    for _, r in resumed.iterrows():
+        assert seq(r["spans"]) == ref[r["doc_id"]]
+        assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
+
+    # third run: everything skipped
+    s3 = extract_corpus(
+        str(path), str(out_dir), num_partitions=8, waves=2,
+        salt_threshold=64, concurrency=2,
+    )
+    assert s3["skipped"] == 8 and s3["processed"] == 0
+
+    # manifest carries lineage + metrics
+    recs = manifest.records()
+    assert len(recs) == 8
+    assert all(r["rules_hash"] == "boilerplate" for r in recs)
+    assert sum(r["row_count"] for r in recs) == 40
+    assert all("wall_s" in r and "code_version" in r for r in recs)
+
+
+def test_changed_rules_invalidate_manifest(corpus, tmp_path):
+    path, _ = corpus
+    out_dir = tmp_path / "out2"
+    r1 = {"collection": [{"name": "h", "scope": "h1"}]}
+    r2 = {"collection": [{"name": "h", "scope": "h2"}]}
+    extract_corpus(str(path), str(out_dir), rules=r1, num_partitions=4,
+                   waves=1, salt_threshold=None, concurrency=2)
+    s = extract_corpus(str(path), str(out_dir), rules=r2, num_partitions=4,
+                       waves=1, salt_threshold=None, concurrency=2)
+    assert s["skipped"] == 0 and s["processed"] == 4
