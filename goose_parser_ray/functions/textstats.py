@@ -1,0 +1,131 @@
+"""Text analysis over a document table: token counting, quality scoring,
+language-ID, fingerprinting. All vectorized (pyarrow.compute / numpy) —
+no Python row loops in batch bodies except where a hash must see each value.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# tiny bundled stopword sets for the n-gram/stopword language heuristic
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of to and in is it you that for on with as".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von für".split()),
+    "fr": frozenset("le la les et est un une pour dans que de avec".split()),
+    "es": frozenset("el la los las y es un una para en que con".split()),
+    "ru": frozenset("и в не на я что он как это по но".split()),
+}
+
+
+def add_token_count(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count — vectorized: count \\S+ runs."""
+    n = pc.count_substring_regex(batch[col], pattern=r"\S+")
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def add_punct_count(batch: pa.Table, col: str = "text") -> pa.Table:
+    n = pc.count_substring_regex(batch[col], pattern=r"[.!?]")
+    return batch.append_column("n_punct", pc.cast(n, pa.int64()))
+
+
+def add_quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Heuristic quality in [0,1]: length band + punctuation presence +
+    mean-word-length band + stopword hit ratio. Deterministic, vectorized."""
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(
+        pc.count_substring_regex(text, pattern=r"\S+"), pa.float64()
+    )
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, pattern=r"[.!?]"), pa.float64()
+    )
+    n_stop = pc.cast(
+        pc.count_substring_regex(
+            text,
+            pattern=r"(?i)\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b",
+        ),
+        pa.float64(),
+    )
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    mean_word = pc.divide(n_chars, safe_tokens)
+    len_score = pc.min_element_wise(
+        pc.divide(n_chars, pa.scalar(500.0)), pa.scalar(1.0)
+    )
+    punct_score = pc.min_element_wise(n_punct, pa.scalar(1.0))
+    word_score = pc.if_else(
+        pc.and_(pc.greater_equal(mean_word, 3.0), pc.less_equal(mean_word, 12.0)),
+        pa.scalar(1.0),
+        pa.scalar(0.0),
+    )
+    stop_score = pc.min_element_wise(
+        pc.multiply(pc.divide(n_stop, safe_tokens), pa.scalar(4.0)), pa.scalar(1.0)
+    )
+    quality = pc.round(
+        pc.add(
+            pc.add(pc.multiply(len_score, 0.4), pc.multiply(punct_score, 0.1)),
+            pc.add(pc.multiply(word_score, 0.3), pc.multiply(stop_score, 0.2)),
+        ),
+        ndigits=4,
+    )
+    return batch.append_column("quality", quality)
+
+
+class LangIdActor:
+    """Stopword-hit language heuristic — an actor-pool stage: regexes are
+    compiled once per actor in ``__init__`` (SURVEY.md actor-state rule)."""
+
+    def __init__(self, col: str = "text") -> None:
+        import re
+
+        self.col = col
+        self.pats = {
+            lang: re.compile(
+                r"(?i)\b(?:" + "|".join(sorted(words)) + r")\b"
+            )
+            for lang, words in STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        out = []
+        for t in texts:
+            t = t or ""
+            best, best_n = "und", 0
+            for lang, pat in self.pats.items():
+                n = len(pat.findall(t))
+                if n > best_n:
+                    best, best_n = lang, n
+            out.append(best)
+        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Deterministic document fingerprint: crc32 rolling over normalized
+    8-gram word shingles, combined with xor — stable across processes
+    (no PYTHONHASHSEED — SURVEY.md §7.6-7)."""
+    texts = batch[col].to_pylist()
+    fps = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        if not words:
+            fps[i] = 0
+            continue
+        acc = 0
+        for j in range(0, max(1, len(words) - 7)):
+            sh = " ".join(words[j : j + 8]).encode()
+            acc ^= zlib.crc32(sh) * (j % 7 + 1)
+        fps[i] = acc & 0x7FFFFFFFFFFFFFFF
+    return batch.append_column("fingerprint", pa.array(fps))
+
+
+def text_stats_pipeline(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
+    """All text-analysis columns in one pass (used by queries surface)."""
+    ds = ds.map_batches(lambda t: add_token_count(t, col), batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: add_punct_count(t, col), batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: add_quality_score(t, col), batch_format="pyarrow")
+    return ds

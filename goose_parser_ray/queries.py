@@ -1,0 +1,549 @@
+"""Driver-contract query surface (``__ray_entry__.queries`` / ``oracle_sql``).
+
+One entry per operator from SURVEY.md §2 / §2.6 plus the training-data ops.
+Each Ray implementation is paired with ANSI SQL the driver runs in DuckDB on
+the same parquet; column NAMES and value semantics must match exactly
+(driver hashes values after sorting columns by name).
+
+Float-sum parity: double sums are order-dependent in IEEE arithmetic, and the
+Ray and DuckDB plans sum in different orders. Every monetary/real aggregate
+is therefore computed as an integer-cents sum — per-element
+``CAST(ROUND(100*x) AS BIGINT)`` on both sides (element-wise rounding is
+deterministic; int64 sums are exact in any order).
+
+Ray never calls ``ray.init`` here — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from goose_parser_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from goose_parser_ray.functions.multimodal import ImageDecodeActor
+from goose_parser_ray.functions.relational import broadcast_join, pre_aggregated_sum
+from goose_parser_ray.functions.similarity import ann_bruteforce
+from goose_parser_ray.functions.textstats import LangIdActor, add_fingerprint
+from goose_parser_ray.pipelines import build_extraction_pipeline
+from goose_parser_ray.sources.corpus import wrap_flat_documents
+from goose_parser_ray.transforms import compile_chain
+
+
+def _pool() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(8, cpus - 2))
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray, scale: int = 100) -> pa.ChunkedArray:
+    # half_towards_infinity == DuckDB ROUND (half away from zero); the
+    # default half_to_even would diverge on exact .5 cents
+    return pc.cast(
+        pc.round(pc.multiply(col, float(scale)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 filter / S6 aggregate / S7 top-k / S8 join / S9 union
+# ---------------------------------------------------------------------------
+
+
+def q_filter_docs(sf_dir: str):
+    """S5: vectorized predicate inside map_batches (read-pruned columns)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["lang"], "en"), pc.greater_equal(t["n_chars"], 200))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+"""
+
+
+def q_agg_by_lang(sf_dir: str):
+    """S6: partial-aggregate pattern (combine per batch, tiny shuffle)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return pre_aggregated_sum(
+        ds, keys=["lang"], sums={"n_chars": "sum_chars"}, count_alias="n_docs"
+    )
+
+
+SQL_AGG_BY_LANG = """
+SELECT lang, SUM(n_chars) AS sum_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_topk_docs(sf_dir: str):
+    """S7: top-k with deterministic tie-break."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_join_segment(sf_dir: str):
+    """S8: broadcast join (customer is the small side — ray.put once) then
+    partial aggregate; no shuffle joins."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = {
+        k: {"segment": s}
+        for k, s in zip(
+            cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()
+        )
+    }
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, lookup, key="o_custkey")
+    joined = joined.map_batches(
+        lambda t: t.append_column("total_cents", _cents(t["o_totalprice"])),
+        batch_format="pyarrow",
+    )
+    return pre_aggregated_sum(
+        joined, keys=["segment"], sums={"total_cents": "total_cents"},
+        count_alias="n_orders",
+    )
+
+
+SQL_JOIN_SEGMENT = """
+SELECT c_mktsegment AS segment,
+       SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (read-pruned, cents-exact)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = _dt.datetime(1998, 9, 2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("qty", pc.cast(t["l_quantity"], pa.int64()))
+        t = t.append_column("base_cents", _cents(t["l_extendedprice"]))
+        t = t.append_column("disc_cents", _cents(disc))
+        return t.select(
+            ["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents"]
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"qty": "sum_qty", "base_cents": "sum_base_cents",
+              "disc_cents": "sum_disc_cents"},
+        count_alias="count_order",
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(ROUND(100 * (l_extendedprice * (1 - l_discount))) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_union_names(sf_dir: str):
+    """S9: union."""
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return r.union(n)
+
+
+SQL_UNION_NAMES = """
+SELECT r_name AS name FROM region
+UNION ALL
+SELECT n_name AS name FROM nation
+"""
+
+
+def q_distinct_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source"])
+    return ds.groupby("source").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# transform chains over documents.text (T1–T6 bulk path)
+# ---------------------------------------------------------------------------
+
+_CLEAN_CHAIN = [
+    {"type": "replace", "re": ["\\s+", "g"], "to": " "},
+    {"type": "trim"},
+]
+
+
+def q_transform_clean(sf_dir: str):
+    chain = compile_chain(_CLEAN_CHAIN)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], chain.apply_array(t["text"])], names=["doc_id", "cleaned"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TRANSFORM_CLEAN = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
+def q_transform_split(sf_dir: str):
+    chain = compile_chain([{"type": "split", "separator": " ", "index": 0}])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], chain.apply_array(t["text"])],
+            names=["doc_id", "first_token"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TRANSFORM_SPLIT = """
+SELECT doc_id, split_part(text, ' ', 1) AS first_token FROM documents
+"""
+
+
+def q_transform_match(sf_dir: str):
+    chain = compile_chain([{"type": "match", "re": ["(table|spark)"], "index": 1}])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], chain.apply_array(t["text"])], names=["doc_id", "hit"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TRANSFORM_MATCH = """
+SELECT doc_id, regexp_extract(text, '(table|spark)', 1) AS hit FROM documents
+"""
+
+
+def q_transform_date(sf_dir: str):
+    """moment round-trip parity: ts → 'DD MMMM YYYY' (our formatter) →
+    date transform back to ISO — must equal DuckDB's strftime ISO."""
+    chain = compile_chain(
+        [{"type": "date", "from": "DD MMMM YYYY", "to": "YYYY-MM-DD"}]
+    )
+    from goose_parser_ray.transforms.momentfmt import MomentFormatter
+
+    fmt = MomentFormatter("DD MMMM YYYY")
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def run(t: pa.Table) -> pa.Table:
+        human = [fmt.format(v.as_py()) for v in t["ts"]]
+        iso = chain.apply_array(pa.array(human))
+        return pa.Table.from_arrays([t["event_id"], iso], names=["event_id", "iso"])
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_TRANSFORM_DATE = """
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS iso FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# text stats / windowed events
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"[.!?]"), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], n_tok, n_punct], names=["doc_id", "n_tokens", "n_punct"]
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1h window as groupby over a truncated-ts key (guide
+    "Streaming-shaped workloads"); hour emitted as string for type parity."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"), "%Y-%m-%d %H:00:00")
+        return pa.Table.from_arrays(
+            [t["event_type"], hour, _cents(t["value"], 10000)],
+            names=["event_type", "hour", "value_e4"],
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        ds, keys=["event_type", "hour"], sums={"value_e4": "value_e4"},
+        count_alias="n_events",
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       SUM(CAST(ROUND(10000 * value) AS BIGINT)) AS value_e4,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, col="text", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_candidates(ds, concurrency=_pool())
+
+
+def q_dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, concurrency=_pool())
+
+
+def q_dedup_embedding(sf_dir: str):
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈0.51), so the query runs with a low threshold + shallow hash (6
+    # planes) purely to exercise the full bucket→verify path end-to-end
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(
+        ds, dim=64, threshold=0.45, n_planes=6, concurrency=_pool()
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_bruteforce(ds, qids, qmat, k=5, concurrency=_pool())
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis (heuristics → rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+    )
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    from goose_parser_ray.functions.textstats import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "quality"])
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = [str(v).encode() for v in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ImageDecodeActor,
+        batch_format="pyarrow",
+        batch_size=16,  # binary payloads: small batches (memory-aware)
+        concurrency=(_pool(), _pool()),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        meta = t["meta"]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.struct_field(meta, "width"),
+                pc.struct_field(meta, "height"),
+                pc.struct_field(meta, "format"),
+            ],
+            names=["doc_id", "width", "height", "format"],
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction (rows-only: DOM semantics are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_spans(sf_dir: str):
+    """documents → interleaved span wrap → extraction pipeline → flattened
+    span rows (doc_id, seq, kind, text, media_ref)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
+    ds = build_extraction_pipeline(
+        ds, num_partitions=16, salt_threshold=None,
+        concurrency=_pool(), batch_size=32,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "seq": [], "kind": [], "text": [], "media_ref": []}
+        for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+            for s in spans:
+                rows["doc_id"].append(doc_id)
+                rows["seq"].append(s["offset"])
+                rows["kind"].append(s["kind"])
+                rows["text"].append(s["text"])
+                rows["media_ref"].append(s["media_ref"])
+        return pa.Table.from_pydict(rows)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_docs": q_filter_docs,
+    "agg_by_lang": q_agg_by_lang,
+    "topk_docs": q_topk_docs,
+    "join_segment": q_join_segment,
+    "pricing_summary": q_pricing_summary,
+    "union_names": q_union_names,
+    "distinct_sources": q_distinct_sources,
+    "transform_clean": q_transform_clean,
+    "transform_split": q_transform_split,
+    "transform_match": q_transform_match,
+    "transform_date": q_transform_date,
+    "token_stats": q_token_stats,
+    "events_window": q_events_window,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce": q_ann_bruteforce,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "fingerprint": q_fingerprint,
+    "media_decode": q_media_decode,
+    "extract_spans": q_extract_spans,
+}
+
+ORACLE_SQL = {
+    "filter_docs": SQL_FILTER_DOCS,
+    "agg_by_lang": SQL_AGG_BY_LANG,
+    "topk_docs": SQL_TOPK_DOCS,
+    "join_segment": SQL_JOIN_SEGMENT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "union_names": SQL_UNION_NAMES,
+    "distinct_sources": SQL_DISTINCT_SOURCES,
+    "transform_clean": SQL_TRANSFORM_CLEAN,
+    "transform_split": SQL_TRANSFORM_SPLIT,
+    "transform_match": SQL_TRANSFORM_MATCH,
+    "transform_date": SQL_TRANSFORM_DATE,
+    "token_stats": SQL_TOKEN_STATS,
+    "events_window": SQL_EVENTS_WINDOW,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    # dedup_minhash / dedup_simhash / dedup_embedding / ann_bruteforce /
+    # lang_id / quality_score / fingerprint / media_decode / extract_spans:
+    # not SQL-expressible (approximate, heuristic or DOM-semantic) →
+    # rows-only checks per the driver contract.
+}
