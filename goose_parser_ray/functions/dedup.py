@@ -40,16 +40,19 @@ def exact_dedup(
     groupby moves rows keyed by the 32-bit hash (collisions resolved by
     grouping on the true value inside each hash group)."""
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_pylist()
-        h = np.fromiter((_crc(v or "") for v in vals), dtype=np.int64, count=len(vals))
+        h = np.fromiter(
+            (_crc(v or "") % _NB for v in vals), dtype=np.int64, count=len(vals)
+        )
         return batch.append_column("__h", pa.array(h))
 
     def first_per_value(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(id_col).groupby(col, as_index=False).first()
-        return out
+        # fine-grained grouping on the true value happens inside the coarse
+        # hash bucket — vectorized pandas, not one Ray group per value
+        return group.sort_values(id_col).groupby(col, as_index=False).first()
 
-    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds = ds.groupby("__h").map_groups(first_per_value, batch_format="pandas")
     return ds.drop_columns(["__h"])
 
@@ -123,12 +126,47 @@ class MinHashActor:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"]))
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+# Number of coarse shuffle buckets for pair generation / pair dedup. A
+# groupby on the raw (band, key) would create millions of tiny groups and
+# pay per-group Python overhead; instead groups are coalesced into NB
+# buckets and the fine-grained grouping happens vectorized (pandas) inside
+# each bucket. NB should be ≳ cluster cores; collisions are harmless
+# (buckets only partition work).
+_NB = 64
+
+
+def _pairs_in_bucket(group: pd.DataFrame, by: list[str]) -> pd.DataFrame:
+    """All distinct candidate pairs within one coarse bucket: fine-grained
+    groupby happens here, in-memory, not in the shuffle."""
+    out_a: list = []
+    out_b: list = []
+    for _, g in group.groupby(by, sort=False):
+        ids = sorted(set(g["doc_id"]))
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                out_a.append(a)
+                out_b.append(b)
+    df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    return df.drop_duplicates()
+
+
+def _dedup_pairs(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a", "doc_b")) -> ray.data.Dataset:
+    """Distinct pairs via bucketed groupby (same coalescing trick)."""
+    a, b = cols
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        av, bv = t[a].to_pylist(), t[b].to_pylist()
+        h = np.fromiter(
+            (_crc(f"{x}|{y}") % _NB for x, y in zip(av, bv)),
+            dtype=np.int64, count=len(av),
+        )
+        return t.append_column("__pb", pa.array(h))
+
+    pairs = pairs.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = pairs.groupby("__pb").map_groups(
+        lambda g: g.drop_duplicates(subset=[a, b]), batch_format="pandas"
+    )
+    return pairs.drop_columns(["__pb"])
 
 
 def minhash_lsh_candidates(
@@ -155,13 +193,16 @@ def minhash_lsh_candidates(
         batch_format="pyarrow",
         concurrency=(concurrency, concurrency),
     )
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    banded = banded.map_batches(
+        lambda t: t.append_column(
+            "__b", pa.compute.cast(pa.compute.bit_wise_and(t["key"], _NB - 1), pa.int64())
+        ),
+        batch_format="pyarrow",
     )
-    # distinct pairs: one more small groupby over (doc_a, doc_b)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = banded.groupby("__b").map_groups(
+        lambda g: _pairs_in_bucket(g, by=["band", "key"]), batch_format="pandas"
     )
+    return _dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -217,17 +258,20 @@ class SimHashActor:
         )
 
 
-def _simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = rows["doc_id"].tolist()
-    sigs = rows["simhash"].tolist()
+def _simhash_pairs_bucket(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     out = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-            if d <= max_hamming:
-                out.append((ids[i], ids[j], d))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    for _, g in group.groupby(["table_id", "band_key"], sort=False):
+        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].tolist()
+        sigs = rows["simhash"].tolist()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    out.append((ids[i], ids[j], d))
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).drop_duplicates(
+        subset=["doc_a", "doc_b"]
+    )
 
 
 def simhash_near_dups(
@@ -243,12 +287,17 @@ def simhash_near_dups(
         batch_format="pyarrow",
         concurrency=(concurrency, concurrency),
     )
-    pairs = banded.groupby(["table_id", "band_key"]).map_groups(
-        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas"
+    banded = banded.map_batches(
+        lambda t: t.append_column(
+            "__b",
+            pa.compute.cast(pa.compute.bit_wise_and(t["band_key"], _NB - 1), pa.int64()),
+        ),
+        batch_format="pyarrow",
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = banded.groupby("__b").map_groups(
+        lambda g: _simhash_pairs_bucket(g, max_hamming), batch_format="pandas"
     )
+    return _dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -338,19 +387,22 @@ class HyperplaneBucketActor:
         )
 
 
-def _cosine_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    rows = group.drop_duplicates("vec_id").sort_values("vec_id")
-    if len(rows) < 2:
-        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-    ids = rows["vec_id"].tolist()
-    m = np.array(rows["embedding"].tolist(), dtype=np.float32)  # pre-normalized
-    sims = m @ m.T
+def _cosine_pairs_bucket(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     out = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if sims[i, j] >= threshold:
-                out.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
-    return pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"])
+    for _, g in group.groupby(["table_id", "bucket"], sort=False):
+        rows = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(rows) < 2:
+            continue
+        ids = rows["vec_id"].tolist()
+        m = np.array(rows["embedding"].tolist(), dtype=np.float32)  # pre-normalized
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = sims[ii, jj] >= threshold
+        for i, j in zip(ii[hit], jj[hit]):
+            out.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
+    return pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"]).drop_duplicates(
+        subset=["vec_a", "vec_b"]
+    )
 
 
 def embedding_near_dups(
@@ -373,9 +425,14 @@ def embedding_near_dups(
         batch_format="pyarrow",
         concurrency=(concurrency, concurrency),
     )
-    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        lambda g: _cosine_pairs(g, threshold), batch_format="pandas"
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column(
+            "__b",
+            pa.compute.cast(pa.compute.bit_wise_and(t["bucket"], _NB - 1), pa.int64()),
+        ),
+        batch_format="pyarrow",
     )
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = bucketed.groupby("__b").map_groups(
+        lambda g: _cosine_pairs_bucket(g, threshold), batch_format="pandas"
     )
+    return _dedup_pairs(pairs, cols=("vec_a", "vec_b"))

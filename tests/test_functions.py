@@ -1,0 +1,208 @@
+"""Training-data operator tests: dedup family, ANN, text stats, broadcast
+join, multimodal plumbing — correctness vs small in-process oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from goose_parser_ray.functions.dedup import (
+    MinHashActor,
+    SimHashActor,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from goose_parser_ray.functions.multimodal import FrameSampleActor, ImageDecodeActor
+from goose_parser_ray.functions.relational import broadcast_join, pre_aggregated_sum
+from goose_parser_ray.functions.similarity import ann_bruteforce
+from goose_parser_ray.functions.textstats import (
+    LangIdActor,
+    add_fingerprint,
+    add_quality_score,
+    add_token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the "
+    "green forest while the sun sets slowly behind the tall mountains"
+)
+
+
+def docs_table():
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"{BASE} variant {i}"})
+    # plant near-dups: 100/101 near-identical, 102 identical to 100
+    rows.append({"doc_id": 100, "text": BASE + " tail one"})
+    rows.append({"doc_id": 101, "text": BASE + " tail two"})
+    rows.append({"doc_id": 102, "text": BASE + " tail one"})
+    rows.append({"doc_id": 103, "text": "completely different words entirely here"})
+    return pa.Table.from_pylist(rows)
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    return ray.data.from_arrow(docs_table())
+
+
+def test_exact_dedup_first_wins(docs_ds):
+    out = exact_dedup(docs_ds, col="text", id_col="doc_id").to_pandas()
+    # 102 duplicates 100 → dropped, winner is min doc_id
+    assert 102 not in set(out["doc_id"])
+    assert 100 in set(out["doc_id"])
+    assert len(out) == 23
+
+
+def test_minhash_finds_planted_neardups(docs_ds):
+    pairs = minhash_lsh_candidates(docs_ds, concurrency=2).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (100, 101) in got
+    assert (100, 102) in got
+    # the entirely-different doc pairs with nothing
+    assert not any(103 in p for p in got)
+    # no self-pairs, no reversed duplicates
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    actor = MinHashActor()
+    s1 = actor.signature(BASE + " tail one")
+    s2 = actor.signature(BASE + " tail two")
+    s3 = actor.signature("completely different words entirely here now")
+    sim_close = float(np.mean(s1 == s2))
+    sim_far = float(np.mean(s1 == s3))
+    assert sim_close > 0.6 > sim_far
+    j = ngram_jaccard(BASE + " tail one", BASE + " tail two")
+    assert abs(sim_close - j) < 0.25
+
+
+def test_simhash_hamming_small_for_neardups(docs_ds):
+    h1 = SimHashActor.simhash(BASE + " tail one")
+    h2 = SimHashActor.simhash(BASE + " tail two")
+    h3 = SimHashActor.simhash("completely different words entirely here")
+    assert bin(h1 ^ h2).count("1") < bin(h1 ^ h3).count("1")
+    pairs = simhash_near_dups(docs_ds, max_hamming=6, concurrency=2).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (100, 102) in got  # identical text → identical simhash
+
+
+def test_embedding_near_dups(ray_session):
+    rng = np.random.RandomState(0)
+    base = rng.randn(30, 16).astype(np.float32)
+    base[5] = base[3] + 0.01 * rng.randn(16)  # planted near-dup
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": list(range(30)),
+            "embedding": [row.tolist() for row in base],
+        },
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_near_dups(
+        ds, dim=16, threshold=0.99, concurrency=2
+    ).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (3, 5) in got
+
+
+def test_ann_bruteforce_matches_numpy_oracle(ray_session):
+    rng = np.random.RandomState(1)
+    m = rng.randn(80, 12).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {"vec_id": list(range(80)), "embedding": [r.tolist() for r in m]},
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = [0, 1, 2]
+    out = ann_bruteforce(ds, qids, m[qids], k=5, concurrency=2).to_pandas()
+
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm[qids] @ norm.T
+    for qi, qid in enumerate(qids):
+        order = np.argsort(-sims[qi], kind="stable")
+        want = [int(v) for v in order if v != qid][:5]
+        got = (
+            out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        )
+        assert got == want, f"query {qid}"
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    ds = ray.data.from_items(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 9, "v": "c"}]
+    )
+    small = {1: {"name": "one"}, 2: {"name": "two"}}
+    inner = broadcast_join(ds, small, key="k").to_pandas()
+    assert sorted(inner["name"]) == ["one", "two"]
+    left = broadcast_join(ds, small, key="k", how="left").to_pandas()
+    assert len(left) == 3 and left[left["k"] == 9]["name"].isna().all()
+
+
+def test_pre_aggregated_sum_matches_pandas(ray_session):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"g": ["a", "b", "a", "b", "a"], "x": [1, 2, 3, 4, 5]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        pre_aggregated_sum(ds, keys=["g"], sums={"x": "sx"}, count_alias="n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["sx"].tolist() == [9, 6]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_textstats_vectorized():
+    t = pa.Table.from_pydict({"text": ["the cat sat.", "a  b", ""]})
+    t = add_token_count(t)
+    assert t["n_tokens"].to_pylist() == [3, 2, 0]
+    t2 = add_quality_score(pa.Table.from_pydict({"text": ["the cat sat on the mat."]}))
+    q = t2["quality"][0].as_py()
+    assert 0.0 <= q <= 1.0
+    t3 = add_fingerprint(pa.Table.from_pydict({"text": [BASE, BASE, BASE + " x"]}))
+    fps = t3["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_langid_actor():
+    actor = LangIdActor()
+    t = pa.Table.from_pydict(
+        {
+            "text": [
+                "the cat and the dog sat on a mat with the bird",
+                "der Hund und die Katze sind nicht zu Hause mit der Maus",
+                "le chat est dans la maison avec le chien et les oiseaux pour un",
+            ]
+        }
+    )
+    out = actor(t)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr"]
+
+
+def test_multimodal_stub_plumbing():
+    t = pa.Table.from_pydict(
+        {"doc_id": [1, 2], "payload": [b"abc" * 100, b"xyz" * 500]}
+    )
+    dec = ImageDecodeActor()
+    out = dec(t)
+    assert out["features"].type == pa.list_(pa.float32())
+    assert len(out["features"][0].as_py()) == 16
+    m = out["meta"][0].as_py()
+    assert set(m) == {"width", "height", "format"} and m["format"] == "fake"
+    # deterministic: same payload → same features
+    again = dec(t)
+    assert out["features"].to_pylist() == again["features"].to_pylist()
+    fr = FrameSampleActor()(t)
+    assert fr["frame_indices"].to_pylist()[1][:2] == [0, 10]
+    with pytest.raises(NotImplementedError):
+        ImageDecodeActor(fake=False)._decode_real(b"")
