@@ -50,6 +50,7 @@ def build_extraction_pipeline(
     ds: ray.data.Dataset,
     rules: dict | None = None,
     *,
+    rules_registry: dict[str, dict] | None = None,
     num_partitions: int = 64,
     salt_threshold: int | None = DEFAULT_SALT_THRESHOLD,
     concurrency: int | None = None,
@@ -70,6 +71,7 @@ def build_extraction_pipeline(
         fn_constructor_kwargs={
             "rules": rules,
             "strip_boilerplate": strip_boilerplate,
+            "rules_registry": rules_registry,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -109,6 +111,7 @@ def extract_corpus(
     output_path: str,
     rules: dict | None = None,
     *,
+    rules_registry: dict[str, dict] | None = None,
     num_partitions: int = 16,
     waves: int = 4,
     salt_threshold: int | None = DEFAULT_SALT_THRESHOLD,
@@ -126,7 +129,11 @@ def extract_corpus(
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     manifest = Manifest(output_path)
-    rules_hash = compile_rules(rules).plan_hash if rules is not None else "boilerplate"
+    # lineage hash covers the whole query config: plan + registry + mode
+    parts = [compile_rules(rules).plan_hash if rules is not None else "boilerplate"]
+    for src in sorted(rules_registry or {}):
+        parts.append(f"{src}:{compile_rules(rules_registry[src]).plan_hash}")
+    rules_hash = "|".join(parts)
 
     done = manifest.completed_partitions(rules_hash)
     pending = [p for p in range(num_partitions) if p not in done]
@@ -151,6 +158,7 @@ def extract_corpus(
         ds = build_extraction_pipeline(
             ds,
             rules,
+            rules_registry=rules_registry,
             num_partitions=num_partitions,
             salt_threshold=salt_threshold,
             concurrency=concurrency,

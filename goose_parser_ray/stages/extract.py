@@ -35,37 +35,57 @@ EXTRACT_OUT_SCHEMA = pa.schema(
 
 
 class ExtractActor:
-    """Stateful extract stage. ``rules``: goose rule-tree dict or None
-    (None → boilerplate-strip main-content mode, the flagship path)."""
+    """Stateful extract stage.
+
+    ``rules``: goose rule-tree dict, or None → boilerplate-strip
+    main-content mode (the flagship path).
+    ``rules_registry``: per-source plan dispatch (G8 static form,
+    SURVEY.md §2.1): ``{source_value: rule_tree}``; a ``"default"`` entry
+    catches unmatched sources, otherwise those rows fall back to ``rules`` /
+    boilerplate mode. All plans compile once per actor."""
 
     def __init__(
-        self, rules: dict | None = None, strip_boilerplate: bool = True
+        self,
+        rules: dict | None = None,
+        strip_boilerplate: bool = True,
+        rules_registry: dict[str, dict] | None = None,
     ) -> None:
         # once per actor: compile selectors, transform chains, classifiers
         self.plan = compile_rules(rules) if rules is not None else None
+        self.registry = {
+            src: compile_rules(tree) for src, tree in (rules_registry or {}).items()
+        }
         self.strip_boilerplate = strip_boilerplate
+
+    def _plan_for(self, source: str):
+        if self.registry:
+            plan = self.registry.get(source)
+            if plan is None:
+                plan = self.registry.get("default", self.plan)
+            return plan
+        return self.plan
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
-        has_salt = "salt" in batch.column_names
-        salts = batch["salt"].to_pylist() if has_salt else [0] * len(doc_ids)
-        n_salts = batch["n_salts"].to_pylist() if has_salt else [1] * len(doc_ids)
+        n = len(doc_ids)
+        cols = batch.column_names
+        salts = batch["salt"].to_pylist() if "salt" in cols else [0] * n
+        n_salts = batch["n_salts"].to_pylist() if "n_salts" in cols else [1] * n
         pids = (
-            batch["partition_id"].to_pylist()
-            if "partition_id" in batch.column_names
-            else [0] * len(doc_ids)
+            batch["partition_id"].to_pylist() if "partition_id" in cols else [0] * n
         )
+        sources = batch["source"].to_pylist() if "source" in cols else [""] * n
 
         out_spans: list[list[dict]] = []
         out_n: list[int] = []
         out_err: list[str] = []
-        for doc_id, spans in zip(doc_ids, spans_col):
+        for doc_id, source, spans in zip(doc_ids, sources, spans_col):
             try:
                 extracted = extract_document(
                     str(doc_id),
                     spans or [],
-                    plan=self.plan,
+                    plan=self._plan_for("" if source is None else str(source)),
                     strip_boilerplate=self.strip_boilerplate,
                 )
                 out_spans.append(extracted)
@@ -79,7 +99,7 @@ class ExtractActor:
             {
                 "doc_id": [str(d) for d in doc_ids],
                 "salt": salts,
-                "salt_count": [1] * len(doc_ids),
+                "salt_count": [1] * n,
                 "n_salts": n_salts,
                 "partition_id": pids,
                 "spans": out_spans,

@@ -27,6 +27,7 @@ def stable_hash(s: str) -> int:
 NORMALIZED_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
+        ("source", pa.string()),  # per-source plan dispatch key (G8); '' if absent
         ("salt", pa.int32()),
         ("n_salts", pa.int32()),
         ("partition_id", pa.int32()),
@@ -42,28 +43,34 @@ def make_normalize_fn(num_partitions: int, salt_threshold: int = 256):
     def normalize(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
-        out = {"doc_id": [], "salt": [], "n_salts": [], "partition_id": [], "spans": []}
-        for doc_id, spans in zip(doc_ids, spans_col):
+        sources = (
+            batch["source"].to_pylist()
+            if "source" in batch.column_names
+            else [""] * len(doc_ids)
+        )
+        out = {
+            "doc_id": [], "source": [], "salt": [], "n_salts": [],
+            "partition_id": [], "spans": [],
+        }
+        for doc_id, source, spans in zip(doc_ids, sources, spans_col):
             doc_id = str(doc_id)
+            source = "" if source is None else str(source)
             pid = stable_hash(doc_id) % num_partitions
             spans = sorted(spans or [], key=lambda s: s["offset"])
             if len(spans) <= salt_threshold:
-                out["doc_id"].append(doc_id)
-                out["salt"].append(0)
-                out["n_salts"].append(1)
-                out["partition_id"].append(pid)
-                out["spans"].append(spans)
+                chunks = [spans]
             else:
                 chunks = [
                     spans[i : i + salt_threshold]
                     for i in range(0, len(spans), salt_threshold)
                 ]
-                for k, chunk in enumerate(chunks):
-                    out["doc_id"].append(doc_id)
-                    out["salt"].append(k)
-                    out["n_salts"].append(len(chunks))
-                    out["partition_id"].append(pid)
-                    out["spans"].append(chunk)
+            for k, chunk in enumerate(chunks):
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["salt"].append(k)
+                out["n_salts"].append(len(chunks))
+                out["partition_id"].append(pid)
+                out["spans"].append(chunk)
         return pa.Table.from_pydict(out, schema=NORMALIZED_SCHEMA)
 
     return normalize
