@@ -140,6 +140,51 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_hash(sf_dir: str):
+    """S8 (large×large): Ray's native hash-partitioned ``Dataset.join`` —
+    both sides shuffled on the key; used when neither side is broadcastable.
+    Contrast with q_join_segment's broadcast join (small side)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=16,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    joined = joined.map_batches(
+        lambda t: t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregated_sum(
+        joined, keys=["p_brand"], sums={"qty": "sum_qty"}, count_alias="n_items"
+    )
+
+
+SQL_JOIN_HASH = """
+SELECT p_brand,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_sample_mod(sf_dir: str):
+    """S7 deterministic sampling (modulo — SQL-checkable; seeded
+    ``random_sample`` exists but cannot be oracle-matched)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(7, pa.int64())), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE_MOD = """
+SELECT doc_id, n_chars FROM documents WHERE (doc_id & 7) = 0
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (read-pruned, cents-exact)."""
     ds = _read(
@@ -506,6 +551,8 @@ QUERIES = {
     "agg_by_lang": q_agg_by_lang,
     "topk_docs": q_topk_docs,
     "join_segment": q_join_segment,
+    "join_hash": q_join_hash,
+    "sample_mod": q_sample_mod,
     "pricing_summary": q_pricing_summary,
     "union_names": q_union_names,
     "distinct_sources": q_distinct_sources,
@@ -532,6 +579,8 @@ ORACLE_SQL = {
     "agg_by_lang": SQL_AGG_BY_LANG,
     "topk_docs": SQL_TOPK_DOCS,
     "join_segment": SQL_JOIN_SEGMENT,
+    "join_hash": SQL_JOIN_HASH,
+    "sample_mod": SQL_SAMPLE_MOD,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,
