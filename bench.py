@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 Headline = the flagship extraction pipeline (wrap → normalize/salt →
 DOM-extract actor pool → regroup → write) over the sf documents table
-replicated ×GRAFT_REPL (default 10, deterministic doc-id suffixes — the
+replicated ×GRAFT_REPL (default 100, deterministic doc-id suffixes — the
 500–5000-row testdata alone underfeeds a 32-CPU pool).
 
 ``--scaling``: runs plain bench.py in TWO FRESH PROCESSES at
@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("GRAFT_REPL", "10"))
+REPL = int(os.environ.get("GRAFT_REPL", "100"))
 
 TIMED_QUERIES = [
     "pricing_summary",
