@@ -124,8 +124,8 @@ def run_bench() -> dict:
         num_partitions=64,
         waves=1,
         salt_threshold=512,
-        concurrency=max(1, NUM_CPUS - 2),
-        batch_size=64,
+        concurrency=None,  # deterministic default: ~3/4 of CPUs
+        batch_size=512,
     )
     headline = time.monotonic() - t0
     assert summary["rows"] == n_docs, summary

@@ -1,0 +1,123 @@
+"""Fast from-scratch HTML tokenizer — the extract hot loop's inner engine.
+
+Replaces stdlib ``html.parser`` in the tree builder: profiling showed the
+stdlib tokenizer (generic regex machinery + position tracking) at ~75% of
+per-document extract cost (0.3 ms/doc). This scanner does one ``str.find``
+per tag and one compiled-regex pass per attribute string, emitting the same
+event stream (starttag / startendtag / endtag / data) with entities decoded.
+
+Semantics (HTML5-lite, matching what the tree builder consumes):
+- comments ``<!-- -->``, doctype/``<!`` declarations, and processing
+  instructions are skipped;
+- raw-text elements (script/style) deliver their content as a single
+  undecoded data event up to the matching close tag; title/textarea get
+  entity decoding (RCDATA);
+- character references are decoded in data and attribute values
+  (``html.unescape`` — the stdlib *table*, not the stdlib tokenizer);
+- a ``<`` that does not open a tag is literal text (spec's sane recovery).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+_ATTR_RE = re.compile(
+    r"""([^\s/>=]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""",
+)
+_TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+
+RAWTEXT = frozenset(("script", "style"))
+RCDATA = frozenset(("title", "textarea"))
+
+
+def tokenize(markup: str, handler) -> None:
+    """Drive ``handler`` (``handle_starttag(tag, attrs_list)``,
+    ``handle_startendtag``, ``handle_endtag``, ``handle_data``) over
+    ``markup``. attrs_list is ``[(name, value_or_None), ...]`` like
+    html.parser's."""
+    n = len(markup)
+    i = 0
+    find = markup.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text = markup[i:]
+            if text:
+                handler.handle_data(unescape(text) if "&" in text else text)
+            break
+        if lt > i:
+            text = markup[i:lt]
+            handler.handle_data(unescape(text) if "&" in text else text)
+        # at '<'
+        j = lt + 1
+        if j >= n:
+            handler.handle_data("<")
+            break
+        c = markup[j]
+        if c == "!":
+            if markup.startswith("!--", j):
+                end = find("-->", j + 3)
+                i = n if end < 0 else end + 3
+            else:
+                end = find(">", j)
+                i = n if end < 0 else end + 1
+            continue
+        if c == "?":
+            end = find(">", j)
+            i = n if end < 0 else end + 1
+            continue
+        if c == "/":
+            m = _TAGNAME_RE.match(markup, j + 1)
+            if m is None:
+                # bogus end tag: skip to '>'
+                end = find(">", j)
+                i = n if end < 0 else end + 1
+                continue
+            tag = m.group(0).lower()
+            end = find(">", m.end())
+            i = n if end < 0 else end + 1
+            handler.handle_endtag(tag)
+            continue
+        m = _TAGNAME_RE.match(markup, j)
+        if m is None:
+            handler.handle_data("<")
+            i = lt + 1
+            continue
+        tag = m.group(0).lower()
+        end = find(">", m.end())
+        if end < 0:
+            i = n  # truncated tag at EOF: drop
+            break
+        inner = markup[m.end() : end]
+        self_closing = inner.endswith("/")
+        if self_closing:
+            inner = inner[:-1]
+        attrs: list[tuple[str, str | None]] = []
+        if inner and not inner.isspace():
+            for am in _ATTR_RE.finditer(inner):
+                name = am.group(1).lower()
+                val = am.group(2)
+                if val is not None:
+                    if val[:1] in "\"'":
+                        val = val[1:-1]
+                    if "&" in val:
+                        val = unescape(val)
+                attrs.append((name, val))
+        i = end + 1
+        if self_closing:
+            handler.handle_startendtag(tag, attrs)
+            continue
+        handler.handle_starttag(tag, attrs)
+        if tag in RAWTEXT or tag in RCDATA:
+            close = markup.lower().find(f"</{tag}", i)
+            raw = markup[i:] if close < 0 else markup[i:close]
+            if raw:
+                if tag in RCDATA and "&" in raw:
+                    raw = unescape(raw)
+                handler.handle_data(raw)
+            if close < 0:
+                break
+            gt = find(">", close)
+            i = n if gt < 0 else gt + 1
+            handler.handle_endtag(tag)

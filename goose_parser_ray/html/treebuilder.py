@@ -24,9 +24,8 @@ Tokenization rides on stdlib ``html.parser.HTMLParser`` (entity decoding via
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
-
 from goose_parser_ray.html.dom import Document, Element, Text
+from goose_parser_ray.html.tokenizer import tokenize
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -68,9 +67,11 @@ SCOPE_BOUNDARIES = frozenset(
 TABLE_SECTIONS = frozenset(["thead", "tbody", "tfoot"])
 
 
-class _Builder(HTMLParser):
+class _Builder:
+    """Tree-construction event handler driven by
+    :func:`goose_parser_ray.html.tokenizer.tokenize`."""
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.document = Document()
         self._order = 1
         self.html = self._new("html")
@@ -251,16 +252,6 @@ class _Builder(HTMLParser):
             self._ensure_body()
         self.top.append(Text(data))
 
-    def handle_comment(self, data: str) -> None:  # comments are dropped
-        pass
-
-    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE html>
-        pass
-
-    def unknown_decl(self, data: str) -> None:
-        pass
-
-
 def parse_html(markup: str) -> Document:
     """Parse an HTML fragment or document into a :class:`Document`.
 
@@ -268,6 +259,5 @@ def parse_html(markup: str) -> Document:
     (SURVEY.md §3.4 stage 4), never on the driver for bulk data.
     """
     builder = _Builder()
-    builder.feed(markup)
-    builder.close()
+    tokenize(markup, builder)
     return builder.document

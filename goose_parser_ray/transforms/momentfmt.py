@@ -48,6 +48,12 @@ MONTHS_ABBR["en"] = [
     "Jan", "Feb", "Mar", "Apr", "May", "Jun",
     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
 ]
+# moment's French abbreviations — a naive [:3] truncation collides on
+# juin/juillet ("jui")
+MONTHS_ABBR["fr"] = [
+    "janv", "févr", "mars", "avr", "mai", "juin",
+    "juil", "août", "sept", "oct", "nov", "déc",
+]
 
 WEEKDAYS: dict[str, list[str]] = {  # Monday-first, datetime.weekday() order
     "en": [
