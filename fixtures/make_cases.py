@@ -281,6 +281,141 @@ CASES["cases_exist"] = {
     "spans": text_spans("42", ""),
 }
 
+# --- batch 2: selector combinators, more transforms, edge recovery --------
+CASES["sel_combinators"] = {
+    "rules": {
+        "collection": [
+            {"name": "adjacent", "scope": "p.lead + p"},
+            {"name": "siblings", "scope": "p.lead ~ p", "separator": "|"},
+            {"name": "child", "scope": "div > span"},
+            {"name": "nth", "scope": "li:nth-child(2)"},
+        ]
+    },
+    "html": (
+        "<div><p class='lead'>L</p><p>A</p><p>B</p><span>S</span>"
+        "<ul><li>1</li><li>2</li><li>3</li></ul></div>"
+    ),
+    "goose": {"adjacent": "A", "siblings": "A|B", "child": "S", "nth": "2"},
+    "spans": text_spans("A", "A|B", "S", "2"),
+}
+CASES["sel_attr_ops"] = {
+    "rules": {
+        "collection": [
+            {"name": "starts", "scope": "a[href^='/docs']", "attr": "href"},
+            {"name": "ends", "scope": "a[href$='.pdf']", "attr": "href"},
+            {"name": "contains", "scope": "a[href*='mid']", "attr": "href"},
+            {"name": "word", "scope": "[data-tags~='beta']", "attr": "data-tags"},
+        ]
+    },
+    "html": (
+        "<a href='/docs/a'>1</a><a href='/x/file.pdf'>2</a>"
+        "<a href='/a/mid/b'>3</a><span data-tags='alpha beta'>4</span>"
+    ),
+    "goose": {
+        "starts": "/docs/a",
+        "ends": "/x/file.pdf",
+        "contains": "/a/mid/b",
+        "word": "alpha beta",
+    },
+    "spans": text_spans("/docs/a", "/x/file.pdf", "/a/mid/b", "alpha beta"),
+}
+CASES["transform_replace_flags"] = {
+    "rules": {
+        "scope": ".v",
+        "transform": [{"type": "replace", "re": ["ab", "gi"], "to": "-"}],
+    },
+    "html": "<span class='v'>AbxaB</span>",
+    "goose": "-x-",
+    "spans": text_spans("-x-"),
+}
+CASES["transform_date_ordinal"] = {
+    "rules": {
+        "scope": ".d",
+        "transform": [
+            {"type": "date", "from": "Do MMM YYYY", "to": "YYYY-MM-DD"}
+        ],
+    },
+    "html": "<span class='d'>21st Aug 2016</span>",
+    "goose": "2016-08-21",
+    "spans": text_spans("2016-08-21"),
+}
+CASES["transform_compare"] = {
+    "rules": {
+        "scope": ".stock",
+        "transform": [{"type": "trim"}, {"type": "compare", "value": "in stock"}],
+    },
+    "html": "<span class='stock'> in stock </span>",
+    "goose": True,
+    "spans": text_spans("true"),
+}
+CASES["transform_combine"] = {
+    "rules": {
+        "scope": ".w",
+        "type": "array",
+        "transform": [{"type": "trim"}],
+    },
+    "html": "<b class='w'> x </b><b class='w'> y </b>",
+    "goose": ["x", "y"],
+    "spans": text_spans("x", "y"),
+}
+CASES["grid_attr_cells"] = {
+    "rules": {
+        "scope": "li",
+        "collection": [
+            [
+                {"name": "href", "scope": "a", "attr": "href"},
+                {"name": "label", "scope": "a"},
+            ]
+        ],
+    },
+    "html": (
+        "<ul><li><a href='/1'>one</a></li><li><a href='/2'>two</a></li></ul>"
+    ),
+    "goose": [
+        {"href": "/1", "label": "one"},
+        {"href": "/2", "label": "two"},
+    ],
+    "spans": text_spans("/1", "one", "/2", "two"),
+}
+CASES["cases_nested_collection"] = {
+    "rules": {
+        "name": "product",
+        "cases": [
+            {
+                "scope": ".missing-root",
+                "collection": [{"name": "x", "scope": ".x"}],
+            },
+            {
+                "scope": ".present",
+                "collection": [
+                    {"name": "a", "scope": ".a"},
+                    {"name": "b", "scope": ".b"},
+                ],
+            },
+        ],
+    },
+    "html": "<div class='present'><i class='a'>A</i><i class='b'>B</i></div>",
+    "goose": {"a": "A", "b": "B"},
+    "spans": text_spans("A", "B"),
+}
+CASES["entities_in_attrs"] = {
+    "rules": {
+        "collection": [
+            {"name": "attr", "scope": ".e", "attr": "title"},
+            {"name": "text", "scope": ".e"},
+        ]
+    },
+    "html": "<span class='e' title='a &amp; b &quot;q&quot;'>x &lt; y</span>",
+    "goose": {"attr": 'a & b "q"', "text": "x < y"},
+    "spans": text_spans('a & b "q"', "x < y"),
+}
+CASES["deep_misnesting"] = {
+    "rules": {"scope": "em", "type": "array"},
+    "html": "<div><p><em>a<p><em>b</div><em>c",
+    "goose": ["a", "b", "c"],
+    "spans": text_spans("a", "b", "c"),
+}
+
 # --- pipeline-level (no rules: boilerplate/media/malformed) ----------------
 CASES["boilerplate_strip"] = {
     "rules": None,
