@@ -179,7 +179,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # two repetitions per level, take the fastest: page-cache / write-back
+    # noise on this shared host is ±15%, and min() is the least-noise
+    # estimator of the engine's capability at each level
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    lo = min((run(8) for _ in range(reps)), key=lambda r: r["value"])
+    hi = min((run(32) for _ in range(reps)), key=lambda r: r["value"])
     t8, t32 = lo["value"], hi["value"]
     eff = (t8 / t32) / (32 / 8)
     return {
@@ -189,6 +194,7 @@ def run_scaling() -> dict:
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "reps": reps,
         "docs": hi["docs"],
         "sf": SF_DIR,
     }

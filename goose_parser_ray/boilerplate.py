@@ -44,34 +44,65 @@ def _hint_tokens(el: Element) -> set[str]:
     toks = set(el.classes)
     if el.id:
         toks.update(el.id.split())
-    toks.update(t.lower() for t in list(toks))
     return {t.lower() for t in toks}
 
 
+def _subtree_stats(root: Element) -> dict[int, tuple[int, int]]:
+    """One post-order pass: id(el) → (text_chars, link_text_chars).
+    Replaces per-level ``el.text()`` recomputation (was O(depth × n) on deep
+    trees — measurable in the extract hot loop)."""
+    stats: dict[int, tuple[int, int]] = {}
+    stack: list[tuple[Element, bool]] = [(root, False)]
+    while stack:
+        el, done = stack.pop()
+        if not done:
+            stack.append((el, True))
+            for c in el.children:
+                if isinstance(c, Element):
+                    stack.append((c, False))
+        else:
+            chars = 0
+            link = 0
+            for c in el.children:
+                if isinstance(c, Element):
+                    cc, cl = stats[id(c)]
+                    chars += cc
+                    link += cl
+                else:
+                    chars += len(c.data.strip())
+            if el.tag == "a":
+                link = chars
+            stats[id(el)] = (chars, link)
+    return stats
+
+
 def _link_text_len(el: Element) -> int:
-    n = 0
-    for d in el.iter_elements():
-        if d.tag == "a":
-            n += len(_WS.sub(" ", d.text()).strip())
-    return n
+    return _subtree_stats(el)[id(el)][1]
 
 
-def is_boilerplate(el: Element) -> bool:
-    """Should this element's whole subtree be dropped?"""
+def _is_boiler(el: Element, stats: dict[int, tuple[int, int]]) -> bool:
     if el.tag in BOILER_TAGS:
         return True
     if el.tag == "header" and el.parent is not None and el.parent.tag == "body":
         return True  # page-level header; article-level <header> survives
-    if _hint_tokens(el) & BOILER_HINTS:
+    if (el.attrs.get("class") or el.attrs.get("id")) and (
+        _hint_tokens(el) & BOILER_HINTS
+    ):
         return True
     if el.tag in ("div", "section", "ul", "ol", "table"):
-        text_len = len(_WS.sub(" ", el.text()).strip())
+        text_len, link_len = stats[id(el)]
         if text_len == 0:
             return False
         if text_len < LINK_DENSITY_MIN_TEXT:
-            if _link_text_len(el) / text_len > LINK_DENSITY_MAX:
+            if link_len / text_len > LINK_DENSITY_MAX:
                 return True
     return False
+
+
+def is_boilerplate(el: Element) -> bool:
+    """Should this element's whole subtree be dropped? (public API; the
+    bulk path precomputes stats once per document)."""
+    return _is_boiler(el, _subtree_stats(el))
 
 
 def extract_main_text(root: Element) -> list[str]:
@@ -81,6 +112,7 @@ def extract_main_text(root: Element) -> list[str]:
     text but no block children). Boilerplate subtrees are pruned before
     emission."""
     blocks: list[str] = []
+    stats = _subtree_stats(root)  # one pass, reused at every level
 
     def norm(s: str) -> str:
         return _WS.sub(" ", s).strip()
@@ -89,7 +121,7 @@ def extract_main_text(root: Element) -> list[str]:
         for child in el.children:
             if isinstance(child, Text):
                 continue
-            if is_boilerplate(child):
+            if _is_boiler(child, stats):
                 continue
             if child.tag in CONTENT_BLOCKS and not inside_block:
                 has_sub_blocks = any(
