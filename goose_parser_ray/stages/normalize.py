@@ -41,12 +41,42 @@ def make_normalize_fn(num_partitions: int, salt_threshold: int = 256):
     is a plain function → stateless Ray tasks)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         doc_ids = batch["doc_id"].to_pylist()
+        n = len(doc_ids)
+        pids = [stable_hash(str(d)) % num_partitions for d in doc_ids]
+
+        # fast path: no mega-doc in this batch → spans column passes through
+        # untouched (zero-copy); the python row loop below only runs for
+        # batches that actually contain something to salt
+        lengths = pc.list_value_length(batch["spans"])
+        max_len = pc.max(lengths).as_py() or 0
+        if max_len <= salt_threshold:
+            source_col = (
+                pc.cast(batch["source"], pa.string())
+                if "source" in batch.column_names
+                else pa.array([""] * n, pa.string())
+            )
+            zeros = pa.array([0] * n, pa.int32())
+            ones = pa.array([1] * n, pa.int32())
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(batch["doc_id"], pa.string()),
+                    source_col,
+                    zeros,
+                    ones,
+                    pa.array(pids, pa.int32()),
+                    batch["spans"],
+                ],
+                schema=NORMALIZED_SCHEMA,
+            )
+
         spans_col = batch["spans"].to_pylist()
         sources = (
             batch["source"].to_pylist()
             if "source" in batch.column_names
-            else [""] * len(doc_ids)
+            else [""] * n
         )
         out = {
             "doc_id": [], "source": [], "salt": [], "n_salts": [],
