@@ -397,6 +397,79 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Streaming-shaped workload (guide): sessionization with a 30-minute
+    inactivity gap — groupby(user) + per-group ordered pandas windowing; the
+    ordering assumption (ts sorted within user) is established inside the
+    group fn, not globally."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[["user_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_agg_builtins(sf_dir: str):
+    """S6 via Ray's native aggregate API (Min/Max/Count) — exact-integer
+    columns only, so the hash compare cannot be bitten by float sum order."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_type"], _cents(t["value"], 10000)],
+            names=["event_type", "value_e4"],
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("event_type").aggregate(
+        Min("value_e4", alias_name="min_e4"),
+        Max("value_e4", alias_name="max_e4"),
+        Count(alias_name="n"),
+    )
+
+
+SQL_AGG_BUILTINS = """
+SELECT event_type,
+       MIN(CAST(ROUND(10000 * value) AS BIGINT)) AS min_e4,
+       MAX(CAST(ROUND(10000 * value) AS BIGINT)) AS max_e4,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -584,6 +657,8 @@ QUERIES = {
     "transform_date": q_transform_date,
     "token_stats": q_token_stats,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "agg_builtins": q_agg_builtins,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -614,6 +689,8 @@ ORACLE_SQL = {
     "transform_date": SQL_TRANSFORM_DATE,
     "token_stats": SQL_TOKEN_STATS,
     "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "agg_builtins": SQL_AGG_BUILTINS,
     "dedup_exact": SQL_DEDUP_EXACT,
     # dedup_minhash / dedup_simhash / dedup_embedding / ann_bruteforce /
     # lang_id / quality_score / fingerprint / media_decode / extract_spans:
