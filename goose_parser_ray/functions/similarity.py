@@ -69,6 +69,83 @@ def _merge_topk(k: int):
     return merge
 
 
+def ann_lsh(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Scale-path ANN: random-hyperplane LSH bucketing (same construction as
+    the near-dup bucketer) prunes the corpus to vectors sharing ≥1 bucket
+    with ≥1 query across ``n_tables`` tables, then exact cosine rerank.
+
+    At 100 TB the bucket filter is a vectorized ``is_in`` against a
+    driver-broadcast probe set — the matmul only ever sees candidates.
+    Approximate by construction: recall < 1 for far neighbors (tune
+    ``n_planes`` down / ``n_tables`` up for higher recall)."""
+    from goose_parser_ray.functions.dedup import HyperplaneBucketActor, _NB, _crc
+
+    bucketed = ds.map_batches(
+        HyperplaneBucketActor,
+        fn_constructor_kwargs={
+            "dim": dim, "id_col": id_col, "col": col,
+            "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+        },
+        batch_format="pyarrow",
+        concurrency=(concurrency, concurrency),
+    )
+    # query buckets, computed driver-side with the identical plane matrix
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim).astype(np.float32)
+    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    probe: set[int] = set()
+    for tbl in range(n_tables):
+        signs = (q @ planes[tbl].T) > 0
+        keys = np.packbits(signs, axis=1)
+        for row in keys:
+            probe.add(tbl << 56 | int.from_bytes(row.tobytes(), "big"))
+
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        combined = pa.compute.add(
+            pa.compute.shift_left(pa.compute.cast(t["table_id"], pa.int64()), 56),
+            t["bucket"],
+        )
+        return t.filter(pa.compute.is_in(combined, value_set=probe_arr))
+
+    candidates = bucketed.map_batches(bucket_filter, batch_format="pyarrow")
+
+    # a vector can land in the probe set via several tables → distinct by id
+    def add_b(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [(_crc(str(v)) % _NB) for v in ids]
+        return t.append_column("__b", pa.array(h, pa.int64()))
+
+    import pandas as pd  # noqa: F401  (map_groups pandas batch)
+
+    candidates = candidates.map_batches(add_b, batch_format="pyarrow")
+    candidates = candidates.groupby("__b").map_groups(
+        lambda g: g.drop_duplicates(subset=[id_col]), batch_format="pandas"
+    )
+    candidates = candidates.drop_columns(["__b", "table_id", "bucket"])
+
+    return ann_bruteforce(
+        candidates, list(query_ids), query_matrix, k,
+        id_col=id_col, col=col, exclude_self=exclude_self,
+        concurrency=concurrency,
+    )
+
+
 def ann_bruteforce(
     ds: ray.data.Dataset,
     query_ids: list,

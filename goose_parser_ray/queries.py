@@ -32,7 +32,7 @@ from goose_parser_ray.functions.dedup import (
 )
 from goose_parser_ray.functions.multimodal import ImageDecodeActor
 from goose_parser_ray.functions.relational import broadcast_join, pre_aggregated_sum
-from goose_parser_ray.functions.similarity import ann_bruteforce
+from goose_parser_ray.functions.similarity import ann_bruteforce, ann_lsh
 from goose_parser_ray.functions.textstats import LangIdActor, add_fingerprint
 from goose_parser_ray.pipelines import build_extraction_pipeline
 from goose_parser_ray.sources.corpus import wrap_flat_documents
@@ -543,6 +543,25 @@ def q_ann_bruteforce(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_lsh(sf_dir: str):
+    """Scale-path ANN: LSH bucket pruning + exact rerank (rows-only —
+    approximate recall by construction)."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # ann_lsh chains TWO fixed actor pools (bucketer + reranker); each gets
+    # half the budget or their reservations can't coexist and the streaming
+    # pipeline deadlocks
+    out = ann_lsh(
+        ds, qids, qmat, k=5, dim=64, n_planes=6,
+        concurrency=max(1, _pool() // 2),
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 # ---------------------------------------------------------------------------
 # text analysis (heuristics → rows-only)
 # ---------------------------------------------------------------------------
@@ -666,6 +685,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "fingerprint": q_fingerprint,

@@ -206,3 +206,24 @@ def test_multimodal_stub_plumbing():
     assert fr["frame_indices"].to_pylist()[1][:2] == [0, 10]
     with pytest.raises(NotImplementedError):
         ImageDecodeActor(fake=False)._decode_real(b"")
+
+
+def test_ann_lsh_finds_planted_neighbor(ray_session):
+    rng = np.random.RandomState(3)
+    m = rng.randn(120, 16).astype(np.float32)
+    m[7] = m[0] + 0.01 * rng.randn(16)  # near-identical to query 0
+    tbl = pa.Table.from_pydict(
+        {"vec_id": list(range(120)), "embedding": [r.tolist() for r in m]},
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    from goose_parser_ray.functions.similarity import ann_lsh
+
+    ds = ray.data.from_arrow(tbl)
+    out = ann_lsh(
+        ds, [0], m[[0]], k=3, dim=16, n_planes=6, concurrency=1
+    ).to_pandas()
+    got = out.sort_values("rank")["vec_id"].tolist()
+    assert got[0] == 7  # the planted near-duplicate survives bucket pruning
+    assert 0 not in got  # self excluded
