@@ -436,3 +436,81 @@ def embedding_near_dups(
         lambda g: _cosine_pairs_bucket(g, threshold), batch_format="pandas"
     )
     return _dedup_pairs(pairs, cols=("vec_a", "vec_b"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup removal: candidates → components → keep-first filter
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(pairs: "pd.DataFrame") -> dict:
+    """doc → component root (min id). Driver-side union-find — valid because
+    the LSH candidate-pair set is O(duplicates), orders of magnitude smaller
+    than the corpus (guide: union-find on the driver only when the candidate
+    set is provably small; guarded below). The fully distributed alternative
+    is iterative min-label propagation: k rounds of
+    ``edges ⋈ labels → groupby(node).min(label)`` over the pairs dataset —
+    switch to it when pair counts approach driver memory."""
+    if len(pairs) > 5_000_000:
+        raise ValueError(
+            f"{len(pairs)} candidate pairs exceed the driver union-find guard; "
+            "use distributed min-label propagation instead"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root = smaller id → deterministic "first wins"
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup_keep(
+    ds: ray.data.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    jaccard_threshold: float | None = None,
+    docs_lookup: dict | None = None,
+    concurrency: int = 4,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """The full near-dup REMOVAL pipeline: MinHash+LSH candidates →
+    (optional) exact n-gram Jaccard verification → connected components →
+    keep the min-id representative of every duplicate cluster → filter the
+    corpus with a broadcast drop-set (no shuffle touches the corpus itself).
+
+    NOTE: consumes the candidate-pair sub-pipeline eagerly (pairs are tiny);
+    the returned Dataset lazily filters ``ds``."""
+    import ray as _ray
+
+    pairs = minhash_lsh_candidates(
+        ds, col=col, id_col=id_col, concurrency=concurrency, **minhash_kwargs
+    )
+    if jaccard_threshold is not None:
+        if docs_lookup is None:
+            raise ValueError("jaccard verification needs docs_lookup")
+        pairs = verify_candidates_jaccard(
+            pairs, docs_lookup, threshold=jaccard_threshold
+        )
+    pairs_pd = pairs.to_pandas()
+    roots = _union_find_components(pairs_pd)
+    drop = {x for x, r in roots.items() if r != x}
+    drop_ref = _ray.put(drop)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        d = _ray.get(drop_ref)
+        mask = [v not in d for v in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

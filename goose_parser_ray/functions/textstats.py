@@ -129,3 +129,58 @@ def text_stats_pipeline(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dat
     ds = ds.map_batches(lambda t: add_punct_count(t, col), batch_format="pyarrow")
     ds = ds.map_batches(lambda t: add_quality_score(t, col), batch_format="pyarrow")
     return ds
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (mergeable — guide "Aggregation at scale")
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def hll_sketch_batch(values) -> np.ndarray:
+    """One batch → one register array (uint8[4096]). crc32-based hash,
+    deterministic across processes."""
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for v in values:
+        h = zlib.crc32(str(v).encode()) | (
+            zlib.crc32((str(v) + "~salt").encode()) << 32
+        )
+        idx = h & ((1 << HLL_P) - 1)
+        w = h >> HLL_P
+        # rank = position of first set bit in the remaining 52 bits
+        rank = 53 - int(w).bit_length() if w else 53
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for s in sketches:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small cardinalities
+    return int(round(est))
+
+
+def hll_distinct(ds, col: str):
+    """Distributed distinct-count: one sketch row per batch (map-only), tiny
+    driver-side merge — the shuffle-free sketch pattern. Returns int."""
+    import pyarrow as _pa
+
+    def sketch(batch: _pa.Table) -> _pa.Table:
+        regs = hll_sketch_batch(batch[col].to_pylist())
+        return _pa.Table.from_pydict({"regs": [regs.tobytes()]})
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = hll_merge([np.frombuffer(r["regs"], dtype=np.uint8) for r in rows])
+    return hll_estimate(merged)

@@ -26,6 +26,7 @@ import ray.data
 
 from goose_parser_ray.functions.dedup import (
     exact_dedup,
+    minhash_dedup_keep,
     minhash_lsh_candidates,
     simhash_near_dups,
     embedding_near_dups,
@@ -527,6 +528,33 @@ def q_dedup_embedding(sf_dir: str):
     )
 
 
+def q_dedup_keep(sf_dir: str):
+    """End-to-end near-dup REMOVAL: LSH candidates → jaccard verify →
+    connected components → keep min-id representative → broadcast-filtered
+    corpus (rows-only: approximate candidate recall)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = minhash_dedup_keep(
+        ds, jaccard_threshold=0.8, docs_lookup=lookup, concurrency=_pool()
+    )
+    return kept.select_columns(["doc_id"])
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct count via mergeable HLL sketches (rows-only —
+    a sketch, ±1.6% at p=12; exact answer would need a full shuffle)."""
+    from goose_parser_ray.functions.textstats import hll_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id")
+    import pandas as _pd
+
+    return _pd.DataFrame({"n_distinct_users_est": [est]})
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -684,6 +712,8 @@ QUERIES = {
     "sample_random": q_sample_random,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_keep": q_dedup_keep,
+    "hll_distinct_users": q_hll_distinct_users,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "lang_id": q_lang_id,

@@ -227,3 +227,50 @@ def test_ann_lsh_finds_planted_neighbor(ray_session):
     got = out.sort_values("rank")["vec_id"].tolist()
     assert got[0] == 7  # the planted near-duplicate survives bucket pruning
     assert 0 not in got  # self excluded
+
+
+def test_minhash_dedup_keep_end_to_end(docs_ds):
+    from goose_parser_ray.functions.dedup import minhash_dedup_keep
+
+    lookup = {
+        r["doc_id"]: r["text"] for r in docs_table().to_pylist()
+    }
+    kept = minhash_dedup_keep(
+        docs_ds, jaccard_threshold=0.8, docs_lookup=lookup, concurrency=2
+    ).to_pandas()
+    ids = set(kept["doc_id"])
+    # every doc except 103 shares the BASE text (jaccard ≥ 0.8 pairwise), so
+    # they all collapse into one cluster kept by its min id; 103 is unrelated
+    assert ids == {0, 103}
+
+
+def test_union_find_deterministic():
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import _union_find_components
+
+    pairs = pd.DataFrame({"doc_a": [5, 1, 3], "doc_b": [9, 5, 7]})
+    roots = _union_find_components(pairs)
+    assert roots[9] == 1 and roots[5] == 1  # chain 1-5-9 roots at min id
+    assert roots[7] == 3
+
+
+def test_hll_distinct_accuracy(ray_session):
+    from goose_parser_ray.functions.textstats import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch_batch,
+    )
+
+    # pure sketch math: two half-sketches merge to the full estimate
+    vals = [f"user-{i}" for i in range(20000)]
+    s1 = hll_sketch_batch(vals[:10000])
+    s2 = hll_sketch_batch(vals[10000:])
+    est = hll_estimate(hll_merge([s1, s2]))
+    assert abs(est - 20000) / 20000 < 0.05
+
+    # distributed path over a Dataset with duplicates
+    ds = ray.data.from_items([{"u": f"u{i % 500}"} for i in range(5000)])
+    est2 = hll_distinct(ds, "u")
+    assert abs(est2 - 500) / 500 < 0.1
