@@ -139,12 +139,15 @@ HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
 def hll_sketch_batch(values) -> np.ndarray:
-    """One batch → one register array (uint8[4096]). crc32-based hash,
-    deterministic across processes."""
+    """One batch → one register array (uint8[4096]). blake2b hash — crc32's
+    linearity visibly biases the estimate on sequential keys; a proper
+    avalanche hash is required. Deterministic across processes."""
+    from hashlib import blake2b
+
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
     for v in values:
-        h = zlib.crc32(str(v).encode()) | (
-            zlib.crc32((str(v) + "~salt").encode()) << 32
+        h = int.from_bytes(
+            blake2b(str(v).encode(), digest_size=8).digest(), "big"
         )
         idx = h & ((1 << HLL_P) - 1)
         w = h >> HLL_P
