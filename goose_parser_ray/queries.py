@@ -688,6 +688,46 @@ def q_extract_spans(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_extract_rules(sf_dir: str):
+    """Rules-mode flagship: a goose rule tree (grid over article paragraphs
+    + attr extraction) evaluated through the full distributed pipeline —
+    wrap → normalize → actor-pool DOM extract → flatten (rows-only)."""
+    rules = {
+        "collection": [
+            {"name": "title", "scope": "article h1", "transform": [{"type": "trim"}]},
+            {"name": "paras", "scope": "article p", "type": "array"},
+            {
+                "name": "sections",
+                "scope": "article",
+                "collection": [
+                    [
+                        {"name": "head", "scope": "h1", "id": True},
+                        {"name": "first_para", "scope": "p:first"},
+                    ]
+                ],
+            },
+            {"name": "nav_links", "scope": "nav a", "attr": "href", "type": "array"},
+        ]
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
+    ds = build_extraction_pipeline(
+        ds, rules, num_partitions=16, salt_threshold=None,
+        concurrency=_pool(), batch_size=32,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "seq": [], "text": []}
+        for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+            for sp in spans:
+                rows["doc_id"].append(doc_id)
+                rows["seq"].append(sp["offset"])
+                rows["text"].append(sp["text"])
+        return pa.Table.from_pydict(rows)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -721,6 +761,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "media_decode": q_media_decode,
     "extract_spans": q_extract_spans,
+    "extract_rules": q_extract_rules,
 }
 
 ORACLE_SQL = {
