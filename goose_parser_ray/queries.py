@@ -89,7 +89,7 @@ def q_agg_by_lang(sf_dir: str):
 
 
 SQL_AGG_BY_LANG = """
-SELECT lang, SUM(n_chars) AS sum_chars, COUNT(*) AS n_docs
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """
 
@@ -134,7 +134,7 @@ def q_join_segment(sf_dir: str):
 
 SQL_JOIN_SEGMENT = """
 SELECT c_mktsegment AS segment,
-       SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -162,7 +162,7 @@ def q_join_hash(sf_dir: str):
 
 SQL_JOIN_HASH = """
 SELECT p_brand,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -220,9 +220,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(ROUND(100 * (l_extendedprice * (1 - l_discount))) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(100 * (l_extendedprice * (1 - l_discount))) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -392,7 +392,7 @@ def q_events_window(sf_dir: str):
 SQL_EVENTS_WINDOW = """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-       SUM(CAST(ROUND(10000 * value) AS BIGINT)) AS value_e4,
+       CAST(SUM(CAST(ROUND(10000 * value) AS BIGINT)) AS BIGINT) AS value_e4,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """

@@ -87,7 +87,10 @@ def main() -> int:
             failures += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            # check_dtype=True mirrors the driver's value-hash semantics: a
+            # DuckDB HUGEINT sum materialized as float64 must NOT silently
+            # compare equal to the engine's int64 (round-1 failure mode).
+            pd.testing.assert_frame_equal(g, w, check_dtype=True)
         except AssertionError as exc:
             print(f"FAIL {name}: values differ: {str(exc)[:300]}")
             failures += 1
