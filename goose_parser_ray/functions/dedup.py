@@ -3,14 +3,25 @@ scale"; each also surfaced through ``__ray_entry__.queries``).
 
 Shuffle accounting (what moves in the all-to-all):
 
-- exact:       one groupby on a 64-bit content hash (hash column only + kept
-               row payload).
+- exact:       map-side combine first (per-batch drop-duplicates — a hot
+               text contributes ≤1 row per block to the shuffle), then one
+               groupby on a content-hash bucket; bucket count is
+               data-proportional so group payload is bounded by
+               ``target_rows_per_bucket`` × row size at ANY corpus size.
 - MinHash+LSH: shingling/minhashing is map-only; the shuffle moves (band_id,
                band_hash, doc_id) triples — 16 small rows per doc, never the
-               text.
+               text. Hot buckets (mass-duplicated boilerplate) emit star
+               edges, not all-pairs — linear, not O(n²).
 - SimHash:     map-only signature; shuffle moves (table_id, key, doc_id).
 - embedding:   random-hyperplane LSH buckets; exact cosine verified inside
                each bucket group.
+- verify:      distributed path = two hash-partitioned joins of the (small)
+               candidate-pair set against the corpus on doc_id — no driver
+               dict, no broadcast of corpus text.
+- components:  distributed min-label propagation over the pairs dataset
+               (labels materialized per round — bounded by candidate-set
+               size, never the corpus); driver union-find only under the
+               pair-count guard.
 """
 
 from __future__ import annotations
@@ -20,11 +31,18 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
 def _crc(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def _hash_series(s: pd.Series) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash (C kernel, fixed key — same
+    value on every worker, unlike builtin ``hash``)."""
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
 
 
 # ---------------------------------------------------------------------------
@@ -33,26 +51,43 @@ def _crc(s: str) -> int:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, col: str, id_col: str
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 1024,
+    combine_first: bool = True,
 ) -> ray.data.Dataset:
     """Keep one row per distinct ``col`` value — the winner is the smallest
-    ``id_col`` (deterministic "first wins"). Hash column added vectorized;
-    groupby moves rows keyed by the 32-bit hash (collisions resolved by
-    grouping on the true value inside each hash group)."""
+    ``id_col`` (deterministic "first wins").
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vals = batch[col].to_pylist()
-        h = np.fromiter(
-            (_crc(v or "") % _NB for v in vals), dtype=np.int64, count=len(vals)
-        )
-        return batch.append_column("__h", pa.array(h))
+    Scale shape: (1) map-side combine — each batch drops its own duplicates
+    before the shuffle, so a text duplicated M times across B blocks ships
+    ≤B rows, not M; (2) rows shuffle keyed by ``hash(value) % num_buckets``;
+    (3) the fine-grained per-value grouping happens vectorized (pandas)
+    inside each bucket. Max group payload = (distinct values / num_buckets +
+    blocks-per-hot-value) × row size — size ``num_buckets`` so that is heap-
+    friendly (callers with a known row count: rows // target_rows_per_bucket;
+    see q_dedup_exact)."""
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(id_col).groupby(col, as_index=False).first()
+        df["__h"] = (_hash_series(df[col]) % num_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def first_per_value(group: pd.DataFrame) -> pd.DataFrame:
-        # fine-grained grouping on the true value happens inside the coarse
-        # hash bucket — vectorized pandas, not one Ray group per value
         return group.sort_values(id_col).groupby(col, as_index=False).first()
 
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if combine_first:
+        ds = ds.map_batches(local_first, batch_format="pyarrow")
+    else:
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            h = _hash_series(batch[col].to_pandas()) % num_buckets
+            return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+        ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds = ds.groupby("__h").map_groups(first_per_value, batch_format="pandas")
     return ds.drop_columns(["__h"])
 
@@ -134,14 +169,28 @@ class MinHashActor:
 # (buckets only partition work).
 _NB = 64
 
+# An LSH bucket larger than this emits a STAR (every member → min id) instead
+# of all pairs: connectivity for the components stage is preserved, the edge
+# count is linear, and one mass-duplicated boilerplate string can no longer
+# go O(n²). Trade-off documented: pairwise Jaccard verification then checks
+# member≈hub rather than member≈member, which is the standard bucket-cap
+# behavior for mass duplicates (they are near-identical by construction).
+_BUCKET_PAIR_CAP = 256
+
 
 def _pairs_in_bucket(group: pd.DataFrame, by: list[str]) -> pd.DataFrame:
-    """All distinct candidate pairs within one coarse bucket: fine-grained
-    groupby happens here, in-memory, not in the shuffle."""
+    """Candidate pairs within one coarse bucket: fine-grained groupby happens
+    here, in-memory, not in the shuffle. All-pairs below _BUCKET_PAIR_CAP,
+    star edges above it."""
     out_a: list = []
     out_b: list = []
     for _, g in group.groupby(by, sort=False):
         ids = sorted(set(g["doc_id"]))
+        if len(ids) > _BUCKET_PAIR_CAP:
+            hub = ids[0]
+            out_a.extend([hub] * (len(ids) - 1))
+            out_b.extend(ids[1:])
+            continue
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 out_a.append(a)
@@ -155,11 +204,10 @@ def _dedup_pairs(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a", "doc
     a, b = cols
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        av, bv = t[a].to_pylist(), t[b].to_pylist()
-        h = np.fromiter(
-            (_crc(f"{x}|{y}") % _NB for x, y in zip(av, bv)),
-            dtype=np.int64, count=len(av),
-        )
+        df = t.to_pandas()
+        h = (
+            _hash_series(df[a].astype(str) + "|" + df[b].astype(str)) % _NB
+        ).astype(np.int64)
         return t.append_column("__pb", pa.array(h))
 
     pairs = pairs.map_batches(add_bucket, batch_format="pyarrow")
@@ -195,7 +243,7 @@ def minhash_lsh_candidates(
     )
     banded = banded.map_batches(
         lambda t: t.append_column(
-            "__b", pa.compute.cast(pa.compute.bit_wise_and(t["key"], _NB - 1), pa.int64())
+            "__b", pc.cast(pc.bit_wise_and(t["key"], _NB - 1), pa.int64())
         ),
         batch_format="pyarrow",
     )
@@ -209,6 +257,15 @@ def minhash_lsh_candidates(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Bit-position table replicating np.unpackbits order over the uint64's
+# little-endian bytes (byte k = bits 8k..8k+7 of h, MSB of each byte first):
+# acc position i reads h bit 8*(i//8) + (7 - i%8). Keeping this mapping makes
+# the vectorized kernel produce BIT-IDENTICAL signatures to the original
+# per-word-unpackbits implementation.
+_SIMHASH_SHIFTS = np.array(
+    [8 * (i // 8) + (7 - i % 8) for i in range(64)], dtype=np.uint64
+)
+
 
 class SimHashActor:
     """64-bit SimHash per doc + 4×16-bit band keys (docs within hamming
@@ -219,41 +276,43 @@ class SimHashActor:
 
     @staticmethod
     def simhash(text: str) -> int:
+        """Vectorized kernel: one fromiter of word hashes, then a single
+        (words × 64) bit-table shift — replaces three numpy calls per word
+        (frombuffer/unpackbits/add) with three per DOCUMENT. Signatures are
+        bit-identical to the original per-word kernel (see _SIMHASH_SHIFTS)."""
         words = (text or "").lower().split()
         if not words:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            h = (_crc(w) << 32) | _crc(w[::-1] + "~")
-            bits = np.unpackbits(
-                np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-            )
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i, v in enumerate(acc):
-            if v > 0:
-                out |= 1 << i
-        return out
+        hs = np.fromiter(
+            ((_crc(w) << 32) | _crc(w[::-1] + "~") for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & 1).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        pos = np.nonzero(acc > 0)[0].astype(np.uint64)
+        for i in pos:
+            out |= np.uint64(1) << i
+        return int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.col].to_pylist()
-        rows = {"doc_id": [], "table_id": [], "band_key": [], "simhash": []}
-        for did, t in zip(ids, texts):
-            sh = self.simhash(t)
-            for tbl in range(4):
-                rows["doc_id"].append(did)
-                rows["table_id"].append(tbl)
-                rows["band_key"].append((sh >> (16 * tbl)) & 0xFFFF)
-                rows["simhash"].append(sh)
+        n = len(ids)
+        sigs = np.fromiter(
+            (self.simhash(t) for t in texts), dtype=np.uint64, count=n
+        )
+        # emit 4 band rows per doc, vectorized (tile/repeat, no Python loop)
+        doc_idx = np.repeat(np.arange(n), 4)
+        tables = np.tile(np.arange(4, dtype=np.int64), n)
+        keys = (sigs[doc_idx] >> (tables.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(rows["doc_id"]),
-                "table_id": pa.array(rows["table_id"], pa.int32()),
-                "band_key": pa.array(rows["band_key"], pa.int64()),
-                "simhash": pa.array(
-                    np.array(rows["simhash"], dtype=np.uint64).astype(np.int64)
-                ),
+                "doc_id": pa.array(np.asarray(ids)[doc_idx].tolist()),
+                "table_id": pa.array(tables.astype(np.int32), pa.int32()),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "simhash": pa.array(sigs[doc_idx].astype(np.int64)),
             }
         )
 
@@ -263,12 +322,21 @@ def _simhash_pairs_bucket(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame
     for _, g in group.groupby(["table_id", "band_key"], sort=False):
         rows = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = rows["doc_id"].tolist()
-        sigs = rows["simhash"].tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    out.append((ids[i], ids[j], d))
+        sigs = np.asarray(rows["simhash"].tolist(), dtype=np.int64).astype(np.uint64)
+        if len(ids) < 2:
+            continue
+        if len(ids) > _BUCKET_PAIR_CAP:
+            # identical band key on a mass-duplicate run: star to the hub
+            ii = np.zeros(len(ids) - 1, dtype=np.int64)
+            jj = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
+        x = sigs[ii] ^ sigs[jj]
+        # vectorized popcount via uint8 view + bit_count table
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        hit = d <= max_hamming
+        for i, j, dd in zip(ii[hit], jj[hit], d[hit]):
+            out.append((ids[i], ids[j], int(dd)))
     return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).drop_duplicates(
         subset=["doc_a", "doc_b"]
     )
@@ -290,7 +358,7 @@ def simhash_near_dups(
     banded = banded.map_batches(
         lambda t: t.append_column(
             "__b",
-            pa.compute.cast(pa.compute.bit_wise_and(t["band_key"], _NB - 1), pa.int64()),
+            pc.cast(pc.bit_wise_and(t["band_key"], _NB - 1), pa.int64()),
         ),
         batch_format="pyarrow",
     )
@@ -327,9 +395,10 @@ def verify_candidates_jaccard(
     n: int = 3,
     threshold: float = 0.8,
 ) -> ray.data.Dataset:
-    """Verify candidate pairs against exact n-gram Jaccard. The doc-text
-    lookup is broadcast via ``ray.put`` (small side — for huge corpora use a
-    repartitioned join instead; documented partitioning assumption)."""
+    """Verify candidate pairs against exact n-gram Jaccard with a broadcast
+    doc-text lookup — DIMENSION-TABLE sizes only. The corpus-scale path is
+    :func:`verify_candidates_jaccard_distributed` (hash-partitioned joins,
+    nothing driver-side)."""
     import ray as _ray
 
     ref = _ray.put(docs_lookup)
@@ -343,6 +412,80 @@ def verify_candidates_jaccard(
         return batch.filter(pa.array([s >= threshold for s in sims]))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+
+def _default_join_partitions() -> int:
+    """Join/shuffle aggregator count sized to the cluster: each hash-join
+    partition is served by an aggregator actor, and more aggregators than
+    cores deadlocks a small cluster while starving the map side on a big
+    one. Half the cores is the measured sweet spot locally; on a multi-node
+    cluster CPU scales with nodes so partition count follows."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    return max(2, min(64, cpus // 2))
+
+def attach_pair_texts(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned join of candidate pairs against the corpus on each
+    endpoint: pairs ⋈ docs(doc_a) ⋈ docs(doc_b) → (doc_a, doc_b, …,
+    text_a, text_b). The pair set is O(duplicates) — the small side; the
+    corpus is shuffled by id, never collected on the driver."""
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    for side, alias in (("doc_a", "text_a"), ("doc_b", "text_b")):
+        keyed = docs.map_batches(
+            lambda t, s=side, al=alias: pa.Table.from_arrays(
+                [t[id_col], t[col]], names=[f"__{s}", al]
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = pairs.join(
+            keyed,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(side,),
+            right_on=(f"__{side}",),
+        )
+        if f"__{side}" in pairs.columns():
+            pairs = pairs.drop_columns([f"__{side}"])
+    return pairs
+
+
+def verify_candidates_jaccard_distributed(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-scale candidate verification: texts attached by hash-
+    partitioned joins (see :func:`attach_pair_texts`), jaccard computed
+    per joined row, text columns dropped before the result flows on.
+    Nothing is materialized driver-side."""
+    joined = attach_pair_texts(
+        pairs, docs, id_col=id_col, col=col, num_partitions=num_partitions
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["text_a"].to_pylist()
+        b = batch["text_b"].to_pylist()
+        sims = [ngram_jaccard(x, y, n) for x, y in zip(a, b)]
+        batch = batch.drop_columns(["text_a", "text_b"])
+        batch = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -363,8 +506,10 @@ class HyperplaneBucketActor:
         self.id_col, self.col, self.n_tables = id_col, col, n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from goose_parser_ray.functions.similarity import _list_col_to_matrix
+
         ids = batch[self.id_col].to_pylist()
-        emb = np.array(batch[self.col].to_pylist(), dtype=np.float32)
+        emb = _list_col_to_matrix(batch[self.col])
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         emb = emb / norms
@@ -396,7 +541,11 @@ def _cosine_pairs_bucket(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
         ids = rows["vec_id"].tolist()
         m = np.array(rows["embedding"].tolist(), dtype=np.float32)  # pre-normalized
         sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
+        if len(ids) > _BUCKET_PAIR_CAP:
+            ii = np.zeros(len(ids) - 1, dtype=np.int64)
+            jj = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
         hit = sims[ii, jj] >= threshold
         for i, j in zip(ii[hit], jj[hit]):
             out.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
@@ -428,7 +577,7 @@ def embedding_near_dups(
     bucketed = bucketed.map_batches(
         lambda t: t.append_column(
             "__b",
-            pa.compute.cast(pa.compute.bit_wise_and(t["bucket"], _NB - 1), pa.int64()),
+            pc.cast(pc.bit_wise_and(t["bucket"], _NB - 1), pa.int64()),
         ),
         batch_format="pyarrow",
     )
@@ -439,23 +588,18 @@ def embedding_near_dups(
 
 
 # ---------------------------------------------------------------------------
-# end-to-end near-dup removal: candidates → components → keep-first filter
+# connected components: driver union-find (small) / distributed min-label
+# propagation (past the guard)
 # ---------------------------------------------------------------------------
+
+DRIVER_PAIR_GUARD = 5_000_000
 
 
 def _union_find_components(pairs: "pd.DataFrame") -> dict:
-    """doc → component root (min id). Driver-side union-find — valid because
-    the LSH candidate-pair set is O(duplicates), orders of magnitude smaller
-    than the corpus (guide: union-find on the driver only when the candidate
-    set is provably small; guarded below). The fully distributed alternative
-    is iterative min-label propagation: k rounds of
-    ``edges ⋈ labels → groupby(node).min(label)`` over the pairs dataset —
-    switch to it when pair counts approach driver memory."""
-    if len(pairs) > 5_000_000:
-        raise ValueError(
-            f"{len(pairs)} candidate pairs exceed the driver union-find guard; "
-            "use distributed min-label propagation instead"
-        )
+    """doc → component root (min id). Driver-side union-find — the fast path
+    when the candidate-pair set fits comfortably in driver memory (callers
+    gate on DRIVER_PAIR_GUARD and fall back to
+    :func:`connected_components_distributed`)."""
     parent: dict = {}
 
     def find(x):
@@ -475,6 +619,127 @@ def _union_find_components(pairs: "pd.DataFrame") -> dict:
     return {x: find(x) for x in parent}
 
 
+def connected_components_distributed(
+    pairs: ray.data.Dataset,
+    *,
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+    num_partitions: int | None = None,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Distributed connected components over the candidate-pair dataset:
+    iterative min-label propagation. Each round is one hash join
+    (edges ⋈ labels) + a groupby-min; labels are materialized per round —
+    legitimate, they are bounded by the CANDIDATE set (O(duplicates)), not
+    the corpus. Convergence detector: labels only ever decrease, so an
+    unchanged global label sum ⇒ fixed point (one tiny aggregate per round,
+    no extra join). Rounds needed = component diameter — small for LSH
+    duplicate clusters, and the hot-bucket star capping above bounds it.
+
+    Returns a Dataset(node, label) with label = min doc_id of the node's
+    component (same contract as driver union-find roots)."""
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    a, b = cols
+    # undirected edge list: both directions, so one join propagates both ways
+    edges = pairs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                pa.concat_arrays([t[a].combine_chunks(), t[b].combine_chunks()]),
+                pa.concat_arrays([t[b].combine_chunks(), t[a].combine_chunks()]),
+            ],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # initial labels: every endpoint labels itself
+    labels = (
+        edges.map_batches(
+            lambda t: pa.Table.from_arrays([t["u"], t["u"]], names=["node", "label"]),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def label_sum(ls: ray.data.Dataset) -> int:
+        row = ls.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("u",),
+            right_on=("node",),
+        )
+        msgs = msgs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["v"], t["label"]], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def filter_out_ids(
+    ds: ray.data.Dataset,
+    drop: ray.data.Dataset,
+    id_col: str,
+    *,
+    drop_col: str = "node",
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Remove rows whose ``id_col`` appears in ``drop``. Small drop set →
+    ray.put broadcast + map-side ``is_in`` (no corpus shuffle); large →
+    hash-partitioned ``left_anti`` join."""
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    n = drop.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_threshold:
+        import ray as _ray
+
+        tbl = pa.Table.from_pandas(drop.to_pandas())
+        ref = _ray.put(tbl[drop_col].combine_chunks())
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            d = _ray.get(ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch[id_col], value_set=d))
+            )
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow")
+    keyed = drop.map_batches(
+        lambda t: pa.Table.from_arrays([t[drop_col]], names=["__drop_id"]),
+        batch_format="pyarrow",
+    )
+    return ds.join(
+        keyed,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("__drop_id",),
+    )
+
+
 def minhash_dedup_keep(
     ds: ray.data.Dataset,
     col: str = "text",
@@ -482,35 +747,62 @@ def minhash_dedup_keep(
     *,
     jaccard_threshold: float | None = None,
     docs_lookup: dict | None = None,
+    docs: ray.data.Dataset | None = None,
     concurrency: int = 4,
+    driver_pair_guard: int = DRIVER_PAIR_GUARD,
+    num_partitions: int | None = None,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """The full near-dup REMOVAL pipeline: MinHash+LSH candidates →
     (optional) exact n-gram Jaccard verification → connected components →
     keep the min-id representative of every duplicate cluster → filter the
-    corpus with a broadcast drop-set (no shuffle touches the corpus itself).
+    corpus.
 
-    NOTE: consumes the candidate-pair sub-pipeline eagerly (pairs are tiny);
-    the returned Dataset lazily filters ``ds``."""
-    import ray as _ray
-
+    Scale paths, chosen by measurement not configuration:
+    - verification: pass ``docs`` (a Dataset) for the hash-partitioned join
+      path; ``docs_lookup`` (a dict) only for dimension-table corpora.
+    - components: driver union-find under ``driver_pair_guard`` pairs,
+      distributed min-label propagation above it.
+    - corpus filter: broadcast ``is_in`` for small drop sets, ``left_anti``
+      join past that (see :func:`filter_out_ids`)."""
     pairs = minhash_lsh_candidates(
         ds, col=col, id_col=id_col, concurrency=concurrency, **minhash_kwargs
-    )
+    ).materialize()  # tiny vs corpus; also frees the actor pool before joins
     if jaccard_threshold is not None:
-        if docs_lookup is None:
-            raise ValueError("jaccard verification needs docs_lookup")
-        pairs = verify_candidates_jaccard(
-            pairs, docs_lookup, threshold=jaccard_threshold
-        )
-    pairs_pd = pairs.to_pandas()
-    roots = _union_find_components(pairs_pd)
-    drop = {x for x, r in roots.items() if r != x}
-    drop_ref = _ray.put(drop)
+        if docs is not None:
+            pairs = verify_candidates_jaccard_distributed(
+                pairs, docs, id_col=id_col, col=col,
+                threshold=jaccard_threshold, num_partitions=num_partitions,
+            )
+        elif docs_lookup is not None:
+            pairs = verify_candidates_jaccard(
+                pairs, docs_lookup, threshold=jaccard_threshold
+            )
+        else:
+            raise ValueError("jaccard verification needs docs or docs_lookup")
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    if n_pairs <= driver_pair_guard:
+        import ray as _ray
 
-    def keep_rows(batch: pa.Table) -> pa.Table:
-        d = _ray.get(drop_ref)
-        mask = [v not in d for v in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask))
+        roots = _union_find_components(pairs.to_pandas())
+        drop = {x for x, r in roots.items() if r != x}
+        drop_ref = _ray.put(pa.array(sorted(drop)))
 
-    return ds.map_batches(keep_rows, batch_format="pyarrow")
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            d = _ray.get(drop_ref)
+            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=d)))
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow")
+    labels = connected_components_distributed(
+        pairs, num_partitions=num_partitions
+    )
+    drop = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["label"], t["node"])),
+        batch_format="pyarrow",
+    )
+    return filter_out_ids(
+        ds, drop, id_col, num_partitions=num_partitions
+    )

@@ -7,43 +7,74 @@ from __future__ import annotations
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 
+class _BroadcastJoiner:
+    """Actor stage for the broadcast join: the small side is fetched from
+    plasma ONCE per actor (``__init__``), held as an Arrow table (zero-copy
+    read — Arrow buffers stay in shared memory, unlike a pickled dict which
+    re-materializes per access), and each batch is joined by a vectorized
+    ``pc.index_in`` + ``take`` gather — no per-row Python loop."""
+
+    def __init__(self, small_ref, key: str, how: str) -> None:
+        small: pa.Table = ray.get(small_ref)
+        self.keys = small.column(0)  # join key, first column by construction
+        self.values = small.drop_columns([small.column_names[0]])
+        self.key, self.how = key, how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[self.key], value_set=self.keys)
+        if self.how == "inner":
+            mask = idx.is_valid()
+            if not pc.all(mask).as_py():
+                batch = batch.filter(mask)
+                idx = idx.filter(mask)
+        gathered = self.values.take(idx)  # null idx -> null row (left join)
+        for name in gathered.column_names:
+            batch = batch.append_column(name, gathered[name])
+        return batch
+
+
 def broadcast_join(
     ds: ray.data.Dataset,
-    small: dict[Any, dict[str, Any]],
+    small: "dict[Any, dict[str, Any]] | pa.Table",
     key: str,
     *,
     how: str = "inner",
+    concurrency: int = 4,
 ) -> ray.data.Dataset:
     """Join ``ds`` against a small side WITHOUT a shuffle.
 
-    ``small`` (key → row dict of columns to add) is ``ray.put`` once on the
-    driver; every task reads the same plasma object (zero re-ship per batch).
+    ``small`` is either an Arrow table whose FIRST column is the join key, or
+    a ``key → {col: value}`` dict (converted once here). It is ``ray.put``
+    once on the driver; each actor in the pool reads it from plasma once in
+    ``__init__`` and serves every batch from that copy.
     ``how``: 'inner' drops unmatched rows, 'left' keeps them with nulls."""
-    if not small:
+    if isinstance(small, dict):
+        if not small:
+            raise ValueError("broadcast_join: empty small side")
+        add_cols = sorted(next(iter(small.values())).keys())
+        small = pa.Table.from_pydict(
+            {
+                "__key": pa.array(list(small.keys())),
+                **{
+                    c: pa.array([row[c] for row in small.values()])
+                    for c in add_cols
+                },
+            }
+        )
+    elif small.num_rows == 0:
         raise ValueError("broadcast_join: empty small side")
     ref = ray.put(small)
-    add_cols = sorted(next(iter(small.values())).keys())
-
-    def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)  # plasma read, zero-copy after first access
-        keys = batch[key].to_pylist()
-        hits = [lookup.get(k) for k in keys]
-        if how == "inner":
-            mask = [h is not None for h in hits]
-            if not all(mask):
-                batch = batch.filter(pa.array(mask))
-                hits = [h for h in hits if h is not None]
-        for col in add_cols:
-            batch = batch.append_column(
-                col, pa.array([None if h is None else h[col] for h in hits])
-            )
-        return batch
-
-    return ds.map_batches(join_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": ref, "key": key, "how": how},
+        batch_format="pyarrow",
+        concurrency=(concurrency, concurrency),
+    )
 
 
 def pre_aggregated_sum(

@@ -24,6 +24,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _list_col_to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float32 matrix without a Python-object
+    round-trip: flatten the Arrow list values buffer straight into numpy
+    (zero-copy when non-null) and reshape. Falls back to to_pylist for
+    ragged rows (never the case for embedding columns)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    if isinstance(arr.type, pa.ExtensionType):
+        # Ray tensor extension (appears after pandas round-trips): its
+        # to_numpy is already the (n, dim) matrix
+        m = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if m.dtype == object:
+            m = np.stack(m)
+        return m.astype(np.float32, copy=False)
+    if arr.null_count == 0:
+        lengths = pa.compute.list_value_length(arr)
+        lo_hi = pa.compute.min_max(lengths)
+        if lo_hi["min"] == lo_hi["max"]:
+            flat = arr.flatten()
+            m = flat.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+            return m.reshape(n, len(flat) // n)
+    return np.array(arr.to_pylist(), dtype=np.float32)
+
+
 class BruteForceTopK:
     """Actor stage: query matrix fetched from plasma once per actor."""
 
@@ -35,9 +61,18 @@ class BruteForceTopK:
         self.queries = _normalize(np.asarray(q["matrix"], dtype=np.float32))
         self.k, self.id_col, self.col = k, id_col, col
 
+    _SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # LSH bucket_filter can empty a whole block; argpartition(kth=-1)
+            # would raise. Emit a typed empty table (pinned schema keeps the
+            # streaming executor's RefBundle schema stable across blocks).
+            return self._SCHEMA.empty_table()
         ids = np.asarray(batch[self.id_col].to_pylist())
-        emb = _normalize(np.array(batch[self.col].to_pylist(), dtype=np.float32))
+        emb = _normalize(_list_col_to_matrix(batch[self.col]))
         sims = self.queries @ emb.T  # (n_q, n_batch)
         k = min(self.k, sims.shape[1])
         out = {"query_id": [], "vec_id": [], "cosine": []}

@@ -30,6 +30,29 @@ _TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
 RAWTEXT = frozenset(("script", "style"))
 RCDATA = frozenset(("title", "textarea"))
 
+# Case-insensitive close-tag scanners for raw-text elements, compiled once.
+# Searching the ORIGINAL string keeps offsets valid — str.lower() can change
+# length (e.g. 'İ' lowercases to 2 chars) and misalign every index after it,
+# and re-lowering the whole document per <script> was O(n²).
+_RAW_CLOSE = {t: re.compile(rf"</{t}", re.IGNORECASE) for t in RAWTEXT | RCDATA}
+
+
+def _is_self_closing(inner: str) -> bool:
+    """HTML5 trailing-slash semantics: '/' after whitespace, a quoted value,
+    or a bare attribute name marks the tag self-closing, but a '/' inside an
+    UNQUOTED attribute value is part of that value — <a href=http://x.com/a/>
+    keeps the trailing slash (browser + stdlib html.parser behavior)."""
+    if not inner.endswith("/"):
+        return False
+    last = inner[:-1].rsplit(None, 1)[-1] if inner[:-1].strip() else ""
+    eq = last.find("=")
+    if eq < 0:  # bare attr name (or nothing) before '/': self-closing
+        return True
+    after = last[eq + 1 : eq + 2]
+    # quoted value already closed -> the '/' is a marker; unquoted value
+    # (or dangling '=') swallows the '/' into the value
+    return after in ('"', "'")
+
 
 def tokenize(markup: str, handler) -> None:
     """Drive ``handler`` (``handle_starttag(tag, attrs_list)``,
@@ -90,7 +113,7 @@ def tokenize(markup: str, handler) -> None:
             i = n  # truncated tag at EOF: drop
             break
         inner = markup[m.end() : end]
-        self_closing = inner.endswith("/")
+        self_closing = _is_self_closing(inner)
         if self_closing:
             inner = inner[:-1]
         attrs: list[tuple[str, str | None]] = []
@@ -110,7 +133,8 @@ def tokenize(markup: str, handler) -> None:
             continue
         handler.handle_starttag(tag, attrs)
         if tag in RAWTEXT or tag in RCDATA:
-            close = markup.lower().find(f"</{tag}", i)
+            cm = _RAW_CLOSE[tag].search(markup, i)
+            close = cm.start() if cm else -1
             raw = markup[i:] if close < 0 else markup[i:close]
             if raw:
                 if tag in RCDATA and "&" in raw:

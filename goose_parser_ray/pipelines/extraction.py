@@ -172,7 +172,7 @@ def extract_corpus(
         parts.append(f"{src}:{compile_rules(rules_registry[src]).plan_hash}")
     rules_hash = "|".join(parts)
 
-    done = manifest.completed_partitions(rules_hash)
+    done = manifest.completed_partitions(rules_hash, input_path=str(input_path))
     pending = [p for p in range(num_partitions) if p not in done]
     summary = {
         "num_partitions": num_partitions,

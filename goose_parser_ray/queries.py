@@ -113,15 +113,9 @@ def q_join_segment(sf_dir: str):
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    lookup = {
-        k: {"segment": s}
-        for k, s in zip(
-            cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()
-        )
-    }
+    ).rename_columns(["c_custkey", "segment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, lookup, key="o_custkey")
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
     joined = joined.map_batches(
         lambda t: t.append_column("total_cents", _cents(t["o_totalprice"])),
         batch_format="pyarrow",
@@ -400,25 +394,40 @@ FROM events GROUP BY 1, 2
 
 def q_sessionize(sf_dir: str):
     """Streaming-shaped workload (guide): sessionization with a 30-minute
-    inactivity gap — groupby(user) + per-group ordered pandas windowing; the
-    ordering assumption (ts sorted within user) is established inside the
-    group fn, not globally."""
+    inactivity gap. Users are coalesced into hash buckets (one shuffle group
+    per bucket, NOT per user — at 10⁹ users per-group overhead would dominate)
+    and the windowing inside each bucket is one vectorized pandas pass over
+    all of the bucket's users: sort by (user, ts), session breaks at user
+    changes or >30 min gaps, cumsum for session ids."""
     import pandas as pd
+
+    _SNB = 64  # session buckets ≳ cores; payload per group = events/_SNB
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
-            session_start=("ts", "min"), n_events=("ts", "size")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__sb", pa.array((h % _SNB).astype(np.int64))
         )
-        out["user_id"] = g["user_id"].iloc[0]
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = (new_user | gap).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+        )
         out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
         return out[["user_id", "session_start", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__sb").map_groups(sessions_bucket, batch_format="pandas")
 
 
 SQL_SESSIONIZE = """
@@ -478,7 +487,10 @@ FROM events GROUP BY event_type
 
 def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(ds, col="text", id_col="doc_id")
+    # data-proportional bucketing: ~50k rows per shuffle group at any corpus
+    # size (count() on a fresh parquet read is metadata-only, no scan)
+    nb = max(64, ds.count() // 50_000)
+    return exact_dedup(ds, col="text", id_col="doc_id", num_buckets=nb)
 
 
 SQL_DEDUP_EXACT = """
@@ -497,18 +509,18 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_minhash_verified(sf_dir: str):
-    """LSH candidates verified against exact n-gram Jaccard (threshold 0.5);
-    doc-text lookup broadcast via ray.put — fine at dimension-table size; at
-    corpus scale this becomes a hash-partitioned join on doc_id."""
-    import pyarrow.parquet as pq
+    """LSH candidates verified against exact n-gram Jaccard (threshold 0.5)
+    via the DISTRIBUTED path: candidates hash-join the corpus on doc_id for
+    each endpoint — no driver-side text dict at any scale."""
+    from goose_parser_ray.functions.dedup import (
+        verify_candidates_jaccard_distributed,
+    )
 
-    from goose_parser_ray.functions.dedup import verify_candidates_jaccard
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_lsh_candidates(ds, concurrency=_pool())
-    return verify_candidates_jaccard(cands, lookup, threshold=0.5)
+    return verify_candidates_jaccard_distributed(
+        cands, _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
 
 
 def q_sample_random(sf_dir: str):
@@ -529,16 +541,16 @@ def q_dedup_embedding(sf_dir: str):
 
 
 def q_dedup_keep(sf_dir: str):
-    """End-to-end near-dup REMOVAL: LSH candidates → jaccard verify →
-    connected components → keep min-id representative → broadcast-filtered
-    corpus (rows-only: approximate candidate recall)."""
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    """End-to-end near-dup REMOVAL: LSH candidates → distributed jaccard
+    verify (hash-join, no driver dict) → connected components → keep min-id
+    representative → filtered corpus (rows-only: approximate candidate
+    recall)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = minhash_dedup_keep(
-        ds, jaccard_threshold=0.8, docs_lookup=lookup, concurrency=_pool()
+        ds,
+        jaccard_threshold=0.8,
+        docs=_read(sf_dir, "documents", ["doc_id", "text"]),
+        concurrency=_pool(),
     )
     return kept.select_columns(["doc_id"])
 
@@ -671,15 +683,21 @@ def q_extract_spans(sf_dir: str):
     )
 
     def flatten(t: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "seq": [], "kind": [], "text": [], "media_ref": []}
-        for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
-            for s in spans:
-                rows["doc_id"].append(doc_id)
-                rows["seq"].append(s["offset"])
-                rows["kind"].append(s["kind"])
-                rows["text"].append(s["text"])
-                rows["media_ref"].append(s["media_ref"])
-        return pa.Table.from_pydict(rows)
+        # Arrow-native explode: list_parent_indices + list_flatten +
+        # struct_field — no Python row loop in the headline output stage
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), parent),
+                pc.struct_field(flat, "offset"),
+                pc.struct_field(flat, "kind"),
+                pc.struct_field(flat, "text"),
+                pc.struct_field(flat, "media_ref"),
+            ],
+            names=["doc_id", "seq", "kind", "text", "media_ref"],
+        )
 
     return ds.map_batches(flatten, batch_format="pyarrow")
 
@@ -717,13 +735,17 @@ def q_extract_rules(sf_dir: str):
     )
 
     def flatten(t: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "seq": [], "text": []}
-        for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
-            for sp in spans:
-                rows["doc_id"].append(doc_id)
-                rows["seq"].append(sp["offset"])
-                rows["text"].append(sp["text"])
-        return pa.Table.from_pydict(rows)
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), parent),
+                pc.struct_field(flat, "offset"),
+                pc.struct_field(flat, "text"),
+            ],
+            names=["doc_id", "seq", "text"],
+        )
 
     return ds.map_batches(flatten, batch_format="pyarrow")
 

@@ -38,10 +38,13 @@ class Manifest:
     def __init__(self, output_path: str) -> None:
         self.dir = Path(output_path) / "_manifest"
 
-    def completed_partitions(self, rules_hash: str | None = None) -> set[int]:
+    def completed_partitions(
+        self, rules_hash: str | None = None, input_path: str | None = None
+    ) -> set[int]:
         """Partitions safe to skip. A manifest written under a different rule
-        plan does NOT count as complete — changing the plan invalidates the
-        checkpoint (lineage check)."""
+        plan — or from a DIFFERENT INPUT — does NOT count as complete;
+        either change invalidates the checkpoint (full lineage check, not
+        just the plan hash)."""
         done: set[int] = set()
         if not self.dir.is_dir():
             return done
@@ -53,6 +56,8 @@ class Manifest:
             if rec.get("status") != "complete":
                 continue
             if rules_hash is not None and rec.get("rules_hash") != rules_hash:
+                continue
+            if input_path is not None and rec.get("input_path") != input_path:
                 continue
             done.add(int(rec["partition_id"]))
         return done

@@ -25,6 +25,17 @@ class TransformError(ValueError):
     pass
 
 
+# Constructs whose RE2 semantics still diverge from Python re AFTER the JS
+# class expansion (jsregex.translate_js_classes): leftover perl classes
+# (negated-in-class forms), \b/\B word boundaries (ASCII in RE2, Unicode in
+# Python), and '^'/'$' anchors (trailing-newline handling differs). Patterns
+# containing any of these take the scalar Python-re path so the two paths
+# can never disagree.
+import re as _re
+
+_RE2_UNSAFE = _re.compile(r"\\[sSdDwWbB]|[\^$]")
+
+
 # user-registered custom transforms: name -> scalar fn (SURVEY.md §2.2 T12)
 _CUSTOM: dict[str, Callable[[Any], Any]] = {}
 
@@ -73,17 +84,28 @@ class Replace(Transform):  # T2
         flags = re_spec[1] if len(re_spec) > 1 else ""
         self.pattern, self.is_global = translate_js_regex(pattern, flags)
         self.to = translate_js_replacement(str(spec.get("to", "")))
-        # probe RE2 compatibility once, at compile time
+        # RE2 fast-path gate, decided once at compile time. The JS→explicit
+        # class expansion already happened in translate_js_regex, so Python
+        # and RE2 read identical class sets; what remains unsafe is \b/\B,
+        # '^'/'$' (trailing-newline delta) and negated-in-class perl forms.
+        # The compile probe additionally rejects RE2-unsupported syntax
+        # (lookarounds, backrefs) — it proves compilability, the _RE2_UNSAFE
+        # gate proves equal meaning.
         self._vec_ok = False
-        if "\\" not in self.to and not flags.replace("g", ""):
+        expanded = self.pattern.pattern
+        if (
+            "\\" not in self.to
+            and not flags.replace("g", "")
+            and _RE2_UNSAFE.search(expanded) is None
+        ):
             try:
                 pc.replace_substring_regex(
-                    pa.array(["probe"]), pattern=pattern,
+                    pa.array(["probe"]), pattern=expanded,
                     replacement=spec.get("to", ""),
                     max_replacements=None if self.is_global else 1,
                 )
                 self._vec_ok = True
-                self._raw_pattern = pattern
+                self._raw_pattern = expanded
                 self._raw_to = str(spec.get("to", ""))
             except pa.ArrowInvalid:
                 pass

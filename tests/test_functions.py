@@ -274,3 +274,98 @@ def test_hll_distinct_accuracy(ray_session):
     ds = ray.data.from_items([{"u": f"u{i % 500}"} for i in range(5000)])
     est2 = hll_distinct(ds, "u")
     assert abs(est2 - 500) / 500 < 0.1
+
+
+def test_simhash_vectorized_matches_reference_kernel():
+    """The vectorized kernel (bit-table shifts) must be bit-identical to the
+    original per-word unpackbits implementation."""
+    import zlib
+
+    def simhash_ref(text):
+        words = (text or "").lower().split()
+        if not words:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for w in words:
+            h = ((zlib.crc32(w.encode()) & 0xFFFFFFFF) << 32) | (
+                zlib.crc32((w[::-1] + "~").encode()) & 0xFFFFFFFF
+            )
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i, v in enumerate(acc):
+            if v > 0:
+                out |= 1 << i
+        return out
+
+    for t in [BASE, "one", "", "a b c d e f", BASE + " tail one", "ünïcode wörds"]:
+        assert SimHashActor.simhash(t) == simhash_ref(t), t
+
+
+def test_hot_lsh_bucket_emits_star_not_quadratic():
+    """10k identical docs in one LSH bucket must produce O(n) star edges,
+    not O(n²) pairs."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import _BUCKET_PAIR_CAP, _pairs_in_bucket
+
+    n = 10_000
+    g = pd.DataFrame({"band": 0, "key": 7, "doc_id": list(range(n))})
+    pairs = _pairs_in_bucket(g, by=["band", "key"])
+    assert len(pairs) == n - 1  # star to the min id
+    assert set(pairs["doc_a"]) == {0}
+    # below the cap: still all-pairs
+    small = pd.DataFrame({"band": 0, "key": 7, "doc_id": list(range(5))})
+    assert len(_pairs_in_bucket(small, by=["band", "key"])) == 10
+    assert _BUCKET_PAIR_CAP >= 64
+
+
+def test_distributed_components_match_union_find(ray_session):
+    """Min-label propagation over the pairs Dataset must produce the same
+    components as driver union-find (chain + star + singleton-pair mix)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        _union_find_components,
+        connected_components_distributed,
+    )
+
+    pairs_pd = pd.DataFrame(
+        {
+            "doc_a": [1, 5, 9, 20, 20, 20, 40, 50, 60, 70],
+            "doc_b": [5, 9, 13, 21, 22, 23, 41, 40, 61, 71],
+        }
+    )
+    want = _union_find_components(pairs_pd)
+    got_ds = connected_components_distributed(
+        ray.data.from_pandas(pairs_pd), num_partitions=2
+    )
+    got = {r["node"]: r["label"] for r in got_ds.to_pandas().to_dict("records")}
+    # union-find returns only non-root nodes' roots plus touched roots;
+    # compare on the union of both domains with self-roots defaulted
+    for node in set(want) | set(got):
+        assert got.get(node, node) == want.get(node, node), node
+
+
+def test_minhash_dedup_keep_distributed_paths(docs_ds):
+    """Force BOTH scale paths — distributed jaccard verify (docs Dataset,
+    no driver dict) and distributed components (guard=0) — and require the
+    exact same kept set as the driver path."""
+    from goose_parser_ray.functions.dedup import minhash_dedup_keep
+
+    docs = ray.data.from_arrow(docs_table())
+    kept = minhash_dedup_keep(
+        docs_ds,
+        jaccard_threshold=0.8,
+        docs=docs,
+        concurrency=2,
+        driver_pair_guard=0,  # force min-label propagation
+        num_partitions=2,
+    ).to_pandas()
+    assert set(kept["doc_id"]) == {0, 103}
+
+
+def test_exact_dedup_no_combine_matches_combined(docs_ds):
+    a = exact_dedup(docs_ds, col="text", id_col="doc_id", combine_first=True).to_pandas()
+    b = exact_dedup(docs_ds, col="text", id_col="doc_id", combine_first=False).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
