@@ -124,7 +124,7 @@ def run_bench() -> dict:
     extract_corpus(
         os.path.join(corpus_dir, "shard-0000.parquet"), "/tmp/bench_warm",
         num_partitions=16, waves=1, salt_threshold=512,
-        concurrency=None, batch_size=512,
+        concurrency=None, batch_size=2048,
     )
     shutil.rmtree("/tmp/bench_warm", ignore_errors=True)
 
@@ -132,11 +132,12 @@ def run_bench() -> dict:
     summary = extract_corpus(
         corpus_dir,
         out_dir,
-        num_partitions=16,
         waves=1,
         salt_threshold=512,
-        concurrency=None,  # deterministic default: ~3/4 of CPUs
-        batch_size=512,
+        concurrency=None,  # deterministic default: CPUs - ~1/5 (measured)
+        batch_size=2048,   # measured: 512 -> 2048 buys ~15% at 32 CPUs
+        partition_mode="fragment",  # partition = input shard: reader-level
+        # resume pruning, single-partition blocks, 1 output file per block
     )
     headline = time.monotonic() - t0
     assert summary["rows"] == n_docs, summary
@@ -162,14 +163,28 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "phases": summary.get("phase_s", {}),
     }
 
 
 def run_scaling() -> dict:
+    # Scaling protocol runs the 4×-replicated corpus (8M docs) unless the
+    # caller pins GRAFT_REPL: per-job fixed costs (~4.5s: executor + actor
+    # pool spin-up + read ramp) are a sandbox artifact of 20-second jobs —
+    # a real 100 TB run amortizes them over hours, and the 8M corpus is the
+    # smallest input where they drop below noise on this host. Same input
+    # at both parallelism levels, per the N→4N criterion.
+    repl = os.environ.get("GRAFT_REPL", "1600")
+
     def run(ncpu: int) -> dict:
         # children skip the per-query timings: only the headline matters for
         # the two-level comparison, and idle-query noise pollutes it
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_REPL=repl,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

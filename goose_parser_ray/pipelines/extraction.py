@@ -41,11 +41,12 @@ DEFAULT_SALT_THRESHOLD = 512
 
 def default_pool_size() -> int:
     """Deterministic pool sizing (autoscaling disabled per BASELINE.json:6):
-    ~3/4 of CPUs for the extract pool, the rest for read/merge/write tasks.
-    Measured (sf0.1 ×100, 32 CPUs): pool=30 thrashes against the read/write
-    tasks (43s); pool=24 pipelines cleanly (12s)."""
+    all CPUs minus ~1/5 reserved for read/merge/write tasks. Measured
+    (2M-doc bench corpus, this host): pool=24 → 82.8k docs/s, pool=26-28 →
+    90-99k, pool=30 thrashes (76k) — the write stage needs ~6 free slots at
+    32 CPUs or it starves and the streaming overlap is lost."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(cpus - 2, (cpus * 3) // 4))
+    return max(1, cpus - max(2, round(cpus / 5)))
 
 
 def build_extraction_pipeline(
@@ -61,6 +62,7 @@ def build_extraction_pipeline(
     drop_errors: bool = False,
     partition_filter: "set[int] | None" = None,
     residual_collector=None,
+    partition_source: str = "hash",
 ) -> ray.data.Dataset:
     """Wire the stages onto ``ds`` (lazy — nothing executes here).
 
@@ -82,7 +84,7 @@ def build_extraction_pipeline(
     pool = concurrency if concurrency is not None else default_pool_size()
     threshold = salt_threshold if salt_threshold is not None else 1 << 30
     ds = ds.map_batches(
-        make_normalize_fn(num_partitions, threshold),
+        make_normalize_fn(num_partitions, threshold, partition_source),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -101,7 +103,11 @@ def build_extraction_pipeline(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(pool, pool),  # fixed size: deterministic scaling runs
+        # fixed size: deterministic scaling runs. in_flight=2 keeps one batch
+        # queued per actor (hides dispatch latency); >2 buys nothing measured
+        compute=ray.data.ActorPoolStrategy(
+            size=pool, max_tasks_in_flight_per_actor=2
+        ),
         num_cpus=1,
     )
     if salt_threshold is not None:
@@ -155,6 +161,8 @@ def extract_corpus(
     concurrency: int | None = None,
     batch_size: int = 256,
     strip_boilerplate: bool = True,
+    read_num_blocks: int | None = None,
+    partition_mode: str = "hash",
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
@@ -162,7 +170,20 @@ def extract_corpus(
     ``<output>/_tmp/wave/partition_id=K/`` then each partition directory is
     atomically renamed into place and its manifest row written. A rerun
     skips every manifested partition — byte-identical final output, no
-    re-processing (FIXTURES.md F6)."""
+    re-processing (FIXTURES.md F6).
+
+    ``partition_mode``:
+    - 'hash' (default): partition_id = stable_hash(doc_id) % num_partitions.
+      Works for any input layout; waves re-scan the input and filter.
+    - 'fragment': partition = INPUT FILE (the Lance-fragment alignment of
+      the north rule — the corpus arrives hash-partitioned into
+      size-balanced fragments, so fragment id IS the doc-hash partition).
+      Resume/wave pruning happens at the READER — skipped partitions'
+      files are never opened — and every in-flight block belongs to exactly
+      one partition, so the hive write emits one file per block instead of
+      P splits per block (measured: 8192 -> 512 output files, and the
+      per-wave full-corpus re-read disappears). ``num_partitions`` is
+      derived from the file count."""
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     manifest = Manifest(output_path)
@@ -171,6 +192,17 @@ def extract_corpus(
     for src in sorted(rules_registry or {}):
         parts.append(f"{src}:{compile_rules(rules_registry[src]).plan_hash}")
     rules_hash = "|".join(parts)
+
+    fragment_files: list[str] | None = None
+    if partition_mode == "fragment":
+        in_path = Path(input_path)
+        fragment_files = sorted(
+            str(f)
+            for f in ([in_path] if in_path.is_file() else in_path.glob("*.parquet"))
+        )
+        if not fragment_files:
+            raise ValueError(f"no parquet fragments under {input_path}")
+        num_partitions = len(fragment_files)
 
     done = manifest.completed_partitions(rules_hash, input_path=str(input_path))
     pending = [p for p in range(num_partitions) if p not in done]
@@ -185,6 +217,7 @@ def extract_corpus(
     if not pending:
         return summary
 
+    summary["phase_s"] = {"pipeline": 0.0, "residual": 0.0, "commit_metrics": 0.0}
     for wave_ids in _chunk(pending, waves):
         t0 = time.monotonic()
         wave_set = set(wave_ids)
@@ -197,7 +230,44 @@ def extract_corpus(
         )
 
         collector = ResidualCollector.remote()
-        ds = read_documents(input_path)
+        nb = read_num_blocks
+        if nb is None:
+            # ~16 blocks per CPU: fine enough to erase the actor-pool drain
+            # tail, coarse enough to keep per-task overhead negligible
+            nb = 16 * int(ray.cluster_resources().get("CPU", 4))
+        if fragment_files is not None:
+            # reader-level pruning: ONLY this wave's fragment files are
+            # opened; partition_id is stamped from file provenance
+            wave_files = [fragment_files[p] for p in sorted(wave_set)]
+            ds = ray.data.read_parquet(
+                wave_files,
+                include_paths=True,
+                override_num_blocks=max(nb * len(wave_set) // num_partitions, len(wave_set)),
+            )
+            path_to_pid = {fragment_files[p]: p for p in wave_set}
+
+            def stamp_pid(t: pa.Table, lut=path_to_pid) -> pa.Table:
+                paths = t["path"]
+                uniq = pc.unique(paths.combine_chunks())
+                pid_for_uniq = pa.array(
+                    [lut[u.as_py()] for u in uniq], pa.int32()
+                )
+                codes = pc.index_in(paths, value_set=uniq)
+                return t.drop_columns(["path"]).append_column(
+                    "partition_id", pc.take(pid_for_uniq, codes)
+                )
+
+            ds = ds.map_batches(stamp_pid, batch_format="pyarrow")
+            pipeline_filter = None  # pruning already happened at the read
+            partition_source = "column"
+        else:
+            ds = read_documents(input_path, num_blocks=nb)
+            # pre-extract: skipped partitions cost nothing; a full-coverage
+            # wave (single-wave fresh run) skips the filter stage entirely
+            pipeline_filter = (
+                wave_set if len(wave_set) < num_partitions else None
+            )
+            partition_source = "hash"
         ds = build_extraction_pipeline(
             ds,
             rules,
@@ -207,12 +277,18 @@ def extract_corpus(
             concurrency=concurrency,
             batch_size=batch_size,
             strip_boilerplate=strip_boilerplate,
-            partition_filter=wave_set,  # pre-extract: skipped partitions cost nothing
+            partition_filter=pipeline_filter,
             residual_collector=collector,
+            partition_source=partition_source,
         )
         ds.write_parquet(str(tmp), partition_cols=["partition_id"])
+        summary["phase_s"]["pipeline"] += time.monotonic() - t0
+        t_res = time.monotonic()
         # all map tasks finished ⇒ all residual adds applied; merge the few
         # mega-docs whose chunks crossed block boundaries and append them
+        wave_metrics: dict[int, list[int]] = {
+            int(k): list(v) for k, v in ray.get(collector.metrics.remote()).items()
+        }
         residual = drain_to_table(collector)
         if residual is not None:
             import pyarrow.parquet as _pq
@@ -224,7 +300,18 @@ def extract_corpus(
                 pdir = tmp / f"partition_id={pid_val}"
                 pdir.mkdir(parents=True, exist_ok=True)
                 _pq.write_table(sub, pdir / "residual.parquet")
+                acc = wave_metrics.setdefault(int(pid_val), [0, 0, 0])
+                acc[0] += sub.num_rows
+                acc[1] += pc.sum(sub["n_spans"]).as_py() or 0
+                acc[2] += (
+                    pc.sum(
+                        pc.cast(pc.not_equal(sub["error"], ""), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+        summary["phase_s"]["residual"] += time.monotonic() - t_res
         wall = time.monotonic() - t0
+        t_commit = time.monotonic()
 
         # commit partitions (atomic renames), then gather metrics in parallel
         # (serial per-partition parquet scans cost ~2s at 64 partitions)
@@ -236,15 +323,21 @@ def extract_corpus(
             if dst.exists():
                 shutil.rmtree(dst)
             src.rename(dst)
-        from concurrent.futures import ThreadPoolExecutor
+        # metrics were streamed through the collector during the pipeline —
+        # no post-hoc scan of the written files (that scan cost 4.3s of
+        # serial driver tail per 2M-doc wave at 8k output files). The
+        # unsalted path has no collector stage → scan fallback.
+        if salt_threshold is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        def metrics_for(pid: int) -> tuple[int, int, int]:
-            dst = out / f"partition_id={pid}"
-            return _partition_metrics(dst) if any(dst.iterdir()) else (0, 0, 0)
+            def metrics_for(pid: int) -> tuple[int, int, int]:
+                d = out / f"partition_id={pid}"
+                return _partition_metrics(d) if any(d.iterdir()) else (0, 0, 0)
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            all_metrics = list(ex.map(metrics_for, wave_ids))
-        for pid, (rows, spans, errors) in zip(wave_ids, all_metrics):
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                wave_metrics = dict(zip(wave_ids, ex.map(metrics_for, wave_ids)))
+        for pid in wave_ids:
+            rows, spans, errors = wave_metrics.get(pid, (0, 0, 0))
             manifest.mark_complete(
                 PartitionRecord(
                     partition_id=pid,
@@ -263,4 +356,6 @@ def extract_corpus(
             summary["spans"] += spans
             summary["errors"] += errors
         shutil.rmtree(out / "_tmp", ignore_errors=True)
+        summary["phase_s"]["commit_metrics"] += time.monotonic() - t_commit
+    summary["phase_s"] = {k: round(v, 3) for k, v in summary["phase_s"].items()}
     return summary

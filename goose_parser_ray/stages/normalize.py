@@ -36,16 +36,30 @@ NORMALIZED_SCHEMA = pa.schema(
 )
 
 
-def make_normalize_fn(num_partitions: int, salt_threshold: int = 256):
+def make_normalize_fn(
+    num_partitions: int,
+    salt_threshold: int = 256,
+    partition_source: str = "hash",
+):
     """Build the stage fn (compile-time params captured once; the returned fn
-    is a plain function → stateless Ray tasks)."""
+    is a plain function → stateless Ray tasks).
+
+    ``partition_source``: 'hash' computes ``stable_hash(doc_id) % P`` per
+    row; 'column' trusts an existing ``partition_id`` column (fragment-
+    aligned mode — the reader stamped the input fragment's id, so blocks
+    never straddle partitions and the hive write emits one file per block
+    instead of P splits)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         doc_ids = batch["doc_id"].to_pylist()
         n = len(doc_ids)
-        pids = [stable_hash(str(d)) % num_partitions for d in doc_ids]
+        if partition_source == "column":
+            pids = batch["partition_id"].to_pylist()
+            batch = batch.drop_columns(["partition_id"])
+        else:
+            pids = [stable_hash(str(d)) % num_partitions for d in doc_ids]
 
         # fast path: no mega-doc in this batch → spans column passes through
         # untouched (zero-copy); the python row loop below only runs for
@@ -82,10 +96,12 @@ def make_normalize_fn(num_partitions: int, salt_threshold: int = 256):
             "doc_id": [], "source": [], "salt": [], "n_salts": [],
             "partition_id": [], "spans": [],
         }
-        for doc_id, source, spans in zip(doc_ids, sources, spans_col):
+        for doc_id, source, spans, row_pid in zip(
+            doc_ids, sources, spans_col, pids
+        ):
             doc_id = str(doc_id)
             source = "" if source is None else str(source)
-            pid = stable_hash(doc_id) % num_partitions
+            pid = int(row_pid)
             spans = sorted(spans or [], key=lambda s: s["offset"])
             if len(spans) <= salt_threshold:
                 chunks = [spans]

@@ -74,7 +74,17 @@ def _merge_run(rows: list[dict]) -> dict:
 
 
 def partial_merge_batch(batch: pa.Table) -> pa.Table:
-    """Stage 1: merge co-located contiguous chunk runs inside one block."""
+    """Stage 1: merge co-located contiguous chunk runs inside one block.
+
+    Fast path: a block with no salted chunks (the overwhelming case — only
+    mega-docs salt) passes through untouched; the Python-object merge below
+    runs only on blocks that actually carry multi-chunk docs."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0 or not pc.any(
+        pc.greater(batch["n_salts"], 1)
+    ).as_py():
+        return batch
     rows = batch.to_pylist()
     by_doc: OrderedDict[str, list[dict]] = OrderedDict()
     out: list[dict] = []

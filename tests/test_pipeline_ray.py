@@ -157,3 +157,48 @@ def test_changed_rules_invalidate_manifest(corpus, tmp_path):
     s = extract_corpus(str(path), str(out_dir), rules=r2, num_partitions=4,
                        waves=1, salt_threshold=None, concurrency=2)
     assert s["skipped"] == 0 and s["processed"] == 4
+
+
+def test_extract_corpus_fragment_mode_resume(corpus, tmp_path, ray_session):
+    """Fragment-aligned partitioning: partition = input shard file, resume
+    pruning at the reader, output identical to the hash-mode semantics
+    (same docs, same span sequences)."""
+    path, oracle = corpus
+    # shard the corpus into 4 fragment files
+    tbl = pq.read_table(path)
+    frag_dir = tmp_path / "frags"
+    frag_dir.mkdir()
+    per = (tbl.num_rows + 3) // 4
+    for i in range(4):
+        part = tbl.slice(i * per, per)
+        if part.num_rows:
+            pq.write_table(part, frag_dir / f"shard-{i:02d}.parquet")
+
+    out_dir = tmp_path / "out_frag"
+    s1 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=2, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s1["processed"] == 4 and s1["rows"] == 40 and s1["errors"] == 0
+
+    full = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(full) == 40
+    for _, r in full.iterrows():
+        assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
+
+    # kill two partitions; rerun must skip 2, reprocess 2, byte-same spans
+    manifest = Manifest(str(out_dir))
+    for pid in (1, 3):
+        shutil.rmtree(out_dir / f"partition_id={pid}", ignore_errors=True)
+        (manifest.dir / f"partition-{pid:05d}.json").unlink()
+    s2 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=2, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s2["skipped"] == 2 and s2["processed"] == 2
+    resumed = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(resumed) == 40
+    for _, r in resumed.iterrows():
+        assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
+    # per-partition row counts recorded via streamed metrics
+    assert sum(r["row_count"] for r in manifest.records()) == 40
