@@ -433,13 +433,41 @@ def attach_pair_texts(
     id_col: str = "doc_id",
     col: str = "text",
     num_partitions: int | None = None,
+    prefiltered: bool = False,
 ) -> ray.data.Dataset:
     """Hash-partitioned join of candidate pairs against the corpus on each
     endpoint: pairs ⋈ docs(doc_a) ⋈ docs(doc_b) → (doc_a, doc_b, …,
     text_a, text_b). The pair set is O(duplicates) — the small side; the
-    corpus is shuffled by id, never collected on the driver."""
+    corpus is shuffled by id, never collected on the driver.
+
+    Semi-join pushdown (unless ``prefiltered``): the distinct endpoint id
+    set (2×pairs at most) is broadcast once and the corpus is FILTERED
+    map-side before the joins, so the join shuffle moves candidate docs
+    only, not the corpus. ``pairs`` must already be materialized (callers
+    do — it is reused for both joins anyway)."""
     if num_partitions is None:
         num_partitions = _default_join_partitions()
+    if not prefiltered:
+        import ray as _ray
+
+        ends = pairs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.concat_arrays(
+                        [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+                    )
+                ],
+                names=["id"],
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        id_ref = _ray.put(pa.array(ends["id"].unique()))
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            ids = _ray.get(id_ref)
+            return t.filter(pc.is_in(t[id_col], value_set=ids))
+
+        docs = docs.map_batches(prefilter, batch_format="pyarrow")
     for side, alias in (("doc_a", "text_a"), ("doc_b", "text_b")):
         keyed = docs.map_batches(
             lambda t, s=side, al=alias: pa.Table.from_arrays(
@@ -468,13 +496,45 @@ def verify_candidates_jaccard_distributed(
     n: int = 3,
     threshold: float = 0.8,
     num_partitions: int | None = None,
+    broadcast_bytes: int = 1 << 30,
 ) -> ray.data.Dataset:
-    """Corpus-scale candidate verification: texts attached by hash-
-    partitioned joins (see :func:`attach_pair_texts`), jaccard computed
-    per joined row, text columns dropped before the result flows on.
-    Nothing is materialized driver-side."""
+    """Corpus-scale candidate verification. The CORPUS is never collected:
+    a broadcast semi-join filter shrinks it map-side to candidate docs only
+    (bounded by 2×pairs). If the surviving candidate-doc set fits under
+    ``broadcast_bytes`` it is broadcast once and pairs verify against it in
+    a plain map (no join operators — their aggregator spin-up dominates at
+    small candidate counts); past the threshold the texts are attached by
+    hash-partitioned joins (:func:`attach_pair_texts`)."""
+    import ray as _ray
+
+    ends = pairs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+                )
+            ],
+            names=["id"],
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    id_ref = _ray.put(pa.array(ends["id"].unique()))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ids = _ray.get(id_ref)
+        return t.filter(pc.is_in(t[id_col], value_set=ids))
+
+    cand_docs = docs.map_batches(prefilter, batch_format="pyarrow").materialize()
+    if (cand_docs.size_bytes() or 0) <= broadcast_bytes:
+        tbl = pa.concat_tables(
+            [pa.Table.from_pandas(cand_docs.to_pandas(), preserve_index=False)]
+        )
+        lookup = dict(zip(tbl[id_col].to_pylist(), tbl[col].to_pylist()))
+        return verify_candidates_jaccard(pairs, lookup, n=n, threshold=threshold)
+
     joined = attach_pair_texts(
-        pairs, docs, id_col=id_col, col=col, num_partitions=num_partitions
+        pairs, cand_docs, id_col=id_col, col=col,
+        num_partitions=num_partitions, prefiltered=True,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -33,9 +33,13 @@ def add_punct_count(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_punct", pc.cast(n, pa.int64()))
 
 
-def add_quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
+def add_quality_score(
+    batch: pa.Table, col: str = "text", round_digits: int | None = 4
+) -> pa.Table:
     """Heuristic quality in [0,1]: length band + punctuation presence +
-    mean-word-length band + stopword hit ratio. Deterministic, vectorized."""
+    mean-word-length band + stopword hit ratio. Deterministic, vectorized.
+    ``round_digits=None`` keeps full float64 precision (oracle-parity path
+    converts to integer basis points instead of rounding)."""
     text = batch[col]
     n_chars = pc.cast(pc.utf8_length(text), pa.float64())
     n_tokens = pc.cast(
@@ -65,43 +69,47 @@ def add_quality_score(batch: pa.Table, col: str = "text") -> pa.Table:
     stop_score = pc.min_element_wise(
         pc.multiply(pc.divide(n_stop, safe_tokens), pa.scalar(4.0)), pa.scalar(1.0)
     )
-    quality = pc.round(
-        pc.add(
-            pc.add(pc.multiply(len_score, 0.4), pc.multiply(punct_score, 0.1)),
-            pc.add(pc.multiply(word_score, 0.3), pc.multiply(stop_score, 0.2)),
-        ),
-        ndigits=4,
+    quality = pc.add(
+        pc.add(pc.multiply(len_score, 0.4), pc.multiply(punct_score, 0.1)),
+        pc.add(pc.multiply(word_score, 0.3), pc.multiply(stop_score, 0.2)),
     )
+    if round_digits is not None:
+        quality = pc.round(quality, ndigits=round_digits)
     return batch.append_column("quality", quality)
 
 
 class LangIdActor:
-    """Stopword-hit language heuristic — an actor-pool stage: regexes are
-    compiled once per actor in ``__init__`` (SURVEY.md actor-state rule)."""
+    """Stopword-hit language heuristic — an actor-pool stage: per-language
+    pattern strings are built once per actor in ``__init__`` (SURVEY.md
+    actor-state rule); counting is vectorized RE2
+    (``pc.count_substring_regex`` — same engine as the DuckDB oracle, so
+    word-boundary semantics agree by construction). Winner = earliest
+    language (en, de, fr, es, ru order) reaching the max count; 'und' when
+    every count is zero."""
+
+    LANG_ORDER = ("en", "de", "fr", "es", "ru")
 
     def __init__(self, col: str = "text") -> None:
-        import re
-
         self.col = col
         self.pats = {
-            lang: re.compile(
-                r"(?i)\b(?:" + "|".join(sorted(words)) + r")\b"
-            )
-            for lang, words in STOPWORDS.items()
+            lang: r"(?i)\b(?:" + "|".join(sorted(STOPWORDS[lang])) + r")\b"
+            for lang in self.LANG_ORDER
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_pylist()
-        out = []
-        for t in texts:
-            t = t or ""
-            best, best_n = "und", 0
-            for lang, pat in self.pats.items():
-                n = len(pat.findall(t))
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
-        return batch.append_column("lang_pred", pa.array(out, pa.string()))
+        text = batch[self.col]
+        counts = np.stack(
+            [
+                pc.count_substring_regex(text, pattern=self.pats[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for lang in self.LANG_ORDER
+            ]
+        )  # (5, n)
+        best = counts.argmax(axis=0)  # earliest index wins ties (np argmax)
+        langs = np.array(self.LANG_ORDER)
+        out = np.where(counts.max(axis=0) > 0, langs[best], "und")
+        return batch.append_column("lang_pred", pa.array(out.tolist(), pa.string()))
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:

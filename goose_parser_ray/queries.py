@@ -573,14 +573,39 @@ def q_hll_distinct_users(sf_dir: str):
 
 
 def q_ann_bruteforce(sf_dir: str):
+    """Oracle-checked exact top-k: queries = the 8 SMALLEST vec_ids
+    (deterministic on both sides); ranks are float32-vs-float64 safe — the
+    measured minimum rank-boundary cosine gap on this data is ~2e-4, three
+    orders above float32 matmul error."""
     import pyarrow.parquet as pq
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.array_sort_indices(emb["vec_id"].combine_chunks())[:8]
+    head = emb.take(order)
     qids = head["vec_id"].to_pylist()
     qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann_bruteforce(ds, qids, qmat, k=5, concurrency=_pool())
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 5
+"""
 
 
 def q_ann_lsh(sf_dir: str):
@@ -615,12 +640,87 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _langid_sql() -> str:
+    """Oracle generated from the SAME stopword sets + pattern strings the
+    engine uses (both sides are RE2, so boundary semantics agree)."""
+    from goose_parser_ray.functions.textstats import STOPWORDS
+
+    order = LangIdActor.LANG_ORDER
+    counts = ",\n         ".join(
+        "CAST(length(regexp_extract_all(text, '(?i)\\b(?:"
+        + "|".join(sorted(STOPWORDS[lang]))
+        + ")\\b')) AS BIGINT) AS c_" + lang
+        for lang in order
+    )
+    mx = "GREATEST(" + ", ".join(f"c_{lang}" for lang in order) + ")"
+    cases = "\n       ".join(
+        f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in order
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {mx} = 0 THEN 'und'
+       {cases}
+       END AS lang_pred
+FROM c
+"""
+
+
 def q_quality(sf_dir: str):
+    """Quality score emitted as integer basis points (deterministic
+    element-wise rounding on both sides — the float-sum parity rule from
+    the module docstring applied to a scalar formula)."""
     from goose_parser_ray.functions.textstats import add_quality_score
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "quality"])
+    ds = ds.map_batches(
+        lambda t: add_quality_score(t, round_digits=None),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], _cents(t["quality"], 10000)],
+            names=["doc_id", "quality_bp"],
+        ),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def _quality_sql() -> str:
+    """Oracle mirrors add_quality_score term by term, association order
+    included ((a+b)+(c+d)), from the same English stopword pattern."""
+    from goose_parser_ray.functions.textstats import STOPWORDS
+
+    pat = r"(?i)\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[.!?]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(text, '{pat}')) AS DOUBLE) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         LEAST(n_chars / 500.0, 1.0) AS len_score,
+         LEAST(n_punct, 1.0) AS punct_score,
+         CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 3.0
+                   AND n_chars / GREATEST(n_tokens, 1.0) <= 12.0
+              THEN 1.0 ELSE 0.0 END AS word_score,
+         LEAST((n_stop / GREATEST(n_tokens, 1.0)) * 4.0, 1.0) AS stop_score
+  FROM f
+)
+SELECT doc_id,
+       CAST(ROUND(10000 * ((len_score * 0.4 + punct_score * 0.1)
+                           + (word_score * 0.3 + stop_score * 0.2))) AS BIGINT)
+           AS quality_bp
+FROM s
+"""
 
 
 def q_fingerprint(sf_dir: str):
@@ -805,8 +905,12 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "agg_builtins": SQL_AGG_BUILTINS,
     "dedup_exact": SQL_DEDUP_EXACT,
-    # dedup_minhash / dedup_simhash / dedup_embedding / ann_bruteforce /
-    # lang_id / quality_score / fingerprint / media_decode / extract_spans:
-    # not SQL-expressible (approximate, heuristic or DOM-semantic) →
-    # rows-only checks per the driver contract.
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "lang_id": _langid_sql(),
+    "quality_score": _quality_sql(),
+    # dedup_minhash / dedup_simhash / dedup_embedding / ann_lsh /
+    # hll (sketch vs exact) / sample_random (RNG) / fingerprint (crc32
+    # rolling hash has no DuckDB equivalent) / media_decode / extract_spans
+    # / extract_rules (DOM-semantic): not SQL-expressible → rows-only
+    # checks per the driver contract.
 }

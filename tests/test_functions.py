@@ -369,3 +369,24 @@ def test_exact_dedup_no_combine_matches_combined(docs_ds):
     a = exact_dedup(docs_ds, col="text", id_col="doc_id", combine_first=True).to_pandas()
     b = exact_dedup(docs_ds, col="text", id_col="doc_id", combine_first=False).to_pandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_jaccard_verify_join_path_matches_broadcast(docs_ds):
+    """Force the hash-join attach path (broadcast_bytes=0) and require the
+    exact same verified pair set as the broadcast path."""
+    from goose_parser_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        verify_candidates_jaccard_distributed,
+    )
+
+    docs = ray.data.from_arrow(docs_table())
+    pairs = minhash_lsh_candidates(docs_ds, concurrency=2).materialize()
+    via_join = verify_candidates_jaccard_distributed(
+        pairs, docs, threshold=0.5, broadcast_bytes=0, num_partitions=2
+    ).to_pandas()
+    via_bcast = verify_candidates_jaccard_distributed(
+        pairs, docs, threshold=0.5
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"].round(9)))
+    assert key(via_join) == key(via_bcast)
+    assert len(via_join) > 0
