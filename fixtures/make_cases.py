@@ -410,10 +410,15 @@ CASES["entities_in_attrs"] = {
     "spans": text_spans('a & b "q"', "x < y"),
 }
 CASES["deep_misnesting"] = {
+    # adoption-agency reconstruction (round 2): the browser DOM for this
+    # markup contains SIX em elements (reconstructed clones nest) — jQuery
+    # $('em').text() per element gives a,b,b,c,c,c; verified against the
+    # WHATWG algorithm by hand. Round 1's a,b,c encoded the pre-AA
+    # pop-until-match deviation.
     "rules": {"scope": "em", "type": "array"},
     "html": "<div><p><em>a<p><em>b</div><em>c",
-    "goose": ["a", "b", "c"],
-    "spans": text_spans("a", "b", "c"),
+    "goose": ["a", "b", "b", "c", "c", "c"],
+    "spans": text_spans("a", "b", "b", "c", "c", "c"),
 }
 
 # --- pipeline-level (no rules: boilerplate/media/malformed) ----------------

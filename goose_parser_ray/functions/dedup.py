@@ -568,26 +568,44 @@ class HyperplaneBucketActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from goose_parser_ray.functions.similarity import _list_col_to_matrix
 
-        ids = batch[self.id_col].to_pylist()
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "table_id": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        ids = batch[self.id_col].combine_chunks()
         emb = _list_col_to_matrix(batch[self.col])
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        emb = emb / norms
-        out = {"vec_id": [], "table_id": [], "bucket": [], "embedding": []}
-        for tbl in range(self.n_tables):
-            signs = (emb @ self.planes[tbl].T) > 0  # (n, planes)
-            keys = np.packbits(signs, axis=1)
-            for i, vid in enumerate(ids):
-                out["vec_id"].append(vid)
-                out["table_id"].append(tbl)
-                out["bucket"].append(int.from_bytes(keys[i].tobytes(), "big"))
-                out["embedding"].append(emb[i].tolist())
+        emb = (emb / norms).astype(np.float32)
+        n = emb.shape[0]
+        # all tables at once: signs (T, n, planes) → big-endian packed keys
+        # (T, n) — byte-order matches the original int.from_bytes(..., 'big')
+        signs = (emb[None, :, :] @ self.planes.transpose(0, 2, 1)) > 0
+        packed = np.packbits(signs, axis=2)  # (T, n, ceil(planes/8))
+        nbytes = packed.shape[2]
+        keys = np.zeros((self.n_tables, n), dtype=np.int64)
+        for b in range(nbytes):
+            keys = (keys << 8) | packed[:, :, b].astype(np.int64)
+        # row layout matches the original loop: table-major (all rows of
+        # table 0, then table 1, …)
+        row_idx = np.tile(np.arange(n), self.n_tables)
+        tables = np.repeat(np.arange(self.n_tables, dtype=np.int32), n)
+        flat = emb[row_idx].reshape(-1)
+        offsets = np.arange(0, (len(row_idx) + 1) * emb.shape[1], emb.shape[1])
+        emb_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.float32())
+        )
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(out["vec_id"]),
-                "table_id": pa.array(out["table_id"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "embedding": pa.array(out["embedding"], pa.list_(pa.float32())),
+                "vec_id": pc.take(ids, pa.array(row_idx, pa.int64())),
+                "table_id": pa.array(tables, pa.int32()),
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+                "embedding": emb_list,
             }
         )
 

@@ -28,7 +28,7 @@ class Text:
 class Element:
     """An element node: tag, attrs, ordered children (Element | Text)."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "order", "_classes")
+    __slots__ = ("tag", "attrs", "children", "parent", "order", "_classes", "_open")
 
     def __init__(
         self,
@@ -42,6 +42,7 @@ class Element:
         self.parent = parent
         self.order = -1  # assigned by the tree builder (document order)
         self._classes: frozenset[str] | None = None
+        self._open = False  # on the tree builder's open-element stack?
 
     # -- structure ---------------------------------------------------------
     def append(self, node: "Element | Text") -> None:

@@ -76,11 +76,37 @@ def test_stray_end_tag_ignored():
 
 
 def test_misnested_formatting_recovery():
-    # documented deviation: pop-until-match, no adoption agency
+    # simplified adoption agency: </b> pops the mis-nested <i>, which is
+    # reconstructed for the following text (browser behavior)
     doc = parse_html("<b>one<i>two</b>three</i>")
     assert find(doc, "b")[0].text() == "onetwo"
+    i_els = find(doc, "i")
+    assert [e.text() for e in i_els] == ["two", "three"]
     body = find(doc, "body")[0]
     assert "three" in body.text()
+
+
+def test_adoption_agency_reconstruction_cases():
+    # formatting leaks out of a closed block and re-opens (browser parity)
+    doc = parse_html("<div><b>x</div>y")
+    bs = find(doc, "b")
+    assert [e.text() for e in bs] == ["x", "y"]
+    assert bs[1].parent.tag == "body"
+    # block starts do not reconstruct; the next phrasing insertion does
+    doc = parse_html("<p><b>a<p>b")
+    ps = find(doc, "p")
+    assert ps[1].children[0].tag == "b" and ps[1].text() == "b"
+    # a-in-a implicitly closes the first anchor (no nesting, no leak)
+    doc = parse_html("<a href='1'>x<a href='2'>y</a>z")
+    aas = find(doc, "a")
+    assert [e.attrs.get("href") for e in aas] == ["1", "2"]
+    assert aas[0].parent.tag == "body" and aas[1].parent.tag == "body"
+    # noah's ark: a 5th identical <b> caps reconstruction depth at 3+1
+    doc = parse_html("<b><b><b><b><b>w")
+    # markers: formatting never leaks across table cells
+    doc = parse_html("<table><tr><td><b>c</td><td>d</td></tr></table>e")
+    bs = find(doc, "b")
+    assert len(bs) == 1 and bs[0].text() == "c"
 
 
 def test_script_style_raw_text():
