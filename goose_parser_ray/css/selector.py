@@ -89,12 +89,17 @@ class PseudoTest:
             if n == "last-child":
                 return sibs and sibs[-1] is el
             return len(sibs) == 1 and sibs[0] is el
-        if n == "nth-child":
+        if n in ("nth-child", "nth-last-child", "nth-of-type", "nth-last-of-type"):
             parent = el.parent
             if parent is None:
                 return False
+            sibs = parent.child_elements()
+            if "of-type" in n:
+                sibs = [s for s in sibs if s.tag == el.tag]
+            if "last" in n:
+                sibs = sibs[::-1]
             idx = 0
-            for i, sib in enumerate(parent.child_elements(), start=1):
+            for i, sib in enumerate(sibs, start=1):
                 if sib is el:
                     idx = i
                     break
@@ -103,6 +108,16 @@ class PseudoTest:
                 return idx == b
             k = (idx - b) / a
             return k >= 0 and k == int(k)
+        if n in ("first-of-type", "last-of-type", "only-of-type"):
+            parent = el.parent
+            if parent is None:
+                return False
+            same = [s for s in parent.child_elements() if s.tag == el.tag]
+            if n == "first-of-type":
+                return bool(same) and same[0] is el
+            if n == "last-of-type":
+                return bool(same) and same[-1] is el
+            return len(same) == 1 and same[0] is el
         if n == "empty":
             for c in el.children:
                 if getattr(c, "tag", None) is not None:
@@ -362,9 +377,14 @@ def compile_selector(source: str) -> CompiledSelector:
                 c["pseudos"].append(
                     PseudoTest(name, arg, sub=compile_selector(arg))
                 )
-            elif name == "nth-child":
+            elif name in (
+                "nth-child",
+                "nth-last-child",
+                "nth-of-type",
+                "nth-last-of-type",
+            ):
                 if arg is None:
-                    raise SelectorError(":nth-child requires an argument")
+                    raise SelectorError(f":{name} requires an argument")
                 c["pseudos"].append(PseudoTest(name, arg, nth=_parse_nth(arg)))
             elif name == "contains":
                 if arg is None:
@@ -374,6 +394,9 @@ def compile_selector(source: str) -> CompiledSelector:
                 "first-child",
                 "last-child",
                 "only-child",
+                "first-of-type",
+                "last-of-type",
+                "only-of-type",
                 "empty",
                 "header",
             ):

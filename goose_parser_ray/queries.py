@@ -451,6 +451,113 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_topn_per_group(sf_dir: str):
+    """Top-3 orders by price per market segment (window-rank shape): the
+    broadcast join attaches the segment, then per-group top-N runs as ONE
+    shuffle group per segment-bucket with a vectorized pandas
+    sort+groupby+head inside — the classic ROW_NUMBER() OVER (PARTITION BY)
+    pattern without per-key groups."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["c_custkey", "segment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
+    joined = joined.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], t["segment"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "segment", "total_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        # map-side combine: only each batch's top-3 per segment survive
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["segment", "total_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("segment", as_index=False).head(3), preserve_index=False
+        )
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["segment", "total_cents", "o_orderkey"], ascending=[True, False, True]
+        )
+        out = g.groupby("segment", as_index=False).head(3).copy()
+        out["rnk"] = out.groupby("segment").cumcount() + 1
+        return out
+
+    ds = joined.map_batches(local_topn, batch_format="pyarrow")
+    return ds.groupby("segment").map_groups(final_topn, batch_format="pandas")
+
+
+SQL_TOPN_PER_GROUP = """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment AS segment,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS total_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT o_orderkey, segment, total_cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY total_cents DESC, o_orderkey ASC) AS rnk
+  FROM j
+)
+SELECT o_orderkey, segment, total_cents, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping window (1h window, 30min hop): each event flat-maps to its
+    ≤2 covering windows (vectorized — two shifted truncations, concat),
+    then the partial-aggregate groupby. Overlapping windows are pure
+    map-side fan-out; the shuffle still moves only per-(key,window)
+    partials."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        prev = pc.subtract(
+            base, pa.scalar(1_800_000_000, pa.duration("us"))
+        )
+        n = t.num_rows
+        etype = pa.concat_arrays([t["event_type"].combine_chunks()] * 2)
+        starts = pa.concat_arrays(
+            [base.combine_chunks(), prev.combine_chunks()]
+        )
+        vals = pa.concat_arrays([_cents(t["value"], 10000).combine_chunks()] * 2)
+        win = pc.strftime(starts, "%Y-%m-%d %H:%M:00")
+        return pa.Table.from_arrays(
+            [etype, win, vals], names=["event_type", "win_start", "value_e4"]
+        )
+
+    ds = ds.map_batches(fan_out, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        ds, keys=["event_type", "win_start"], sums={"value_e4": "value_e4"},
+        count_alias="n_events",
+    )
+
+
+SQL_EVENTS_HOPPING = """
+WITH w AS (
+  SELECT event_type,
+         unnest([date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE,
+                 date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE - INTERVAL 30 MINUTE]) AS ws,
+         CAST(ROUND(10000 * value) AS BIGINT) AS value_e4
+  FROM events
+)
+SELECT event_type,
+       strftime(ws, '%Y-%m-%d %H:%M:00') AS win_start,
+       CAST(SUM(value_e4) AS BIGINT) AS value_e4,
+       COUNT(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_agg_builtins(sf_dir: str):
     """S6 via Ray's native aggregate API (Min/Max/Count) — exact-integer
     columns only, so the hash compare cannot be bitten by float sum order."""
@@ -867,6 +974,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "topn_per_group": q_topn_per_group,
+    "events_hopping": q_events_hopping,
     "agg_builtins": q_agg_builtins,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -903,6 +1012,8 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
+    "topn_per_group": SQL_TOPN_PER_GROUP,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "agg_builtins": SQL_AGG_BUILTINS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,

@@ -14,7 +14,7 @@ DOC = parse_html(
   <a href="/x" data-k="v1">link1</a><a href="http://e.com/y">link2</a>
   <span></span>
 </div>
-<div class="other"><p>four</p></div>
+<div class="other"><p>four</p><span>s1</span><em>e1</em><span>s2</span></div>
 """
 )
 
@@ -49,6 +49,12 @@ def q(sel, scope=None):
         ("li:nth-child(2)", ["b"]),
         ("li:nth-child(2n+1)", ["a", "c"]),
         ("li:nth-child(odd)", ["a", "c"]),
+        ("li:nth-last-child(1)", ["c"]),
+        (".other span:first-of-type", ["s1"]),
+        (".other span:last-of-type", ["s2"]),
+        ("em:only-of-type", ["e1"]),
+        ("span:nth-of-type(2)", ["s2"]),
+        (".other span:nth-last-of-type(1)", ["s2"]),
         ("p.a + p", ["two"]),
         ("p.a ~ p", ["two", "three"]),
         ("p:not(.a)", ["two", "four"]),
