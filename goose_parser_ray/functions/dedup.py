@@ -121,41 +121,107 @@ class MinHashActor:
         self.num_perm, self.bands, self.shingle = num_perm, bands, shingle
         self.rows_per_band = num_perm // bands
 
+    # shingle combiner constant (polynomial rolling combine of word hashes)
+    _SHINGLE_C = np.uint64(1_000_003)
+
+    @classmethod
+    def _shingle_hashes(cls, word_hashes: np.ndarray, k: int) -> np.ndarray:
+        """k-gram shingle hashes from per-word hashes: polynomial combine of
+        k consecutive word hashes (uint64 wraparound), result shifted into
+        int64 range. Output length = len(word_hashes) (the k-1 tail entries
+        are garbage — callers mask them)."""
+        acc = word_hashes.copy()
+        for j in range(1, k):
+            acc = acc * cls._SHINGLE_C + np.roll(word_hashes, -j)
+        return (acc >> np.uint64(1)).astype(np.int64)
+
     def signature(self, text: str) -> np.ndarray | None:
+        """Scalar reference kernel (tests compare the batch path to this).
+        Word hashing is the vectorized deterministic pandas hash — zero
+        Python-level per-word work; shingles combine numerically (no
+        shingle strings are ever built)."""
         words = (text or "").lower().split()
         if len(words) < self.shingle:
             return None
-        shingles = np.fromiter(
-            (
-                _crc(" ".join(words[i : i + self.shingle]))
-                for i in range(len(words) - self.shingle + 1)
-            ),
-            dtype=np.int64,
-        )
-        # (a*x + b) mod p for all perms × shingles, vectorized
-        m = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % _MERSENNE
+        wh = pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False
+        ).to_numpy()
+        sh = self._shingle_hashes(wh, self.shingle)[: len(words) - self.shingle + 1]
+        m = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
+    def _batch_signatures(
+        self, texts: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All docs at once: one flat word array → one vectorized hash pass
+        → numeric shingle combine → per-doc minima via
+        ``np.minimum.reduceat`` over doc offsets. No per-doc numpy calls,
+        no string shingles. Returns (keep_mask, sigs[kept, num_perm])."""
+        word_lists = [(t or "").lower().split() for t in texts]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        keep = lens >= self.shingle
+        if not keep.any():
+            return keep, np.empty((0, self.num_perm), dtype=np.int64)
+        flat: list[str] = []
+        for w, k in zip(word_lists, keep):
+            if k:
+                flat.extend(w)
+        wh = pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False
+        ).to_numpy()
+        sh_all = self._shingle_hashes(wh, self.shingle)
+        kept_lens = lens[keep]
+        n_sh = kept_lens - (self.shingle - 1)
+        doc_ends = np.cumsum(kept_lens)
+        # valid shingle positions: within-doc windows only
+        valid = np.ones(len(flat), dtype=bool)
+        for e in doc_ends:  # mask the k-1 tail positions of each doc
+            valid[max(0, e - (self.shingle - 1)) : e] = False
+        hashes = sh_all[valid]
+        offsets = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+        # perms × shingles in bounded chunks, reduceat per doc
+        sigs = np.empty((int(keep.sum()), self.num_perm), dtype=np.int64)
+        CH = 8  # perm chunk: CH × n_shingles int64 working set
+        for p0 in range(0, self.num_perm, CH):
+            a = self.a[p0 : p0 + CH, None]
+            b = self.b[p0 : p0 + CH, None]
+            m = (a * hashes[None, :] + b) % _MERSENNE
+            sigs[:, p0 : p0 + CH] = np.minimum.reduceat(m, offsets, axis=1).T
+        return keep, sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist())
         texts = batch[self.col].to_pylist()
-        out_id: list = []
-        out_band: list[int] = []
-        out_key: list[int] = []
-        for did, text in zip(ids, texts):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        keep, sigs = self._batch_signatures(texts)
+        kept_ids = ids[keep]
+        n = len(kept_ids)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        # band keys: crc over each row's per-band signature slice (tiny —
+        # bands × docs calls on 4-element buffers)
+        out_key = np.empty(n * self.bands, dtype=np.int64)
+        rpb = self.rows_per_band
+        pos = 0
+        for i in range(n):
+            row = sigs[i]
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                key = zlib.crc32(chunk.tobytes()) & 0xFFFFFFFF
-                out_id.append(did)
-                out_band.append(band)
-                out_key.append(key)
+                out_key[pos] = (
+                    zlib.crc32(row[band * rpb : (band + 1) * rpb].tobytes())
+                    & 0xFFFFFFFF
+                )
+                pos += 1
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(np.repeat(kept_ids, self.bands).tolist()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
                 "key": pa.array(out_key, pa.int64()),
             }
         )
@@ -204,9 +270,10 @@ def _dedup_pairs(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a", "doc
     a, b = cols
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.select([a, b]).to_pandas()
+        # hash_pandas_object on a frame combines per row — one C pass
         h = (
-            _hash_series(df[a].astype(str) + "|" + df[b].astype(str)) % _NB
+            pd.util.hash_pandas_object(df, index=False).to_numpy() % _NB
         ).astype(np.int64)
         return t.append_column("__pb", pa.array(h))
 

@@ -5,7 +5,6 @@ no Python row loops in batch bodies except where a hash must see each value.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -113,22 +112,48 @@ class LangIdActor:
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Deterministic document fingerprint: crc32 rolling over normalized
-    8-gram word shingles, combined with xor — stable across processes
-    (no PYTHONHASHSEED — SURVEY.md §7.6-7)."""
+    """Deterministic document fingerprint: position-weighted XOR over
+    rolling 8-gram word-shingle hashes — stable across processes
+    (fixed-key vectorized hash, no PYTHONHASHSEED — SURVEY.md §7.6-7).
+
+    Fully vectorized: one flat word array → one pandas-hash pass → numeric
+    8-gram combine → per-doc ``bitwise_xor.reduceat``; no per-shingle
+    Python work."""
+    import pandas as pd
+
     texts = batch[col].to_pylist()
-    fps = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if not words:
-            fps[i] = 0
-            continue
-        acc = 0
-        for j in range(0, max(1, len(words) - 7)):
-            sh = " ".join(words[j : j + 8]).encode()
-            acc ^= zlib.crc32(sh) * (j % 7 + 1)
-        fps[i] = acc & 0x7FFFFFFFFFFFFFFF
-    return batch.append_column("fingerprint", pa.array(fps))
+    word_lists = [(t or "").lower().split() for t in texts]
+    lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat: list[str] = []
+        for w, k in zip(word_lists, nonempty):
+            if k:
+                flat.extend(w)
+        wh = pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False
+        ).to_numpy()
+        K, C = 8, np.uint64(1_000_003)
+        acc = wh.copy()
+        for j in range(1, K):
+            acc = acc * C + np.roll(wh, -j)
+        ne_lens = lens[nonempty]
+        # shingle start positions per doc: max(1, len-7) starts (short docs
+        # fingerprint their single truncated shingle)
+        n_sh = np.maximum(ne_lens - (K - 1), 1)
+        doc_ends = np.cumsum(ne_lens)
+        doc_starts = doc_ends - ne_lens
+        valid = np.zeros(len(flat), dtype=bool)
+        pos_w = np.empty(len(flat), dtype=np.uint64)
+        for s, ns in zip(doc_starts, n_sh):
+            valid[s : s + ns] = True
+            pos_w[s : s + ns] = (np.arange(ns) % 7 + 1).astype(np.uint64)
+        weighted = acc[valid] * pos_w[valid]
+        offsets = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+        fps[nonempty] = np.bitwise_xor.reduceat(weighted, offsets)
+    out = (fps & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    return batch.append_column("fingerprint", pa.array(out))
 
 
 def text_stats_pipeline(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
