@@ -79,3 +79,85 @@ class FrameSampleActor:
         return batch.append_column(
             "frame_indices", pa.array(frames, pa.list_(pa.int32()))
         )
+
+
+class ImageResizeActor:
+    """decoded feature/metadata → resized-image metadata (stub: rescales the
+    recorded dimensions and re-derives a deterministic feature vector; a
+    real resampler slots into ``_resize_real``). Keeps the decode→resize
+    actor-chain plumbing real: schema in/out, small-batch sizing, pool
+    signature."""
+
+    def __init__(
+        self,
+        target_w: int = 224,
+        target_h: int = 224,
+        meta_col: str = "meta",
+        feat_col: str = "features",
+        fake: bool = True,
+    ):
+        self.target_w, self.target_h = target_w, target_h
+        self.meta_col, self.feat_col, self.fake = meta_col, feat_col, fake
+
+    def _resize_real(self, feat, meta):  # pragma: no cover - no codec
+        raise NotImplementedError(
+            "no image codec in this environment; run with fake=True"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not self.fake:  # pragma: no cover
+            raise NotImplementedError("no image codec in this environment")
+        metas = batch[self.meta_col]
+        n = batch.num_rows
+        out_meta = pa.array(
+            [
+                {"width": self.target_w, "height": self.target_h, "format": "fake"}
+            ]
+            * n,
+            MEDIA_META,
+        )
+        # deterministic "resampled" features: scale by the area ratio
+        w = pc.struct_field(metas, "width").to_numpy(zero_copy_only=False)
+        h = pc.struct_field(metas, "height").to_numpy(zero_copy_only=False)
+        ratio = (
+            (self.target_w * self.target_h) / np.maximum(w * h, 1)
+        ).astype(np.float32)
+        feats = batch[self.feat_col].combine_chunks()
+        dim = len(feats[0]) if n else 0
+        flat = feats.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        flat = flat * np.repeat(ratio, dim)
+        offsets = pa.array(np.arange(0, (n + 1) * dim, dim), pa.int32())
+        resized = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+        batch = batch.set_column(
+            batch.column_names.index(self.feat_col), self.feat_col, resized
+        )
+        return batch.set_column(
+            batch.column_names.index(self.meta_col), self.meta_col, out_meta
+        )
+
+
+class AudioFeatureActor:
+    """audio payload → fixed-size feature frame (stub: deterministic
+    pseudo-spectrogram seeded from the payload; a real feature extractor
+    slots into ``_features_real``)."""
+
+    def __init__(self, payload_col: str = "payload", n_mels: int = 8, fake: bool = True):
+        self.payload_col, self.n_mels, self.fake = payload_col, n_mels, fake
+
+    def _features_real(self, payload: bytes):  # pragma: no cover - no codec
+        raise NotImplementedError("no audio codec in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:  # pragma: no cover
+            raise NotImplementedError("no audio codec in this environment")
+        payloads = batch[self.payload_col].to_pylist()
+        feats = []
+        for p in payloads:
+            seed = zlib.crc32(p or b"")
+            rng = np.random.RandomState(seed & 0x7FFFFFFF)
+            feats.append(rng.rand(self.n_mels).astype(np.float32).tolist())
+        return batch.append_column(
+            "audio_features", pa.array(feats, pa.list_(pa.float32()))
+        )

@@ -172,22 +172,29 @@ HLL_P = 12  # 4096 registers → ~1.6% standard error
 
 
 def hll_sketch_batch(values) -> np.ndarray:
-    """One batch → one register array (uint8[4096]). blake2b hash — crc32's
-    linearity visibly biases the estimate on sequential keys; a proper
-    avalanche hash is required. Deterministic across processes."""
-    from hashlib import blake2b
+    """One batch → one register array (uint8[4096]). Vectorized: one
+    deterministic avalanche-hash pass (pandas SipHash-style, fixed key —
+    crc32's linearity visibly biased the estimate on sequential keys),
+    ranks from a float64 log2 (exact for ints < 2^53), register update via
+    ``np.maximum.at``. No per-value Python work."""
+    import pandas as pd
 
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for v in values:
-        h = int.from_bytes(
-            blake2b(str(v).encode(), digest_size=8).digest(), "big"
-        )
-        idx = h & ((1 << HLL_P) - 1)
-        w = h >> HLL_P
-        # rank = position of first set bit in the remaining 52 bits
-        rank = 53 - int(w).bit_length() if w else 53
-        if rank > regs[idx]:
-            regs[idx] = rank
+    vals = [str(v) for v in values]
+    if not vals:
+        return regs
+    h = pd.util.hash_pandas_object(
+        pd.Series(vals, dtype=object), index=False
+    ).to_numpy()
+    idx = (h & np.uint64((1 << HLL_P) - 1)).astype(np.int64)
+    w = h >> np.uint64(HLL_P)
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    # bit_length(w) = floor(log2(w)) + 1; float64 log2 is exact-side-safe
+    # for integers below 2^53 (w has 52 bits here)
+    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rank = (53 - bl).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
     return regs
 
 

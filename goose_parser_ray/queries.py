@@ -874,6 +874,59 @@ def q_media_decode(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_media_pipeline(sf_dir: str):
+    """Full multimodal actor chain: payload → decode → resize → frame-sample
+    → audio features (all stubs deterministic; the Ray plumbing — chained
+    actor pools, small batches, list/struct schemas — is the real artifact).
+    Rows-only by nature."""
+    from goose_parser_ray.functions.multimodal import (
+        AudioFeatureActor,
+        FrameSampleActor,
+        ImageResizeActor,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = [str(v).encode() for v in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(payloads, pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    pool = max(1, _pool() // 4)  # four chained fixed pools must coexist
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ImageDecodeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        ImageResizeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        AudioFeatureActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.struct_field(t["meta"], "width"),
+                pc.list_value_length(t["frame_indices"]),
+                pc.list_value_length(t["audio_features"]),
+            ],
+            names=["doc_id", "width", "n_frames", "n_mels"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction (rows-only: DOM semantics are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -991,6 +1044,7 @@ QUERIES = {
     "quality_score": q_quality,
     "fingerprint": q_fingerprint,
     "media_decode": q_media_decode,
+    "media_pipeline": q_media_pipeline,
     "extract_spans": q_extract_spans,
     "extract_rules": q_extract_rules,
 }

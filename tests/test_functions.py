@@ -390,3 +390,39 @@ def test_jaccard_verify_join_path_matches_broadcast(docs_ds):
     key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["jaccard"].round(9)))
     assert key(via_join) == key(via_bcast)
     assert len(via_join) > 0
+
+
+def test_multimodal_chain_resize_audio(ray_session):
+    """Decode → resize → audio chain: schemas and deterministic stub values
+    survive the actor plumbing."""
+    from goose_parser_ray.functions.multimodal import (
+        AudioFeatureActor,
+        ImageDecodeActor,
+        ImageResizeActor,
+    )
+
+    t = pa.Table.from_pydict(
+        {"doc_id": [1, 2], "payload": [b"abc", b"defgh"]}
+    )
+    ds = ray.data.from_arrow(t)
+    ds = ds.map_batches(ImageDecodeActor, batch_format="pyarrow", concurrency=(1, 1))
+    ds = ds.map_batches(
+        ImageResizeActor, batch_format="pyarrow", concurrency=(1, 1)
+    )
+    ds = ds.map_batches(
+        AudioFeatureActor, batch_format="pyarrow", concurrency=(1, 1)
+    )
+    out = ds.to_pandas().sort_values("doc_id")
+    assert list(out.columns) == [
+        "doc_id", "payload", "features", "meta", "audio_features"
+    ]
+    for m in out["meta"]:
+        assert m["width"] == 224 and m["height"] == 224
+    assert all(len(f) == 16 for f in out["features"])
+    assert all(len(a) == 8 for a in out["audio_features"])
+    # determinism: same payload → same features
+    out2 = ds.to_pandas().sort_values("doc_id")
+    assert np.allclose(
+        np.stack(out["audio_features"].to_numpy()),
+        np.stack(out2["audio_features"].to_numpy()),
+    )
