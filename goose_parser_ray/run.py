@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--salt-threshold", type=int, default=512)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--partition-mode",
+        choices=["hash", "fragment"],
+        default="hash",
+        help="'fragment': partition = input shard file (reader-level resume "
+        "pruning, single-partition blocks); --partitions is then derived "
+        "from the file count",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -60,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         salt_threshold=args.salt_threshold,
         concurrency=args.concurrency,
         batch_size=args.batch_size,
+        partition_mode=args.partition_mode,
     )
     print(json.dumps(summary))
     ray.shutdown()
