@@ -563,16 +563,7 @@ def q_sort_global(sf_dir: str):
     all-to-all) with a deterministic tie-break, emitted WITH the ordinal so
     the oracle checks order, not just membership."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    ds = ds.sort(["n_chars", "doc_id"], descending=[False, False])
-
-    def add_ordinal(t: pa.Table) -> pa.Table:
-        # sorted datasets keep block order; assign ordinals per block via a
-        # stateless trick: ordinal = rank by (n_chars, doc_id) is recomputed
-        # in SQL — here we emit the sorted payload and let the driver's
-        # value hash cover (n_chars, doc_id) pairs
-        return t
-
-    return ds.map_batches(add_ordinal, batch_format="pyarrow")
+    return ds.sort(["n_chars", "doc_id"], descending=[False, False])
 
 
 SQL_SORT_GLOBAL = """
