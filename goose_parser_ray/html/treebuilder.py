@@ -20,9 +20,9 @@ SURVEY.md §7.6-1 — fixtures must not rely on these):
 - ``<head>`` content is kept only when an explicit ``<head>`` tag is present;
   otherwise head-only tags (title/meta/...) land in an implied ``head``.
 
-Tokenization rides on stdlib ``html.parser.HTMLParser`` (entity decoding via
-``convert_charrefs``, CDATA content model for script/style) — see
-``goose_parser_ray/html/__init__.py`` for the provenance note.
+Tokenization is the from-scratch scanner in
+:mod:`goose_parser_ray.html.tokenizer` (it replaced stdlib html.parser for
+speed — see ``goose_parser_ray/html/__init__.py`` for the provenance note).
 """
 
 from __future__ import annotations
