@@ -1065,6 +1065,47 @@ def q_media_pipeline(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_data_pipeline(sf_dir: str):
+    """Composite LLM-training-data pipeline — the ops composed the way a
+    real corpus run chains them: quality gate → exact dedup → MinHash
+    near-dup removal (distributed verify) → per-doc token stats. Each stage
+    is the scale-shaped implementation benchmarked elsewhere; this query
+    proves they compose (stage boundaries stay lazy Datasets, one
+    materialization at the tiny candidate-pair set only)."""
+    from goose_parser_ray.functions.textstats import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)).drop_columns(
+            ["quality"]
+        ),
+        batch_format="pyarrow",
+    )
+    ds = exact_dedup(ds, col="text", id_col="doc_id")
+    # stage boundary: the deduped set is consumed three times downstream
+    # (candidates, verify join, final filter) — pin it once instead of
+    # re-executing the upstream per consumer. A production run would
+    # write_parquet here (resumable stage output) and read back.
+    ds = ds.materialize()
+    kept = minhash_dedup_keep(
+        ds,
+        jaccard_threshold=0.8,
+        docs=ds,
+        concurrency=_pool(),
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], n_tok], names=["doc_id", "n_tokens"]
+        )
+
+    return kept.map_batches(stats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction (rows-only: DOM semantics are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1187,6 +1228,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "media_decode": q_media_decode,
     "media_pipeline": q_media_pipeline,
+    "data_pipeline": q_data_pipeline,
     "extract_spans": q_extract_spans,
     "extract_rules": q_extract_rules,
 }

@@ -141,3 +141,37 @@ def test_descendant_selector_vs_naive(html, outer, inner):
         if e.tag == inner and any(a.tag == outer for a in ancestors(e))
     ]
     assert got == want
+
+
+# --- parser robustness fuzz -------------------------------------------------
+# The extract actor quarantines per-row exceptions, but the parser itself
+# must never crash or hang on arbitrary input (poison rows should be the
+# exception, not a parser property).
+
+_MARKUPISH = st.lists(
+    st.sampled_from(
+        list("<>/=\"' abci&;!-\n\tÀ€İß")
+        + ["<b>", "</b", "<!-", "&amp", "<a href=", "<script>", "</p>"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_MARKUPISH)
+def test_parser_never_crashes_on_garbage(markup):
+    doc = parse_html(markup)
+    # text() must be reconstructible and selectors must run
+    body = select("body", doc)
+    if body:
+        body[0].text()
+    select("a[href], b:not(.x), p:nth-child(2n+1)", doc)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from("abc"), min_size=0, max_size=6))
+def test_formatting_nesting_bounded(tags):
+    # repeated unclosed formatting tags must not blow up reconstruction
+    markup = "".join(f"<{t}>" for t in ["b", "i", "em"] * 4) + "x" * 3
+    doc = parse_html(markup + "".join(f"<{t}>y" for t in tags))
+    assert "x" in select("body", doc)[0].text()
