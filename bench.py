@@ -164,6 +164,10 @@ def run_bench() -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "phases": summary.get("phase_s", {}),
+        # host contention observability: this sandbox shares hardware, and
+        # external I/O stalls have been observed to depress results 40-60%
+        # (load >15 with idle CPUs). Compare runs at similar load.
+        "loadavg_1m": round(os.getloadavg()[0], 1),
     }
 
 

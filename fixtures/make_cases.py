@@ -422,6 +422,36 @@ CASES["deep_misnesting"] = {
 }
 
 # --- pipeline-level (no rules: boilerplate/media/malformed) ----------------
+CASES["adoption_agency_reconstruct"] = {
+    # round-2: formatting leaks out of a closed block and reconstructs —
+    # <div><b>x</div>y gives TWO b elements in the browser DOM (the second
+    # wraps y under body); a-in-a closes the first anchor implicitly.
+    "rules": {
+        "collection": [
+            {"name": "bolds", "scope": "b", "type": "array"},
+            {"name": "anchors", "scope": "a", "attr": "href", "type": "array"},
+        ]
+    },
+    "html": "<div><b>x</div>y<a href='/1'>p<a href='/2'>q</a>",
+    "goose": {"bolds": ["x", "ypq"], "anchors": ["/1", "/2"]},
+    "spans": text_spans("x", "ypq", "/1", "/2"),
+}
+CASES["of_type_selectors"] = {
+    # round-2: of-type pseudo family
+    "rules": {
+        "collection": [
+            {"name": "first_span", "scope": "div span:first-of-type"},
+            {"name": "last_span", "scope": "div span:last-of-type"},
+            {"name": "second_p", "scope": "div p:nth-of-type(2)"},
+        ]
+    },
+    "html": (
+        "<div><p>p1</p><span>s1</span><p>p2</p><span>s2</span>"
+        "<span>s3</span></div>"
+    ),
+    "goose": {"first_span": "s1", "last_span": "s3", "second_p": "p2"},
+    "spans": text_spans("s1", "s3", "p2"),
+}
 CASES["boilerplate_strip"] = {
     "rules": None,
     "html": (
