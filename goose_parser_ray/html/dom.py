@@ -28,7 +28,7 @@ class Text:
 class Element:
     """An element node: tag, attrs, ordered children (Element | Text)."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "order", "_classes", "_open")
+    __slots__ = ("tag", "attrs", "children", "parent", "order", "_classes", "_open", "_chars", "_link")
 
     def __init__(
         self,
@@ -43,6 +43,8 @@ class Element:
         self.order = -1  # assigned by the tree builder (document order)
         self._classes: frozenset[str] | None = None
         self._open = False  # on the tree builder's open-element stack?
+        self._chars = -1  # subtree text chars (boilerplate pass; -1 = unset)
+        self._link = -1   # subtree link-text chars
 
     # -- structure ---------------------------------------------------------
     def append(self, node: "Element | Text") -> None:
