@@ -30,6 +30,14 @@ _TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
 RAWTEXT = frozenset(("script", "style"))
 RCDATA = frozenset(("title", "textarea"))
 
+# Attribute-string parse memo: crawl corpora repeat identical attr strings
+# (class='nav', rel='stylesheet', …) across millions of tags; one dict hit
+# replaces the regex scan + entity decode. Entries are read-only lists of
+# tuples shared across tags (consumers copy into their own attr dicts).
+# Bounded so adversarial unique-attr documents can't grow it unboundedly.
+_ATTR_CACHE: dict[str, list] = {}
+_ATTR_CACHE_MAX = 16384
+
 # Case-insensitive close-tag scanners for raw-text elements, compiled once.
 # Searching the ORIGINAL string keeps offsets valid — str.lower() can change
 # length (e.g. 'İ' lowercases to 2 chars) and misalign every index after it,
@@ -118,15 +126,20 @@ def tokenize(markup: str, handler) -> None:
             inner = inner[:-1]
         attrs: list[tuple[str, str | None]] = []
         if inner and not inner.isspace():
-            for am in _ATTR_RE.finditer(inner):
-                name = am.group(1).lower()
-                val = am.group(2)
-                if val is not None:
-                    if val[:1] in "\"'":
-                        val = val[1:-1]
-                    if "&" in val:
-                        val = unescape(val)
-                attrs.append((name, val))
+            attrs = _ATTR_CACHE.get(inner)
+            if attrs is None:
+                attrs = []
+                for am in _ATTR_RE.finditer(inner):
+                    name = am.group(1).lower()
+                    val = am.group(2)
+                    if val is not None:
+                        if val[:1] in "\"'":
+                            val = val[1:-1]
+                        if "&" in val:
+                            val = unescape(val)
+                    attrs.append((name, val))
+                if len(_ATTR_CACHE) < _ATTR_CACHE_MAX:
+                    _ATTR_CACHE[inner] = attrs
         i = end + 1
         if self_closing:
             handler.handle_startendtag(tag, attrs)
