@@ -422,6 +422,47 @@ CASES["deep_misnesting"] = {
 }
 
 # --- pipeline-level (no rules: boilerplate/media/malformed) ----------------
+CASES["transform_join_chain"] = {
+    # T4+T5 through the pipeline: split then join with new glue
+    "rules": {
+        "scope": "p.csv",
+        "transform": [
+            {"type": "split", "separator": ","},
+            {"type": "join", "glue": " | "},
+        ],
+    },
+    "html": "<p class='csv'>a,b,c</p>",
+    "goose": "a | b | c",
+    "spans": text_spans("a | b | c"),
+}
+CASES["collection_pick_get"] = {
+    # round-2 parity fix: transforms apply to COLLECTION results too
+    # (upstream _parseScope -> _applyTransformations on any rule value);
+    # pick narrows the object, nested get drills into a sibling collection
+    "rules": {
+        "collection": [
+            {
+                "name": "picked",
+                "collection": [
+                    {"name": "x", "scope": "span.x"},
+                    {"name": "y", "scope": "span.y"},
+                ],
+                "transform": [{"type": "pick", "prop": ["x"]}],
+            },
+            {
+                "name": "got",
+                "collection": [
+                    {"name": "x", "scope": "span.x"},
+                    {"name": "y", "scope": "span.y"},
+                ],
+                "transform": [{"type": "get", "path": "y"}],
+            },
+        ]
+    },
+    "html": "<div><span class='x'>X</span><span class='y'>Y</span></div>",
+    "goose": {"picked": {"x": "X"}, "got": "Y"},
+    "spans": text_spans("X", "Y"),
+}
 CASES["adoption_agency_reconstruct"] = {
     # round-2: formatting leaks out of a closed block and reconstructs —
     # <div><b>x</div>y gives TWO b elements in the browser DOM (the second

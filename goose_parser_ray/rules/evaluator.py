@@ -54,12 +54,17 @@ def evaluate(plan: Plan, scope_el, doc_root=None) -> Any:
     if plan.kind == "simple":
         return _eval_simple(plan, root)
     if plan.kind == "collection":
-        return _eval_collection(plan, root, doc_root)
-    if plan.kind == "grid":
-        return _eval_grid(plan, root, doc_root)
-    if plan.kind == "cases":
+        out = _eval_collection(plan, root, doc_root)
+    elif plan.kind == "grid":
+        out = _eval_grid(plan, root, doc_root)
+    elif plan.kind == "cases":
         return _eval_cases(plan, root, doc_root)
-    raise AssertionError(f"unknown plan kind {plan.kind!r}")  # pragma: no cover
+    else:  # pragma: no cover
+        raise AssertionError(f"unknown plan kind {plan.kind!r}")
+    # upstream applies the rule's transform chain to ANY rule result —
+    # collection objects get pick/get, grid row-lists apply element-wise
+    # (upstream:lib/Parser.js _parseScope → _applyTransformations)
+    return plan.chain.apply_scalar(out) if plan.chain.transforms else out
 
 
 def _empty_value(plan: Plan) -> Any:
