@@ -104,6 +104,29 @@ def _merge_topk(k: int):
     return merge
 
 
+_MERGED_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cosine", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def _pin_schema(schema: pa.Schema):
+    """Schema normalizer for post-groupby streams: empty partitions emit
+    schemaless blocks that trip the executor's RefBundle schema check —
+    replace them with typed empties and cast the rest."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return fn
+
+
 def ann_lsh(
     ds: ray.data.Dataset,
     query_ids: list,
@@ -204,6 +227,7 @@ def ann_bruteforce(
     merged = partial.groupby("query_id").map_groups(
         _merge_topk(k + (1 if exclude_self else 0)), batch_format="pandas"
     )
+    merged = merged.map_batches(_pin_schema(_MERGED_SCHEMA), batch_format="pyarrow")
     if exclude_self:
         merged = merged.map_batches(
             lambda t: t.filter(
@@ -213,5 +237,8 @@ def ann_bruteforce(
         )
         merged = merged.groupby("query_id").map_groups(
             _merge_topk(k), batch_format="pandas"
+        )
+        merged = merged.map_batches(
+            _pin_schema(_MERGED_SCHEMA), batch_format="pyarrow"
         )
     return merged
