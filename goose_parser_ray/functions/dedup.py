@@ -343,33 +343,46 @@ class SimHashActor:
 
     @staticmethod
     def simhash(text: str) -> int:
-        """Vectorized kernel: one fromiter of word hashes, then a single
-        (words × 64) bit-table shift — replaces three numpy calls per word
-        (frombuffer/unpackbits/add) with three per DOCUMENT. Signatures are
-        bit-identical to the original per-word kernel (see _SIMHASH_SHIFTS)."""
-        words = (text or "").lower().split()
-        if not words:
-            return 0
-        hs = np.fromiter(
-            ((_crc(w) << 32) | _crc(w[::-1] + "~") for w in words),
-            dtype=np.uint64,
-            count=len(words),
+        """Scalar reference kernel (the batch path must stay bit-identical —
+        tested). Word hashing = the same vectorized deterministic pandas
+        hash used batch-wide."""
+        sigs = SimHashActor._batch_simhash([text])
+        return int(sigs[0])
+
+    @staticmethod
+    def _batch_simhash(texts: list) -> np.ndarray:
+        """All docs at once: one flat word array → one vectorized hash pass
+        → (words × 64) bit expansion → per-doc ``np.add.reduceat`` over doc
+        offsets → sign → pack. Three numpy calls per BATCH where the
+        original kernel paid three per word."""
+        word_lists = [(t or "").lower().split() for t in texts]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return sigs
+        flat: list[str] = []
+        for w, k in zip(word_lists, nonempty):
+            if k:
+                flat.extend(w)
+        hs = pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False
+        ).to_numpy()
+        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
+            np.int64
         )
-        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & 1).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        pos = np.nonzero(acc > 0)[0].astype(np.uint64)
-        for i in pos:
-            out |= np.uint64(1) << i
-        return int(out)
+        offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        acc = np.add.reduceat(2 * bits - 1, offsets, axis=0)  # (docs, 64)
+        sig_bits = (acc > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sigs[nonempty] = (sig_bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.col].to_pylist()
         n = len(ids)
-        sigs = np.fromiter(
-            (self.simhash(t) for t in texts), dtype=np.uint64, count=n
-        )
+        sigs = self._batch_simhash(texts)
         # emit 4 band rows per doc, vectorized (tile/repeat, no Python loop)
         doc_idx = np.repeat(np.arange(n), 4)
         tables = np.tile(np.arange(4, dtype=np.int64), n)

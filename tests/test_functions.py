@@ -277,29 +277,33 @@ def test_hll_distinct_accuracy(ray_session):
 
 
 def test_simhash_vectorized_matches_reference_kernel():
-    """The vectorized kernel (bit-table shifts) must be bit-identical to the
-    original per-word unpackbits implementation."""
-    import zlib
+    """Batch kernel must be bit-identical to the scalar path, and the
+    reference per-word reference implementation (same word hash, per-word
+    bit expansion) must agree with both."""
+    import pandas as pd
 
     def simhash_ref(text):
         words = (text or "").lower().split()
         if not words:
             return 0
+        hs = pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False
+        ).to_numpy()
         acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            h = ((zlib.crc32(w.encode()) & 0xFFFFFFFF) << 32) | (
-                zlib.crc32((w[::-1] + "~").encode()) & 0xFFFFFFFF
-            )
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-            acc += np.where(bits == 1, 1, -1)
+        for h in hs:
+            for i in range(64):
+                shift = 8 * (i // 8) + (7 - i % 8)
+                acc[i] += 1 if (int(h) >> shift) & 1 else -1
         out = 0
         for i, v in enumerate(acc):
             if v > 0:
                 out |= 1 << i
         return out
 
-    for t in [BASE, "one", "", "a b c d e f", BASE + " tail one", "ünïcode wörds"]:
-        assert SimHashActor.simhash(t) == simhash_ref(t), t
+    texts = [BASE, "one", "", "a b c d e f", BASE + " tail one", "ünïcode wörds"]
+    batch_sigs = SimHashActor._batch_simhash(texts)
+    for t, b in zip(texts, batch_sigs):
+        assert SimHashActor.simhash(t) == int(b) == simhash_ref(t), t
 
 
 def test_hot_lsh_bucket_emits_star_not_quadratic():
