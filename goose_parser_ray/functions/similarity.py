@@ -204,6 +204,101 @@ def ann_lsh(
     )
 
 
+def _kmeans_cosine(
+    sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means on a normalized sample (numpy Lloyd iterations,
+    seed-fixed → deterministic). Returns (n_centroids, dim) unit centroids.
+    Empty clusters re-seed from the farthest points — keeps the coarse
+    quantizer full-rank on clustered data."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float32))
+    n = x.shape[0]
+    c = x[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ c.T  # (n, k)
+        assign = sims.argmax(axis=1)
+        for j in range(c.shape[0]):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:
+                c[j] = x[int(sims.max(axis=1).argmin())]
+        c = _normalize(c)
+    return c
+
+
+def ann_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """IVF-style ANN: a spherical-k-means coarse quantizer (trained on a
+    bounded driver-side SAMPLE — the only driver materialization, capped at
+    ``sample_size`` rows regardless of corpus size), vectors assigned to
+    their nearest centroid map-side, queries probe their ``nprobe`` nearest
+    centroids, and the exact rerank only ever sees vectors in probed cells.
+
+    Complements :func:`ann_lsh` (the brief's "IVF or LSH" — both scale
+    paths exist): IVF adapts its cells to the data distribution where LSH's
+    hyperplanes are oblivious; recall is tuned by ``nprobe``."""
+    sample_pd = (
+        ds.random_sample(1.0, seed=seed)
+        .limit(sample_size)
+        .to_pandas()
+    )
+    sample = np.array(sample_pd[col].to_list(), dtype=np.float32)
+    centroids = _kmeans_cosine(sample, n_centroids, seed)
+    cref = ray.put(centroids)
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    qsims = q @ centroids.T
+    probe = np.unique(
+        np.argsort(-qsims, axis=1)[:, : min(nprobe, centroids.shape[0])]
+    )
+    probe_arr = pa.array(probe.astype(np.int32), pa.int32())
+
+    class AssignFilter:
+        """Assign cluster ids and keep only probed cells (fused stage:
+        centroids fetched once per actor)."""
+
+        def __init__(self, cref, probe_arr) -> None:
+            self.c = ray.get(cref)
+            self.probe = probe_arr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            emb = _normalize(_list_col_to_matrix(batch[col]))
+            assign = (emb @ self.c.T).argmax(axis=1).astype(np.int32)
+            batch = batch.append_column("__cell", pa.array(assign, pa.int32()))
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.is_in(batch["__cell"], value_set=self.probe))
+
+    candidates = ds.map_batches(
+        AssignFilter,
+        fn_constructor_kwargs={"cref": cref, "probe_arr": probe_arr},
+        batch_format="pyarrow",
+        concurrency=(max(1, concurrency // 2), max(1, concurrency // 2)),
+    ).drop_columns(["__cell"])
+    return ann_bruteforce(
+        candidates, list(query_ids), query_matrix, k,
+        id_col=id_col, col=col, exclude_self=exclude_self,
+        concurrency=max(1, concurrency // 2),
+    )
+
+
 def ann_bruteforce(
     ds: ray.data.Dataset,
     query_ids: list,

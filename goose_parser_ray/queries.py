@@ -853,6 +853,26 @@ SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 5
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
+    — rows-only: approximate recall by construction)."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.similarity import ann_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.array_sort_indices(emb["vec_id"].combine_chunks())[:8]
+    head = emb.take(order)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf(
+        ds, qids, qmat, k=5, n_centroids=16, nprobe=6,
+        concurrency=max(2, _pool() // 2),
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_ann_lsh(sf_dir: str):
     """Scale-path ANN: LSH bucket pruning + exact rerank (rows-only —
     approximate recall by construction)."""
@@ -1223,6 +1243,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "fingerprint": q_fingerprint,

@@ -451,3 +451,35 @@ def test_quantile_sketch_accuracy(ray_session):
     merged = sketches.merge([sketches.sketch_batch(a), sketches.sketch_batch(b)])
     whole = sketches.sketch_batch(vals)
     assert (merged == whole).all()
+
+
+def test_ann_ivf_finds_planted_neighbor(ray_session):
+    """IVF coarse quantizer + probe + rerank: the planted near-duplicate
+    must survive cell pruning, and at nprobe=n_centroids the result equals
+    brute force exactly (probing every cell disables pruning)."""
+    from goose_parser_ray.functions.similarity import ann_bruteforce, ann_ivf
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(120, 16).astype(np.float32)
+    m[7] = m[0] + 0.01 * rng.randn(16)
+    tbl = pa.Table.from_pydict(
+        {"vec_id": list(range(120)), "embedding": [r.tolist() for r in m]},
+        schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = ann_ivf(
+        ds, [0], m[[0]], k=3, n_centroids=8, nprobe=3, concurrency=2
+    ).to_pandas()
+    got = out.sort_values("rank")["vec_id"].tolist()
+    assert got[0] == 7 and 0 not in got
+
+    full = ann_ivf(
+        ds, [0], m[[0]], k=3, n_centroids=8, nprobe=8, concurrency=2
+    ).to_pandas()
+    exact = ann_bruteforce(ds, [0], m[[0]], k=3, concurrency=1).to_pandas()
+    assert (
+        full.sort_values("rank")["vec_id"].tolist()
+        == exact.sort_values("rank")["vec_id"].tolist()
+    )
