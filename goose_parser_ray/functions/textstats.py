@@ -77,34 +77,49 @@ def add_quality_score(
     return batch.append_column("quality", quality)
 
 
+# tokenizer shared by the engine and the generated DuckDB oracle: words are
+# maximal runs of Unicode letters/digits/underscore. RE2's \b is ASCII-only
+# (Cyrillic stopwords never matched under the old \b patterns — r2 ADVICE),
+# so language counting is split-then-set-membership instead of regex-count.
+WORD_SPLIT_RE = r"[^\p{L}\p{N}_]+"
+
+
 class LangIdActor:
     """Stopword-hit language heuristic — an actor-pool stage: per-language
-    pattern strings are built once per actor in ``__init__`` (SURVEY.md
-    actor-state rule); counting is vectorized RE2
-    (``pc.count_substring_regex`` — same engine as the DuckDB oracle, so
-    word-boundary semantics agree by construction). Winner = earliest
-    language (en, de, fr, es, ru order) reaching the max count; 'und' when
-    every count is zero."""
+    stopword value-sets are built once per actor in ``__init__`` (SURVEY.md
+    actor-state rule). Counting is Unicode-safe and fully vectorized: one
+    RE2 split into words (``pc.split_pattern_regex`` on lower-cased text),
+    then one ``pc.is_in`` membership pass per language over the flat word
+    array + a bincount back to doc rows. The DuckDB oracle is generated
+    from the same split pattern + stopword sets (regexp_split_to_array +
+    list_filter), so tokenization semantics agree by construction. Winner =
+    earliest language (en, de, fr, es, ru order) reaching the max count;
+    'und' when every count is zero."""
 
     LANG_ORDER = ("en", "de", "fr", "es", "ru")
 
     def __init__(self, col: str = "text") -> None:
         self.col = col
-        self.pats = {
-            lang: r"(?i)\b(?:" + "|".join(sorted(STOPWORDS[lang])) + r")\b"
+        self.stopsets = {
+            lang: pa.array(sorted(STOPWORDS[lang]), pa.string())
             for lang in self.LANG_ORDER
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.col]
-        counts = np.stack(
-            [
-                pc.count_substring_regex(text, pattern=self.pats[lang])
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-                for lang in self.LANG_ORDER
-            ]
-        )  # (5, n)
+        n = batch.num_rows
+        lowered = pc.fill_null(pc.utf8_lower(batch[self.col]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        counts = np.zeros((len(self.LANG_ORDER), n), dtype=np.int64)
+        for i, lang in enumerate(self.LANG_ORDER):
+            hit = pc.is_in(flat, value_set=self.stopsets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            if hit.any():
+                counts[i] = np.bincount(parent[hit], minlength=n)
         best = counts.argmax(axis=0)  # earliest index wins ties (np argmax)
         langs = np.array(self.LANG_ORDER)
         out = np.where(counts.max(axis=0) > 0, langs[best], "und")
@@ -135,15 +150,22 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
             pd.Series(flat, dtype=object), index=False
         ).to_numpy()
         K, C = 8, np.uint64(1_000_003)
-        acc = wh.copy()
-        for j in range(1, K):
-            acc = acc * C + np.roll(wh, -j)
         ne_lens = lens[nonempty]
-        # shingle start positions per doc: max(1, len-7) starts (short docs
-        # fingerprint their single truncated shingle)
-        n_sh = np.maximum(ne_lens - (K - 1), 1)
         doc_ends = np.cumsum(ne_lens)
         doc_starts = doc_ends - ne_lens
+        # words remaining in the SAME doc from each flat position — the
+        # polynomial combine below must never read past a doc boundary, or a
+        # short doc's truncated shingle would absorb the NEXT doc's words and
+        # the fingerprint would depend on batch composition (r2 ADVICE).
+        doc_of = np.repeat(np.arange(len(ne_lens)), ne_lens)
+        rem = doc_ends[doc_of] - np.arange(len(flat), dtype=np.int64)
+        acc = wh.copy()
+        for j in range(1, K):
+            acc = np.where(j < rem, acc * C + np.roll(wh, -j), acc)
+        # shingle start positions per doc: max(1, len-7) starts (short docs
+        # fingerprint their single truncated shingle — truncated at the doc
+        # boundary, combining only their own < K words)
+        n_sh = np.maximum(ne_lens - (K - 1), 1)
         valid = np.zeros(len(flat), dtype=bool)
         pos_w = np.empty(len(flat), dtype=np.uint64)
         for s, ns in zip(doc_starts, n_sh):

@@ -906,15 +906,19 @@ def q_lang_id(sf_dir: str):
 
 
 def _langid_sql() -> str:
-    """Oracle generated from the SAME stopword sets + pattern strings the
-    engine uses (both sides are RE2, so boundary semantics agree)."""
-    from goose_parser_ray.functions.textstats import STOPWORDS
+    """Oracle generated from the SAME stopword sets + word-split pattern the
+    engine uses (both sides are RE2 splits + set membership — Unicode-safe,
+    unlike the old ``\\b`` patterns whose ASCII-only boundary silently never
+    matched Cyrillic stopwords, r2 ADVICE)."""
+    from goose_parser_ray.functions.textstats import STOPWORDS, WORD_SPLIT_RE
 
     order = LangIdActor.LANG_ORDER
     counts = ",\n         ".join(
-        "CAST(length(regexp_extract_all(text, '(?i)\\b(?:"
-        + "|".join(sorted(STOPWORDS[lang]))
-        + ")\\b')) AS BIGINT) AS c_" + lang
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '"
+        + WORD_SPLIT_RE
+        + "'), w -> w IN ("
+        + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        + "))) AS BIGINT) AS c_" + lang
         for lang in order
     )
     mx = "GREATEST(" + ", ".join(f"c_{lang}" for lang in order) + ")"

@@ -182,11 +182,74 @@ def test_langid_actor():
                 "the cat and the dog sat on a mat with the bird",
                 "der Hund und die Katze sind nicht zu Hause mit der Maus",
                 "le chat est dans la maison avec le chien et les oiseaux pour un",
+                # Cyrillic: RE2's ASCII-only \b never matched these under the
+                # old regex-count path (r2 ADVICE) — must classify as 'ru'
+                "Я не знаю что он делает но это хорошо и по плану",
+                "",
             ]
         }
     )
     out = actor(t)["lang_pred"].to_pylist()
-    assert out == ["en", "de", "fr"]
+    assert out == ["en", "de", "fr", "ru", "und"]
+
+
+def test_langid_matches_duckdb_oracle_on_unicode():
+    """Engine and generated DuckDB SQL must agree on mixed ASCII/Cyrillic
+    text — the r2 regression was masked because BOTH sides shared the broken
+    \\b semantics; this pins the new split+membership semantics cross-engine."""
+    import duckdb
+
+    from goose_parser_ray.queries import _langid_sql
+
+    tbl = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat and the dog sat on the mat",
+                "Он сказал что это не по плану и как всегда",
+                "el gato y el perro en una casa para los dos",
+                "И В НЕ НА",  # upper-case Cyrillic: lower() must fold it
+                "no stopwords xyzzy qwerty",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = dict(con.execute(_langid_sql()).fetchall())
+    got_t = LangIdActor()(tbl)
+    got = dict(zip(got_t["doc_id"].to_pylist(), got_t["lang_pred"].to_pylist()))
+    assert got == want
+    assert got[2] == "ru" and got[4] == "ru"
+
+
+def test_fingerprint_independent_of_batch_composition():
+    """A short (<8-word) doc's fingerprint must not change with its batch
+    neighbors (r2 ADVICE: the 8-gram combine read into the next doc)."""
+    short = "only five words right here"
+    alone = add_fingerprint(pa.Table.from_pydict({"text": [short]}))[
+        "fingerprint"
+    ].to_pylist()[0]
+    for ctx in (
+        [short, BASE],
+        [BASE, short],
+        ["tiny", short, "other words follow here now ok"],
+        [short, short],
+    ):
+        fps = add_fingerprint(pa.Table.from_pydict({"text": ctx}))[
+            "fingerprint"
+        ].to_pylist()
+        for t, fp in zip(ctx, fps):
+            if t == short:
+                assert fp == alone, ctx
+    # long docs keep stable fingerprints too, and distinct texts differ
+    long_alone = add_fingerprint(pa.Table.from_pydict({"text": [BASE]}))[
+        "fingerprint"
+    ].to_pylist()[0]
+    mixed = add_fingerprint(
+        pa.Table.from_pydict({"text": [short, BASE]})
+    )["fingerprint"].to_pylist()
+    assert mixed == [alone, long_alone]
+    assert alone != long_alone
 
 
 def test_multimodal_stub_plumbing():
