@@ -401,16 +401,20 @@ def q_sessionize(sf_dir: str):
     changes or >30 min gaps, cumsum for session ids."""
     import pandas as pd
 
-    _SNB = 64  # session buckets ≳ cores; payload per group = events/_SNB
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    # data-proportional session buckets (metadata-only count on the fresh
+    # parquet read): payload per shuffle group stays ~50k events at any
+    # corpus size instead of events/64 (r2 VERDICT #4)
+    nb = num_shuffle_buckets(ds.count())
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             t["user_id"].to_pandas(), index=False
         ).to_numpy()
         return t.append_column(
-            "__sb", pa.array((h % _SNB).astype(np.int64))
+            "__sb", pa.array((h % nb).astype(np.int64))
         )
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -646,9 +650,10 @@ def q_user_deltas(sf_dir: str):
     Emits (user_id, ts, delta_e4) for every event with a predecessor."""
     import pandas as pd
 
-    _DNB = 64
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())  # data-proportional (r2 VERDICT #4)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
@@ -658,7 +663,7 @@ def q_user_deltas(sf_dir: str):
             [t["user_id"], t["ts"], _cents(t["value"], 10000)],
             names=["user_id", "ts", "v_e4"],
         )  # half-away rounding in arrow — matches SQL ROUND exactly
-        return t.append_column("__db", pa.array((h % _DNB).astype(np.int64)))
+        return t.append_column("__db", pa.array((h % nb).astype(np.int64)))
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
         # tie-break duplicate timestamps by value so the LAG order is
@@ -731,10 +736,12 @@ FROM events GROUP BY event_type
 
 
 def q_dedup_exact(sf_dir: str):
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # data-proportional bucketing: ~50k rows per shuffle group at any corpus
     # size (count() on a fresh parquet read is metadata-only, no scan)
-    nb = max(64, ds.count() // 50_000)
+    nb = num_shuffle_buckets(ds.count())
     return exact_dedup(ds, col="text", id_col="doc_id", num_buckets=nb)
 
 
