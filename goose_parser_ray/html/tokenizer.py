@@ -52,7 +52,13 @@ def _is_self_closing(inner: str) -> bool:
     keeps the trailing slash (browser + stdlib html.parser behavior)."""
     if not inner.endswith("/"):
         return False
-    last = inner[:-1].rsplit(None, 1)[-1] if inner[:-1].strip() else ""
+    body = inner[:-1]
+    if not body or body[-1].isspace():
+        # whitespace terminated any unquoted value before the '/' — it
+        # stands alone as the self-closing marker (<img class=x /> — found
+        # by the seeded tokenizer fuzz, r3)
+        return True
+    last = body.rsplit(None, 1)[-1]
     eq = last.find("=")
     if eq < 0:  # bare attr name (or nothing) before '/': self-closing
         return True

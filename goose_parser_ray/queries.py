@@ -163,6 +163,36 @@ GROUP BY p_brand
 """
 
 
+def q_join_left(sf_dir: str):
+    """S8 left variant through the query surface (r2 VERDICT #7): broadcast
+    LEFT join with the DICT small-side input path — customers keep their row
+    with a null nation_name when their nation is outside regions 0-1, so
+    the unmatched-row semantics are actually exercised and oracle-checked."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nat = nat.filter(pc.less(nat["n_regionkey"], 2))
+    small = {
+        int(k): {"nation_name": v}
+        for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = broadcast_join(
+        cust, small, key="c_nationkey", how="left", concurrency=_pool()
+    )
+    return joined.select_columns(["c_custkey", "nation_name"])
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, n_name AS nation_name
+FROM customer
+LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
+  ON c_nationkey = n_nationkey
+"""
+
+
 def q_sample_mod(sf_dir: str):
     """S7 deterministic sampling (modulo — SQL-checkable; seeded
     ``random_sample`` exists but cannot be oracle-matched)."""
@@ -891,9 +921,13 @@ def q_ann_lsh(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # ann_lsh chains TWO fixed actor pools (bucketer + reranker); each gets
     # half the budget or their reservations can't coexist and the streaming
-    # pipeline deadlocks
+    # pipeline deadlocks.
+    # knobs measured on this near-random synthetic embedding table (the
+    # LSH-hostile case — no cluster structure): 4 planes × 8 tables gives
+    # recall@5 min 0.80 / mean 0.97 vs the oracle-checked brute force (the
+    # old 6×4 sat at mean 0.48); floors asserted in tests/test_recall.py
     out = ann_lsh(
-        ds, qids, qmat, k=5, dim=64, n_planes=6,
+        ds, qids, qmat, k=5, dim=64, n_planes=4, n_tables=8,
         concurrency=max(1, _pool() // 2),
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -1014,9 +1048,9 @@ def q_media_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [str(v).encode() for v in t["text"].to_pylist()]
+        # vectorized utf8 -> binary cast (same bytes as str.encode())
         return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(payloads, pa.binary())],
+            [t["doc_id"], pc.cast(t["text"], pa.binary())],
             names=["doc_id", "payload"],
         )
 
@@ -1057,9 +1091,9 @@ def q_media_pipeline(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [str(v).encode() for v in t["text"].to_pylist()]
+        # vectorized utf8 -> binary cast (same bytes as str.encode())
         return pa.Table.from_arrays(
-            [t["doc_id"], pa.array(payloads, pa.binary())],
+            [t["doc_id"], pc.cast(t["text"], pa.binary())],
             names=["doc_id", "payload"],
         )
 
@@ -1226,6 +1260,7 @@ QUERIES = {
     "topk_docs": q_topk_docs,
     "join_segment": q_join_segment,
     "join_hash": q_join_hash,
+    "join_left": q_join_left,
     "sample_mod": q_sample_mod,
     "pricing_summary": q_pricing_summary,
     "union_names": q_union_names,
@@ -1271,6 +1306,7 @@ ORACLE_SQL = {
     "topk_docs": SQL_TOPK_DOCS,
     "join_segment": SQL_JOIN_SEGMENT,
     "join_hash": SQL_JOIN_HASH,
+    "join_left": SQL_JOIN_LEFT,
     "sample_mod": SQL_SAMPLE_MOD,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,

@@ -1,0 +1,129 @@
+"""Quantitative quality floors for the APPROXIMATE operators (r2 VERDICT
+#5): the rows-only queries (ann_lsh, ann_ivf, dedup_minhash) get measured
+recall assertions against exact ground truth at sf0.01 — the brute-force
+top-k is itself oracle-checked by the driver, so chaining to it makes these
+checks transitively exact.
+
+All operators here are seed-fixed and deterministic, so the measured floors
+reproduce exactly; the asserted bounds keep a small headroom under the
+measured values (recorded in COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+SF_DIR = os.environ.get("GRAFT_RECALL_SF_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+
+
+def _query_head(n: int = 8):
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    order = pc.array_sort_indices(emb["vec_id"].combine_chunks())[:n]
+    head = emb.take(order)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
+    return qids, qmat
+
+
+def _emb_ds():
+    return ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _recalls(exact, approx, qids):
+    out = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        out.append(len(want & got) / len(want))
+    return min(out), sum(out) / len(out)
+
+
+@pytest.fixture(scope="module")
+def exact_topk(ray_session):
+    from goose_parser_ray.functions.similarity import ann_bruteforce
+
+    qids, qmat = _query_head()
+    # concurrency=2 of the 4 fixture CPUs — the post-pool merge groupby
+    # needs free slots (full reservation deadlocks the streaming pipeline)
+    df = ann_bruteforce(_emb_ds(), qids, qmat, k=5, concurrency=2).to_pandas()
+    return qids, qmat, df
+
+
+def test_ann_lsh_recall_floor(exact_topk):
+    """ann_lsh at the query-surface knobs (4 planes × 8 tables) on the
+    near-random synthetic embeddings — the LSH-hostile layout. Measured:
+    min 0.80 / mean 0.97."""
+    from goose_parser_ray.functions.similarity import ann_lsh
+
+    qids, qmat, exact = exact_topk
+    # concurrency=1: ann_lsh chains TWO fixed actor pools — at the 4-CPU
+    # test fixture, 2+2 reserved actors starve the groupby reduce tasks and
+    # the streaming pipeline deadlocks (same budget rule as q_ann_lsh)
+    approx = ann_lsh(
+        _emb_ds(), qids, qmat, k=5, dim=64, n_planes=4, n_tables=8,
+        concurrency=1,
+    ).to_pandas()
+    mn, mean = _recalls(exact, approx, qids)
+    assert mn >= 0.8 and mean >= 0.9, (mn, mean)
+
+
+def test_ann_ivf_recall_floor(exact_topk):
+    """ann_ivf at the query-surface knobs (16 centroids, nprobe 6).
+    Measured: min 1.0 / mean 1.0."""
+    from goose_parser_ray.functions.similarity import ann_ivf
+
+    qids, qmat, exact = exact_topk
+    approx = ann_ivf(
+        _emb_ds(), qids, qmat, k=5, n_centroids=16, nprobe=6, concurrency=2,
+    ).to_pandas()
+    mn, mean = _recalls(exact, approx, qids)
+    assert mn >= 0.8 and mean >= 0.95, (mn, mean)
+
+
+def test_minhash_candidate_recall_vs_exact_jaccard(ray_session):
+    """MinHash+LSH candidate pairs vs BRUTE-FORCE exact n-gram Jaccard ≥ 0.8
+    ground truth over the whole sf0.01 corpus. Measured: recall 1.0 (25/25
+    truth pairs) and precision 1.0 at the default 64-perm/16-band knobs."""
+    from goose_parser_ray.functions.dedup import minhash_lsh_candidates
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    def grams(t, n=3):
+        w = (t or "").lower().split()
+        return {" ".join(w[i : i + n]) for i in range(max(0, len(w) - n + 1))}
+
+    gs = [grams(t) for t in texts]
+    truth = set()
+    for i in range(len(ids)):
+        gi = gs[i]
+        for j in range(i + 1, len(ids)):
+            gj = gs[j]
+            if not gi and not gj:
+                continue
+            inter = len(gi & gj)
+            if inter and inter / (len(gi) + len(gj) - inter) >= 0.8:
+                truth.add(tuple(sorted((ids[i], ids[j]))))
+    assert truth, "fixture should contain planted near-dups"
+    cand = minhash_lsh_candidates(
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        concurrency=2,  # 4-CPU fixture: leave slots for the shuffle tasks
+    ).to_pandas()
+    cset = {tuple(sorted((a, b))) for a, b in zip(cand["doc_a"], cand["doc_b"])}
+    recall = len(truth & cset) / len(truth)
+    assert recall >= 0.95, (recall, len(truth), len(cset))
