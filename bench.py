@@ -89,6 +89,11 @@ def run_bench() -> dict:
     import ray
     import ray.data
 
+    # ambient host load BEFORE we add our own: the end-of-run loadavg_1m is
+    # dominated by this bench's own 32-CPU burst, so ambient-vs-self must be
+    # separable to apply the "discard runs at ambient load >8" protocol
+    load_ambient = round(os.getloadavg()[0], 1)
+
     corpus_dir, n_docs = _prepare_corpus()  # untimed prep
 
     ray.init(
@@ -166,7 +171,9 @@ def run_bench() -> dict:
         "phases": summary.get("phase_s", {}),
         # host contention observability: this sandbox shares hardware, and
         # external I/O stalls have been observed to depress results 40-60%
-        # (load >15 with idle CPUs). Compare runs at similar load.
+        # (load >15 with idle CPUs). Compare runs at similar AMBIENT load —
+        # the end-of-run figure includes this bench's own CPU burst.
+        "loadavg_ambient_1m": load_ambient,
         "loadavg_1m": round(os.getloadavg()[0], 1),
     }
 

@@ -77,6 +77,33 @@ def broadcast_join(
     )
 
 
+def distinct_rows(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distinct over ``cols`` at scale: map-side local drop_duplicates (a
+    value repeated M times across B blocks ships ≤B rows), then ONE bucketed
+    groupby — shuffle groups are coarse hash buckets, never per-value, so
+    group count stays ~``num_buckets`` at any value cardinality (size it
+    data-proportionally via ``dedup.num_shuffle_buckets``)."""
+    import numpy as np
+    import pandas as pd
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas().drop_duplicates()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        df["__b"] = (h % num_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(local, batch_format="pyarrow")
+    out = out.groupby("__b").map_groups(
+        lambda g: g.drop_duplicates(subset=cols), batch_format="pandas"
+    )
+    return out.drop_columns(["__b"])
+
+
 def pre_aggregated_sum(
     ds: ray.data.Dataset,
     keys: list[str],

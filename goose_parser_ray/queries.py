@@ -273,9 +273,15 @@ SELECT n_name AS name FROM nation
 
 
 def q_distinct_sources(sf_dir: str):
+    """Distinct via the bucketed helper — shuffle groups are coarse hash
+    buckets, never per-value, so the plan survives high-cardinality keys
+    (r2 VERDICT noted the raw-key groupby would not)."""
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import distinct_rows
+
     ds = _read(sf_dir, "documents", ["source"])
-    return ds.groupby("source").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    return distinct_rows(
+        ds, ["source"], num_buckets=num_shuffle_buckets(ds.count())
     )
 
 
@@ -728,6 +734,184 @@ SELECT user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
        CAST(v_e4 - prev_e4 AS BIGINT) AS delta_e4
 FROM d WHERE prev_e4 IS NOT NULL
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """Temporal AS-OF join (custom operator — Ray Data has no native
+    equivalent): every 'click' event attaches the value of the latest
+    'purchase' AT-OR-BEFORE it by the same user, null when none precedes.
+    Hash-bucketed by user (data-proportional buckets), one vectorized
+    ``merge_asof`` per bucket — oracle is DuckDB's native ASOF LEFT JOIN."""
+    from goose_parser_ray.functions.asof import asof_join_bucketed
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    nb = num_shuffle_buckets(ev.count())
+
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    # right side pre-aggregated to UNIQUE (user_id, ts) — as-of winners are
+    # ambiguous across engines otherwise (see asof.py module docstring)
+    from ray.data.aggregate import Max
+
+    purchases = (
+        ev.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+                names=["user_id", "ts", "purch_e4"],
+            ).filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("purch_e4", alias_name="purch_e4"))
+    )
+    joined = asof_join_bucketed(
+        clicks, purchases, by="user_id", ts="ts",
+        value_cols=["purch_e4"], num_buckets=nb,
+    )
+    def project(t: pa.Table) -> pa.Table:
+        # Arrow %S prints fractional seconds on sub-second timestamps
+        # (DuckDB's doesn't) — drop to second precision first
+        ts_s = pc.cast(
+            pc.floor_temporal(t["ts"], unit="second"), pa.timestamp("s")
+        )
+        return pa.Table.from_arrays(
+            [
+                t["event_id"],
+                pc.strftime(ts_s, "%Y-%m-%d %H:%M:%S"),
+                t["user_id"],
+                t["purch_e4"],
+            ],
+            names=["event_id", "ts", "user_id", "purch_e4"],
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts,
+         MAX(CAST(ROUND(10000 * value) AS BIGINT)) AS purch_e4
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       c.user_id, p.purch_e4
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot (long→wide): per-user event-type value sums as columns — the
+    wide projection is pure map-side vectorized masking (one CASE column per
+    known type), so the shuffle still moves only per-user partials."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"], 10000)
+        cols = [t["user_id"]]
+        names = ["user_id"]
+        for et in _EVENT_TYPES:
+            mask = pc.equal(t["event_type"], et)
+            cols.append(pc.if_else(mask, v, pa.scalar(0, pa.int64())))
+            names.append(f"{et}_e4")
+        return pa.Table.from_arrays(cols, names=names)
+
+    ds = ds.map_batches(widen, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        ds,
+        keys=["user_id"],
+        sums={f"{et}_e4": f"{et}_e4" for et in _EVENT_TYPES},
+        count_alias="n_events",
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       """ + ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{et}' THEN CAST(ROUND(10000 * value) AS BIGINT) ELSE 0 END) AS BIGINT) AS {et}_e4"
+    for et in _EVENT_TYPES
+) + """,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """ROLLUP multi-level aggregate: sums at (returnflag, linestatus),
+    (returnflag) and grand-total levels. One distributed partial-agg pass at
+    the FINEST level; the coarser levels derive from that tiny result on the
+    driver (6 rows → 11) — no second scan, the standard rollup-from-finest
+    plan."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], pc.cast(t["l_quantity"], pa.int64())],
+            names=["l_returnflag", "l_linestatus", "qty"],
+        ),
+        batch_format="pyarrow",
+    )
+    finest = pre_aggregated_sum(
+        ds, keys=["l_returnflag", "l_linestatus"], sums={"qty": "sum_qty"},
+        count_alias="n",
+    ).to_pandas()
+    lvl1 = (
+        finest.groupby("l_returnflag", as_index=False)[["sum_qty", "n"]].sum()
+    )
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_qty": [finest["sum_qty"].sum()],
+            "n": [finest["n"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Grouped EXACT distinct count at scale: map-side local dedup →
+    bucketed global distinct on (event_type, user_id) (shuffle groups are
+    coarse buckets, never per-user) → per-type count. The approximate
+    HLL twin is q_hll_distinct_users."""
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    nb = num_shuffle_buckets(ds.count())
+    uniq = distinct_rows(ds, ["event_type", "user_id"], num_buckets=nb)
+    return pre_aggregated_sum(
+        uniq, keys=["event_type"], sums={}, count_alias="n_users"
+    )
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
 """
 
 
@@ -1279,6 +1463,10 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "user_deltas": q_user_deltas,
     "agg_builtins": q_agg_builtins,
+    "asof_join": q_asof_join,
+    "pivot_events": q_pivot_events,
+    "rollup_lineitem": q_rollup_lineitem,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -1324,6 +1512,10 @@ ORACLE_SQL = {
     "quantiles": SQL_QUANTILES,
     "user_deltas": SQL_USER_DELTAS,
     "agg_builtins": SQL_AGG_BUILTINS,
+    "asof_join": SQL_ASOF_JOIN,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "lang_id": _langid_sql(),

@@ -715,3 +715,57 @@ def test_ann_ivf_finds_planted_neighbor(ray_session):
         full.sort_values("rank")["vec_id"].tolist()
         == exact.sort_values("rank")["vec_id"].tolist()
     )
+
+
+def test_asof_join_bucketed_matches_pandas_global(ray_session):
+    """Bucketed distributed as-of must equal one global pandas merge_asof
+    (backward, exact matches allowed), including unmatched-row nulls."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.asof import asof_join_bucketed
+
+    rng = np.random.RandomState(5)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(n_l),
+            "uid": rng.randint(0, 25, n_l),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 100_000, n_l), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "uid": rng.randint(0, 25, n_r),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 100_000, n_r), unit="s"),
+            "val": rng.randint(1, 1000, n_r).astype(np.int64),
+        }
+    ).drop_duplicates(["uid", "ts"])
+    got = (
+        asof_join_bucketed(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="uid",
+            ts="ts",
+            value_cols=["val"],
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort").reset_index(drop=True),
+        right.sort_values("ts", kind="mergesort").reset_index(drop=True),
+        on="ts",
+        by="uid",
+        direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    assert len(got) == n_l
+    assert got["eid"].tolist() == want["eid"].tolist()
+    gv = got["val"].astype("Int64")
+    wv = want["val"].astype("Int64")
+    assert gv.isna().equals(wv.isna())
+    assert gv.dropna().tolist() == wv.dropna().tolist()
+    assert gv.isna().any()  # some clicks precede every purchase
