@@ -98,3 +98,91 @@ def sketch_quantiles(
     rows = ds.map_batches(sk, batch_format="pyarrow").take_all()
     merged = merge([np.frombuffer(r["counts"], dtype=np.int64) for r in rows])
     return {q: quantile(merged, q, lo, hi) for q in qs}
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: truncated-counts top-k summary (SpaceSaving-style merge)
+# ---------------------------------------------------------------------------
+#
+# Per-batch EXACT vectorized value counts truncated to `width` entries plus
+# the largest dropped count as an error bound; summaries merge by summing
+# counts and re-truncating (bounds add). For a word w surviving the merge,
+# true_count(w) <= est(w) + sum(bounds) — the standard mergeable top-k
+# approximation with an explicit error certificate, vectorized end to end
+# (no per-word Python loop, unlike textbook Misra-Gries).
+
+
+def topk_words_summary(words, width: int):
+    """One batch -> (words[<=width], counts, dropped_bound). `words` is a
+    pandas Series of already-tokenized words."""
+    import pandas as pd  # noqa: F401
+
+    vc = words.value_counts()  # vectorized C pass, sorted desc
+    if len(vc) <= width:
+        return vc.index.to_numpy(), vc.to_numpy(), 0
+    return (
+        vc.index.to_numpy()[:width],
+        vc.to_numpy()[:width],
+        int(vc.iloc[width]),
+    )
+
+
+def merge_topk_summaries(summaries, width: int):
+    """[(words, counts, bound), ...] -> (Series est counts desc, total_bound)."""
+    import pandas as pd
+
+    total_bound = sum(b for _, _, b in summaries)
+    merged = (
+        pd.concat(
+            [pd.Series(c, index=w) for w, c, _ in summaries if len(w)]
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_values(ascending=False)
+    )
+    return merged.head(width), total_bound
+
+
+def heavy_hitters(ds, col: str, k: int, *, width: int | None = None):
+    """Distributed approximate top-k frequent words over a text column:
+    map-only truncated summaries (one row per batch), tiny driver merge —
+    the HLL/quantile-sketch shuffle-free pattern. Returns a pandas
+    DataFrame (word, est_count, bound) of the top k by estimated count
+    (ties broken by word for determinism)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    if width is None:
+        width = max(64, 8 * k)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(batch[col]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        flat = pc.list_flatten(
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        s = pd.Series(flat.to_pylist(), dtype=object)
+        s = s[s != ""]
+        w, c, b = topk_words_summary(s, width)
+        return pa.Table.from_pydict(
+            {
+                "words": [list(map(str, w))],
+                "counts": [[int(x) for x in c]],
+                "bound": [int(b)],
+            }
+        )
+
+    rows = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    merged, bound = merge_topk_summaries(
+        [(r["words"], r["counts"], r["bound"]) for r in rows], width
+    )
+    out = merged.reset_index()
+    out.columns = ["word", "est_count"]
+    out = out.sort_values(
+        ["est_count", "word"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["bound"] = bound
+    return out.reset_index(drop=True)

@@ -1355,6 +1355,119 @@ def q_data_pipeline(sf_dir: str):
     return kept.map_batches(stats, batch_format="pyarrow")
 
 
+
+
+def q_top_words(sf_dir: str):
+    """Exact corpus vocabulary top-k (distributed wordcount): same tokenizer
+    as lang-ID (split on non-letter/digit runs, lower-cased), map-side
+    partial counts per batch, one vocabulary-keyed aggregate, global sort +
+    limit with deterministic tie-break."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        s = pd.Series(pc.list_flatten(words).to_pylist(), dtype=object)
+        vc = s[s != ""].value_counts()
+        return pa.Table.from_pydict(
+            {"word": vc.index.tolist(), "n": vc.to_numpy()}
+        )
+
+    ds = ds.map_batches(partial_counts, batch_format="pyarrow")
+    ds = pre_aggregated_sum(ds, keys=["word"], sums={"n": "n"})
+    return ds.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_WORDS = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Scale path for q_top_words: mergeable truncated-counts summaries
+    (map-only, one tiny row per batch, no vocabulary shuffle) — rows-only;
+    pytest asserts it reproduces the exact top-20 at sf0.01."""
+    from goose_parser_ray.functions.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", k=20)
+
+
+def q_lang_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate (the distributed k-means update step —
+    what IVF training needs at corpus scale): per-language embedding sums
+    as (lang, dim, sum_e6, n) with exact integer parity (element-wise
+    1e6-scaling; float32→double widening is lossless on both engines)."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.similarity import _list_col_to_matrix
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    joined = broadcast_join(emb, docs, key="vec_id", concurrency=_pool())
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _list_col_to_matrix(t["embedding"])
+        # element-wise half-away rounding via the same Arrow kernel as
+        # _cents — np.round is half-to-even and would diverge from DuckDB
+        flat = pa.array(m.reshape(-1).astype(np.float64))
+        ints = pc.cast(
+            pc.round(
+                pc.multiply(flat, 1e6), round_mode="half_towards_infinity"
+            ),
+            pa.int64(),
+        ).to_numpy()
+        df = pd.DataFrame(ints.reshape(m.shape))
+        df["lang"] = t["lang"].to_pylist()
+        g = df.groupby("lang")
+        sums = g.sum()
+        ns = g.size()
+        dims = np.arange(m.shape[1], dtype=np.int64)
+        out = {
+            "lang": np.repeat(sums.index.to_numpy(), m.shape[1]),
+            "dim": np.tile(dims + 1, len(sums)),
+            "sum_e6": sums.to_numpy().reshape(-1),
+            "n": np.repeat(ns.to_numpy(), m.shape[1]),
+        }
+        return pa.Table.from_pydict(out)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        parts, keys=["lang", "dim"], sums={"sum_e6": "sum_e6", "n": "n"}
+    )
+
+
+SQL_LANG_CENTROIDS = """
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), u AS (
+  SELECT lang, i.i AS dim, CAST(j.embedding[i.i] AS DOUBLE) AS x
+  FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+)
+SELECT lang, dim,
+       CAST(SUM(CAST(ROUND(1000000 * x) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY lang, dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction (rows-only: DOM semantics are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1467,6 +1580,9 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "top_words": q_top_words,
+    "heavy_hitters": q_heavy_hitters,
+    "lang_centroids": q_lang_centroids,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -1516,6 +1632,8 @@ ORACLE_SQL = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+    "top_words": SQL_TOP_WORDS,
+    "lang_centroids": SQL_LANG_CENTROIDS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "lang_id": _langid_sql(),

@@ -1,0 +1,60 @@
+"""Heavy-hitters sketch: mergeable truncated-counts top-k vs exact counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _zipf_words(n: int, seed: int = 3) -> list[str]:
+    rng = np.random.RandomState(seed)
+    ranks = rng.zipf(1.3, size=n).clip(1, 5000)
+    return [f"w{r}" for r in ranks]
+
+
+def test_summary_merge_bound_holds():
+    from goose_parser_ray.functions.sketches import (
+        merge_topk_summaries,
+        topk_words_summary,
+    )
+
+    words = _zipf_words(50_000)
+    exact = pd.Series(words).value_counts()
+    width = 200
+    chunks = [pd.Series(words[i : i + 5000]) for i in range(0, len(words), 5000)]
+    summaries = [topk_words_summary(c, width) for c in chunks]
+    merged, bound = merge_topk_summaries(summaries, width)
+    # estimate never exceeds truth + nothing (truncation only UNDER-counts
+    # per-chunk survivors; merged est <= exact) and exact - est <= bound
+    for w, est in merged.head(20).items():
+        assert est <= exact[w]
+        assert exact[w] - est <= bound, (w, est, exact[w], bound)
+    # the true top-10 all survive with a generous width
+    top10 = set(exact.head(10).index)
+    assert top10 <= set(merged.index)
+
+
+def test_heavy_hitters_matches_exact_on_dataset(ray_session):
+    from goose_parser_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    words = _zipf_words(20_000, seed=9)
+    # pack words into ~200 documents
+    docs = [
+        " ".join(words[i : i + 100]) for i in range(0, len(words), 100)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pydict({"text": docs}))
+    got = heavy_hitters(ds, "text", k=10, width=512)
+    exact = pd.Series(words).value_counts()
+    want = (
+        exact.reset_index()
+        .set_axis(["word", "n"], axis=1)
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(10)
+    )
+    assert got["word"].tolist() == want["word"].tolist()
+    # zipf head is heavy: estimates for the head should be exact here
+    assert got["est_count"].tolist() == want["n"].tolist()

@@ -127,3 +127,24 @@ def test_minhash_candidate_recall_vs_exact_jaccard(ray_session):
     cset = {tuple(sorted((a, b))) for a, b in zip(cand["doc_a"], cand["doc_b"])}
     recall = len(truth & cset) / len(truth)
     assert recall >= 0.95, (recall, len(truth), len(cset))
+
+
+def test_heavy_hitters_reproduce_exact_top20_at_sf001(ray_session):
+    """The truncated-counts sketch must reproduce the exact distributed
+    wordcount top-20 on the sf0.01 corpus (zipf-ish natural text head)."""
+    from goose_parser_ray.functions.sketches import heavy_hitters
+    from goose_parser_ray.queries import q_top_words
+
+    exact = (
+        q_top_words(SF_DIR)
+        .to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    approx = heavy_hitters(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]),
+        "text",
+        k=20,
+    )
+    assert approx["word"].tolist() == exact["word"].tolist()
+    assert approx["est_count"].tolist() == exact["n"].tolist()
