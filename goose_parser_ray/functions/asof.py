@@ -32,6 +32,113 @@ import pyarrow as pa
 import ray.data
 
 
+def windowed_count_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    ts: str = "ts",
+    window: "pd.Timedelta",
+    out_col: str = "n_in_window",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """RANGE-join count: for every left row, the number of right rows with
+    the same ``by`` key and timestamp in ``(left.ts - window, left.ts]`` —
+    the SQL inequality join ``r.ts <= l.ts AND r.ts > l.ts - window`` +
+    COUNT, LEFT semantics (0 when none).
+
+    Instead of materializing the O(|L|·|R|) inequality-join pairs, the count
+    is computed as a difference of per-key CUMULATIVE counts looked up with
+    TWO vectorized as-of merges: F(ts) − F(ts − window) where F = running
+    right-row count per key. Same partitioning contract as
+    :func:`asof_join_bucketed` (hash-bucketed by key, one vectorized pandas
+    pass per bucket — no per-key groups, no per-row Python)."""
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t[by].to_pandas(), index=False
+            ).to_numpy()
+            t = t.append_column(
+                "__ab", pa.array((h % num_buckets).astype(np.int64))
+            )
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    left_cols = [c for c in left.columns()]
+    lschema = left.schema()
+    left_int_cols = [
+        n
+        for n, t in zip(lschema.names, lschema.types)
+        if pa.types.is_integer(t)
+    ]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        return t
+
+    def shrink_right(t: pa.Table) -> pa.Table:
+        t = t.select([by, ts])
+        for c in left_cols:
+            if c not in (by, ts):
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.int64()))
+        return t.select(left_cols)  # column order must match for union
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow").map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    rt = right.map_batches(shrink_right, batch_format="pyarrow").map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+    out_cols = [*sorted(left_cols), out_col]
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0].drop(columns=["__ab", "__side"])
+        r = g[g["__side"] == 1]
+        for c in left_int_cols:
+            if l[c].dtype.kind == "f":
+                # left rows' own int values are never null — plain int64
+                # (nullable Int64 would leak into the output dtype)
+                l = l.assign(**{c: l[c].astype("int64")})
+        l = l.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        if r.empty:
+            out = l.copy()
+            out[out_col] = np.int64(0)
+            return out[out_cols]
+        r = (
+            r[[by, ts]]
+            .sort_values([by, ts], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        r["__cum"] = r.groupby(by).cumcount() + 1
+        r = r.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        # F(ts): right rows ≤ ts (merge_asof matches the LAST row among
+        # equal timestamps, so duplicate right ts need no dedup)
+        hi = pd.merge_asof(
+            l[[by, ts]], r, on=ts, by=by, direction="backward"
+        )["__cum"].fillna(0)
+        lo_keys = l[[by, ts]].copy()
+        # subtracting a (ns-resolution) Timedelta upcasts us-unit timestamps
+        # to ns — cast back so merge_asof keys keep matching dtypes
+        lo_keys[ts] = (lo_keys[ts] - window).astype(l[ts].dtype)
+        lo_keys = lo_keys.sort_values(ts, kind="mergesort")
+        lo = (
+            pd.merge_asof(lo_keys, r, on=ts, by=by, direction="backward")
+            .set_index(lo_keys.index)["__cum"]
+            .fillna(0)
+            .sort_index()
+        )
+        out = l.copy()
+        out[out_col] = (hi.to_numpy() - lo.to_numpy()).astype(np.int64)
+        return out[out_cols]
+
+    return lt.union(rt).groupby("__ab").map_groups(
+        count_bucket, batch_format="pandas"
+    )
+
+
 def asof_join_bucketed(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -105,7 +212,8 @@ def asof_join_bucketed(
         )
         for c in left_int_cols:  # un-float columns the union nulls widened
             if l[c].dtype.kind == "f":
-                l = l.assign(**{c: l[c].astype("Int64")})
+                # left rows' own int values are never null -> plain int64
+                l = l.assign(**{c: l[c].astype("int64")})
         if r.empty:
             out = l.copy()
             for c in value_cols:

@@ -808,6 +808,147 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join composition: segment filter pushed into a
+    broadcast semi-join on orders (customer keys ray.put once), date filters
+    pushed to the reads, ONE hash-partitioned join (lineitem ⋈ filtered
+    orders — the only large×large pair), revenue as integer cents, partial
+    aggregate, global top-10 with deterministic tie-break."""
+    import pyarrow.parquet as pq
+
+    cutoff = _dt.datetime(1998, 6, 1)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].combine_chunks()
+    kref = ray.put(keys)
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["o_custkey"], value_set=ks),
+                pc.less(t["o_orderdate"], pa.scalar(cutoff)),
+            )
+        )
+        return pa.Table.from_arrays(
+            [
+                t["o_orderkey"],
+                pc.strftime(t["o_orderdate"], "%Y-%m-%d"),
+                t["o_orderpriority"],
+            ],
+            names=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(sel_orders, batch_format="pyarrow")
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], _cents(rev)], names=["l_orderkey", "rev_cents"]
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(sel_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    joined = joined.map_batches(
+        lambda t: t.select(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+    agg = pre_aggregated_sum(
+        joined,
+        keys=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        sums={"rev_cents": "revenue_cents"},
+    )
+    return agg.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(ROUND(100 * (l_extendedprice * (1 - l_discount))) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_error_window_counts(sf_dir: str):
+    """RANGE join (inequality join + count): for every click, the number of
+    'error' events by the same user in the 10 minutes at-or-before it.
+    Computed as a difference of per-user cumulative counts via two
+    vectorized as-of lookups — never materializing the O(L×R) inequality
+    pairs the SQL twin describes."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.asof import windowed_count_bucketed
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nb = num_shuffle_buckets(ev.count())
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    counted = windowed_count_bucketed(
+        clicks, errors, by="user_id", ts="ts",
+        window=pd.Timedelta(minutes=10), out_col="n_errors", num_buckets=nb,
+    )
+    return counted.map_batches(
+        lambda t: t.select(["event_id", "n_errors"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ERROR_WINDOW_COUNTS = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, CAST(COUNT(e.ts) AS BIGINT) AS n_errors
+FROM c LEFT JOIN e
+  ON c.user_id = e.user_id
+ AND e.ts <= c.ts
+ AND e.ts > c.ts - INTERVAL 10 MINUTE
+GROUP BY c.event_id
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1577,6 +1718,8 @@ QUERIES = {
     "user_deltas": q_user_deltas,
     "agg_builtins": q_agg_builtins,
     "asof_join": q_asof_join,
+    "error_window_counts": q_error_window_counts,
+    "shipping_priority": q_shipping_priority,
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -1629,6 +1772,8 @@ ORACLE_SQL = {
     "user_deltas": SQL_USER_DELTAS,
     "agg_builtins": SQL_AGG_BUILTINS,
     "asof_join": SQL_ASOF_JOIN,
+    "error_window_counts": SQL_ERROR_WINDOW_COUNTS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,

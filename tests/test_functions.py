@@ -769,3 +769,55 @@ def test_asof_join_bucketed_matches_pandas_global(ray_session):
     assert gv.isna().equals(wv.isna())
     assert gv.dropna().tolist() == wv.dropna().tolist()
     assert gv.isna().any()  # some clicks precede every purchase
+
+
+def test_windowed_count_matches_bruteforce(ray_session):
+    """Range-join count (cumulative + two as-of lookups) must equal the
+    brute-force O(L*R) inequality-join count, including boundary semantics
+    (r.ts <= l.ts, r.ts > l.ts - window) and zero-match rows."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.asof import windowed_count_bucketed
+
+    rng = np.random.RandomState(17)
+    n_l, n_r = 300, 200
+    base = pd.Timestamp("2024-02-01")
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(n_l),
+            "uid": rng.randint(0, 15, n_l),
+            "ts": base + pd.to_timedelta(rng.randint(0, 50_000, n_l), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "uid": rng.randint(0, 15, n_r),
+            "ts": base + pd.to_timedelta(rng.randint(0, 50_000, n_r), unit="s"),
+        }
+    )
+    win = pd.Timedelta(minutes=30)
+    got = (
+        windowed_count_bucketed(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="uid",
+            ts="ts",
+            window=win,
+            out_col="n",
+            num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    want = []
+    for _, row in left.iterrows():
+        m = right[
+            (right["uid"] == row["uid"])
+            & (right["ts"] <= row["ts"])
+            & (right["ts"] > row["ts"] - win)
+        ]
+        want.append(len(m))
+    assert len(got) == n_l
+    assert got["n"].tolist() == [want[i] for i in got["eid"]]
+    assert got["n"].sum() > 0 and (got["n"] == 0).any()
