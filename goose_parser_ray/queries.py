@@ -808,6 +808,104 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Cumulative window (SUM OVER ROWS UNBOUNDED PRECEDING): per-user
+    running value totals — the same hash-bucketed users + one vectorized
+    pandas pass shape as sessionize/user_deltas (no per-user shuffle
+    groups), with the (ts, v_e4) tie-break making both engines' orders
+    agree."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False
+        ).to_numpy()
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "v_e4"],
+        )
+        return t.append_column("__rb", pa.array((h % nb).astype(np.int64)))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "v_e4"], kind="mergesort")
+        cum = g.groupby("user_id")["v_e4"].cumsum()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "ts": g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "cum_e4": cum.astype("int64"),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__rb").map_groups(running, batch_format="pandas")
+
+
+SQL_RUNNING_TOTALS = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(CAST(ROUND(10000 * value) AS BIGINT))
+            OVER (PARTITION BY user_id
+                  ORDER BY ts, CAST(ROUND(10000 * value) AS BIGINT)
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_e4
+FROM events
+"""
+
+
+def q_except_users(sf_dir: str):
+    """Set difference (EXCEPT) through the anti-join machinery: distinct
+    clicking users minus users with any purchase over 80 — distinct sides
+    via the bucketed helper, subtraction via filter_out_ids (broadcast
+    is_in under its threshold, left_anti join past it — the S12 corpus
+    filter exercised through the oracle-checked surface)."""
+    from goose_parser_ray.functions.dedup import (
+        filter_out_ids,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    nb = num_shuffle_buckets(ev.count())
+    clickers = distinct_rows(
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+                ["user_id"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        num_buckets=nb,
+    )
+    big_purchasers = distinct_rows(
+        ev.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["event_type"], "purchase"),
+                    pc.greater(t["value"], 80.0),
+                )
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        num_buckets=nb,
+    )
+    return filter_out_ids(
+        clickers, big_purchasers, "user_id", drop_col="user_id"
+    )
+
+
+SQL_EXCEPT_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-way join composition: segment filter pushed into a
     broadcast semi-join on orders (customer keys ray.put once), date filters
@@ -1720,6 +1818,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "error_window_counts": q_error_window_counts,
     "shipping_priority": q_shipping_priority,
+    "running_totals": q_running_totals,
+    "except_users": q_except_users,
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -1774,6 +1874,8 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "error_window_counts": SQL_ERROR_WINDOW_COUNTS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "running_totals": SQL_RUNNING_TOTALS,
+    "except_users": SQL_EXCEPT_USERS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,

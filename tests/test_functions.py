@@ -821,3 +821,22 @@ def test_windowed_count_matches_bruteforce(ray_session):
     assert len(got) == n_l
     assert got["n"].tolist() == [want[i] for i in got["eid"]]
     assert got["n"].sum() > 0 and (got["n"] == 0).any()
+
+
+def test_filter_out_ids_branch_parity(ray_session):
+    """Broadcast is_in and left_anti join branches of filter_out_ids must
+    keep the same rows (force the join branch with broadcast_threshold=0)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import filter_out_ids
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": list(range(50)), "v": list(range(50))})
+    )
+    drop = ray.data.from_pandas(pd.DataFrame({"node": [3, 7, 11, 49]}))
+    via_bcast = filter_out_ids(ds, drop, "id").to_pandas()
+    via_join = filter_out_ids(
+        ds, drop, "id", broadcast_threshold=0, num_partitions=2
+    ).to_pandas()
+    assert sorted(via_bcast["id"]) == sorted(via_join["id"])
+    assert set(via_bcast["id"]) == set(range(50)) - {3, 7, 11, 49}
