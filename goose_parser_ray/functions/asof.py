@@ -147,13 +147,21 @@ def asof_join_bucketed(
     ts: str = "ts",
     value_cols: list[str],
     num_buckets: int = 64,
+    right_agg: "dict[str, str] | None" = None,
 ) -> ray.data.Dataset:
     """Backward as-of join of ``left`` against ``right`` on ``by`` + ``ts``.
 
     ``value_cols``: right-side columns attached to each left row (null when
     no right row at-or-before the left timestamp exists — LEFT-join
     semantics). Right columns other than ``by``/``ts``/``value_cols`` are
-    dropped. Left must not already contain ``value_cols`` names."""
+    dropped. Left must not already contain ``value_cols`` names.
+
+    ``right_agg``: optional ``{value_col: 'max'|'min'|...}`` spec that
+    collapses duplicate right (by, ts) keys INSIDE each bucket (every key's
+    rows co-locate, so per-bucket aggregation is globally correct) — this
+    replaces a whole upstream groupby-aggregate SHUFFLE with one vectorized
+    pandas pass and is the preferred way to satisfy the unique-(by, ts)
+    contract; without it, an assert enforces that the caller pre-deduped."""
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -219,14 +227,15 @@ def asof_join_bucketed(
             for c in value_cols:
                 out[c] = pd.array([None] * len(out), dtype="Int64")
             return out[out_cols]
-        r = (
-            r[[by, ts, *value_cols]]
-            .sort_values(ts, kind="mergesort")
-            .reset_index(drop=True)
-        )
-        assert not r.duplicated([by, ts]).any(), (
-            "asof right side must be unique per (by, ts) — pre-aggregate"
-        )
+        r = r[[by, ts, *value_cols]]
+        if right_agg:
+            r = r.groupby([by, ts], as_index=False).agg(right_agg)
+        r = r.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        if not right_agg:
+            assert not r.duplicated([by, ts]).any(), (
+                "asof right side must be unique per (by, ts) — pass "
+                "right_agg or pre-aggregate"
+            )
         out = pd.merge_asof(
             l.reset_index(drop=True), r, on=ts, by=by, direction="backward"
         )

@@ -755,24 +755,21 @@ def q_asof_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    # right side pre-aggregated to UNIQUE (user_id, ts) — as-of winners are
-    # ambiguous across engines otherwise (see asof.py module docstring)
-    from ray.data.aggregate import Max
-
-    purchases = (
-        ev.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["user_id"], t["ts"], _cents(t["value"], 10000)],
-                names=["user_id", "ts", "purch_e4"],
-            ).filter(pc.equal(t["event_type"], "purchase")),
-            batch_format="pyarrow",
-        )
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("purch_e4", alias_name="purch_e4"))
+    purchases = ev.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "purch_e4"],
+        ).filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
     )
+    # duplicate (user_id, ts) right keys collapse to MAX inside the bucket
+    # join itself (keys co-locate, so per-bucket agg is globally correct) —
+    # a whole groupby-aggregate shuffle cheaper than pre-aggregating, and
+    # the same deterministic winner as the oracle's MAX pre-aggregation
     joined = asof_join_bucketed(
         clicks, purchases, by="user_id", ts="ts",
         value_cols=["purch_e4"], num_buckets=nb,
+        right_agg={"purch_e4": "max"},
     )
     def project(t: pa.Table) -> pa.Table:
         # Arrow %S prints fractional seconds on sub-second timestamps

@@ -840,3 +840,52 @@ def test_filter_out_ids_branch_parity(ray_session):
     ).to_pandas()
     assert sorted(via_bcast["id"]) == sorted(via_join["id"])
     assert set(via_bcast["id"]) == set(range(50)) - {3, 7, 11, 49}
+
+
+def test_asof_join_right_agg_in_bucket(ray_session):
+    """right_agg collapses duplicate (by, ts) right keys inside the bucket
+    join — must equal pre-aggregating globally then as-of joining."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.asof import asof_join_bucketed
+
+    rng = np.random.RandomState(21)
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(200),
+            "uid": rng.randint(0, 10, 200),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 5_000, 200), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "uid": rng.randint(0, 10, 300),
+            # coarse ts grid -> plenty of duplicate (uid, ts) keys
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 50, 300) * 100, unit="s"),
+            "val": rng.randint(1, 1000, 300).astype(np.int64),
+        }
+    )
+    assert right.duplicated(["uid", "ts"]).any()
+    got = (
+        asof_join_bucketed(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="uid", ts="ts", value_cols=["val"], num_buckets=4,
+            right_agg={"val": "max"},
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    pre = right.groupby(["uid", "ts"], as_index=False).agg({"val": "max"})
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort").reset_index(drop=True),
+        pre.sort_values("ts", kind="mergesort").reset_index(drop=True),
+        on="ts", by="uid", direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    gv, wv = got["val"].astype("Int64"), want["val"].astype("Int64")
+    assert got["eid"].tolist() == want["eid"].tolist()
+    assert gv.isna().equals(wv.isna())
+    assert gv.dropna().tolist() == wv.dropna().tolist()
