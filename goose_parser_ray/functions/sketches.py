@@ -186,3 +186,68 @@ def heavy_hitters(ds, col: str, k: int, *, width: int | None = None):
     ).head(k)
     out["bound"] = bound
     return out.reset_index(drop=True)
+
+
+def grouped_sketch_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    lo: float = DEFAULT_LO,
+    hi: float = DEFAULT_HI,
+    nbins: int = DEFAULT_BINS,
+):
+    """PER-GROUP quantile estimation at unbounded group count — the 10^12-row
+    path for ``queries.q_quantiles``: each batch emits SPARSE (key, bin,
+    count) rows (vectorized digitize + one pandas groupby per batch — never
+    a dense per-key histogram), one partial-aggregate shuffle moves ≤
+    groups × occupied-bins tiny rows, and per-key quantiles extract from
+    the merged sparse histograms. Same ~1%-relative-error bound as the
+    global sketch. Returns a pandas DataFrame (key, one column per q)."""
+    import pandas as pd
+
+    scale = nbins / np.log(hi / lo)
+
+    def binify(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.floor(np.log(v / lo) * scale).astype(np.int64) + 1
+        idx = np.where(v <= lo, 0, idx)
+        idx = np.clip(idx, 0, nbins + 1)
+        df = pd.DataFrame(
+            {key: batch[key].to_pandas().to_numpy(), "bin": idx}
+        )
+        g = df.groupby([key, "bin"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    agg = pre_aggregated_sum(
+        ds.map_batches(binify, batch_format="pyarrow"),
+        keys=[key, "bin"],
+        sums={"n": "n"},
+    )
+    pdf = agg.to_pandas()  # groups × occupied bins — tiny vs the data
+    ratio = np.log(hi / lo) / nbins
+
+    def bin_value(b: int) -> float:
+        if b == 0:
+            return lo
+        if b == nbins + 1:
+            return hi
+        return float(lo * np.exp((b - 1) * ratio) * np.exp(ratio / 2))
+
+    out_rows = []
+    for k, g in pdf.groupby(key, sort=True):
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {key: k}
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            b = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
+            row[f"q{int(q * 100)}"] = bin_value(b)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)

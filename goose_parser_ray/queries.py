@@ -805,6 +805,68 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_ntile(sf_dir: str):
+    """NTILE(4) window: price quartile of every order within its market
+    segment. Segment count is tiny so per-segment groups are exact-window
+    safe (same shape as q_quantiles); inside each group the tile
+    assignment replicates SQL NTILE sizing exactly (first n%4 tiles get
+    one extra row) over the deterministic (price, orderkey) order."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["c_custkey", "segment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
+    joined = joined.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_orderkey"], t["segment"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "segment", "total_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ntile4(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_cents", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        g["quartile"] = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        return g[["o_orderkey", "segment", "quartile"]]
+
+    return joined.groupby("segment").map_groups(ntile4, batch_format="pandas")
+
+
+SQL_NTILE = """
+SELECT o_orderkey, c_mktsegment AS segment,
+       CAST(NTILE(4) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(ROUND(100 * o_totalprice) AS BIGINT), o_orderkey
+       ) AS BIGINT) AS quartile
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_grouped_quantile_sketch(sf_dir: str):
+    """Scale path for q_quantiles: PER-GROUP mergeable log-histogram
+    quantiles — sparse (key, bin) partial counts, no per-group sort, no
+    driver-held corpus (rows-only; ≤2% relative error vs the exact
+    oracle-checked quantiles asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.sketches import grouped_sketch_quantiles
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["c_custkey", "segment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
+    return grouped_sketch_quantiles(joined, "segment", "o_totalprice", [0.5, 0.95])
+
+
 def q_running_totals(sf_dir: str):
     """Cumulative window (SUM OVER ROWS UNBOUNDED PRECEDING): per-user
     running value totals — the same hash-bucketed users + one vectorized
@@ -1816,6 +1878,8 @@ QUERIES = {
     "error_window_counts": q_error_window_counts,
     "shipping_priority": q_shipping_priority,
     "running_totals": q_running_totals,
+    "ntile_orders": q_ntile,
+    "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "except_users": q_except_users,
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
@@ -1872,6 +1936,7 @@ ORACLE_SQL = {
     "error_window_counts": SQL_ERROR_WINDOW_COUNTS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "running_totals": SQL_RUNNING_TOTALS,
+    "ntile_orders": SQL_NTILE,
     "except_users": SQL_EXCEPT_USERS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,

@@ -148,3 +148,18 @@ def test_heavy_hitters_reproduce_exact_top20_at_sf001(ray_session):
     )
     assert approx["word"].tolist() == exact["word"].tolist()
     assert approx["est_count"].tolist() == exact["n"].tolist()
+
+
+def test_grouped_quantile_sketch_accuracy_vs_exact(ray_session):
+    """Grouped sketch quantiles within the bin-resolution bound (~1%) of
+    the exact oracle-checked per-segment quantiles at sf0.01."""
+    from goose_parser_ray.queries import q_grouped_quantile_sketch, q_quantiles
+
+    exact = q_quantiles(SF_DIR).to_pandas().set_index("segment")
+    est = q_grouped_quantile_sketch(SF_DIR).set_index("segment")
+    assert sorted(exact.index) == sorted(est.index)
+    for seg in exact.index:
+        for qcol, ecol in (("q50", "median_cents"), ("q95", "p95_cents")):
+            e = exact.loc[seg, ecol] / 100.0  # cents → currency units
+            a = est.loc[seg, qcol]
+            assert abs(a - e) / e < 0.02, (seg, qcol, a, e)
