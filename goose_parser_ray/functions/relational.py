@@ -130,3 +130,45 @@ def pre_aggregated_sum(
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    id_col: str,
+    weight_col: str,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Distributed weighted random sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a deterministic uniform u from a
+    seed-fixed hash of its id and scores ``u^(1/w)``; the global top-k
+    scores ARE the weighted sample. Map-side local top-k per batch (only k
+    rows per block survive), tiny global merge — no full-data shuffle.
+    Deterministic for a given (seed, ids, weights): reruns and resumes
+    produce the identical sample."""
+    import numpy as np
+    import pandas as pd
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__sk", pa.array([], pa.float64()))
+        ids = t[id_col].to_pandas()
+        h = pd.util.hash_pandas_object(
+            ids.astype(str) + f"#{seed}", index=False
+        ).to_numpy()
+        # 53-bit mantissa slice → exact uniform in (0, 1)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(w, 1e-12)
+        score = np.power(u, 1.0 / w)
+        t = t.append_column("__sk", pa.array(score, pa.float64()))
+        if t.num_rows <= k:
+            return t
+        keep = np.argpartition(-score, kth=k - 1)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    # global merge: the surviving ≤ k-per-block rows sort by score
+    out = partial.sort(["__sk", id_col], descending=[True, False]).limit(k)
+    return out.drop_columns(["__sk"])

@@ -805,6 +805,65 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_sample_weighted(sf_dir: str):
+    """Weighted sampling without replacement (A-ES): 50 documents drawn with
+    probability ∝ n_chars — map-side local top-k of the u^(1/w) scores,
+    tiny merge; deterministic under the fixed seed (rows-only: the score
+    hash has no SQL twin; exact parity vs a driver-side reference is
+    pinned in tests)."""
+    from goose_parser_ray.functions.relational import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(ds, 50, id_col="doc_id", weight_col="n_chars")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified proportional sampling: exactly ⌈10%⌉ of each language's
+    documents, chosen by a cross-engine-exact integer hash order (Knuth
+    multiplicative on doc_id — int64 arithmetic both engines compute
+    identically), so the oracle can verify the exact sample membership.
+    Strata are the 5 langs → per-group exact windows are safe; at high
+    stratum cardinality the same plan runs over hash buckets."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        # % 2^32 as a bit mask (Arrow has no modulo kernel); product stays
+        # inside int64 for any doc_id < 2^31
+        h = pc.bit_wise_and(
+            pc.multiply(t["doc_id"], pa.scalar(2654435761, pa.int64())),
+            pa.scalar(4294967295, pa.int64()),
+        )
+        return t.append_column("hv", pc.cast(h, pa.int64()))
+
+    def take_strata(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
+        keep = math.ceil(0.1 * len(g))
+        return g.head(keep)[["doc_id", "lang"]]
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow")
+    return ds.groupby("lang").map_groups(take_strata, batch_format="pandas")
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= CEIL(0.1 * n)
+"""
+
+
 def q_ntile(sf_dir: str):
     """NTILE(4) window: price quartile of every order within its market
     segment. Segment count is tiny so per-segment groups are exact-window
@@ -1879,6 +1938,8 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
+    "sample_weighted": q_sample_weighted,
+    "sample_stratified": q_sample_stratified,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "except_users": q_except_users,
     "pivot_events": q_pivot_events,
@@ -1937,6 +1998,7 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "except_users": SQL_EXCEPT_USERS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,

@@ -889,3 +889,31 @@ def test_asof_join_right_agg_in_bucket(ray_session):
     assert got["eid"].tolist() == want["eid"].tolist()
     assert gv.isna().equals(wv.isna())
     assert gv.dropna().tolist() == wv.dropna().tolist()
+
+
+def test_weighted_sample_matches_driver_reference(ray_session):
+    """Distributed A-ES weighted sample must equal the same deterministic
+    computation done in one pass on the driver (identical hash → identical
+    scores → identical top-k), regardless of block layout."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import weighted_sample
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame(
+        {"id": np.arange(1000), "w": rng.randint(1, 500, 1000).astype(np.int64)}
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = weighted_sample(ds, 25, id_col="id", weight_col="w", seed=5)
+    got_ids = sorted(got.to_pandas()["id"].tolist())
+
+    h = pd.util.hash_pandas_object(
+        df["id"].astype(str) + "#5", index=False
+    ).to_numpy()
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+    score = np.power(u, 1.0 / np.maximum(df["w"].to_numpy(np.float64), 1e-12))
+    want_ids = sorted(df["id"].to_numpy()[np.argsort(-score)[:25]].tolist())
+    assert got_ids == want_ids
+    # heavier rows are (statistically) favored: mean weight of the sample
+    # should exceed the population mean on this draw
+    assert df[df["id"].isin(got_ids)]["w"].mean() > df["w"].mean()
