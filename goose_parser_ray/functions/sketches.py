@@ -251,3 +251,75 @@ def grouped_sketch_quantiles(
             row[f"q{int(q * 100)}"] = bin_value(b)
         out_rows.append(row)
     return pd.DataFrame(out_rows)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+#
+# The building block for semi-join pushdown when the id set is too big to
+# broadcast exactly: build map-only (per-batch bit arrays OR-merge like HLL
+# registers), ship the packed bits once, probe vectorized map-side. No
+# false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k.
+
+
+def bloom_batch(values, n_bits: int, n_hashes: int) -> np.ndarray:
+    """One batch → packed bit array (uint8[n_bits/8]). Vectorized: one
+    deterministic 64-bit hash pass per salt, no per-value Python."""
+    import pandas as pd
+
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    s = pd.Series(values, dtype=object).astype(str)
+    if s.empty:
+        return bits
+    for salt in range(n_hashes):
+        h = pd.util.hash_pandas_object(
+            s + f"#b{salt}", index=False
+        ).to_numpy()
+        pos = (h % np.uint64(n_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(
+    bits: np.ndarray, values, n_bits: int, n_hashes: int
+) -> np.ndarray:
+    """Vectorized membership probe → bool array (no false negatives)."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype=object).astype(str)
+    if s.empty:
+        return np.zeros(0, dtype=bool)
+    hit = np.ones(len(s), dtype=bool)
+    for salt in range(n_hashes):
+        h = pd.util.hash_pandas_object(
+            s + f"#b{salt}", index=False
+        ).to_numpy()
+        pos = (h % np.uint64(n_bits)).astype(np.int64)
+        hit &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hit
+
+
+def bloom_build(ds, col: str, *, n_bits: int = 1 << 20, n_hashes: int = 4):
+    """Distributed build: one packed-bits row per batch (map-only), OR-merge
+    on the driver — identical scale shape to the HLL sketch."""
+    import pyarrow as _pa
+
+    assert n_bits % 8 == 0
+
+    def sk(batch: _pa.Table) -> _pa.Table:
+        return _pa.Table.from_pydict(
+            {
+                "bits": [
+                    bloom_batch(
+                        batch[col].to_pylist(), n_bits, n_hashes
+                    ).tobytes()
+                ]
+            }
+        )
+
+    rows = ds.map_batches(sk, batch_format="pyarrow").take_all()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return out

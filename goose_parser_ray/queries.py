@@ -805,6 +805,124 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join pushdown — the prefilter shape for id sets too
+    big to broadcast exactly: build the sketch map-only over the small side
+    (big-purchase users), ship the packed bits once, probe the large side
+    vectorized map-side. Emits probe/probable/exact counts in one row —
+    false positives must be ≥ 0 and tiny, false negatives exactly 0 by
+    construction (rows-only; the count invariants are the check)."""
+    import pandas as _pd
+
+    from goose_parser_ray.functions.sketches import bloom_build, bloom_contains
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    purchasers = ev.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], "purchase"),
+                pc.greater(t["value"], 80.0),
+            )
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    n_bits, n_hashes = 1 << 20, 4
+    bits = bloom_build(purchasers, "user_id", n_bits=n_bits, n_hashes=n_hashes)
+    bref = ray.put(bits)
+    exact_ids = ray.put(
+        pa.array(sorted(set(purchasers.to_pandas()["user_id"])))
+    )  # exact twin is feasible at test scale — it verifies the sketch
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        ids = t["user_id"].to_pylist()
+        hits = bloom_contains(ray.get(bref), ids, n_bits, n_hashes)
+        exact = pc.is_in(
+            pa.array(ids, pa.int64()), value_set=ray.get(exact_ids)
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n_probes": [len(ids)],
+                "n_probable": [int(hits.sum())],
+                "n_exact": [int(exact.sum())],
+            }
+        )
+
+    parts = ev.map_batches(probe, batch_format="pyarrow").to_pandas()
+    out = _pd.DataFrame(
+        {
+            "n_probes": [int(parts["n_probes"].sum())],
+            "n_probable": [int(parts["n_probable"].sum())],
+            "n_exact": [int(parts["n_exact"].sum())],
+        }
+    )
+    out["n_false_positives"] = out["n_probable"] - out["n_exact"]
+    assert int(out["n_false_positives"][0]) >= 0  # no false negatives
+    return out
+
+
+def q_sources_per_lang(sf_dir: str):
+    """Grouped LIST/string aggregation (collect + ordered join): the sorted
+    distinct sources of every language as one string — distinct via the
+    bucketed helper first (the shuffle moves distinct pairs, not raw rows),
+    then a per-group ordered join."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    uniq = distinct_rows(
+        ds, ["lang", "source"], num_buckets=num_shuffle_buckets(ds.count())
+    )
+
+    def join_sources(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["source"])
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "sources": [",".join(vals)],
+                "n_sources": [np.int64(len(vals))],
+            }
+        )
+
+    return uniq.groupby("lang").map_groups(join_sources, batch_format="pandas")
+
+
+SQL_SOURCES_PER_LANG = """
+SELECT lang,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram per event type (bin = floor(value/50)):
+    map-side vectorized binning + the partial-aggregate count — the shape
+    every distribution dashboard query takes at scale."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(t["value"], pa.scalar(50.0))), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [t["event_type"], b], names=["event_type", "bin"]
+        )
+
+    ds = ds.map_batches(binify, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        ds, keys=["event_type", "bin"], sums={}, count_alias="n"
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_sample_weighted(sf_dir: str):
     """Weighted sampling without replacement (A-ES): 50 documents drawn with
     probability ∝ n_chars — map-side local top-k of the u^(1/w) scores,
@@ -1939,6 +2057,9 @@ QUERIES = {
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
+    "sources_per_lang": q_sources_per_lang,
+    "bloom_semi_join": q_bloom_semi_join,
+    "value_histogram": q_value_histogram,
     "sample_stratified": q_sample_stratified,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "except_users": q_except_users,
@@ -1999,6 +2120,8 @@ ORACLE_SQL = {
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sources_per_lang": SQL_SOURCES_PER_LANG,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "except_users": SQL_EXCEPT_USERS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,

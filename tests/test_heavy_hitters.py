@@ -58,3 +58,31 @@ def test_heavy_hitters_matches_exact_on_dataset(ray_session):
     assert got["word"].tolist() == want["word"].tolist()
     # zipf head is heavy: estimates for the head should be exact here
     assert got["est_count"].tolist() == want["n"].tolist()
+
+
+def test_bloom_filter_no_false_negatives_and_fpr(ray_session):
+    from goose_parser_ray.functions.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    n_bits, n_hashes = 1 << 16, 4
+    members = [f"user-{i}" for i in range(2000)]
+    ds = ray.data.from_items([{"u": m} for m in members]).repartition(5)
+    bits = bloom_build(ds, "u", n_bits=n_bits, n_hashes=n_hashes)
+    # zero false negatives
+    assert bloom_contains(bits, members, n_bits, n_hashes).all()
+    # FPR near the theoretical bound (k=4, n=2000, m=65536 → ~0.24%)
+    probes = [f"other-{i}" for i in range(20_000)]
+    fpr = bloom_contains(bits, probes, n_bits, n_hashes).mean()
+    k, n, m = n_hashes, len(members), n_bits
+    bound = (1 - np.exp(-k * n / m)) ** k
+    assert fpr <= 3 * bound, (fpr, bound)
+    # mergeability: two half-builds OR to the whole
+    from goose_parser_ray.functions.sketches import bloom_batch
+
+    half = bloom_batch(members[:1000], n_bits, n_hashes) | bloom_batch(
+        members[1000:], n_bits, n_hashes
+    )
+    whole = bloom_batch(members, n_bits, n_hashes)
+    assert (half == whole).all()
