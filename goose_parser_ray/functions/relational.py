@@ -172,3 +172,53 @@ def weighted_sample(
     # global merge: the surviving ≤ k-per-block rows sort by score
     out = partial.sort(["__sk", id_col], descending=[True, False]).limit(k)
     return out.drop_columns(["__sk"])
+
+
+def salted_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    salts: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hash join hardened against KEY SKEW: a hot key on the big side lands
+    every row in one join partition; salting splits it. The big side gets a
+    deterministic per-row salt (content hash — independent of the key), the
+    small side is replicated ``salts``× with every salt value, and the join
+    runs on (key, salt) — each hot key now spreads over ``salts``
+    partitions while every big row still meets its matching small rows
+    exactly once. Results are identical to the unsalted join (tested);
+    costs ``salts``× the small-side shuffle volume, the standard trade."""
+    import numpy as np
+    import pandas as pd
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__salt", pa.array((h % salts).astype(np.int64))
+        )
+
+    def replicate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), salts))
+        rep = t.take(idx)
+        salt = pa.array(
+            np.repeat(np.arange(salts, dtype=np.int64), n)
+        )
+        return rep.append_column("__rsalt", salt)
+
+    big2 = big.map_batches(add_salt, batch_format="pyarrow")
+    small2 = small.map_batches(replicate, batch_format="pyarrow")
+    out = big2.join(
+        small2,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key, "__salt"),
+        right_on=(right_key, "__rsalt"),
+    )
+    drop = [c for c in ("__salt", "__rsalt") if c in out.columns()]
+    return out.drop_columns(drop) if drop else out

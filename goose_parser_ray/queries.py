@@ -193,6 +193,47 @@ LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2) n
 """
 
 
+def q_join_salted(sf_dir: str):
+    """S8 skew-hardened variant: salted hash join (hot keys spread over
+    ``salts`` partitions; small side replicated per salt). Same row set as
+    the plain join — the salt only changes partitioning — so the oracle is
+    an ordinary JOIN. lineitem.l_suppkey is Zipf-ish enough at sf≥0.01 to
+    exercise the path; at 100 TB this is the join to use when one supplier
+    (or one crawl host, one language) dominates the big side."""
+    from goose_parser_ray.functions.relational import salted_join
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    joined = salted_join(
+        li, sup, key="l_suppkey", right_key="s_suppkey",
+        salts=4, num_partitions=16,
+    )
+    joined = joined.map_batches(
+        lambda t: t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = pre_aggregated_sum(
+        joined, keys=["s_nationkey"], sums={"qty": "sum_qty"},
+        count_alias="n_items",
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("s_nationkey"), "s_nationkey",
+            pc.cast(t["s_nationkey"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_SALTED = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 def q_sample_mod(sf_dir: str):
     """S7 deterministic sampling (modulo — SQL-checkable; seeded
     ``random_sample`` exists but cannot be oracle-matched)."""
@@ -2033,6 +2074,7 @@ QUERIES = {
     "join_segment": q_join_segment,
     "join_hash": q_join_hash,
     "join_left": q_join_left,
+    "join_salted": q_join_salted,
     "sample_mod": q_sample_mod,
     "pricing_summary": q_pricing_summary,
     "union_names": q_union_names,
@@ -2097,6 +2139,7 @@ ORACLE_SQL = {
     "join_segment": SQL_JOIN_SEGMENT,
     "join_hash": SQL_JOIN_HASH,
     "join_left": SQL_JOIN_LEFT,
+    "join_salted": SQL_JOIN_SALTED,
     "sample_mod": SQL_SAMPLE_MOD,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,

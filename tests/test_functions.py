@@ -917,3 +917,31 @@ def test_weighted_sample_matches_driver_reference(ray_session):
     # heavier rows are (statistically) favored: mean weight of the sample
     # should exceed the population mean on this draw
     assert df[df["id"].isin(got_ids)]["w"].mean() > df["w"].mean()
+
+
+def test_salted_join_matches_unsalted_on_skewed_keys(ray_session):
+    """salted_join must return exactly the plain inner-join result when the
+    big side is heavily skewed (80% of rows share one hot key) — the salt
+    only changes partitioning, never the row set."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import salted_join
+
+    rng = np.random.RandomState(7)
+    keys = np.where(rng.rand(2000) < 0.8, 3, rng.randint(0, 10, 2000))
+    big = pd.DataFrame(
+        {"k": keys.astype(np.int64), "v": np.arange(2000, dtype=np.int64)}
+    )
+    small = pd.DataFrame(
+        {"rk": np.arange(10, dtype=np.int64),
+         "name": [f"n{i}" for i in range(10)]}
+    )
+    got = salted_join(
+        ray.data.from_pandas(big).repartition(6),
+        ray.data.from_pandas(small),
+        key="k", right_key="rk", salts=4, num_partitions=8,
+    ).to_pandas()
+    want = big.merge(small, left_on="k", right_on="rk", how="inner")
+    gs = sorted(map(tuple, got[["k", "v", "name"]].itertuples(index=False)))
+    ws = sorted(map(tuple, want[["k", "v", "name"]].itertuples(index=False)))
+    assert gs == ws
