@@ -441,6 +441,101 @@ FROM documents
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Pack-and-chunk (the standard LLM-pretraining layout): tokenize,
+    concatenate docs in doc_id order, cut the token stream into 512-token
+    training examples. The global exclusive prefix sum is the distributed
+    range-bucketed scan in ``functions/packing.py`` (per-bucket totals →
+    driver cumsums ≤num_buckets bases → bucketed local scan); the SQL twin
+    is a window ``SUM OVER ROWS UNBOUNDED PRECEDING``."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.packing import pack_sequences
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64())
+        t = pa.Table.from_arrays([t["doc_id"], n], names=["doc_id", "n_tok"])
+        return t.filter(pc.greater(t["n_tok"], 0))
+
+    ds = ds.map_batches(tok, batch_format="pyarrow")
+    return pack_sequences(
+        ds, order_col="doc_id", size_col="n_tok", seq_len=512, n_rows=n_rows
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+), f AS (SELECT * FROM t WHERE n_tok > 0),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM f
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(start_off // 512 AS BIGINT) AS ex_start,
+       CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS ex_end
+FROM o
+"""
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrubbing (C4/CCNet-style pre-training cleanup): chained
+    vectorized RE2 global replaces — email → <EMAIL>, phone → <PHONE>,
+    digit run → <NUM>. Pure map stage, no state, no shuffle."""
+    from goose_parser_ray.functions.scrub import redact_pii
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_id"], redact_pii(t["props"])],
+            names=["event_id", "props_redacted"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REDACT_PII = r"""
+SELECT event_id,
+       regexp_replace(regexp_replace(regexp_replace(props,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+         '[0-9]{2,}', '<NUM>', 'g') AS props_redacted
+FROM events
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON-ish ``props`` blob with ONE vectorized regex (`scrub.py:
+    extract_int_field`) — the scale path for flat props columns, vs a
+    per-row json.loads Python loop."""
+    from goose_parser_ray.functions.scrub import extract_int_field
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], extract_int_field(t["props"], "k")],
+            names=["event_id", "event_type", "k"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_id, event_type,
+       CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+FROM events
+"""
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window as groupby over a truncated-ts key (guide
     "Streaming-shaped workloads"); hour emitted as string for type parity."""
@@ -2084,6 +2179,9 @@ QUERIES = {
     "transform_match": q_transform_match,
     "transform_date": q_transform_date,
     "token_stats": q_token_stats,
+    "pack_sequences": q_pack_sequences,
+    "redact_pii": q_redact_pii,
+    "json_extract": q_json_extract,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "topn_per_group": q_topn_per_group,
@@ -2149,6 +2247,9 @@ ORACLE_SQL = {
     "transform_match": SQL_TRANSFORM_MATCH,
     "transform_date": SQL_TRANSFORM_DATE,
     "token_stats": SQL_TOKEN_STATS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "redact_pii": SQL_REDACT_PII,
+    "json_extract": SQL_JSON_EXTRACT,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "topn_per_group": SQL_TOPN_PER_GROUP,

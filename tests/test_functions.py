@@ -945,3 +945,69 @@ def test_salted_join_matches_unsalted_on_skewed_keys(ray_session):
     gs = sorted(map(tuple, got[["k", "v", "name"]].itertuples(index=False)))
     ws = sorted(map(tuple, want[["k", "v", "name"]].itertuples(index=False)))
     assert gs == ws
+
+
+def test_global_scan_offsets_matches_numpy_cumsum(ray_session):
+    """Distributed range-bucketed scan == single-pass numpy exclusive
+    cumsum in order-key order, regardless of block layout (rows arrive
+    shuffled across 7 blocks; keys are non-contiguous with gaps)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.packing import (
+        global_scan_offsets, pack_sequences,
+    )
+
+    rng = np.random.RandomState(11)
+    keys = np.sort(rng.choice(50_000, size=3000, replace=False))
+    sizes = rng.randint(1, 400, size=3000).astype(np.int64)
+    df = pd.DataFrame({"k": keys.astype(np.int64), "n": sizes})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = ray.data.from_pandas(shuffled).repartition(7)
+
+    got = (
+        global_scan_offsets(ds, order_col="k", size_col="n")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    assert got["k"].tolist() == keys.tolist()
+    assert got["start_off"].tolist() == want.tolist()
+
+    packed = (
+        pack_sequences(ds, order_col="k", size_col="n", seq_len=512)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert packed["ex_start"].tolist() == (want // 512).tolist()
+    assert packed["ex_end"].tolist() == ((want + sizes - 1) // 512).tolist()
+    # examples tile the stream contiguously: doc spanning a boundary
+    # appears in consecutive examples
+    assert (packed["ex_end"] >= packed["ex_start"]).all()
+
+
+def test_redact_pii_rules_and_idempotence():
+    """Emails, phones and digit runs each redact; a second pass is a
+    no-op (placeholders contain no redactable spans)."""
+    from goose_parser_ray.functions.scrub import redact_pii
+
+    col = pa.array([
+        "mail me at jane.doe+x@example.co.uk today",
+        "call +1 (415) 555-0199 or 020 7946 0958",
+        "order 12345 shipped, ref 99",
+        "no pii here",
+        None,
+    ])
+    out = redact_pii(col)
+    assert out.to_pylist() == [
+        "mail me at <EMAIL> today",
+        "call <PHONE> or <PHONE>",
+        "order <NUM> shipped, ref <NUM>",
+        "no pii here",
+        None,
+    ]
+    assert redact_pii(out).to_pylist() == out.to_pylist()
+
+
+def test_extract_int_field():
+    from goose_parser_ray.functions.scrub import extract_int_field
+
+    col = pa.array(['{"k": 69}', '{"k":-3, "z": 1}', '{"z": 5}', None])
+    assert extract_int_field(col, "k").to_pylist() == [69, -3, None, None]
