@@ -1108,3 +1108,70 @@ def minhash_dedup_keep(
     return filter_out_ids(
         ds, drop, id_col, num_partitions=num_partitions
     )
+
+
+def _word_ngrams_table(
+    t: pa.Table, *, text_col: str, id_col: str, n: int
+) -> "pd.DataFrame":
+    """(doc_id, gram) rows for every word n-gram in the batch — vectorized:
+    one regex split, Arrow list flatten, then n shifted pandas string
+    concats; grams crossing a doc boundary are masked out by comparing the
+    shifted parent-index array."""
+    import pandas as pd
+
+    words_list = pc.split_pattern_regex(t[text_col], pattern=r"\s+")
+    flat = pc.list_flatten(words_list)
+    parent = pc.list_parent_indices(words_list)
+    mask = pc.not_equal(flat, "")
+    flat, parent = flat.filter(mask), parent.filter(mask)
+    if len(flat) < n:
+        return pd.DataFrame({"doc_id": [], "gram": []})
+    w = flat.to_pandas()
+    p = parent.to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    gram = w.copy()
+    for k in range(1, n):
+        gram = gram + " " + w.shift(-k)
+    valid = np.zeros(len(w), dtype=bool)
+    valid[: len(w) - (n - 1)] = p[: len(p) - (n - 1)] == p[n - 1 :]
+    return pd.DataFrame(
+        {"doc_id": ids[p[valid]], "gram": gram.to_numpy()[valid]}
+    )
+
+
+def decontaminate_ngrams(
+    ds: "ray.data.Dataset",
+    bench_texts: "list[str]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: drop every corpus doc sharing ANY word
+    ``n``-gram with the benchmark set (the standard eval-leak guard before
+    pretraining). The benchmark gram set is built ONCE driver-side
+    (benchmark suites are small by definition), ``ray.put`` and probed
+    map-side with a vectorized ``isin`` — no shuffle, corpus streams
+    through untouched. Exact string grams (not hashes) so the result is
+    deterministic and oracle-matchable; at 10^12 docs with a huge bench
+    set, swap the probe set for hashed grams + a Bloom prefilter
+    (sketches.bloom_build) with the same plumbing."""
+    import pandas as pd
+    import ray as _ray
+
+    bt = pa.table({"doc_id": list(range(len(bench_texts))),
+                   "text": bench_texts})
+    bench = _word_ngrams_table(bt, text_col="text", id_col="doc_id", n=n)
+    gram_set = pd.unique(bench["gram"])
+    gram_ref = _ray.put(set(gram_set.tolist()))
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        grams = _word_ngrams_table(t, text_col=text_col, id_col=id_col, n=n)
+        bench_grams = _ray.get(gram_ref)
+        hit = grams["gram"].isin(bench_grams)
+        bad = pa.array(pd.unique(grams.loc[hit, "doc_id"]))
+        if len(bad) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=bad)))
+
+    return ds.map_batches(drop_contaminated, batch_format="pyarrow")

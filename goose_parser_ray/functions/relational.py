@@ -174,6 +174,40 @@ def weighted_sample(
     return out.drop_columns(["__sk"])
 
 
+def mixture_resample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    group_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> ray.data.Dataset:
+    """Training-mixture resampling: keep each row with a per-GROUP rate
+    (domain/source weighting — upsample curated sources, downsample crawl
+    tails). Deterministic and cross-engine exact: row kept iff
+    ``id % 100 < rate_pct(group)`` — no RNG state, so reruns/resumes keep
+    identical rows. Vectorized broadcast lookup (``pc.index_in`` against
+    the tiny rates table), pure map stage — no shuffle at any scale."""
+    groups = pa.array(list(rates_pct.keys()))
+    pcts = pa.array(
+        [int(v) for v in rates_pct.values()], pa.int64()
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], value_set=groups)
+        rate = pc.fill_null(pc.take(pcts, idx), default_pct)
+        slot = pc.cast(
+            pc.subtract(
+                t[id_col],
+                pc.multiply(pc.divide(t[id_col], 100), 100),
+            ),
+            pa.int64(),
+        )  # id % 100 via integer div (pc has no modulo kernel)
+        return t.filter(pc.less(slot, rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def salted_join(
     big: ray.data.Dataset,
     small: ray.data.Dataset,

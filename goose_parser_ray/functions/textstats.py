@@ -178,6 +178,60 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(out))
 
 
+def add_repetition_signals(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher/C4-style repetition quality signals, per doc: word total,
+    distinct-word count, duplicate-word fraction and top-word fraction
+    (both as integer basis points, DuckDB-rounding-matched — the standard
+    "drop boilerplate/spam" gate in pretraining cleanup). Vectorized:
+    one regex split, Arrow list flatten, two pandas groupbys over
+    (doc, word-hash) — no per-row Python. Docs with zero words emit
+    all-zero signals (callers filter upstream for oracle parity)."""
+    import pandas as pd
+
+    words_list = pc.split_pattern_regex(batch[col], pattern=r"\s+")
+    flat = pc.list_flatten(words_list)
+    parent = pc.list_parent_indices(words_list)
+    mask = pc.not_equal(flat, "")
+    flat, parent = flat.filter(mask), parent.filter(mask)
+
+    n = batch.num_rows
+    total = np.zeros(n, np.int64)
+    distinct = np.zeros(n, np.int64)
+    mx = np.zeros(n, np.int64)
+    if len(flat):
+        df = pd.DataFrame(
+            {
+                "p": parent.to_numpy(zero_copy_only=False),
+                "w": pd.util.hash_pandas_object(
+                    flat.to_pandas(), index=False
+                ).to_numpy(),
+            }
+        )
+        cnt = df.groupby(["p", "w"], sort=False).size().rename("c").reset_index()
+        agg = cnt.groupby("p", sort=False)["c"].agg(["sum", "count", "max"])
+        idx = agg.index.to_numpy()
+        total[idx] = agg["sum"].to_numpy()
+        distinct[idx] = agg["count"].to_numpy()
+        mx[idx] = agg["max"].to_numpy()
+
+    tot_a = pa.array(total)
+    safe = pa.array(np.maximum(total, 1).astype(np.float64))
+
+    def bp(num: pa.Array) -> pa.Array:
+        frac = pc.divide(pc.multiply(pc.cast(num, pa.float64()), 10000.0), safe)
+        return pc.cast(
+            pc.round(frac, round_mode="half_towards_infinity"), pa.int64()
+        )
+
+    batch = batch.append_column("n_words", tot_a)
+    batch = batch.append_column("n_distinct", pa.array(distinct))
+    batch = batch.append_column(
+        "dup_word_bp", bp(pa.array(total - distinct))
+    )
+    batch = batch.append_column("top_word_bp", bp(pa.array(mx)))
+    return batch
+
+
 def text_stats_pipeline(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     """All text-analysis columns in one pass (used by queries surface)."""
     ds = ds.map_batches(lambda t: add_token_count(t, col), batch_format="pyarrow")

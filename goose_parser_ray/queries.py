@@ -536,6 +536,154 @@ FROM events
 """
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher/C4-style repetition quality gate inputs: per-doc word total,
+    distinct words, duplicate-word and top-word fractions in basis points
+    (``textstats.add_repetition_signals`` — one regex split + Arrow list
+    flatten + two vectorized groupbys per batch; map-only, no shuffle)."""
+    from goose_parser_ray.functions.textstats import add_repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_repetition_signals(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+), s AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(n) AS BIGINT) AS mx
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.total, 0) AS n_words,
+       COALESCE(s.n_distinct, 0) AS n_distinct,
+       COALESCE(CAST(ROUND(10000.0 * (s.total - s.n_distinct) / s.total)
+                     AS BIGINT), 0) AS dup_word_bp,
+       COALESCE(CAST(ROUND(10000.0 * s.mx / s.total) AS BIGINT), 0)
+         AS top_word_bp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_percentile_gate(sf_dir: str):
+    """Percentile-based corpus gate: keep docs at-or-above their
+    language's median length. Per-lang exact discrete median (same
+    quantile_disc definition as q_quantiles) collected driver-side — one
+    tiny row per language — then a broadcast vectorized filter. At 10^12
+    rows the median stage switches to the mergeable grouped quantile
+    sketch (functions/sketches.py) with identical plumbing."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]],
+             "med": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])]}
+        )
+
+    meds = ds.groupby("lang").map_groups(med, batch_format="pandas").to_pandas()
+    lut = dict(zip(meds["lang"], meds["med"]))
+    langs = pa.array(list(lut.keys()))
+    cuts = pa.array([lut[k] for k in lut.keys()], pa.int64())
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=langs)
+        cut = pc.take(cuts, idx)
+        return t.filter(pc.greater_equal(t["n_chars"], cut))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_PERCENTILE_GATE = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m ON d.lang = m.lang
+WHERE d.n_chars >= m.med
+"""
+
+
+def q_sample_mixture(sf_dir: str):
+    """Training-mixture resampling: per-source keep rates (upsample curated
+    sources, thin the crawl tail) via ``relational.mixture_resample`` —
+    deterministic ``id % 100 < rate(source)``, broadcast rate lookup, pure
+    map stage."""
+    from goose_parser_ray.functions.relational import mixture_resample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_resample(
+        ds, id_col="doc_id", group_col="source",
+        rates_pct={"src0": 100, "src1": 75, "src2": 50, "src3": 25},
+        default_pct=10,
+    )
+
+
+SQL_SAMPLE_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 100) < CASE source
+  WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+  WHEN 'src2' THEN 50  WHEN 'src3' THEN 25 ELSE 10 END
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (eval-leak guard): drop every doc sharing
+    any word 8-gram with the 'benchmark' set (here: docs with
+    doc_id % 97 == 0 stand in for an external eval suite — in production
+    the bench texts arrive as a small side input). Bench grams built once
+    driver-side, broadcast, probed map-side — corpus streams through."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.dedup import decontaminate_ngrams
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    keep = pc.equal(
+        pc.subtract(
+            bench_tbl["doc_id"],
+            pc.multiply(pc.divide(bench_tbl["doc_id"], 97), 97),
+        ),
+        0,
+    )
+    bench_texts = bench_tbl.filter(keep)["text"].to_pylist()
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = decontaminate_ngrams(ds, bench_texts, n=8)
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM w
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM idx
+), bg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), bad AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+)
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN bad b USING (doc_id)
+WHERE b.doc_id IS NULL
+"""
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window as groupby over a truncated-ts key (guide
     "Streaming-shaped workloads"); hour emitted as string for type parity."""
@@ -2182,6 +2330,10 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "redact_pii": q_redact_pii,
     "json_extract": q_json_extract,
+    "repetition_signals": q_repetition_signals,
+    "percentile_gate": q_percentile_gate,
+    "sample_mixture": q_sample_mixture,
+    "decontaminate": q_decontaminate,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "topn_per_group": q_topn_per_group,
@@ -2250,6 +2402,10 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "redact_pii": SQL_REDACT_PII,
     "json_extract": SQL_JSON_EXTRACT,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "percentile_gate": SQL_PERCENTILE_GATE,
+    "sample_mixture": SQL_SAMPLE_MIXTURE,
+    "decontaminate": SQL_DECONTAMINATE,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "topn_per_group": SQL_TOPN_PER_GROUP,

@@ -1011,3 +1011,61 @@ def test_extract_int_field():
 
     col = pa.array(['{"k": 69}', '{"k":-3, "z": 1}', '{"z": 5}', None])
     assert extract_int_field(col, "k").to_pylist() == [69, -3, None, None]
+
+
+def test_repetition_signals_hand_computed():
+    from goose_parser_ray.functions.textstats import add_repetition_signals
+
+    t = pa.table({"text": ["a a b", "x y z", "w w w w", "", "  "]})
+    out = add_repetition_signals(t)
+    assert out["n_words"].to_pylist() == [3, 3, 4, 0, 0]
+    assert out["n_distinct"].to_pylist() == [2, 3, 1, 0, 0]
+    # 10000*1/3 -> 3333 (round half away), 10000*2/3 -> 6667
+    assert out["dup_word_bp"].to_pylist() == [3333, 0, 7500, 0, 0]
+    assert out["top_word_bp"].to_pylist() == [6667, 3333, 10000, 0, 0]
+
+
+def test_decontaminate_ngrams_drops_overlapping_docs(ray_session):
+    """A doc embedding a benchmark 8-gram mid-text is dropped; docs with
+    7-word overlaps or <8 words survive; short bench texts contribute no
+    grams."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import decontaminate_ngrams
+
+    bench = ["alpha beta gamma delta epsilon zeta eta theta iota", "tiny"]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # contains bench gram words 2..9 ("beta ... iota")
+            "intro beta gamma delta epsilon zeta eta theta iota outro",
+            # 7-word overlap only -> survives
+            "beta gamma delta epsilon zeta eta theta other words here",
+            "completely unrelated text with eight words in it",
+            "tiny",  # <8 words, and bench 'tiny' yields no 8-grams
+        ],
+    })
+    out = decontaminate_ngrams(
+        ray.data.from_pandas(df), bench, n=8
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 3, 4]
+
+
+def test_mixture_resample_rates(ray_session):
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import mixture_resample
+
+    df = pd.DataFrame({
+        "id": list(range(200)),
+        "src": ["a"] * 100 + ["b"] * 100,
+    })
+    out = mixture_resample(
+        ray.data.from_pandas(df).repartition(3),
+        id_col="id", group_col="src",
+        rates_pct={"a": 50}, default_pct=10,
+    ).to_pandas()
+    a = out[out["src"] == "a"]["id"].tolist()
+    b = out[out["src"] == "b"]["id"].tolist()
+    assert sorted(a) == [i for i in range(100) if i % 100 < 50]
+    assert sorted(b) == [i for i in range(100, 200) if i % 100 < 10]
