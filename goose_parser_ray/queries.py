@@ -684,6 +684,154 @@ WHERE b.doc_id IS NULL
 """
 
 
+def q_cube_agg(sf_dir: str):
+    """CUBE over (lang, source): ONE distributed partial-aggregate pass
+    produces the finest (lang, source) cells; every coarser level is
+    re-aggregated from those partials — the corpus is read once and the
+    cube expansion touches only the (langs × sources)-row grouped result,
+    which is small BY DEFINITION of the grouping keys."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    base = pre_aggregated_sum(
+        ds, keys=["lang", "source"], sums={"n_chars": "sum_chars"},
+        count_alias="n_docs",
+    ).to_pandas()
+
+    import pandas as pd
+
+    levels = [base]
+    for keys in (["lang"], ["source"], []):
+        lvl = (
+            base.groupby(keys, as_index=False)[["sum_chars", "n_docs"]].sum()
+            if keys
+            else base[["sum_chars", "n_docs"]].sum().to_frame().T
+        )
+        for filled in ("lang", "source"):
+            if filled not in keys:
+                lvl[filled] = "ALL"
+        levels.append(lvl[["lang", "source", "sum_chars", "n_docs"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+def q_mode_per_group(sf_dir: str):
+    """Mode (argmax) per group: most frequent source per language,
+    deterministic tie-break (higher count first, then lexicographic
+    source). Distributed count partials → tiny grouped result → driver
+    argmax over ≤ (langs × sources) rows."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    counts = pre_aggregated_sum(
+        ds, keys=["lang", "source"], sums={}, count_alias="n_docs"
+    ).to_pandas()
+    top = (
+        counts.sort_values(
+            ["lang", "n_docs", "source"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        .drop_duplicates(subset=["lang"])
+        .rename(columns={"source": "mode_source"})
+        .reset_index(drop=True)
+    )
+    top["n_docs"] = top["n_docs"].astype("int64")
+    return top[["lang", "mode_source", "n_docs"]]
+
+
+SQL_MODE_PER_GROUP = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), r AS (
+  SELECT lang, source, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source ASC)
+           AS rn
+  FROM c
+)
+SELECT lang, source AS mode_source, CAST(n AS BIGINT) AS n_docs
+FROM r WHERE rn = 1
+"""
+
+
+def q_zscore_by_type(sf_dir: str):
+    """Grouped standardization (z-score per event_type): distributed
+    EXACT integer partials (sum, sum-of-squares, count over e4 fixed-point
+    values) → tiny per-type lut → broadcast map-side normalization. Both
+    engines compute the identical float64 expression from the same exact
+    BIGINT sums, so association order can't diverge; z emitted in basis
+    points with matched rounding."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v4 = _cents(t["value"], 10000)
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], v4,
+             pc.multiply(v4, v4)],
+            names=["event_id", "event_type", "v4", "v4sq"],
+        )
+
+    vals = ds.map_batches(prep, batch_format="pyarrow")
+    stats = pre_aggregated_sum(
+        vals, keys=["event_type"], sums={"v4": "s", "v4sq": "q"},
+        count_alias="n",
+    ).to_pandas()
+    types = pa.array(stats["event_type"].tolist())
+    s_arr = stats["s"].to_numpy(np.float64)
+    q_arr = stats["q"].to_numpy(np.float64)
+    n_arr = stats["n"].to_numpy(np.float64)
+    mean = s_arr / n_arr
+    std = np.sqrt((q_arr - s_arr * s_arr / n_arr) / (n_arr - 1.0))
+    mean_a, std_a = pa.array(mean), pa.array(std)
+
+    def zscore(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)
+        m = pc.take(mean_a, idx)
+        sd = pc.take(std_a, idx)
+        z = pc.divide(
+            pc.multiply(
+                pa.scalar(10000.0),
+                pc.subtract(pc.cast(t["v4"], pa.float64()), m),
+            ),
+            sd,
+        )
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"],
+             pc.cast(pc.round(z, round_mode="half_towards_infinity"),
+                     pa.int64())],
+            names=["event_id", "event_type", "z_bp"],
+        )
+
+    return vals.map_batches(zscore, batch_format="pyarrow")
+
+
+SQL_ZSCORE_BY_TYPE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(10000 * value) AS BIGINT) AS v4
+  FROM events
+), s AS (
+  SELECT event_type, CAST(SUM(v4) AS BIGINT) AS s,
+         CAST(SUM(v4 * v4) AS BIGINT) AS q, COUNT(*) AS n
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type,
+       CAST(ROUND(
+         (10000.0 * (CAST(v.v4 AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+         / sqrt((CAST(s.q AS DOUBLE)
+                 - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n)
+                / (s.n - 1.0))
+       ) AS BIGINT) AS z_bp
+FROM v JOIN s USING (event_type)
+"""
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window as groupby over a truncated-ts key (guide
     "Streaming-shaped workloads"); hour emitted as string for type parity."""
@@ -2334,6 +2482,9 @@ QUERIES = {
     "percentile_gate": q_percentile_gate,
     "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
+    "cube_agg": q_cube_agg,
+    "mode_per_group": q_mode_per_group,
+    "zscore_by_type": q_zscore_by_type,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "topn_per_group": q_topn_per_group,
@@ -2406,6 +2557,9 @@ ORACLE_SQL = {
     "percentile_gate": SQL_PERCENTILE_GATE,
     "sample_mixture": SQL_SAMPLE_MIXTURE,
     "decontaminate": SQL_DECONTAMINATE,
+    "cube_agg": SQL_CUBE_AGG,
+    "mode_per_group": SQL_MODE_PER_GROUP,
+    "zscore_by_type": SQL_ZSCORE_BY_TYPE,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "topn_per_group": SQL_TOPN_PER_GROUP,
