@@ -178,6 +178,19 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(out))
 
 
+def _flat_words(col: "pa.ChunkedArray | pa.Array"):
+    """Whitespace-split every string, flatten: returns (words as a pandas
+    Series, parent row index per word as numpy int array). One regex
+    split + Arrow list flatten — no per-row Python; empty-string split
+    artifacts are filtered so the token set equals ``\\S+`` extraction."""
+    words_list = pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = pc.list_flatten(words_list)
+    parent = pc.list_parent_indices(words_list)
+    mask = pc.not_equal(flat, "")
+    flat, parent = flat.filter(mask), parent.filter(mask)
+    return flat.to_pandas(), parent.to_numpy(zero_copy_only=False)
+
+
 def add_repetition_signals(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher/C4-style repetition quality signals, per doc: word total,
     distinct-word count, duplicate-word fraction and top-word fraction
@@ -188,23 +201,17 @@ def add_repetition_signals(batch: pa.Table, col: str = "text") -> pa.Table:
     all-zero signals (callers filter upstream for oracle parity)."""
     import pandas as pd
 
-    words_list = pc.split_pattern_regex(batch[col], pattern=r"\s+")
-    flat = pc.list_flatten(words_list)
-    parent = pc.list_parent_indices(words_list)
-    mask = pc.not_equal(flat, "")
-    flat, parent = flat.filter(mask), parent.filter(mask)
+    words, parent = _flat_words(batch[col])
 
     n = batch.num_rows
     total = np.zeros(n, np.int64)
     distinct = np.zeros(n, np.int64)
     mx = np.zeros(n, np.int64)
-    if len(flat):
+    if len(words):
         df = pd.DataFrame(
             {
-                "p": parent.to_numpy(zero_copy_only=False),
-                "w": pd.util.hash_pandas_object(
-                    flat.to_pandas(), index=False
-                ).to_numpy(),
+                "p": parent,
+                "w": pd.util.hash_pandas_object(words, index=False).to_numpy(),
             }
         )
         cnt = df.groupby(["p", "w"], sort=False).size().rename("c").reset_index()

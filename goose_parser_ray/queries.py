@@ -419,6 +419,10 @@ SELECT event_id, strftime(ts, '%Y-%m-%d') AS iso FROM events
 
 
 def q_token_stats(sf_dir: str):
+    """Whitespace + BPE-ish token counts (the §2.6 mandate's two
+    tokenizations): ``\\S+`` runs and a GPT-2-style pretokenizer regex
+    (letter runs / digit runs / punctuation runs, optional leading space —
+    the RE2-safe subset, no lookahead, so engine and oracle agree)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
@@ -426,17 +430,26 @@ def q_token_stats(sf_dir: str):
         n_punct = pc.cast(
             pc.count_substring_regex(t["text"], pattern=r"[.!?]"), pa.int64()
         )
+        n_bpe = pc.cast(
+            pc.count_substring_regex(
+                t["text"], pattern=r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+            ),
+            pa.int64(),
+        )
         return pa.Table.from_arrays(
-            [t["doc_id"], n_tok, n_punct], names=["doc_id", "n_tokens", "n_punct"]
+            [t["doc_id"], n_tok, n_punct, n_bpe],
+            names=["doc_id", "n_tokens", "n_punct", "n_bpe"],
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = r"""
 SELECT doc_id,
-       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       CAST(length(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe
 FROM documents
 """
 
@@ -829,6 +842,155 @@ SELECT v.event_id, v.event_type,
                 / (s.n - 1.0))
        ) AS BIGINT) AS z_bp
 FROM v JOIN s USING (event_type)
+"""
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click) per user: hash-bucketed users (never per-user
+    shuffle groups), three vectorized groupby-min/merge passes INSIDE each
+    bucket — no per-user Python. Nulls propagate for users who never reach
+    a stage; timestamps emitted as strings for cross-engine parity."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column("__fb", pa.array((h % nb).astype(np.int64)))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        views = (
+            g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+            .rename("t_view")
+        )
+        c = g[g["event_type"] == "click"].merge(
+            views, left_on="user_id", right_index=True
+        )
+        clicks = (
+            c[c["ts"] >= c["t_view"]].groupby("user_id")["ts"].min()
+            .rename("t_click")
+        )
+        p = g[g["event_type"] == "purchase"].merge(
+            clicks, left_on="user_id", right_index=True
+        )
+        purch = (
+            p[p["ts"] >= p["t_click"]].groupby("user_id")["ts"].min()
+            .rename("t_purchase")
+        )
+        out = (
+            views.to_frame()
+            .join(clicks, how="left").join(purch, how="left")
+            .reset_index()
+        )
+        for col in ("t_view", "t_click", "t_purchase"):
+            s = out[col].dt.strftime("%Y-%m-%d %H:%M:%S")
+            out[col] = s.where(s.notna(), None)
+        return out
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__fb").map_groups(funnel_bucket, batch_format="pandas")
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id
+)
+SELECT v.user_id,
+       strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms, INTEGER-exact scoring so both engines
+    rank identically: score = tf × N × 10000 // df (integer division — no
+    float log, no cross-engine libm risk; same ordering as tf/df for
+    fixed tf scale). TF is computed map-side per batch (docs never span
+    batches on a parquet read), DF is one small word-keyed aggregate
+    broadcast back (hash join past a vocab threshold at scale), and the
+    per-doc top-3 ranking stays map-side."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.textstats import _flat_words
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        words, parent = _flat_words(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": ids[parent], "word": words})
+        c = df.groupby(["doc_id", "word"], sort=False).size().rename("tf")
+        return pa.Table.from_pandas(c.reset_index(), preserve_index=False)
+
+    tfds = ds.map_batches(tf_batch, batch_format="pyarrow")
+    dfreq = pre_aggregated_sum(
+        tfds.select_columns(["word"]), keys=["word"], sums={},
+        count_alias="df",
+    ).to_pandas()
+    words_a = pa.array(dfreq["word"].tolist())
+    df_a = pa.array(dfreq["df"].to_numpy(np.int64))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["word"], value_set=words_a)
+        dfv = pc.take(df_a, idx).to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf * np.int64(n_docs) * np.int64(10000) // dfv
+        out = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "word": t["word"].to_pandas(),
+                "score": score,
+            }
+        )
+        out = out.sort_values(
+            ["doc_id", "score", "word"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = out.groupby("doc_id", sort=False).head(3)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tfds.map_batches(score_topk, batch_format="pyarrow")
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+), n AS (SELECT COUNT(*) AS nn FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf * n.nn * 10000 // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (word), n
+), r AS (
+  SELECT doc_id, word, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word ASC) AS rn
+  FROM s
+)
+SELECT doc_id, word, score FROM r WHERE rn <= 3
 """
 
 
@@ -2485,6 +2647,8 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "mode_per_group": q_mode_per_group,
     "zscore_by_type": q_zscore_by_type,
+    "funnel": q_funnel,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "topn_per_group": q_topn_per_group,
@@ -2560,6 +2724,8 @@ ORACLE_SQL = {
     "cube_agg": SQL_CUBE_AGG,
     "mode_per_group": SQL_MODE_PER_GROUP,
     "zscore_by_type": SQL_ZSCORE_BY_TYPE,
+    "funnel": SQL_FUNNEL,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "topn_per_group": SQL_TOPN_PER_GROUP,
