@@ -310,3 +310,119 @@ def hll_distinct(ds, col: str):
     rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
     merged = hll_merge([np.frombuffer(r["regs"], dtype=np.uint8) for r in rows])
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+# Vocabulary sizes at or under this are collected once and broadcast into
+# the scoring stage; larger vocabularies (web corpora easily exceed 10^8
+# distinct tokens) switch to a hash-partitioned join so neither the driver
+# nor every map task holds the full (word, df) table.
+VOCAB_BROADCAST_GUARD = 2_000_000
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_broadcast_guard: int = VOCAB_BROADCAST_GUARD,
+    join_num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-doc top-``k`` TF-IDF terms, integer-exact scoring so every
+    engine ranks identically: score = tf × n_docs × 10000 // df (integer
+    division — no float log, no libm risk; same ordering as tf/df for a
+    fixed tf scale; ties broken lexicographically on the word).
+
+    Shape: TF per (doc, word) is a map-side pandas groupby per batch (no
+    shuffle); DF is one word-keyed partial aggregate. The DF attach is
+    SIZE-GATED: vocabularies ≤ ``vocab_broadcast_guard`` rows are collected
+    once and shipped via the object store, larger ones attach through a
+    hash-partitioned ``Dataset.join`` on the word. Ranking is a per-
+    fragment partial top-k (mergeable — prunes to ≤k rows per doc-fragment
+    before any shuffle) followed by a doc-bucketed regroup for the exact
+    global top-k, so correctness never depends on a doc's TF rows staying
+    inside one batch or block."""
+    import pandas as pd
+    import ray as _ray
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        words, parent = _flat_words(t[text_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({id_col: ids[parent], "word": words})
+        c = df.groupby([id_col, "word"], sort=False).size().rename("tf")
+        return pa.Table.from_pandas(c.reset_index(), preserve_index=False)
+
+    tfds = ds.map_batches(tf_batch, batch_format="pyarrow")
+    dfreq = pre_aggregated_sum(
+        tfds.select_columns(["word"]), keys=["word"], sums={}, count_alias="df"
+    ).materialize()
+
+    def rank_topk(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.sort_values(
+            [id_col, "score", "word"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return frame.groupby(id_col, sort=False).head(k)[
+            [id_col, "word", "score"]
+        ]
+
+    def score(t: pa.Table, dfv: np.ndarray) -> pd.DataFrame:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "word": t["word"].to_pandas(),
+                "score": tf * np.int64(n_docs) * np.int64(10000) // dfv,
+            }
+        )
+
+    if dfreq.count() <= vocab_broadcast_guard:
+        vocab = dfreq.to_pandas()
+        vocab_ref = _ray.put(
+            (pa.array(vocab["word"]), pa.array(vocab["df"].to_numpy(np.int64)))
+        )
+
+        def score_partial(t: pa.Table) -> pa.Table:
+            words_a, df_a = _ray.get(vocab_ref)
+            idx = pc.index_in(t["word"], value_set=words_a)
+            dfv = pc.take(df_a, idx).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pandas(
+                rank_topk(score(t, dfv)), preserve_index=False
+            )
+
+        scored = tfds.map_batches(score_partial, batch_format="pyarrow")
+    else:
+        nb_join = join_num_partitions or num_shuffle_buckets(n_docs)
+        joined = tfds.join(
+            dfreq, join_type="inner", num_partitions=nb_join, on=("word",)
+        )
+
+        def score_partial_joined(t: pa.Table) -> pa.Table:
+            dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_pandas(
+                rank_topk(score(t, dfv)), preserve_index=False
+            )
+
+        scored = joined.map_batches(score_partial_joined, batch_format="pyarrow")
+
+    nb = num_shuffle_buckets(n_docs * k)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[id_col].to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column("__tb", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        scored.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(rank_topk, batch_format="pandas")
+    )

@@ -919,56 +919,18 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 
 
 def q_tfidf_top_terms(sf_dir: str):
-    """Per-doc top-3 TF-IDF terms, INTEGER-exact scoring so both engines
-    rank identically: score = tf × N × 10000 // df (integer division — no
-    float log, no cross-engine libm risk; same ordering as tf/df for
-    fixed tf scale). TF is computed map-side per batch (docs never span
-    batches on a parquet read), DF is one small word-keyed aggregate
-    broadcast back (hash join past a vocab threshold at scale), and the
-    per-doc top-3 ranking stays map-side."""
-    import pandas as pd
+    """Per-doc top-3 TF-IDF terms (``textstats.tfidf_top_terms``):
+    integer-exact scoring (tf × N × 10000 // df — no float log, so both
+    engines rank identically), map-side TF, size-gated DF attach
+    (broadcast under VOCAB_BROADCAST_GUARD, hash join past it), partial
+    top-k prune before a doc-bucketed exact final rank."""
     import pyarrow.parquet as pq
 
-    from goose_parser_ray.functions.textstats import _flat_words
+    from goose_parser_ray.functions.textstats import tfidf_top_terms
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def tf_batch(t: pa.Table) -> pa.Table:
-        words, parent = _flat_words(t["text"])
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"doc_id": ids[parent], "word": words})
-        c = df.groupby(["doc_id", "word"], sort=False).size().rename("tf")
-        return pa.Table.from_pandas(c.reset_index(), preserve_index=False)
-
-    tfds = ds.map_batches(tf_batch, batch_format="pyarrow")
-    dfreq = pre_aggregated_sum(
-        tfds.select_columns(["word"]), keys=["word"], sums={},
-        count_alias="df",
-    ).to_pandas()
-    words_a = pa.array(dfreq["word"].tolist())
-    df_a = pa.array(dfreq["df"].to_numpy(np.int64))
-
-    def score_topk(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t["word"], value_set=words_a)
-        dfv = pc.take(df_a, idx).to_numpy(zero_copy_only=False)
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        score = tf * np.int64(n_docs) * np.int64(10000) // dfv
-        out = pd.DataFrame(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-                "word": t["word"].to_pandas(),
-                "score": score,
-            }
-        )
-        out = out.sort_values(
-            ["doc_id", "score", "word"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        out = out.groupby("doc_id", sort=False).head(3)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return tfds.map_batches(score_topk, batch_format="pyarrow")
+    return tfidf_top_terms(ds, n_docs, k=3)
 
 
 SQL_TFIDF_TOP_TERMS = r"""

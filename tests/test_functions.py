@@ -1069,3 +1069,50 @@ def test_mixture_resample_rates(ray_session):
     b = out[out["src"] == "b"]["id"].tolist()
     assert sorted(a) == [i for i in range(100) if i % 100 < 50]
     assert sorted(b) == [i for i in range(100, 200) if i % 100 < 10]
+
+
+def test_tfidf_gate_paths_and_reference(docs_ds):
+    """tfidf_top_terms must produce identical top-k via the broadcast-vocab
+    path and the hash-join path (guard=0 forces the join branch), and both
+    must match a single-process pandas reference computed with the same
+    integer scoring."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import tfidf_top_terms
+
+    tbl = docs_table()
+    n_docs = tbl.num_rows
+    via_bcast = tfidf_top_terms(
+        ray.data.from_arrow(tbl), n_docs, k=3
+    ).to_pandas()
+    via_join = tfidf_top_terms(
+        ray.data.from_arrow(tbl), n_docs, k=3, vocab_broadcast_guard=0,
+        join_num_partitions=2,
+    ).to_pandas()
+
+    # reference: plain pandas, same integer score
+    rows = tbl.to_pylist()
+    tf = {}
+    df = {}
+    for r in rows:
+        words = r["text"].split()
+        for w in words:
+            tf[(r["doc_id"], w)] = tf.get((r["doc_id"], w), 0) + 1
+        for w in set(words):
+            df[w] = df.get(w, 0) + 1
+    scored = pd.DataFrame(
+        [
+            {"doc_id": d, "word": w, "score": c * n_docs * 10000 // df[w]}
+            for (d, w), c in tf.items()
+        ]
+    )
+    scored = scored.sort_values(
+        ["doc_id", "score", "word"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    ref = scored.groupby("doc_id", sort=False).head(3)
+
+    key = lambda f: sorted(zip(f["doc_id"], f["word"], f["score"]))
+    assert key(via_bcast) == key(ref)
+    assert key(via_join) == key(ref)
+    assert len(ref) > 0
