@@ -1042,6 +1042,52 @@ def filter_out_ids(
     )
 
 
+def filter_in_ids(
+    ds: ray.data.Dataset,
+    keep: ray.data.Dataset,
+    id_col: str,
+    *,
+    keep_col: str = "node",
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Semi-join keep: retain rows whose ``id_col`` appears in ``keep``
+    (which must be distinct on ``keep_col``). Mirror of ``filter_out_ids``:
+    small keep set → ray.put broadcast + map-side ``is_in``; large →
+    hash-partitioned inner join against the distinct id stream (inner ≡
+    semi when the right side is unique)."""
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    n = keep.count()
+    if n == 0:
+        return ds.limit(0)
+    if n <= broadcast_threshold:
+        import ray as _ray
+
+        tbl = pa.Table.from_pandas(keep.to_pandas())
+        ref = _ray.put(tbl[keep_col].combine_chunks())
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            d = _ray.get(ref)
+            return batch.filter(pc.is_in(batch[id_col], value_set=d))
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow")
+    keyed = keep.map_batches(
+        lambda t: pa.Table.from_arrays([t[keep_col]], names=["__keep_id"]),
+        batch_format="pyarrow",
+    )
+    out = ds.join(
+        keyed,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("__keep_id",),
+    )
+    if "__keep_id" in out.columns():
+        out = out.drop_columns(["__keep_id"])
+    return out
+
+
 def minhash_dedup_keep(
     ds: ray.data.Dataset,
     col: str = "text",

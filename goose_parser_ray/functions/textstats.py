@@ -426,3 +426,86 @@ def tfidf_top_terms(
         .groupby("__tb")
         .map_groups(rank_topk, batch_format="pandas")
     )
+
+
+def grouped_hll_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    *,
+    n_rows_hint: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key approximate distinct count — the scale path for
+    COUNT(DISTINCT x) GROUP BY k when per-key exact distinct stops fitting
+    (10^12 rows, high-cardinality x). Map-side: one HLL register array per
+    (batch, key) — never the raw values — then a TWO-LEVEL merge: sketches
+    first combine within (key, shard) groups (shard = register-bytes hash,
+    data-proportional count from ``n_rows_hint``), the ≤shards pre-merged
+    rows per key then collapse in a final per-key merge+estimate. Group
+    payload at both levels is bounded: level 1 holds sketch_rows/shards
+    4KiB rows, level 2 exactly ``shards`` rows per key."""
+    import zlib
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    if n_rows_hint is None:
+        n_rows_hint = ds.count()
+    # ≥1 sketch row per 1024 input rows is the worst realistic density;
+    # shards sized so level-1 groups stay bounded as the corpus grows.
+    nb = num_shuffle_buckets(max(1, n_rows_hint // 1024))
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t[key_col].to_pandas(),
+                "v": t[col].to_pandas(),
+            }
+        )
+        keys, blobs, shards = [], [], []
+        for k, g in df.groupby("k", sort=False):
+            regs = hll_sketch_batch(g["v"].tolist())
+            blob = regs.tobytes()
+            keys.append(k)
+            blobs.append(blob)
+            shards.append(zlib.crc32(blob) % nb)
+        return pa.Table.from_pydict(
+            {key_col: keys, "regs": blobs, "__shard": shards},
+            schema=pa.schema(
+                [
+                    (key_col, t.schema.field(key_col).type),
+                    ("regs", pa.binary()),
+                    ("__shard", pa.int64()),
+                ]
+            ),
+        )
+
+    def merge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        merged = hll_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]
+        )
+        out = g.iloc[:1].copy()
+        out["regs"] = [merged.tobytes()]
+        return out
+
+    def estimate_rows(g: pd.DataFrame) -> pd.DataFrame:
+        merged = hll_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]
+        )
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "approx_distinct": np.array(
+                    [hll_estimate(merged)], dtype=np.int64
+                ),
+            }
+        )
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow")
+    level1 = sketches.groupby([key_col, "__shard"]).map_groups(
+        merge_rows, batch_format="pandas"
+    )
+    return level1.groupby(key_col).map_groups(
+        estimate_rows, batch_format="pandas"
+    )

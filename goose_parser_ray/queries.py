@@ -1698,6 +1698,259 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 80
 """
 
 
+def q_intersect_users(sf_dir: str):
+    """Set intersection (INTERSECT) — the keep-side twin of q_except_users:
+    distinct clicking users ∩ distinct big-purchase users, via the tiered
+    ``filter_in_ids`` semi-join (broadcast ``is_in`` under its threshold,
+    hash-partitioned inner join against the distinct id stream past it)."""
+    from goose_parser_ray.functions.dedup import (
+        filter_in_ids,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    nb = num_shuffle_buckets(ev.count())
+    clickers = distinct_rows(
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+                ["user_id"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        num_buckets=nb,
+    )
+    big_purchasers = distinct_rows(
+        ev.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["event_type"], "purchase"),
+                    pc.greater(t["value"], 80.0),
+                )
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        num_buckets=nb,
+    )
+    return filter_in_ids(
+        clickers, big_purchasers, "user_id", keep_col="user_id"
+    )
+
+
+SQL_INTERSECT_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+"""
+
+
+def q_rank_dense(sf_dir: str):
+    """DENSE_RANK with ties (vs q_topn_per_group's ROW_NUMBER): per
+    event_type, every event whose cent-scaled value lands in the type's
+    top-3 DISTINCT values — ties all emitted, so the result is independent
+    of row order. Mergeable map-side prune: a row can only be in the
+    global top-3-distinct if it's in its fragment's top-3-distinct, so each
+    batch keeps ≤3 distinct values per type before the per-type regroup.
+    (Degenerate corpora where one value dominates inflate the tie set —
+    that's inherent to RANK-with-ties semantics, not the plan.)"""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def dense_top3(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["v_cents"].rank(method="dense", ascending=False).astype("int64")
+        out = g.loc[r <= 3, ["event_id", "event_type", "v_cents"]].copy()
+        out["rnk"] = r[r <= 3]
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pandas(),
+                "v_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        keep = df.groupby("event_type", sort=False, group_keys=False).apply(
+            dense_top3
+        )
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        pruned.groupby("event_type")
+        .map_groups(
+            lambda g: dense_top3(g.drop(columns=["rnk"])),
+            batch_format="pandas",
+        )
+    )
+
+
+SQL_RANK_DENSE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(100 * value) AS BIGINT) AS v_cents
+  FROM events
+), r AS (
+  SELECT event_id, event_type, v_cents,
+         CAST(DENSE_RANK() OVER (PARTITION BY event_type
+                                 ORDER BY v_cents DESC) AS BIGINT) AS rnk
+  FROM v
+)
+SELECT event_id, event_type, v_cents, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_chunk_text(sf_dir: str):
+    """Sliding-window text chunking (the RAG / context-window prep op):
+    200-codepoint chunks on a 150 stride (50 overlap), chunk_id per doc.
+    Vectorized fan-out: one pass per chunk INDEX (bounded by the longest
+    doc in the batch), each pass a single Arrow ``utf8_slice_codeunits``
+    over the rows long enough to own that chunk — no per-row Python, no
+    shuffle; a doc's chunks stay in its block (ordered emission)."""
+    CHUNK, STRIDE = 200, 150
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum(lens - 1, 0) // STRIDE + 1
+        parts = []
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = pa.array(n_chunks > j)
+            sub = t.filter(mask)
+            piece = pc.utf8_slice_codeunits(
+                sub["text"], start=j * STRIDE, stop=j * STRIDE + CHUNK
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        sub["doc_id"],
+                        pa.array(
+                            np.full(sub.num_rows, j, dtype=np.int64)
+                        ),
+                        piece,
+                    ],
+                    names=["doc_id", "chunk_id", "chunk"],
+                )
+            )
+        if not parts:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.string()),
+                ],
+                names=["doc_id", "chunk_id", "chunk"],
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_CHUNK_TEXT = """
+SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+       substring(text, CAST(j * 150 + 1 AS INT), 200) AS chunk
+FROM documents,
+     UNNEST(generate_series(0, greatest(length(text) - 1, 0) // 150)) AS t(j)
+"""
+
+
+def q_corr_by_flag(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs discount-percent per
+    returnflag) from EXACT integer partials: n, Σx, Σy, Σx², Σy², Σxy over
+    small-range ints — one distributed partial-aggregate pass, the closed-
+    form corr evaluated identically in both engines from the same BIGINT
+    sums (no association-order risk), emitted in basis points with matched
+    half-away rounding. Integer headroom: x ≤ 50, y ≤ 10, so Σxy-type
+    partials stay well inside int64 up to ~10^14 rows."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = pc.cast(
+            pc.round(
+                pc.multiply(t["l_discount"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [
+                t["l_returnflag"], x, y,
+                pc.multiply(x, x), pc.multiply(y, y), pc.multiply(x, y),
+            ],
+            names=["l_returnflag", "x", "y", "xx", "yy", "xy"],
+        )
+
+    partials = pre_aggregated_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        sums={"x": "sx", "y": "sy", "xx": "sxx", "yy": "syy", "xy": "sxy"},
+        count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = t.to_pandas()
+        n = d["n"].to_numpy(np.int64)
+        sx, sy = d["sx"].to_numpy(np.int64), d["sy"].to_numpy(np.int64)
+        sxx = d["sxx"].to_numpy(np.int64)
+        syy = d["syy"].to_numpy(np.int64)
+        sxy = d["sxy"].to_numpy(np.int64)
+        num = (10000 * (n * sxy - sx * sy)).astype(np.float64)
+        den = np.sqrt((n * sxx - sx * sx).astype(np.float64)) * np.sqrt(
+            (n * syy - sy * sy).astype(np.float64)
+        )
+        corr = pa.array(num / den)
+        return pa.Table.from_arrays(
+            [
+                t["l_returnflag"],
+                pc.cast(
+                    pc.round(corr, round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            ],
+            names=["l_returnflag", "corr_bp"],
+        )
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CORR_BY_FLAG = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(100 * l_discount) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(ROUND(CAST(10000 * (n * sxy - sx * sy) AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS corr_bp
+FROM s
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-way join composition: segment filter pushed into a
     broadcast semi-join on orders (customer keys ray.put once), date filters
@@ -2062,6 +2315,18 @@ def q_hll_distinct_users(sf_dir: str):
     import pandas as _pd
 
     return _pd.DataFrame({"n_distinct_users_est": [est]})
+
+
+def q_hll_users_per_type(sf_dir: str):
+    """GROUPED approximate distinct (rows-only): distinct users per
+    event_type via per-(batch,key) HLL sketches + a two-level bounded-
+    payload merge — the 10^12-row scale path for COUNT(DISTINCT) GROUP BY
+    (exact twin: q_distinct_users_per_type, oracle-checked; ±5% accuracy
+    asserted in tests/test_functions.py)."""
+    from goose_parser_ray.functions.textstats import grouped_hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2632,6 +2897,10 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "grouped_quantile_sketch": q_grouped_quantile_sketch,
     "except_users": q_except_users,
+    "intersect_users": q_intersect_users,
+    "rank_dense": q_rank_dense,
+    "chunk_text": q_chunk_text,
+    "corr_by_flag": q_corr_by_flag,
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -2646,6 +2915,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_keep": q_dedup_keep,
     "hll_distinct_users": q_hll_distinct_users,
+    "hll_users_per_type": q_hll_users_per_type,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2705,6 +2975,10 @@ ORACLE_SQL = {
     "sources_per_lang": SQL_SOURCES_PER_LANG,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "except_users": SQL_EXCEPT_USERS,
+    "intersect_users": SQL_INTERSECT_USERS,
+    "rank_dense": SQL_RANK_DENSE,
+    "chunk_text": SQL_CHUNK_TEXT,
+    "corr_by_flag": SQL_CORR_BY_FLAG,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,

@@ -1116,3 +1116,32 @@ def test_tfidf_gate_paths_and_reference(docs_ds):
     assert key(via_bcast) == key(ref)
     assert key(via_join) == key(ref)
     assert len(ref) > 0
+
+
+def test_grouped_hll_accuracy_vs_exact(ray_session):
+    """Per-key HLL estimates must land within ±5% of exact distinct counts
+    (4096 registers → ~1.6% standard error), through the full two-level
+    distributed merge."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import grouped_hll_distinct
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["a", "b", "c"], size=20_000)
+    # distinct cardinality differs per key: a ~ 5000, b ~ 500, c ~ 50
+    vals = np.where(
+        keys == "a", rng.integers(0, 5000, 20_000),
+        np.where(keys == "b", rng.integers(0, 500, 20_000),
+                 rng.integers(0, 50, 20_000)),
+    )
+    tbl = pa.table({"k": keys, "v": vals})
+    est = (
+        grouped_hll_distinct(ray.data.from_arrow(tbl), "k", "v")
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    for k in ("a", "b", "c"):
+        assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (
+            k, est[k], exact[k],
+        )
