@@ -1951,6 +1951,114 @@ FROM s
 """
 
 
+def q_latest_per_key(sf_dir: str):
+    """Arg-max dedup — keep each user's LATEST event (the 'newest crawl
+    per URL' op every refreshed web corpus needs). Mergeable map-side
+    prune: one row per (batch, user) survives (a user's global argmax is
+    the argmax of its per-fragment argmaxes), then a user-bucketed regroup
+    takes the final argmax. Deterministic tie-break (ts DESC, event_id
+    DESC); ts emitted as string for cross-engine parity."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def argmax_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False], kind="mergesort",
+        )
+        return g.groupby("user_id", sort=False).head(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        kept = argmax_latest(t.to_pandas())
+        h = pd.util.hash_pandas_object(
+            kept["user_id"], index=False
+        ).to_numpy()
+        kept["__lb"] = (h % nb).astype(np.int64)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = argmax_latest(g.drop(columns=["__lb"]))
+        out["ts"] = out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[["user_id", "event_id", "event_type", "ts"]]
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return pruned.groupby("__lb").map_groups(finish, batch_format="pandas")
+
+
+SQL_LATEST_PER_KEY = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM r WHERE rn = 1
+"""
+
+
+def q_mad_by_lang(sf_dir: str):
+    """Median absolute deviation per language (robust spread for outlier
+    gates where stddev is skew-poisoned). Two exact discrete-median passes:
+    per-lang median of n_chars (tiny per-group sorted-vector result,
+    quantile_disc convention) collected and broadcast, then per-lang median
+    of |n_chars − med|. Both shuffles group on lang (bounded cardinality);
+    at 10^12 rows each median pass swaps to the mergeable grouped quantile
+    sketch with the same plumbing."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def disc_median(g: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy())
+        m = int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], out: [m]})
+
+    meds = (
+        ds.groupby("lang")
+        .map_groups(
+            lambda g: disc_median(g, "n_chars", "med"), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    langs_a = pa.array(meds["lang"])
+    med_a = pa.array(meds["med"].to_numpy(np.int64))
+
+    def abs_dev(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=langs_a)
+        med = pc.take(med_a, idx)
+        dev = pc.abs(
+            pc.subtract(pc.cast(t["n_chars"], pa.int64()), med)
+        )
+        return pa.Table.from_arrays([t["lang"], dev], names=["lang", "dev"])
+
+    return (
+        ds.map_batches(abs_dev, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(
+            lambda g: disc_median(g, "dev", "mad"), batch_format="pandas"
+        )
+    )
+
+
+SQL_MAD_BY_LANG = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(quantile_disc(abs(CAST(d.n_chars AS BIGINT) - m.med), 0.5)
+            AS BIGINT) AS mad
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang
+"""
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped 3-way join composition: segment filter pushed into a
     broadcast semi-join on orders (customer keys ray.put once), date filters
@@ -2901,6 +3009,8 @@ QUERIES = {
     "rank_dense": q_rank_dense,
     "chunk_text": q_chunk_text,
     "corr_by_flag": q_corr_by_flag,
+    "latest_per_key": q_latest_per_key,
+    "mad_by_lang": q_mad_by_lang,
     "pivot_events": q_pivot_events,
     "rollup_lineitem": q_rollup_lineitem,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -2979,6 +3089,8 @@ ORACLE_SQL = {
     "rank_dense": SQL_RANK_DENSE,
     "chunk_text": SQL_CHUNK_TEXT,
     "corr_by_flag": SQL_CORR_BY_FLAG,
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "mad_by_lang": SQL_MAD_BY_LANG,
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
