@@ -2150,6 +2150,121 @@ LIMIT 10
 """
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 6-table composition (region→nation→customer/supplier
+    ⋈ orders ⋈ lineitem): every small dimension collapses into broadcast
+    lookups resolved map-side (region/nation driver-side — dozens of rows;
+    customer/supplier key→nation arrays via one ``ray.put`` each), leaving
+    ONE hash-partitioned large×large join (lineitem ⋈ date-filtered
+    orders). The same-nation constraint (c_nationkey = s_nationkey) is a
+    vectorized post-join filter. Revenue is integer-exact:
+    price_cents × (100 − discount_pct), summed as BIGINT in both engines."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"
+    ][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nat_keys))
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nat_keys))
+    cref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks())
+    )
+    sref = ray.put(
+        (sup["s_suppkey"].combine_chunks(), sup["s_nationkey"].combine_chunks())
+    )
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        idx = pc.index_in(t["o_custkey"], value_set=ck)
+        t = t.append_column("c_nat", pc.take(cn, idx))
+        t = t.filter(pc.is_valid(t["c_nat"]))
+        return t.select(["o_orderkey", "c_nat"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(sel_orders, batch_format="pyarrow")
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = _cents(t["l_discount"])
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)
+        )
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_suppkey"], rev],
+            names=["l_orderkey", "l_suppkey", "rev"],
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(sel_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        s_nat = pc.take(sn, idx)
+        t = t.append_column("s_nat", s_nat)
+        t = t.filter(
+            pc.and_(pc.is_valid(s_nat), pc.equal(s_nat, t["c_nat"]))
+        )
+        nidx = pc.index_in(t["s_nat"], value_set=nat_keys)
+        return pa.Table.from_arrays(
+            [pc.take(nat_names, nidx), t["rev"]], names=["n_name", "rev"]
+        )
+
+    return pre_aggregated_sum(
+        joined.map_batches(attach_nation, batch_format="pyarrow"),
+        keys=["n_name"], sums={"rev": "revenue_c4"},
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT) *
+         (100 - CAST(ROUND(100 * l_discount) AS BIGINT)) AS rev
+  FROM lineitem
+)
+SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN li ON li.l_orderkey = o_orderkey
+JOIN supplier ON li.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_error_window_counts(sf_dir: str):
     """RANGE join (inequality join + count): for every click, the number of
     'error' events by the same user in the 10 minutes at-or-before it.
@@ -2996,6 +3111,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "error_window_counts": q_error_window_counts,
     "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -3079,6 +3195,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "error_window_counts": SQL_ERROR_WINDOW_COUNTS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

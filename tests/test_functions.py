@@ -1145,3 +1145,91 @@ def test_grouped_hll_accuracy_vs_exact(ray_session):
         assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (
             k, est[k], exact[k],
         )
+
+
+def test_chunk_text_reassembles_unicode(ray_session):
+    """Chunk invariant: chunk 0 plus each later chunk minus the 50-codepoint
+    overlap reconstructs the document exactly — including multi-byte
+    (Cyrillic) text, pinning codepoint (not byte) slicing semantics."""
+    from goose_parser_ray.queries import q_chunk_text
+
+    texts = [
+        "",
+        "short",
+        "x" * 200,
+        "y" * 201,
+        ("слово дело тело " * 40).strip(),   # Cyrillic, > 2 chunks
+        "abc " * 120,                          # 480 chars → 4 chunks
+    ]
+    import os, tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = q_chunk_text(d).to_pandas()
+    for i, text in enumerate(texts):
+        rows = out[out["doc_id"] == i].sort_values("chunk_id")
+        got = ""
+        for j, ch in zip(rows["chunk_id"], rows["chunk"]):
+            got += ch if j == 0 else ch[50:]
+        assert got == text, f"doc {i}"
+        # exact coverage law: chunk j spans [j*150, j*150+200) ∩ [0, len)
+        for j, ch in zip(rows["chunk_id"], rows["chunk"]):
+            assert len(ch) == max(0, min(200, len(text) - j * 150))
+
+
+def test_corr_by_flag_matches_numpy(ray_session):
+    """corr_bp must agree with np.corrcoef on the same derived ints
+    (±1 bp for the final rounding)."""
+    import duckdb
+    import pandas as pd
+
+    from goose_parser_ray.queries import q_corr_by_flag
+
+    out = q_corr_by_flag("/root/testdata/sf0.001").to_pandas()
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    li["x"] = li["l_quantity"].astype("int64")
+    li["y"] = (100 * li["l_discount"]).round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        want = int(
+            np.round(10000 * np.corrcoef(g["x"], g["y"])[0, 1])
+        )
+        got = int(out[out["l_returnflag"] == flag]["corr_bp"].iloc[0])
+        assert abs(got - want) <= 1, (flag, got, want)
+
+
+def test_latest_per_key_tiebreak(ray_session):
+    """Planted duplicate-max timestamps: the higher event_id must win,
+    regardless of row order or batch split."""
+    import datetime as dt
+
+    import pandas as pd
+
+    ts = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": 1, "user_id": 7, "event_type": "a", "ts": ts},
+        {"event_id": 9, "user_id": 7, "event_type": "b", "ts": ts},
+        {"event_id": 5, "user_id": 7, "event_type": "c",
+         "ts": ts - dt.timedelta(hours=1)},
+        {"event_id": 2, "user_id": 8, "event_type": "d", "ts": ts},
+    ]
+    import os, tempfile
+
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.queries import q_latest_per_key
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "events.parquet"))
+        out = (
+            q_latest_per_key(d).to_pandas().set_index("user_id")
+        )
+    assert out.loc[7, "event_id"] == 9
+    assert out.loc[8, "event_id"] == 2
