@@ -358,3 +358,97 @@ def ann_bruteforce(
             _pin_schema(_MERGED_SCHEMA), batch_format="pyarrow"
         )
     return merged
+
+
+def kmeans_distributed(
+    ds: "ray.data.Dataset",
+    col: str = "embedding",
+    *,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+    seed: int = 0,
+    init_sample_size: int = 2048,
+):
+    """Full distributed Lloyd k-means (Euclidean) over an embedding column
+    — the iterative-algorithm pattern the one-step ``q_lang_centroids``
+    update demonstrates, run to convergence: centroids broadcast each
+    round (``ray.put``), ONE streaming pass per round emits a single small
+    partial row per batch (k×d float64 sum matrix + k counts + the batch
+    SSE — never the points), the ≤num_batches-row partial stream reduces
+    driver-side, centroids update, loop ends when the max centroid shift
+    drops under ``tol`` or ``max_iters``. The corpus is never collected;
+    per-round network cost is (batches × k×d) floats. Init points come
+    from a seeded Bernoulli sample (unbiased on sorted/clustered layouts —
+    same rule as ann_ivf's trainer). Empty clusters keep their previous
+    centroid. Returns ``(centroids, counts, inertia_history)``."""
+    import ray as _ray
+
+    n_corpus = ds.count()
+    frac = 1.0 if n_corpus <= init_sample_size else min(
+        1.0, 1.2 * init_sample_size / n_corpus
+    )
+    sample_pd = (
+        ds.random_sample(frac, seed=seed).limit(2 * init_sample_size).to_pandas()
+    )
+    sample = np.array(sample_pd[col].to_list(), dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    kk = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=kk, replace=False)].astype(
+        np.float64
+    )
+    dim = cent.shape[1]
+
+    counts = np.zeros(kk, dtype=np.int64)
+    history: list[float] = []
+    for _ in range(max_iters):
+        cref = _ray.put(cent.astype(np.float32))
+
+        def partials(t: pa.Table) -> pa.Table:
+            m = _list_col_to_matrix(t[col])
+            c = _ray.get(cref)
+            if m.shape[0] == 0:
+                sums = np.zeros((kk, dim), np.float64)
+                cnt = np.zeros(kk, np.int64)
+                sse = 0.0
+            else:
+                d2 = (
+                    (m.astype(np.float64) ** 2).sum(1)[:, None]
+                    - 2.0 * (m @ c.T).astype(np.float64)
+                    + (c.astype(np.float64) ** 2).sum(1)[None, :]
+                )
+                a = d2.argmin(1)
+                cnt = np.bincount(a, minlength=kk)
+                md = m.astype(np.float64)
+                sums = np.vstack(
+                    [
+                        np.bincount(a, weights=md[:, j], minlength=kk)
+                        for j in range(dim)
+                    ]
+                ).T
+                sse = float(d2[np.arange(len(a)), a].sum())
+            return pa.Table.from_pydict(
+                {
+                    "sums": [sums.ravel().tobytes()],
+                    "cnt": [cnt.tobytes()],
+                    "sse": [sse],
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        tot = np.zeros((kk, dim), np.float64)
+        cnt = np.zeros(kk, np.int64)
+        sse = 0.0
+        for r in rows:
+            tot += np.frombuffer(r["sums"], dtype=np.float64).reshape(kk, dim)
+            cnt += np.frombuffer(r["cnt"], dtype=np.int64)
+            sse += r["sse"]
+        history.append(sse)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = tot[nz] / cnt[nz, None]
+        shift = float(np.abs(new - cent).max())
+        cent, counts = new, cnt
+        if shift < tol:
+            break
+    return cent, counts, history

@@ -2593,6 +2593,29 @@ SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 5
 """
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means run to convergence over the embeddings
+    table (rows-only: iterative, not SQL-expressible). One streaming pass
+    per round, per-batch (sum, count, SSE) partials, centroids broadcast —
+    the corpus never leaves the cluster. Output: per-cluster sizes plus
+    the final inertia, deterministic under the fixed seed."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.similarity import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    cent, counts, history = kmeans_distributed(
+        ds, "embedding", k=8, max_iters=8, seed=7
+    )
+    return pd.DataFrame(
+        {
+            "cluster_id": np.arange(len(counts), dtype=np.int64),
+            "size": counts.astype(np.int64),
+            "final_inertia_e3": np.int64(round(history[-1] * 1000)),
+        }
+    )
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -3142,6 +3165,7 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_per_type": q_hll_users_per_type,
+    "kmeans": q_kmeans,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -1233,3 +1233,28 @@ def test_latest_per_key_tiebreak(ray_session):
         )
     assert out.loc[7, "event_id"] == 9
     assert out.loc[8, "event_id"] == 2
+
+
+def test_kmeans_distributed_recovers_clusters(ray_session):
+    """Three well-separated planted clusters: distributed Lloyd must
+    recover the exact memberships and its inertia must be monotonically
+    non-increasing across rounds."""
+    from goose_parser_ray.functions.similarity import kmeans_distributed
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.vstack(
+        [c + 0.1 * rng.randn(40, 4) for c in centers]
+    ).astype(np.float32)
+    tbl = pa.Table.from_pydict(
+        {"embedding": [row.tolist() for row in pts]},
+        schema=pa.schema([("embedding", pa.list_(pa.float32()))]),
+    )
+    cent, counts, hist = kmeans_distributed(
+        ray.data.from_arrow(tbl), "embedding", k=3, max_iters=10, seed=1
+    )
+    assert sorted(counts.tolist()) == [40, 40, 40]
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:]))
+    # each learned centroid sits on one planted center
+    d = np.linalg.norm(cent[:, None, :] - centers[None, :, :], axis=2)
+    assert (d.min(axis=1) < 0.5).all()
