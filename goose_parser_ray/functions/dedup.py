@@ -1221,3 +1221,56 @@ def decontaminate_ngrams(
         return t.filter(pc.invert(pc.is_in(t[id_col], value_set=bad)))
 
     return ds.map_batches(drop_contaminated, batch_format="pyarrow")
+
+
+def dedup_incremental(
+    new: ray.data.Dataset,
+    base: ray.data.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    **keep_kwargs,
+) -> ray.data.Dataset:
+    """Incremental corpus refresh: drop every NEW doc that near-dups the
+    already-deduped BASE corpus (or an earlier new doc) — the op every
+    recrawl/refresh pipeline runs before appending a shard.
+
+    Zero new machinery: new ids are offset past the base id range
+    (one streaming ``max`` over base ids), the tagged union flows through
+    :func:`minhash_dedup_keep`, whose min-id-wins representative rule then
+    means BASE ALWAYS BEATS NEW inside any duplicate cluster and new-new
+    clusters keep their earliest id. Survivors are filtered back to the
+    new side and their ids restored. Base docs are never dropped (they are
+    simply not emitted — the base corpus is immutable). Requires
+    non-negative ids; ``keep_kwargs`` forward to minhash_dedup_keep
+    (jaccard_threshold, concurrency, ...)."""
+    mx = base.max(id_col)
+    offset = int(mx) + 1 if mx is not None else 0
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.add(pc.cast(t[id_col], pa.int64()), pa.scalar(offset)),
+                t[col],
+            ],
+            names=[id_col, col],
+        )
+
+    def ident(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t[id_col], pa.int64()), t[col]], names=[id_col, col]
+        )
+
+    u = base.map_batches(ident, batch_format="pyarrow").union(
+        new.map_batches(shift, batch_format="pyarrow")
+    )
+    kept = minhash_dedup_keep(u, col, id_col, **keep_kwargs)
+
+    def restore(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t[id_col], pa.scalar(offset)))
+        return t.set_column(
+            t.schema.get_field_index(id_col),
+            id_col,
+            pc.subtract(t[id_col], pa.scalar(offset)),
+        )
+
+    return kept.map_batches(restore, batch_format="pyarrow")

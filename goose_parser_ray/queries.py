@@ -2593,6 +2593,58 @@ SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 5
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental corpus refresh (rows-only): documents split into an
+    existing BASE corpus (even doc_ids) and a NEW shard (odd doc_ids); the
+    new shard is near-dup-filtered against base ∪ new via
+    ``dedup_incremental`` — base docs always win, new-new clusters keep
+    the earliest id, base is never emitted."""
+    from goose_parser_ray.functions.dedup import dedup_incremental
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1)), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    new = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1)), 1)
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_incremental(new, base, col="text", id_col="doc_id")
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5): pure map, the split is
+    a modular hash of doc_id computed with identical BIGINT arithmetic in
+    both engines — stable under any re-run, resume, or repartition, which
+    is the property a training split must have."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids * np.int64(2654435761) % np.int64(997) % np.int64(100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(split.tolist(), pa.string())],
+            names=["doc_id", "split"],
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 997 % 100 < 90 THEN 'train'
+            WHEN (doc_id * 2654435761) % 997 % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3166,6 +3218,8 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_per_type": q_hll_users_per_type,
     "kmeans": q_kmeans,
+    "dedup_incremental": q_dedup_incremental,
+    "split_assign": q_split_assign,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3188,6 +3242,7 @@ ORACLE_SQL = {
     "join_left": SQL_JOIN_LEFT,
     "join_salted": SQL_JOIN_SALTED,
     "sample_mod": SQL_SAMPLE_MOD,
+    "split_assign": SQL_SPLIT_ASSIGN,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,

@@ -1258,3 +1258,40 @@ def test_kmeans_distributed_recovers_clusters(ray_session):
     # each learned centroid sits on one planted center
     d = np.linalg.norm(cent[:, None, :] - centers[None, :, :], axis=2)
     assert (d.min(axis=1) < 0.5).all()
+
+
+def test_dedup_incremental_base_wins(ray_session):
+    """Cross-corpus refresh semantics: a new doc duplicating BASE is
+    dropped, new-new near-dup clusters keep their earliest id, unique new
+    docs survive, and base is never emitted."""
+    from goose_parser_ray.functions.dedup import dedup_incremental
+
+    base = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": 0, "text": BASE + " base copy"},
+                {"doc_id": 4, "text": "some other base document text here"},
+            ]
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                # duplicates base 0 → dropped even though its id (1) is low
+                {"doc_id": 1, "text": BASE + " base copy"},
+                # near-dup pair inside new (distinct from BASE): 2 beats 3
+                {"doc_id": 2, "text": "a wholly new crawl page about rivers "
+                                      "and lakes and mountains tail alpha"},
+                {"doc_id": 3, "text": "a wholly new crawl page about rivers "
+                                      "and lakes and mountains tail beta"},
+                # unique → kept
+                {"doc_id": 7, "text": "entirely unrelated words in this one"},
+            ]
+        )
+    )
+    kept = sorted(
+        dedup_incremental(new, base, col="text", id_col="doc_id", concurrency=2)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert kept == [2, 7]
