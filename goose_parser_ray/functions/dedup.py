@@ -99,6 +99,19 @@ def add_coarse_bucket(
     return t.append_column(out, pa.array(b))
 
 
+def add_hash_bucket(
+    t: pa.Table, col: str, num_buckets: int, out: str = "__b"
+) -> pa.Table:
+    """Any-dtype sibling of :func:`add_coarse_bucket` (strings included):
+    one vectorized pandas-hash pass over the single key column. The shared
+    implementation for the window/funnel/rank regroup stages — bucket
+    hashing lives HERE, not copy-pasted per query."""
+    h = pd.util.hash_pandas_object(t[col].to_pandas(), index=False).to_numpy()
+    return t.append_column(
+        out, pa.array((h % num_buckets).astype(np.int64))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (S2)
 # ---------------------------------------------------------------------------
@@ -1238,11 +1251,12 @@ def dedup_incremental(
     (one streaming ``max`` over base ids), the tagged union flows through
     :func:`minhash_dedup_keep`, whose min-id-wins representative rule then
     means BASE ALWAYS BEATS NEW inside any duplicate cluster and new-new
-    clusters keep their earliest id. Survivors are filtered back to the
-    new side and their ids restored. Base docs are never dropped (they are
-    simply not emitted — the base corpus is immutable). Requires
-    non-negative ids; ``keep_kwargs`` forward to minhash_dedup_keep
-    (jaccard_threshold, concurrency, ...)."""
+    clusters keep their earliest id. Surviving ids are restored and
+    semi-joined back against the ORIGINAL new shard, so every column of
+    ``new`` is preserved (the dedup union itself carries only id + text).
+    Base docs are never dropped (they are simply not emitted — the base
+    corpus is immutable). Requires non-negative ids; ``keep_kwargs``
+    forward to minhash_dedup_keep (jaccard_threshold, concurrency, ...)."""
     mx = base.max(id_col)
     offset = int(mx) + 1 if mx is not None else 0
 
@@ -1267,10 +1281,9 @@ def dedup_incremental(
 
     def restore(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t[id_col], pa.scalar(offset)))
-        return t.set_column(
-            t.schema.get_field_index(id_col),
-            id_col,
-            pc.subtract(t[id_col], pa.scalar(offset)),
+        return pa.Table.from_arrays(
+            [pc.subtract(t[id_col], pa.scalar(offset))], names=[id_col]
         )
 
-    return kept.map_batches(restore, batch_format="pyarrow")
+    survivor_ids = kept.map_batches(restore, batch_format="pyarrow")
+    return filter_in_ids(new, survivor_ids, id_col, keep_col=id_col)

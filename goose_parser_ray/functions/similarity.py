@@ -384,7 +384,17 @@ def kmeans_distributed(
     centroid. Returns ``(centroids, counts, inertia_history)``."""
     import ray as _ray
 
+    # One materialize: the loop re-scans ds once per Lloyd round (plus the
+    # count and init sample below) — pin the blocks in the object store so
+    # a transformed upstream lineage (filter/normalize/...) runs ONCE, not
+    # max_iters+2 times. Blocks stay distributed; nothing lands driver-side.
+    ds = ds.materialize()
     n_corpus = ds.count()
+    if n_corpus == 0:
+        raise ValueError(
+            "kmeans_distributed: input dataset has no rows — nothing to "
+            "cluster (did an upstream filter drop everything?)"
+        )
     frac = 1.0 if n_corpus <= init_sample_size else min(
         1.0, 1.2 * init_sample_size / n_corpus
     )
@@ -392,6 +402,13 @@ def kmeans_distributed(
         ds.random_sample(frac, seed=seed).limit(2 * init_sample_size).to_pandas()
     )
     sample = np.array(sample_pd[col].to_list(), dtype=np.float32)
+    if len(sample) == 0:
+        # Bernoulli sampling can in principle return zero rows on a tiny
+        # corpus; fall back to the first rows rather than crash in choice().
+        sample = np.array(
+            ds.limit(init_sample_size).to_pandas()[col].to_list(),
+            dtype=np.float32,
+        )
     rng = np.random.RandomState(seed)
     kk = min(k, len(sample))
     cent = sample[rng.choice(len(sample), size=kk, replace=False)].astype(

@@ -334,9 +334,13 @@ def tfidf_top_terms(
     join_num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-doc top-``k`` TF-IDF terms, integer-exact scoring so every
-    engine ranks identically: score = tf × n_docs × 10000 // df (integer
-    division — no float log, no libm risk; same ordering as tf/df for a
-    fixed tf scale; ties broken lexicographically on the word).
+    engine ranks identically: score = tf × 10000 // df (integer division —
+    no float log, no libm risk; the conventional ×N corpus factor is a
+    per-corpus CONSTANT, so dropping it leaves the ranking identical while
+    keeping the int64 product corpus-size-independent — tf·N·10⁴ would wrap
+    negative once tf·N exceeds ~9.2e14; ties broken lexicographically on
+    the word). ``n_docs`` is used only to size the shuffle buckets (a
+    metadata-cheap row count from the caller).
 
     Shape: TF per (doc, word) is a map-side pandas groupby per batch (no
     shuffle); DF is one word-keyed partial aggregate. The DF attach is
@@ -380,7 +384,7 @@ def tfidf_top_terms(
             {
                 id_col: t[id_col].to_numpy(zero_copy_only=False),
                 "word": t["word"].to_pandas(),
-                "score": tf * np.int64(n_docs) * np.int64(10000) // dfv,
+                "score": tf * np.int64(10000) // dfv,
             }
         )
 
@@ -413,16 +417,14 @@ def tfidf_top_terms(
 
         scored = joined.map_batches(score_partial_joined, batch_format="pyarrow")
 
+    from goose_parser_ray.functions.dedup import add_hash_bucket
+
     nb = num_shuffle_buckets(n_docs * k)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t[id_col].to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column("__tb", pa.array((h % nb).astype(np.int64)))
-
     return (
-        scored.map_batches(add_bucket, batch_format="pyarrow")
+        scored.map_batches(
+            lambda t: add_hash_bucket(t, id_col, nb, "__tb"),
+            batch_format="pyarrow",
+        )
         .groupby("__tb")
         .map_groups(rank_topk, batch_format="pandas")
     )
@@ -464,21 +466,21 @@ def grouped_hll_distinct(
             }
         )
         keys, blobs, shards = [], [], []
-        for k, g in df.groupby("k", sort=False):
+        for k, g in df.groupby("k", sort=False, dropna=False):
             regs = hll_sketch_batch(g["v"].tolist())
             blob = regs.tobytes()
             keys.append(k)
             blobs.append(blob)
             shards.append(zlib.crc32(blob) % nb)
-        return pa.Table.from_pydict(
-            {key_col: keys, "regs": blobs, "__shard": shards},
-            schema=pa.schema(
-                [
-                    (key_col, t.schema.field(key_col).type),
-                    ("regs", pa.binary()),
-                    ("__shard", pa.int64()),
-                ]
-            ),
+        # from_pandas=True turns the NaN group key (null inputs —
+        # dropna=False keeps them, matching SQL's NULL group) into a real
+        # Arrow null, and the cast undoes pandas' int→float widening.
+        key_arr = pa.array(pd.Series(keys), from_pandas=True).cast(
+            t.schema.field(key_col).type
+        )
+        return pa.Table.from_arrays(
+            [key_arr, pa.array(blobs, pa.binary()), pa.array(shards, pa.int64())],
+            names=[key_col, "regs", "__shard"],
         )
 
     def merge_rows(g: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from goose_parser_ray.functions import dedup as _dedup
 from goose_parser_ray.functions.dedup import (
     exact_dedup,
     minhash_dedup_keep,
@@ -859,10 +860,7 @@ def q_funnel(sf_dir: str):
     nb = num_shuffle_buckets(ds.count())
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["user_id"].to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column("__fb", pa.array((h % nb).astype(np.int64)))
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__fb")
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
         views = (
@@ -941,11 +939,10 @@ WITH w AS (
   SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
 ), df AS (
   SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
-), n AS (SELECT COUNT(*) AS nn FROM documents),
-s AS (
+), s AS (
   SELECT tf.doc_id, tf.word,
-         CAST(tf.tf * n.nn * 10000 // df.df AS BIGINT) AS score
-  FROM tf JOIN df USING (word), n
+         CAST(tf.tf * 10000 // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (word)
 ), r AS (
   SELECT doc_id, word, score,
          ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1002,12 +999,7 @@ def q_sessionize(sf_dir: str):
     nb = num_shuffle_buckets(ds.count())
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["user_id"].to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__sb", pa.array((h % nb).astype(np.int64))
-        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__sb")
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -1248,14 +1240,11 @@ def q_user_deltas(sf_dir: str):
     nb = num_shuffle_buckets(ds.count())  # data-proportional (r2 VERDICT #4)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["user_id"].to_pandas(), index=False
-        ).to_numpy()
         t = pa.Table.from_arrays(
             [t["user_id"], t["ts"], _cents(t["value"], 10000)],
             names=["user_id", "ts", "v_e4"],
         )  # half-away rounding in arrow — matches SQL ROUND exactly
-        return t.append_column("__db", pa.array((h % nb).astype(np.int64)))
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
         # tie-break duplicate timestamps by value so the LAG order is
@@ -1614,14 +1603,11 @@ def q_running_totals(sf_dir: str):
     nb = num_shuffle_buckets(ds.count())
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t["user_id"].to_pandas(), index=False
-        ).to_numpy()
         t = pa.Table.from_arrays(
             [t["user_id"], t["ts"], _cents(t["value"], 10000)],
             names=["user_id", "ts", "v_e4"],
         )
-        return t.append_column("__rb", pa.array((h % nb).astype(np.int64)))
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__rb")
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "v_e4"], kind="mergesort")
@@ -1779,9 +1765,16 @@ def q_rank_dense(sf_dir: str):
                 ).to_numpy(zero_copy_only=False),
             }
         )
-        keep = df.groupby("event_type", sort=False, group_keys=False).apply(
-            dense_top3
+        # Vectorized GroupBy.rank — one C pass over the whole batch, and no
+        # GroupBy.apply (whose include-groups frame layout is deprecated in
+        # pandas 2.2 and removed in 3.0).
+        r = (
+            df.groupby("event_type", sort=False)["v_cents"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
         )
+        keep = df.loc[r <= 3, ["event_id", "event_type", "v_cents"]].copy()
+        keep["rnk"] = r[r <= 3]
         return pa.Table.from_pandas(keep, preserve_index=False)
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
@@ -1974,11 +1967,10 @@ def q_latest_per_key(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         kept = argmax_latest(t.to_pandas())
-        h = pd.util.hash_pandas_object(
-            kept["user_id"], index=False
-        ).to_numpy()
-        kept["__lb"] = (h % nb).astype(np.int64)
-        return pa.Table.from_pandas(kept, preserve_index=False)
+        return _dedup.add_hash_bucket(
+            pa.Table.from_pandas(kept, preserve_index=False),
+            "user_id", nb, "__lb",
+        )
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         out = argmax_latest(g.drop(columns=["__lb"]))
@@ -2625,7 +2617,13 @@ def q_split_assign(sf_dir: str):
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ids * np.int64(2654435761) % np.int64(997) % np.int64(100)
+        # (id·C) mod 997 computed in reduced form: ≡ (id mod 997)·(C mod
+        # 997) mod 997 for non-negative ids. The naive product wraps int64
+        # at id ≈ 3.5e9 (numpy wraps silently, DuckDB raises) — the reduced
+        # product is ≤ 996·996 and overflow-free at any corpus size.
+        h = (ids % np.int64(997)) * np.int64(2654435761 % 997) % np.int64(
+            997
+        ) % np.int64(100)
         split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pa.Table.from_arrays(
             [t["doc_id"], pa.array(split.tolist(), pa.string())],
@@ -2638,8 +2636,10 @@ def q_split_assign(sf_dir: str):
 
 SQL_SPLIT_ASSIGN = """
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 997 % 100 < 90 THEN 'train'
-            WHEN (doc_id * 2654435761) % 997 % 100 < 95 THEN 'val'
+       CASE WHEN (doc_id % 997) * (2654435761 % 997) % 997 % 100 < 90
+              THEN 'train'
+            WHEN (doc_id % 997) * (2654435761 % 997) % 997 % 100 < 95
+              THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """

@@ -842,6 +842,32 @@ def test_filter_out_ids_branch_parity(ray_session):
     assert set(via_bcast["id"]) == set(range(50)) - {3, 7, 11, 49}
 
 
+def test_filter_in_ids_branch_parity(ray_session):
+    """Broadcast is_in and inner-join branches of filter_in_ids must keep
+    the same rows AND the same non-key columns (force the join branch with
+    broadcast_threshold=0)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import filter_in_ids
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": list(range(50)), "v": [i * 10 for i in range(50)]})
+    )
+    keep = ray.data.from_pandas(pd.DataFrame({"node": [0, 5, 23, 49]}))
+    via_bcast = (
+        filter_in_ids(ds, keep, "id").to_pandas().sort_values("id")
+    )
+    via_join = (
+        filter_in_ids(ds, keep, "id", broadcast_threshold=0, num_partitions=2)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(via_bcast["id"]) == [0, 5, 23, 49]
+    assert list(via_join["id"]) == [0, 5, 23, 49]
+    assert list(via_bcast["v"]) == list(via_join["v"]) == [0, 50, 230, 490]
+    assert sorted(via_bcast.columns) == sorted(via_join.columns) == ["id", "v"]
+
+
 def test_asof_join_right_agg_in_bucket(ray_session):
     """right_agg collapses duplicate (by, ts) right keys inside the bucket
     join — must equal pre-aggregating globally then as-of joining."""
@@ -1102,7 +1128,7 @@ def test_tfidf_gate_paths_and_reference(docs_ds):
             df[w] = df.get(w, 0) + 1
     scored = pd.DataFrame(
         [
-            {"doc_id": d, "word": w, "score": c * n_docs * 10000 // df[w]}
+            {"doc_id": d, "word": w, "score": c * 10000 // df[w]}
             for (d, w), c in tf.items()
         ]
     )
