@@ -134,3 +134,61 @@ def pack_sequences(
         return t
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def epoch_shuffle_shards(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    stride: int = 9973,
+    n_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic epoch shuffle → training-shard assignment: permute the
+    corpus by the STRIDED order (id mod stride, id) — the classic exact
+    interleave that scatters storage-adjacent docs ``stride`` shards apart —
+    then deal the permuted sequence round-robin into ``n_shards``:
+    ``shard`` = rank % n_shards, ``pos`` = rank // n_shards. Varying the
+    (prime) ``stride`` per epoch gives a fresh deterministic permutation
+    each epoch with zero stored state — re-runnable on resume, identical on
+    every engine (no seeded RNG to reconcile).
+
+    The global rank is the ``global_scan_offsets`` prefix-sum scan with
+    size 1 over the composite key (id mod stride)·2⁴⁰ + id — exact, two
+    light passes, never a driver-side sort. Requires 0 ≤ id < 2⁴⁰ (1.1e12
+    docs) and stride < 2²² so the composite stays inside int64."""
+    if not (0 < stride < (1 << 22)):
+        raise ValueError("stride must be in (0, 2^22)")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 40)):
+            raise ValueError(
+                "epoch_shuffle_shards requires 0 <= id < 2^40; got "
+                f"[{ids.min()}, {ids.max()}]"
+            )
+        key = (ids % np.int64(stride)) * np.int64(1 << 40) + ids
+        one = np.ones(len(ids), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t[id_col], pa.array(key), pa.array(one)],
+            names=[id_col, "__key", "__one"],
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    ranked = global_scan_offsets(
+        keyed, order_col="__key", size_col="__one", offset_col="__rank",
+        n_rows=n_rows,
+    )
+
+    def deal(t: pa.Table) -> pa.Table:
+        r = t["__rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t[id_col],
+                pa.array(r % np.int64(n_shards)),
+                pa.array(r // np.int64(n_shards)),
+            ],
+            names=[id_col, "shard", "pos"],
+        )
+
+    return ranked.map_batches(deal, batch_format="pyarrow")

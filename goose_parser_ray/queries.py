@@ -2645,6 +2645,66 @@ FROM documents
 """
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style LM quality gate: a corpus-trained bigram model scores
+    every doc with integer-exact conditional-probability basis points
+    (``functions/lm.py`` — train pass emits map-side partial pair counts,
+    score pass probes the size-gated broadcast/joined model). No float
+    log anywhere, so the DuckDB twin matches bit-for-bit."""
+    from goose_parser_ray.functions.lm import bigram_lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_score(ds)
+
+
+SQL_LM_SCORE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+), b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM idx
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS cn FROM b GROUP BY w1, w2
+), cu AS (
+  SELECT w1, COUNT(*) AS cu FROM b GROUP BY w1
+)
+SELECT b.doc_id,
+       CAST(SUM(10000 * cb.cn // cu.cu) AS BIGINT) AS lm_score_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+GROUP BY b.doc_id
+"""
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle → round-robin shard deal
+    (``packing.epoch_shuffle_shards``): strided permutation rank via the
+    distributed prefix-sum scan, shard = rank mod 8, pos = rank div 8.
+    The layout every pretraining run needs per epoch — exact, seedless,
+    identical across engines and re-runs."""
+    from goose_parser_ray.functions.packing import epoch_shuffle_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return epoch_shuffle_shards(ds, id_col="doc_id", n_shards=8, stride=9973)
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id % 9973, doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(rnk % 8 AS BIGINT) AS shard,
+       CAST(rnk // 8 AS BIGINT) AS pos
+FROM r
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3220,6 +3280,8 @@ QUERIES = {
     "kmeans": q_kmeans,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
+    "lm_score": q_lm_score,
+    "epoch_shuffle": q_epoch_shuffle,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3243,6 +3305,8 @@ ORACLE_SQL = {
     "join_salted": SQL_JOIN_SALTED,
     "sample_mod": SQL_SAMPLE_MOD,
     "split_assign": SQL_SPLIT_ASSIGN,
+    "lm_score": SQL_LM_SCORE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,

@@ -1321,3 +1321,87 @@ def test_dedup_incremental_base_wins(ray_session):
         .tolist()
     )
     assert kept == [2, 7]
+
+
+def _bigram_reference(rows):
+    """Pure-python bigram LM scores for parity checks (same tokenizer)."""
+    import re
+
+    tok = lambda s: [w for w in re.split(r"[^\w]+", (s or "").lower(), flags=re.UNICODE) if w]
+    bigrams = []
+    for did, text in rows:
+        ws = tok(text)
+        bigrams.extend((did, a, b) for a, b in zip(ws, ws[1:]))
+    from collections import Counter
+
+    cb = Counter((a, b) for _, a, b in bigrams)
+    cu = Counter(a for _, a, _ in bigrams)
+    scores = {}
+    for did, a, b in bigrams:
+        s, n = scores.get(did, (0, 0))
+        scores[did] = (s + 10000 * cb[(a, b)] // cu[a], n + 1)
+    return scores
+
+
+def test_bigram_lm_score_gate_paths_and_reference(ray_session):
+    """bigram_lm_score must match a pure-python reference on both the
+    broadcast-model path and the hash-join path (guard=0), including docs
+    split across blocks and docs with <2 words (absent from output)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.lm import bigram_lm_score
+
+    rows = [
+        (0, "the cat sat on the mat the cat"),
+        (1, "the dog sat on the log"),
+        (2, "Hello, world! hello WORLD."),
+        (3, "single"),
+        (4, ""),
+        (5, "the cat"),
+    ]
+    ref = _bigram_reference(rows)
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    # two blocks so at least the model partials span blocks
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+
+    for kwargs in ({}, {"model_broadcast_guard": 0, "join_num_partitions": 2}):
+        out = bigram_lm_score(ds, **kwargs).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.lm_score_e4), int(r.n_bigrams))
+            for r in out.itertuples()
+        }
+        assert got == ref, (kwargs, got, ref)
+    assert 3 not in ref and 4 not in ref  # <2 words -> no bigrams
+
+
+def test_epoch_shuffle_shards_matches_sorted_reference(ray_session):
+    """epoch_shuffle_shards: rank must equal the position in the (id mod
+    stride, id) sort order; shard/pos are the round-robin deal."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.packing import epoch_shuffle_shards
+
+    ids = [3, 7, 11, 500, 9973, 9974, 19946, 42, 1000000, 12345]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = (
+        epoch_shuffle_shards(ds, id_col="doc_id", n_shards=4, stride=9973)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    order = sorted(ids, key=lambda i: (i % 9973, i))
+    for rank, did in enumerate(order):
+        assert out.loc[did, "shard"] == rank % 4, did
+        assert out.loc[did, "pos"] == rank // 4, did
+
+
+def test_epoch_shuffle_rejects_out_of_range_ids(ray_session):
+    import pandas as pd
+    import pytest
+
+    from goose_parser_ray.functions.packing import epoch_shuffle_shards
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [-1, 2]}))
+    with pytest.raises(Exception):
+        epoch_shuffle_shards(ds, id_col="doc_id").to_pandas()
+    with pytest.raises(ValueError):
+        epoch_shuffle_shards(ds, id_col="doc_id", stride=1 << 23)
