@@ -2705,6 +2705,268 @@ FROM r
 """
 
 
+def q_moving_avg(sf_dir: str):
+    """Bounded rolling window (SUM/COUNT OVER ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) per user — the sliding-window sibling of
+    ``running_totals``'s unbounded cumulative. Same hash-bucketed-users
+    shape: one shuffle group per bucket, vectorized pandas rolling inside.
+    Sum+count are emitted as exact integers instead of a float AVG so the
+    DuckDB twin hash-matches in any summation order."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "v_e4"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__mb")
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        # (ts, v_e4) tie-break: rows tying on BOTH keys carry equal v_e4,
+        # so every 4-row window sum is order-independent under ties.
+        g = g.sort_values(["user_id", "ts", "v_e4"], kind="mergesort")
+        r = g.groupby("user_id")["v_e4"].rolling(window=4, min_periods=1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "ts": g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "win_sum_e4": r.sum().reset_index(level=0, drop=True).astype("int64"),
+                "win_n": r.count().reset_index(level=0, drop=True).astype("int64"),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__mb").map_groups(rolling, batch_format="pandas")
+
+
+SQL_MOVING_AVG = """
+WITH d AS (
+  SELECT user_id, ts, CAST(ROUND(10000 * value) AS BIGINT) AS v_e4 FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(v_e4) OVER w AS BIGINT) AS win_sum_e4,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, v_e4
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Interpolated (continuous) per-group quantiles — the PERCENTILE_CONT
+    sibling of ``quantiles``'s quantile_disc. At q ∈ {0.25, 0.5, 0.75} the
+    interpolation fraction of (n−1)·q is an exact binary fraction, so
+    ``lo + (hi − lo)·frac`` over integer cents is bit-identical IEEE
+    arithmetic on both engines — interpolated DOUBLEs hash-match without
+    any rounding fudge."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["c_custkey", "segment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
+    joined = joined.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["segment"], _cents(t["o_totalprice"])],
+            names=["segment", "total_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["total_cents"].to_numpy())
+        n = len(v)
+
+        def cont(q: float) -> float:
+            idx = (n - 1) * q
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            hi = min(lo + 1, n - 1)
+            return float(v[lo]) + (float(v[hi]) - float(v[lo])) * frac
+
+        return pd.DataFrame(
+            {
+                "segment": [g["segment"].iloc[0]],
+                "q25_cents": [cont(0.25)],
+                "median_cents": [cont(0.5)],
+                "q75_cents": [cont(0.75)],
+                "n_orders": [n],
+            }
+        )
+
+    return joined.groupby("segment").map_groups(qtiles, batch_format="pandas")
+
+
+SQL_QUANTILES_CONT = """
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS total_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment,
+       quantile_cont(total_cents, 0.25) AS q25_cents,
+       quantile_cont(total_cents, 0.5)  AS median_cents,
+       quantile_cont(total_cents, 0.75) AS q75_cents,
+       COUNT(*) AS n_orders
+FROM d GROUP BY segment
+"""
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Robust aggregate: per event_type sum/count of values inside the
+    [p10, p90] discrete-quantile band — outlier-trimmed statistics, the
+    standard robust alternative to plain AVG. Two streaming passes: exact
+    per-type disc bounds (tiny result, broadcast via ``ray.put``), then a
+    map-side filtered partial aggregate. Integer sums keep the hash exact.
+    At 10^12 rows the bounds pass switches to the mergeable log-histogram
+    sketch (``functions/sketches.py``) — same surface."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    vals = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_type"], _cents(t["value"], 10000)],
+            names=["event_type", "v_e4"],
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["v_e4"].to_numpy())
+        n = len(v)
+
+        def disc(q: float) -> int:
+            return int(v[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "lo": [disc(0.1)],
+                "hi": [disc(0.9)],
+            }
+        )
+
+    b = vals.groupby("event_type").map_groups(bounds, batch_format="pandas")
+    b_pd = b.to_pandas()  # one row per event_type — tiny by construction
+    bounds_ref = ray.put(b_pd)
+
+    def trim(t: pa.Table) -> pa.Table:
+        lut: pd.DataFrame = ray.get(bounds_ref)
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "v_e4": t["v_e4"].to_numpy(zero_copy_only=False),
+            }
+        )
+        m = df.merge(lut, on="event_type", how="left")  # vectorized lookup
+        keep = (m["v_e4"] >= m["lo"]) & (m["v_e4"] <= m["hi"])
+        out = m.loc[keep, ["event_type", "v_e4"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    trimmed = vals.map_batches(trim, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "v_e4": t["v_e4"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", sort=False)["v_e4"].agg(["sum", "size"])
+        g = g.reset_index()
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(g["event_type"]),
+                "trimmed_sum_e4": pa.array(g["sum"].astype(np.int64)),
+                "trimmed_n": pa.array(g["size"].astype(np.int64)),
+            }
+        )
+
+    return pre_aggregated_sum(
+        trimmed.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums={"trimmed_sum_e4": "trimmed_sum_e4", "trimmed_n": "trimmed_n"},
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(10000 * value) AS BIGINT) AS v_e4 FROM events
+), b AS (
+  SELECT event_type,
+         quantile_disc(v_e4, 0.1) AS lo,
+         quantile_disc(v_e4, 0.9) AS hi
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(SUM(v_e4) AS BIGINT) AS trimmed_sum_e4,
+       CAST(COUNT(*) AS BIGINT) AS trimmed_n
+FROM d JOIN b USING (event_type)
+WHERE v_e4 BETWEEN lo AND hi
+GROUP BY d.event_type
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per event_type over cent-scaled value,
+    emitted in e6 fixed point. Both sides compute the identical IEEE
+    sequence — (rank−1)/(n−1) and peer_count/n in float64, ×1e6, half-away
+    round — so the fixed-point ints hash-match. Per-type groups carry
+    (event_id, v_e4) pairs only; at extreme per-key cardinality the rank
+    becomes the two-pass histogram-rank (same surface, documented)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], _cents(t["value"], 10000)],
+            names=["event_id", "event_type", "v_e4"],
+        )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        v = g["v_e4"]
+        rmin = v.rank(method="min").to_numpy(dtype=np.float64)
+        rmax = v.rank(method="max").to_numpy(dtype=np.float64)
+        pr = (rmin - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        cd = rmax / float(n)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "event_type": g["event_type"],
+                "v_e4": v,
+                "pr_e6": np.trunc(1e6 * pr + 0.5).astype(np.int64),
+                "cd_e6": np.trunc(1e6 * cd + 0.5).astype(np.int64),
+            }
+        )
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    return pairs.groupby("event_type").map_groups(ranks, batch_format="pandas")
+
+
+SQL_PERCENT_RANK = """
+WITH d AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(10000 * value) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT event_id, event_type, v_e4,
+       CAST(ROUND(1000000 * PERCENT_RANK() OVER w) AS BIGINT) AS pr_e6,
+       CAST(ROUND(1000000 * CUME_DIST() OVER w) AS BIGINT) AS cd_e6
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY v_e4)
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3282,6 +3544,10 @@ QUERIES = {
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
     "epoch_shuffle": q_epoch_shuffle,
+    "moving_avg": q_moving_avg,
+    "quantiles_cont": q_quantiles_cont,
+    "trimmed_mean": q_trimmed_mean,
+    "percent_rank": q_percent_rank,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3307,6 +3573,10 @@ ORACLE_SQL = {
     "split_assign": SQL_SPLIT_ASSIGN,
     "lm_score": SQL_LM_SCORE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "moving_avg": SQL_MOVING_AVG,
+    "quantiles_cont": SQL_QUANTILES_CONT,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
+    "percent_rank": SQL_PERCENT_RANK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,
