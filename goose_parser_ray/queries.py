@@ -2967,6 +2967,110 @@ WINDOW w AS (PARTITION BY event_type ORDER BY v_e4)
 """
 
 
+def q_join_full(sf_dir: str):
+    """FULL OUTER join through Ray's native hash join: high-balance
+    customers vs per-customer big-order counts — unmatched rows survive on
+    BOTH sides (customers with no big orders; big-order customers outside
+    the balance slice), so the outer semantics are genuinely exercised.
+    Nullable measures stay Arrow int64-with-nulls end to end (→ float64 in
+    pandas on both engines — the union-padding dtype trap inverted)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], _cents(t["c_acctbal"])],
+            names=["c_custkey", "acctbal_cents"],
+        ),
+        batch_format="pyarrow",
+    ).filter(expr="acctbal_cents > 500000")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 100000"
+    )
+    big = pre_aggregated_sum(
+        orders.map_batches(
+            lambda t: pa.Table.from_arrays([t["o_custkey"]], names=["o_custkey"]),
+            batch_format="pyarrow",
+        ),
+        keys=["o_custkey"],
+        sums={},
+        count_alias="n_big_orders",
+    )
+
+    j = cust.join(
+        big,
+        join_type="full_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key under the LEFT column
+        # name (right-only rows carry the right key there) — tested.
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["c_custkey"], pa.int64()),
+                t["acctbal_cents"],
+                pc.cast(t["n_big_orders"], pa.int64()),
+            ],
+            names=["custkey", "acctbal_cents", "n_big_orders"],
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_JOIN_FULL = """
+WITH l AS (
+  SELECT c_custkey, CAST(ROUND(100 * c_acctbal) AS BIGINT) AS acctbal_cents
+  FROM customer
+  WHERE CAST(ROUND(100 * c_acctbal) AS BIGINT) > 500000
+), r AS (
+  SELECT o_custkey, COUNT(*) AS n_big_orders
+  FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(l.c_custkey, r.o_custkey) AS BIGINT) AS custkey,
+       l.acctbal_cents,
+       CAST(r.n_big_orders AS BIGINT) AS n_big_orders
+FROM l FULL JOIN r ON l.c_custkey = r.o_custkey
+"""
+
+
+def q_join_anti(sf_dir: str):
+    """NOT EXISTS through Ray's native LEFT ANTI join: customers with no
+    high-value order (the synthetic corpus gives every customer SOME order,
+    so the predicate pushdown on the right side is what makes the anti set
+    non-trivial). The shuffle-join sibling of the tiered ``filter_out_ids``
+    machinery the dedup family uses — both anti paths oracle-exercised."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    j = cust.join(
+        ords.select_columns(["o_custkey"]),
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return j.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], pc.cast(t["c_nationkey"], pa.int64())],
+            names=["c_custkey", "c_nationkey"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3548,6 +3652,8 @@ QUERIES = {
     "quantiles_cont": q_quantiles_cont,
     "trimmed_mean": q_trimmed_mean,
     "percent_rank": q_percent_rank,
+    "join_full": q_join_full,
+    "join_anti": q_join_anti,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3577,6 +3683,8 @@ ORACLE_SQL = {
     "quantiles_cont": SQL_QUANTILES_CONT,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "percent_rank": SQL_PERCENT_RANK,
+    "join_full": SQL_JOIN_FULL,
+    "join_anti": SQL_JOIN_ANTI,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,
