@@ -1236,6 +1236,177 @@ def decontaminate_ngrams(
     return ds.map_batches(drop_contaminated, batch_format="pyarrow")
 
 
+def duplicated_ngram_stats(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    dup_broadcast_guard: int = 2_000_000,
+    join_num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact duplicated-substring signal (the word-n-gram variant of
+    Lee et al.'s ExactSubstr dedup): for every doc, how many of its word
+    ``n``-gram positions carry a gram that also occurs in ANOTHER doc.
+    Output: (id, total_ngrams, dup_ngrams); docs with < n words emit no
+    grams and are absent (SQL GROUP BY semantics).
+
+    Distributed shape — two streaming passes, no corpus materialization:
+
+    1. DUP-GRAM DETECTION, mergeable: "gram appears in ≥2 distinct docs"
+       ⟺ min(doc_id) ≠ max(doc_id) over the gram — so the per-batch
+       partial is one (gram, min_id, max_id) row per DISTINCT gram, the
+       global pass is a single groupby(gram).aggregate(Min, Max), and no
+       distinct-count or pair stream ever shuffles. The gram-keyed
+       exchange is inherent to exact substring dedup (suffix-array
+       engines pay the equivalent sort); grams stay exact strings for
+       oracle determinism — at petabyte scale swap in 64-bit gram hashes
+       with the same plumbing and a collision bound instead.
+    2. SCORING, size-gated like the tfidf/lm model attach: the dup-gram
+       set under ``dup_broadcast_guard`` rows ships once via ``ray.put``
+       and probes map-side with ``pc.is_in``; past it, per-batch
+       (id, gram, k) position counts inner-join the dup-gram table and
+       re-aggregate per doc. Totals are a pure map-side partial either
+       way."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def gram_minmax(t: pa.Table) -> pa.Table:
+        g = _word_ngrams_table(t, text_col=text_col, id_col=id_col, n=n)
+        if not len(g):
+            return pa.Table.from_pydict(
+                {"gram": pa.array([], pa.string()),
+                 "dmin": pa.array([], pa.int64()),
+                 "dmax": pa.array([], pa.int64())}
+            )
+        p = g.groupby("gram", sort=False)["doc_id"].agg(["min", "max"])
+        p = p.reset_index()
+        return pa.Table.from_pydict(
+            {"gram": pa.array(p["gram"]),
+             "dmin": pa.array(p["min"].astype(np.int64)),
+             "dmax": pa.array(p["max"].astype(np.int64))}
+        )
+
+    partials = ds.map_batches(gram_minmax, batch_format="pyarrow")
+    agg = partials.groupby("gram").aggregate(Min("dmin"), Max("dmax"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["min(dmin)"], t["max(dmax)"])
+        return t.filter(mask).select(["gram"])
+
+    dup = agg.map_batches(only_dups, batch_format="pyarrow").materialize()
+    n_dup = dup.count()
+
+    def totals(t: pa.Table) -> pa.Table:
+        g = _word_ngrams_table(t, text_col=text_col, id_col=id_col, n=n)
+        if not len(g):
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "total_ngrams": pa.array([], pa.int64())}
+            )
+        c = g.groupby("doc_id", sort=False).size().rename("total_ngrams")
+        c = c.reset_index()
+        return pa.Table.from_pydict(
+            {id_col: pa.array(c["doc_id"].astype(np.int64)),
+             "total_ngrams": pa.array(c["total_ngrams"].astype(np.int64))}
+        )
+
+    total = pre_aggregated_sum(
+        ds.map_batches(totals, batch_format="pyarrow"),
+        keys=[id_col],
+        sums={"total_ngrams": "total_ngrams"},
+    )
+
+    if n_dup <= dup_broadcast_guard:
+        dup_ref = ray.put(dup.to_pandas()["gram"].to_numpy(dtype=object))
+
+        def dup_counts(t: pa.Table) -> pa.Table:
+            g = _word_ngrams_table(t, text_col=text_col, id_col=id_col, n=n)
+            if not len(g):
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()),
+                     "dup_ngrams": pa.array([], pa.int64())}
+                )
+            dup_set = ray.get(dup_ref)
+            hit = pc.is_in(
+                pa.array(g["gram"], pa.string()),
+                value_set=pa.array(dup_set, pa.string()),
+            ).to_numpy(zero_copy_only=False)
+            c = (
+                pd.DataFrame({"doc_id": g["doc_id"], "hit": hit})
+                .groupby("doc_id", sort=False)["hit"]
+                .sum()
+                .rename("dup_ngrams")
+                .reset_index()
+            )
+            return pa.Table.from_pydict(
+                {id_col: pa.array(c["doc_id"].astype(np.int64)),
+                 "dup_ngrams": pa.array(c["dup_ngrams"].astype(np.int64))}
+            )
+
+        dupc = pre_aggregated_sum(
+            ds.map_batches(dup_counts, batch_format="pyarrow"),
+            keys=[id_col],
+            sums={"dup_ngrams": "dup_ngrams"},
+        )
+    else:
+        def pos_counts(t: pa.Table) -> pa.Table:
+            g = _word_ngrams_table(t, text_col=text_col, id_col=id_col, n=n)
+            if not len(g):
+                return pa.Table.from_pydict(
+                    {id_col: pa.array([], pa.int64()),
+                     "gram": pa.array([], pa.string()),
+                     "k": pa.array([], pa.int64())}
+                )
+            c = (
+                g.groupby(["doc_id", "gram"], sort=False)
+                .size()
+                .rename("k")
+                .reset_index()
+            )
+            return pa.Table.from_pydict(
+                {id_col: pa.array(c["doc_id"].astype(np.int64)),
+                 "gram": pa.array(c["gram"]),
+                 "k": pa.array(c["k"].astype(np.int64))}
+            )
+
+        nbj = join_num_partitions or num_shuffle_buckets(n_dup)
+        pos = ds.map_batches(pos_counts, batch_format="pyarrow")
+        j = pos.join(dup, join_type="inner", num_partitions=nbj, on=("gram",))
+        dupc = pre_aggregated_sum(
+            j.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {id_col: t[id_col], "dup_ngrams": t["k"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            keys=[id_col],
+            sums={"dup_ngrams": "dup_ngrams"},
+        )
+
+    # dup counts exist only for docs with ≥1 duplicated position — left
+    # attach onto totals and zero-fill.
+    j = total.join(
+        dupc,
+        join_type="left_outer",
+        num_partitions=join_num_partitions or 16,
+        on=(id_col,),
+    )
+    return j.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {id_col: pc.cast(t[id_col], pa.int64()),
+             "total_ngrams": pc.cast(t["total_ngrams"], pa.int64()),
+             "dup_ngrams": pc.cast(
+                 pc.coalesce(t["dup_ngrams"], pa.scalar(0, pa.int64())),
+                 pa.int64(),
+             )}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def dedup_incremental(
     new: ray.data.Dataset,
     base: ray.data.Dataset,

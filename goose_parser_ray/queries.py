@@ -3071,6 +3071,39 @@ WHERE NOT EXISTS (
 """
 
 
+def q_ngram_dup_spans(sf_dir: str):
+    """Exact duplicated-substring signal (word-8-gram ExactSubstr variant,
+    Lee et al.): per doc, total 8-gram positions and how many carry a gram
+    that occurs in at least one OTHER doc. Mergeable min≠max dup-gram
+    detection + size-gated broadcast/join scoring
+    (``functions/dedup.py:duplicated_ngram_stats``)."""
+    from goose_parser_ray.functions.dedup import duplicated_ngram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_ngram_stats(ds, n=8)
+
+
+SQL_NGRAM_DUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM w
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM idx
+), dg AS (
+  SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_ngrams
+FROM g LEFT JOIN dg USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3654,6 +3687,7 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "join_full": q_join_full,
     "join_anti": q_join_anti,
+    "ngram_dup_spans": q_ngram_dup_spans,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3685,6 +3719,7 @@ ORACLE_SQL = {
     "percent_rank": SQL_PERCENT_RANK,
     "join_full": SQL_JOIN_FULL,
     "join_anti": SQL_JOIN_ANTI,
+    "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,

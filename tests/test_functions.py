@@ -1405,3 +1405,37 @@ def test_epoch_shuffle_rejects_out_of_range_ids(ray_session):
         epoch_shuffle_shards(ds, id_col="doc_id").to_pandas()
     with pytest.raises(ValueError):
         epoch_shuffle_shards(ds, id_col="doc_id", stride=1 << 23)
+
+
+def test_duplicated_ngram_stats_gate_paths(ray_session):
+    """duplicated_ngram_stats must produce identical (total, dup) counts on
+    the broadcast-probe path and the join path (guard=0), with docs that
+    share a 3-gram across blocks, repeated grams inside one doc, and a doc
+    too short to emit grams (absent from output)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import duplicated_ngram_stats
+
+    rows = [
+        (0, "a b c d e"),        # grams: abc bcd cde
+        (1, "x a b c y"),        # shares 'a b c' with doc 0
+        (2, "p q r p q r p q"),  # internal repeats only: pqr qrp rpq... none shared
+        (3, "a b"),              # <3 words -> absent
+        (4, "x a b c y"),        # exact dup of doc 1 (all grams shared)
+    ]
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+
+    expected = {
+        0: (3, 1),  # only 'a b c' duplicated
+        1: (3, 3),
+        2: (6, 0),
+        4: (3, 3),
+    }
+    for kwargs in ({}, {"dup_broadcast_guard": 0, "join_num_partitions": 2}):
+        out = duplicated_ngram_stats(ds, n=3, **kwargs).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.total_ngrams), int(r.dup_ngrams))
+            for r in out.itertuples()
+        }
+        assert got == expected, (kwargs, got)
