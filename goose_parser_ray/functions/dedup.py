@@ -836,12 +836,18 @@ def _cosine_pairs_bucket(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
             continue
         ids = rows["vec_id"].tolist()
         m = np.array(rows["embedding"].tolist(), dtype=np.float32)  # pre-normalized
-        sims = m @ m.T
         if len(ids) > _BUCKET_PAIR_CAP:
-            ii = np.zeros(len(ids) - 1, dtype=np.int64)
+            # star edges only — one matvec against the min-id row, never
+            # the len² sim matrix (a mass-duplicated bucket of 50k rows
+            # would otherwise allocate a multi-GB matrix just to read row 0)
+            s0 = m @ m[0]
             jj = np.arange(1, len(ids), dtype=np.int64)
-        else:
-            ii, jj = np.triu_indices(len(ids), k=1)
+            hit = s0[jj] >= threshold
+            for j in jj[hit]:
+                out.append((ids[0], ids[j], round(float(s0[j]), 6)))
+            continue
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
         hit = sims[ii, jj] >= threshold
         for i, j in zip(ii[hit], jj[hit]):
             out.append((ids[i], ids[j], round(float(sims[i, j]), 6)))
@@ -1141,14 +1147,38 @@ def minhash_dedup_keep(
             )
         else:
             raise ValueError("jaccard verification needs docs or docs_lookup")
+    return remove_pair_duplicates(
+        ds, pairs, id_col,
+        driver_pair_guard=driver_pair_guard, num_partitions=num_partitions,
+    )
+
+
+def remove_pair_duplicates(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str,
+    *,
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+    driver_pair_guard: int = DRIVER_PAIR_GUARD,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Shared "pairs → components → keep min-id representative → filter
+    corpus" tail used by every near-dup remover (minhash/simhash/embedding/
+    semdedup): driver union-find under ``driver_pair_guard`` pairs,
+    distributed min-label propagation past it; drop set applied through
+    the tiered broadcast/anti-join :func:`filter_out_ids`."""
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ds
+    a, b = cols
     if n_pairs <= driver_pair_guard:
         import ray as _ray
 
-        roots = _union_find_components(pairs.to_pandas())
+        pdf = pairs.to_pandas()
+        if cols != ("doc_a", "doc_b"):
+            pdf = pdf.rename(columns={a: "doc_a", b: "doc_b"})
+        roots = _union_find_components(pdf)
         drop = {x for x, r in roots.items() if r != x}
         drop_ref = _ray.put(pa.array(sorted(drop)))
 
@@ -1158,7 +1188,7 @@ def minhash_dedup_keep(
 
         return ds.map_batches(keep_rows, batch_format="pyarrow")
     labels = connected_components_distributed(
-        pairs, num_partitions=num_partitions
+        pairs, cols=cols, num_partitions=num_partitions
     )
     drop = labels.map_batches(
         lambda t: t.filter(pc.not_equal(t["label"], t["node"])),
@@ -1458,3 +1488,114 @@ def dedup_incremental(
 
     survivor_ids = kept.map_batches(restore, batch_format="pyarrow")
     return filter_in_ids(new, survivor_ids, id_col, keep_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-scoped cosine pruning
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 16,
+    kmeans_iters: int = 8,
+    seed: int = 0,
+    driver_pair_guard: int = 5_000_000,
+    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then inside each cluster drop every row
+    whose cosine similarity to another cluster member exceeds
+    ``threshold``, keeping the min-id representative per duplicate group.
+    Pairs are only ever formed WITHIN a cluster — the coarse quantizer is
+    what makes semantic dedup sub-quadratic.
+
+    Distributed shape: distributed Lloyd k-means over the NORMALIZED
+    embeddings (Euclidean on the unit sphere ≡ spherical/cosine ordering),
+    centroids broadcast once (``ray.put``), map-side cluster assignment,
+    then the same cluster-grouped cosine pair generation the hyperplane-LSH
+    path uses (``_cosine_pairs_bucket`` — over-cap clusters emit star edges
+    against the min-id row via one matvec, never a len² sim matrix), and
+    the shared :func:`remove_pair_duplicates` components/filter tail.
+
+    Scale note: per-group payload is the CLUSTER, n/k rows — size ``k``
+    proportional to the corpus (k ≈ n / target_cluster_rows; SemDeDup used
+    11k clusters for 5B LAION embeddings). The paper's within-cluster
+    dedup is exact pairwise; the star-cap fallback kicks in only on
+    degenerate mega-clusters and errs toward under-removal."""
+    import ray as _ray
+
+    from goose_parser_ray.functions.similarity import (
+        _list_col_to_matrix,
+        _normalize,
+        kmeans_distributed,
+    )
+
+    n = ds.count()
+    if n == 0:
+        return ds
+    if num_buckets is None:
+        num_buckets = num_shuffle_buckets(n)
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        m = _normalize(
+            _list_col_to_matrix(t[col]).astype(np.float64)
+        ).astype(np.float32)
+        if m.size == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32()))}
+            )
+        dim = m.shape[1]
+        flat = pa.array(m.ravel())
+        offs = pa.array(
+            np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32)
+        )
+        return pa.Table.from_pydict(
+            {"vec_id": t[id_col],
+             "embedding": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+    normed = ds.map_batches(norm_batch, batch_format="pyarrow").materialize()
+    cent, _counts, _hist = kmeans_distributed(
+        normed, "embedding", k=k, max_iters=kmeans_iters, seed=seed
+    )
+    centn = _normalize(np.asarray(cent, dtype=np.float64)).astype(np.float32)
+    cref = _ray.put(centn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _list_col_to_matrix(t["embedding"])
+        if len(m) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32())),
+                 "table_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        c = _ray.get(cref)
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {"vec_id": t["vec_id"], "embedding": t["embedding"],
+             "table_id": pa.array(np.zeros(len(m), dtype=np.int64)),
+             "bucket": pa.array(cl)}
+        )
+        return t
+
+    assigned = normed.map_batches(assign, batch_format="pyarrow")
+    bucketed = assigned.map_batches(
+        lambda t: add_coarse_bucket(t, ["table_id", "bucket"], num_buckets),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed.groupby("__b").map_groups(
+        lambda g: _cosine_pairs_bucket(g, threshold), batch_format="pandas"
+    )
+    pairs = _dedup_pairs(pairs, cols=("vec_a", "vec_b"), num_buckets=num_buckets)
+    return remove_pair_duplicates(
+        ds, pairs, id_col, cols=("vec_a", "vec_b"),
+        driver_pair_guard=driver_pair_guard, num_partitions=num_partitions,
+    )

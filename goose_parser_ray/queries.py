@@ -3104,6 +3104,76 @@ GROUP BY g.doc_id
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023): k-means
+    over normalized embeddings, within-cluster cosine pruning at 0.95,
+    min-id representative kept (``functions/dedup.py:semdedup``). Rows-only:
+    k-means is iterative and seed-dependent, not SQL-expressible; removal
+    semantics are locked by tests/test_functions.py instead."""
+    from goose_parser_ray.functions.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.95, k=8, seed=0)
+
+
+def q_ann_recall(sf_dir: str):
+    """Quantitative recall for the approximate ANN family, surfaced as a
+    query (r2 VERDICT "what's missing" #1): run LSH and IVF with the same
+    queries/k as the oracle-checked brute force and emit per-variant
+    recall@5 in e4 fixed point. Results are tiny (n_queries×k rows each) —
+    collecting them driver-side is the right plan; the heavy work stays
+    distributed inside the three ANN pipelines. Floors are asserted in
+    tests/test_recall.py; this row makes the number visible to any user of
+    the engine."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.similarity import ann_ivf
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.array_sort_indices(emb["vec_id"].combine_chunks())[:8]
+    head = emb.take(order)
+    qids = head["vec_id"].to_pylist()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k = 5
+
+    bf = ann_bruteforce(ds, qids, qmat, k=k, concurrency=_pool()).to_pandas()
+    truth = bf.groupby("query_id")["vec_id"].apply(set).to_dict()
+
+    rows = []
+    for variant, result in (
+        (
+            "lsh",
+            ann_lsh(
+                ds, qids, qmat, k=k, dim=64, n_planes=4, n_tables=8,
+                concurrency=max(1, _pool() // 2),
+            ).to_pandas(),
+        ),
+        (
+            "ivf",
+            ann_ivf(
+                ds, qids, qmat, k=k, n_centroids=16, nprobe=6,
+                concurrency=max(2, _pool() // 2),
+            ).to_pandas(),
+        ),
+    ):
+        got = result.groupby("query_id")["vec_id"].apply(set).to_dict()
+        hits = sum(
+            len(truth[q] & got.get(q, set())) for q in truth
+        )
+        denom = k * len(truth)
+        rows.append(
+            {
+                "variant": variant,
+                "recall_e4": int(round(10000 * hits / denom)),
+                "n_queries": len(truth),
+                "k": k,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3688,6 +3758,8 @@ QUERIES = {
     "join_full": q_join_full,
     "join_anti": q_join_anti,
     "ngram_dup_spans": q_ngram_dup_spans,
+    "semdedup": q_semdedup,
+    "ann_recall": q_ann_recall,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -1439,3 +1439,43 @@ def test_duplicated_ngram_stats_gate_paths(ray_session):
             for r in out.itertuples()
         }
         assert got == expected, (kwargs, got)
+
+
+def test_semdedup_removes_near_identical_keeps_min_id(ray_session):
+    """semdedup: two tight clusters with exact/near duplicates — drops the
+    higher-id member of each >0.95-cosine pair, keeps min-id reps and the
+    outlier; identical on the union-find and distributed-components paths."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import semdedup
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(8).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    rows = [
+        (0, a),                      # rep of cluster A
+        (1, a * 2.0),                # same direction -> cosine 1.0 with 0
+        (2, a + rng.randn(8) * 1e-3),  # near-dup of 0
+        (10, b),                     # rep of cluster B
+        (11, b * 0.5),               # dup of 10
+        (20, rng.randn(8).astype(np.float32)),  # singleton
+    ]
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [list(map(float, r[1])) for r in rows]}
+    )
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+
+    # k=2 keeps each natural cluster in ONE k-means cell for any seed
+    # (k=3 would split cluster A between two near-identical centroids and
+    # miss the 0-2 pair — the inherent SemDeDup cluster-boundary miss).
+    for guard in (5_000_000, 0):  # driver union-find / distributed components
+        kept = sorted(
+            semdedup(
+                ds, threshold=0.95, k=2, seed=1, driver_pair_guard=guard,
+                num_partitions=2,
+            )
+            .to_pandas()["vec_id"]
+            .tolist()
+        )
+        assert kept == [0, 10, 20], (guard, kept)
