@@ -1599,3 +1599,109 @@ def semdedup(
         ds, pairs, id_col, cols=("vec_a", "vec_b"),
         driver_pair_guard=driver_pair_guard, num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact Hamming-1 fuzzy-duplicate pairs (split-block trick)
+# ---------------------------------------------------------------------------
+
+
+def hamming1_pairs(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    id_col: str,
+    num_buckets: int | None = None,
+    compare_chunk: int = 256,
+) -> ray.data.Dataset:
+    """EXACT fuzzy-duplicate pairs at Hamming distance ≤ 1 over equal-length
+    strings (for equal lengths, Levenshtein ≤ 1 ⟺ Hamming ≤ 1: the single
+    edit must be a substitution). Zero misses without an all-pairs scan via
+    the split-block trick: two strings within Hamming 1 agree EXACTLY on
+    the first half or on the second half, so every pair is found by two
+    blocking passes keyed on (length, half_id, half_text).
+
+    Distributed shape: one map pass emits TWO narrow (id, string, key) rows
+    per input row — the shuffle moves keys, never pairwise work; fine
+    groups are compared inside coarse hash buckets with a vectorized
+    codepoint matrix (numpy U-dtype viewed as uint32) in
+    ``compare_chunk``-row slabs, so per-slab memory is bounded. Skew note:
+    heavily-shared prefixes (id-style names) degenerate the PREFIX-half
+    blocks toward one big group — cost is quadratic in that group's size;
+    for such corpora key on more than two splits (k+1 splits finds Hamming
+    ≤ k with finer blocks, same plumbing)."""
+
+    n = ds.count()
+    if num_buckets is None:
+        num_buckets = num_shuffle_buckets(2 * n)
+
+    def halves(t: pa.Table) -> pa.Table:
+        s = t[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False)
+        ids_out, str_out, key_out = [], [], []
+        sp = s.to_pandas()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        for ln in np.unique(lens):
+            m = lens == ln
+            sub = sp[m]
+            half = int(ln) // 2
+            h0 = sub.str.slice(0, half)
+            h1 = sub.str.slice(half)
+            for hid, htxt in ((0, h0), (1, h1)):
+                ids_out.append(ids[m])
+                str_out.append(sub.to_numpy(dtype=object))
+                key_out.append(
+                    (f"{ln}|{hid}|" + htxt).to_numpy(dtype=object)
+                )
+        if not ids_out:
+            return pa.Table.from_pydict(
+                {"__id": pa.array([], pa.int64()),
+                 "__s": pa.array([], pa.string()),
+                 "__key": pa.array([], pa.string())}
+            )
+        out = pa.Table.from_pydict(
+            {"__id": pa.array(np.concatenate(ids_out)),
+             "__s": pa.array(np.concatenate(str_out), pa.string()),
+             "__key": pa.array(np.concatenate(key_out), pa.string())}
+        )
+        return add_hash_bucket(out, "__key", num_buckets, "__b")
+
+    def pairs_in_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        out_a, out_b = [], []
+        for _, f in g.groupby("__key", sort=False):
+            f = f.drop_duplicates("__id").sort_values("__id")
+            if len(f) < 2:
+                continue
+            strs = f["__s"].to_numpy(dtype=object)
+            ids = f["__id"].to_numpy()
+            ln = len(strs[0])
+            if ln == 0:
+                m = np.zeros((len(strs), 1), dtype=np.uint32)
+            else:
+                m = (
+                    np.array(strs, dtype=f"U{ln}")
+                    .view(np.uint32)
+                    .reshape(len(strs), ln)
+                )
+            for lo in range(0, len(strs), compare_chunk):
+                hi = min(lo + compare_chunk, len(strs))
+                # (slab, group, ln) bool — bounded by chunk × group × ln
+                diff = (m[lo:hi, None, :] != m[None, :, :]).sum(axis=2)
+                ii, jj = np.nonzero(diff <= 1)
+                ii += lo
+                keep = ids[ii] < ids[jj]
+                out_a.append(ids[ii[keep]])
+                out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    keyed = ds.map_batches(halves, batch_format="pyarrow")
+    pairs = keyed.groupby("__b").map_groups(
+        pairs_in_group, batch_format="pandas"
+    )
+    return _dedup_pairs(pairs, cols=("id_a", "id_b"), num_buckets=num_buckets)

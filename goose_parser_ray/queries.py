@@ -3174,6 +3174,176 @@ def q_ann_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Entity-resolution fuzzy join: EXACT Hamming-≤1 duplicate pairs over
+    customer names via the split-block trick (two blocking passes on half
+    strings — every distance-1 pair agrees exactly on one half, so no
+    all-pairs scan and no misses; ``functions/dedup.py:hamming1_pairs``).
+    For equal-length strings Hamming ≤1 ⟺ Levenshtein ≤1, which is what
+    the DuckDB twin checks."""
+    from goose_parser_ray.functions.dedup import hamming1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return hamming1_pairs(ds, col="c_name", id_col="c_custkey")
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND length(a.c_name) = length(b.c_name)
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_regr_by_flag(sf_dir: str):
+    """Grouped simple linear regression (price-cents on quantity per
+    returnflag) — slope and intercept from the same exact BIGINT partials
+    as q_corr_by_flag (n, Σx, Σy, Σx², Σxy), closed form evaluated
+    identically in float64 on both engines, e6/cents fixed point. Integer
+    headroom: per-row xy ≤ 5·10⁸ keeps Σxy inside int64 to ~10¹⁰ rows —
+    past that the partials move to float64 Kahan sums (documented, not
+    needed at this surface)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = _cents(t["l_extendedprice"])
+        return pa.Table.from_arrays(
+            [t["l_returnflag"], x, y, pc.multiply(x, x), pc.multiply(x, y)],
+            names=["l_returnflag", "x", "y", "xx", "xy"],
+        )
+
+    partials = pre_aggregated_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        sums={"x": "sx", "y": "sy", "xx": "sxx", "xy": "sxy"},
+        count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        n = d["n"].to_numpy(np.int64)
+        sx, sy = d["sx"].to_numpy(np.int64), d["sy"].to_numpy(np.int64)
+        sxx, sxy = d["sxx"].to_numpy(np.int64), d["sxy"].to_numpy(np.int64)
+        slope = (n * sxy - sx * sy).astype(np.float64) / (
+            n * sxx - sx * sx
+        ).astype(np.float64)
+        icept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / (
+            n.astype(np.float64)
+        )
+        return pa.Table.from_arrays(
+            [
+                t["l_returnflag"],
+                pc.cast(
+                    pc.round(
+                        pa.array(1e6 * slope),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                pc.cast(
+                    pc.round(
+                        pa.array(icept), round_mode="half_towards_infinity"
+                    ),
+                    pa.int64(),
+                ),
+            ],
+            names=["l_returnflag", "slope_e6", "intercept_cents"],
+        )
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REGR_BY_FLAG = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE) /
+         CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(ROUND(1000000 * slope) AS BIGINT) AS slope_e6,
+       CAST(ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_cents
+FROM f
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active week,
+    counted per week offset since that cohort week — the standard
+    engagement analysis. Distributed shape: distinct (user, week) via a
+    map-side per-batch dedup + one user-bucketed grouped pass that derives
+    the cohort (min week) and emits (cohort, offset) rows; final tiny
+    pre-aggregated count. Weeks are epoch-day//7 ints — identical
+    arithmetic both engines, no date-function divergence risk."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        # pure integer epoch-µs → week arithmetic (no float division, so
+        # no boundary-rounding divergence against the SQL twin)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        week = (us // 1_000_000 // 86_400 // 7).astype(np.int64)
+        out = pa.Table.from_arrays(
+            [t["user_id"], pa.array(week)], names=["user_id", "week"]
+        )
+        df = out.to_pandas().drop_duplicates()  # map-side distinct combine
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return _dedup.add_hash_bucket(out, "user_id", nb, "__cb")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        cohort = g.groupby("user_id")["week"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_week": cohort.astype(np.int64),
+                "week_offset": (g["week"] - cohort).astype(np.int64),
+            }
+        )
+
+    weeks = ds.map_batches(to_weeks, batch_format="pyarrow")
+    per = weeks.groupby("__cb").map_groups(per_user, batch_format="pandas")
+    return pre_aggregated_sum(
+        per, keys=["cohort_week", "week_offset"], sums={}, count_alias="n_users"
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 1000000 // 86400 // 7 AS BIGINT) AS week
+  FROM events
+), c AS (
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw
+)
+SELECT cohort_week, CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_week, week - cohort_week
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3760,6 +3930,9 @@ QUERIES = {
     "ngram_dup_spans": q_ngram_dup_spans,
     "semdedup": q_semdedup,
     "ann_recall": q_ann_recall,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "regr_by_flag": q_regr_by_flag,
+    "cohort_retention": q_cohort_retention,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3792,6 +3965,9 @@ ORACLE_SQL = {
     "join_full": SQL_JOIN_FULL,
     "join_anti": SQL_JOIN_ANTI,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "regr_by_flag": SQL_REGR_BY_FLAG,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,

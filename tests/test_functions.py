@@ -1479,3 +1479,38 @@ def test_semdedup_removes_near_identical_keeps_min_id(ray_session):
             .tolist()
         )
         assert kept == [0, 10, 20], (guard, kept)
+
+
+def test_hamming1_pairs_split_block_exact(ray_session):
+    """hamming1_pairs: identical strings, one-substitution pairs (in either
+    half), unicode strings, and different-length strings (never paired) —
+    must equal the brute-force reference exactly."""
+    import itertools
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import hamming1_pairs
+
+    vals = [
+        (1, "abcdef"),
+        (2, "abcdeX"),   # differs from 1 in second half
+        (3, "Xbcdef"),   # differs from 1 in first half
+        (4, "abcdef"),   # identical to 1
+        (5, "abcXYf"),   # distance 2 from 1 -> no pair with 1
+        (6, "abcdefg"),  # different length -> never paired
+        (7, "héllo"),
+        (8, "hållo"),    # unicode substitution, distance 1
+        (9, ""),
+        (10, ""),        # empty strings: identical pair
+    ]
+    ref = sorted(
+        (a, b)
+        for (a, sa), (b, sb) in itertools.combinations(vals, 2)
+        if len(sa) == len(sb)
+        and sum(x != y for x, y in zip(sa, sb)) <= 1
+    )
+    df = pd.DataFrame({"k": [v[0] for v in vals], "s": [v[1] for v in vals]})
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:]])
+    out = hamming1_pairs(ds, col="s", id_col="k").to_pandas()
+    got = sorted(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert got == ref, (got, ref)
