@@ -1705,3 +1705,251 @@ def hamming1_pairs(
         pairs_in_group, batch_format="pandas"
     )
     return _dedup_pairs(pairs, cols=("id_a", "id_b"), num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (AllPairs/PPJoin-style prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_join(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    df_broadcast_guard: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT set-similarity self-join: all pairs whose lowercased
+    whitespace-token SETS have Jaccard ≥ ``threshold_num/threshold_den``
+    — the AllPairs/PPJoin prefix-filter construction (Bayardo et al.
+    WWW'07), the exact counterpart of the MinHash approximate path.
+    Returns (id_a, id_b, jac_e4) with id_a < id_b; all threshold math is
+    integer (no float Jaccard compare), so a SQL twin matches exactly.
+
+    Distributed shape, three streaming stages:
+
+    1. DF pass: distinct (doc, token) per batch → one token-keyed count
+       (document frequency). The (df, token) pair IS the global token
+       order — no dense rank materialization. Vocab attaches size-gated:
+       ``ray.put`` broadcast under ``df_broadcast_guard`` distinct tokens,
+       hash-partitioned join past it.
+    2. PREFIX blocking: per doc sort tokens by (df, token) ascending
+       (rarest first) and emit only the first l − ⌈τ·l⌉ + 1 tokens
+       (integer ceil). Prefix-filter theorem: any pair with Jaccard ≥ τ
+       shares ≥1 prefix token, so blocking on prefix tokens has ZERO
+       misses. Pairs form inside per-token groups (coalesced into coarse
+       hash buckets) under the integer length filter den·min ≥ num·max;
+       prefix tokens are rare-by-construction, which is what keeps the
+       blocks small.
+    3. VERIFY: exact intersection counts via two hash-partitioned joins of
+       the candidate pairs against the distinct token table ((id_a) then
+       (id_b, token)) + a grouped count — no broadcast of the corpus, no
+       driver collection; then the integer Jaccard gate
+       den·inter ≥ num·(la + lb − inter)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    num, den = threshold_num, threshold_den
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.fill_null(t[col], ""))
+        toks = pc.split_pattern_regex(s, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat, parent = flat.filter(mask), parent.filter(mask)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids[parent.to_numpy(zero_copy_only=False)],
+             "token": flat.to_pandas().to_numpy(dtype=object)}
+        ).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(df["doc_id"].astype(np.int64)),
+             "token": pa.array(df["token"], pa.string())}
+        )
+
+    tokens = ds.map_batches(
+        distinct_tokens, batch_format="pyarrow"
+    ).materialize()
+    n_tok_rows = tokens.count()
+
+    # token document frequencies (map-side partial counts → one aggregate)
+    def tok_partial(t: pa.Table) -> pa.Table:
+        c = (
+            t.to_pandas().groupby("token", sort=False).size().rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"token": pa.array(c["token"], pa.string()),
+             "n": pa.array(c["n"].astype(np.int64))}
+        )
+
+    dfreq = (
+        tokens.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="df"))
+        .materialize()
+    )
+    n_vocab = dfreq.count()
+
+    nb = num_shuffle_buckets(n_tok_rows)
+
+    def prefix_emit(frame: pd.DataFrame) -> pd.DataFrame:
+        # sort by (df, token) — the global total order — inside each doc,
+        # keep the l - ceil(τ·l) + 1 rarest tokens, carry the set size
+        frame = frame.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        l = frame.groupby("doc_id", sort=False)["token"].transform("size")
+        rank = frame.groupby("doc_id", sort=False).cumcount()
+        p = l - (num * l + den - 1) // den + 1
+        out = frame.loc[rank < p, ["doc_id", "token"]].copy()
+        out["l"] = l[rank < p]
+        return out
+
+    if n_vocab <= df_broadcast_guard:
+        df_pd = dfreq.to_pandas()
+        df_ref = _ray.put(
+            (pa.array(df_pd["token"], pa.string()),
+             df_pd["df"].to_numpy(np.int64))
+        )
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            vocab, dfs = _ray.get(df_ref)
+            idx = pc.index_in(t["token"], value_set=vocab).to_numpy(
+                zero_copy_only=False
+            )
+            return t.append_column("df", pa.array(dfs[idx]))
+
+        with_df = tokens.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        with_df = tokens.join(
+            dfreq, join_type="inner", num_partitions=num_partitions,
+            on=("token",),
+        )
+
+    bucketed = with_df.map_batches(
+        lambda t: add_hash_bucket(t, "doc_id", nb, "__db"),
+        batch_format="pyarrow",
+    )
+    prefixes = bucketed.groupby("__db").map_groups(
+        lambda g: prefix_emit(g.drop(columns="__db")), batch_format="pandas"
+    )
+
+    # candidate pairs inside per-prefix-token groups (+ length filter)
+    pnb = num_shuffle_buckets(n_tok_rows)
+
+    def pairs_in_token_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, f in g.groupby("token", sort=False):
+            f = f.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(f) < 2:
+                continue
+            ids = f["doc_id"].to_numpy()
+            ls = f["l"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            lo = np.minimum(ls[ii], ls[jj])
+            hi = np.maximum(ls[ii], ls[jj])
+            keep = den * lo >= num * hi  # length filter, integer
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    pref_bucketed = prefixes.map_batches(
+        lambda t: add_hash_bucket(t, "token", pnb, "__tb"),
+        batch_format="pyarrow",
+    )
+    cand = pref_bucketed.groupby("__tb").map_groups(
+        pairs_in_token_group, batch_format="pandas"
+    )
+    cand = _dedup_pairs(cand, cols=("id_a", "id_b"), num_buckets=pnb)
+
+    # exact verification via two hash joins + grouped intersection count
+    j1 = cand.join(
+        tokens, join_type="inner", num_partitions=num_partitions,
+        on=("id_a",), right_on=("doc_id",),
+    )
+    tok_b = tokens.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["token"]], names=["id_b", "token"]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        tok_b, join_type="inner", num_partitions=num_partitions,
+        on=("id_b", "token"),
+    )
+
+    def inter_partial(t: pa.Table) -> pa.Table:
+        c = (
+            t.select(["id_a", "id_b"]).to_pandas()
+            .groupby(["id_a", "id_b"], sort=False).size().rename("i")
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(c["id_a"].astype(np.int64)),
+             "id_b": pa.array(c["id_b"].astype(np.int64)),
+             "i": pa.array(c["i"].astype(np.int64))}
+        )
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    inter = pre_aggregated_sum(
+        j2.map_batches(inter_partial, batch_format="pyarrow"),
+        keys=["id_a", "id_b"], sums={"i": "i"},
+    )
+
+    # set sizes (one tiny table), attached by join twice
+    sizes = pre_aggregated_sum(
+        tokens.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["doc_id"], pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                names=["doc_id", "one"],
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["doc_id"], sums={"one": "l"},
+    )
+    sa = sizes.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["l"]], names=["id_a", "la"]
+        ),
+        batch_format="pyarrow",
+    )
+    sb = sizes.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["l"]], names=["id_b", "lb"]
+        ),
+        batch_format="pyarrow",
+    )
+    withs = inter.join(
+        sa, join_type="inner", num_partitions=num_partitions, on=("id_a",)
+    ).join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def gate(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = t["la"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = t["lb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = la + lb - i
+        keep = den * i >= num * union
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(
+                t["id_a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+            ),
+             "id_b": pa.array(
+                t["id_b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+            ),
+             "jac_e4": pa.array(10000 * i[keep] // union[keep])}
+        )
+
+    return withs.map_batches(gate, batch_format="pyarrow")

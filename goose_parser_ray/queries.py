@@ -3344,6 +3344,43 @@ FROM c GROUP BY cohort_week, week - cohort_week
 """
 
 
+def q_set_similarity(sf_dir: str):
+    """EXACT token-set Jaccard self-join at τ = 9/10 via AllPairs/PPJoin
+    prefix filtering (``functions/dedup.py:set_similarity_join``) — the
+    exact counterpart of the MinHash approximate path, with zero misses
+    by the prefix-filter theorem and all-integer threshold math so the
+    DuckDB twin matches bit-for-bit."""
+    from goose_parser_ray.functions.dedup import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # τ=0.9: the synthetic docs are template-generated, so unigram sets
+    # are highly similar corpus-wide — lower thresholds explode the pair
+    # set (τ=0.6 → 71k pairs among 500 docs at sf0.01)
+    return set_similarity_join(ds, threshold_num=9, threshold_den=10)
+
+
+SQL_SET_SIMILARITY = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), sz AS (
+  SELECT doc_id, COUNT(*) AS l FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(10000 * i // (sa.l + sb.l - i) AS BIGINT) AS jac_e4
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE 10 * i >= 9 * (sa.l + sb.l - i)
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3933,6 +3970,7 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "regr_by_flag": q_regr_by_flag,
     "cohort_retention": q_cohort_retention,
+    "set_similarity": q_set_similarity,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3968,6 +4006,7 @@ ORACLE_SQL = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "set_similarity": SQL_SET_SIMILARITY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,

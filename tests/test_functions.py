@@ -1514,3 +1514,46 @@ def test_hamming1_pairs_split_block_exact(ray_session):
     out = hamming1_pairs(ds, col="s", id_col="k").to_pandas()
     got = sorted(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
     assert got == ref, (got, ref)
+
+
+def test_set_similarity_join_matches_bruteforce(ray_session):
+    """set_similarity_join must equal a brute-force all-pairs Jaccard scan
+    on both the df-broadcast and df-join paths (guard=0), including docs
+    split across blocks, repeated tokens (set semantics), and case folding."""
+    import itertools
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import set_similarity_join
+
+    rows = [
+        (1, "apple banana cherry date"),
+        (2, "apple banana cherry fig"),      # jac 3/5 with 1
+        (3, "Apple BANANA cherry date"),     # identical set to 1 (case fold)
+        (4, "apple apple banana banana cherry date"),  # same SET as 1
+        (5, "zebra yak xenon"),
+        (6, "zebra yak xenon"),              # identical to 5
+        (7, "completely different words here"),
+    ]
+    num, den = 3, 5
+
+    def toks(s):
+        return set(s.lower().split())
+
+    ref = {}
+    for (a, sa), (b, sb) in itertools.combinations(rows, 2):
+        ta, tb = toks(sa), toks(sb)
+        i, u = len(ta & tb), len(ta | tb)
+        if den * i >= num * u:
+            ref[(a, b)] = 10000 * i // u
+
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    for kwargs in ({}, {"df_broadcast_guard": 0, "num_partitions": 2}):
+        out = set_similarity_join(
+            ds, threshold_num=num, threshold_den=den, **kwargs
+        ).to_pandas()
+        got = {
+            (int(r.id_a), int(r.id_b)): int(r.jac_e4) for r in out.itertuples()
+        }
+        assert got == ref, (kwargs, got, ref)
