@@ -3381,6 +3381,178 @@ WHERE 10 * i >= 9 * (sa.l + sb.l - i)
 """
 
 
+def q_range_window(sf_dir: str):
+    """Time-based sliding window (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW) — the time-range sibling of moving_avg's ROWS window.
+    Hash-bucketed users; inside each group one sort + vectorized two-pointer
+    (``np.searchsorted`` on epoch-µs) + cumsum differences. RANGE semantics
+    include ALL ts-peers of the current row, so the result is independent
+    of intra-tie order — no tie-break column needed."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "v_e4"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__rw")
+
+    HOUR_US = 3_600_000_000
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        out = []
+        for _, f in g.groupby("user_id", sort=False):
+            ts = f["ts"].astype("int64").to_numpy()  # epoch µs
+            v = f["v_e4"].to_numpy()
+            csum = np.concatenate([[0], np.cumsum(v)])
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": f["user_id"],
+                        "ts": f["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                        "win1h_sum_e4": (csum[hi] - csum[lo]).astype(np.int64),
+                        "win1h_n": (hi - lo).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__rw").map_groups(window, batch_format="pandas")
+
+
+SQL_RANGE_WINDOW = """
+WITH d AS (
+  SELECT user_id, ts, CAST(ROUND(10000 * value) AS BIGINT) AS v_e4 FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(v_e4) OVER w AS BIGINT) AS win1h_sum_e4,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win1h_n
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences: how often
+    event_type A is immediately followed by B (the bigram-over-streams
+    op — session-path analysis). Bucketed users, vectorized shift inside,
+    tiny (A,B)-keyed count aggregate; (ts, event_id) ordering is
+    deterministic on both engines."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__tb")
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_u = g["user_id"].shift()
+        prev_t = g["event_type"].shift()
+        same = prev_u == g["user_id"]
+        c = (
+            pd.DataFrame(
+                {"prev_type": prev_t[same], "next_type": g["event_type"][same]}
+            )
+            .groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return c
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    per_bucket = ds.groupby("__tb").map_groups(
+        transitions, batch_format="pandas"
+    )
+    return pre_aggregated_sum(
+        per_bucket, keys=["prev_type", "next_type"], sums={"n": "n"}
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_first_last_per_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per partition, computed mergeably: each
+    batch keeps only its per-user first and last candidate rows (≤2 rows
+    per user per batch move through the shuffle), the bucketed final pass
+    picks the global endpoints. Deterministic (ts, event_id) order."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=False)
+        ends = pd.concat([g.head(1), g.tail(1)]).drop_duplicates(
+            subset=["user_id", "event_id"]
+        )
+        return _dedup.add_hash_bucket(
+            pa.Table.from_pandas(ends, preserve_index=False), "user_id", nb,
+            "__fb",
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gb = g.groupby("user_id", sort=False)
+        first = gb["event_type"].first()
+        last = gb["event_type"].last()
+        out = pd.DataFrame(
+            {
+                "user_id": first.index,
+                "first_type": first.to_numpy(),
+                "last_type": last.to_numpy(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.groupby("__fb").map_groups(finish, batch_format="pandas")
+
+
+SQL_FIRST_LAST_PER_USER = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT f.user_id, f.event_type AS first_type, l.event_type AS last_type
+FROM o f JOIN o l ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = l.n
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
@@ -3971,6 +4143,9 @@ QUERIES = {
     "regr_by_flag": q_regr_by_flag,
     "cohort_retention": q_cohort_retention,
     "set_similarity": q_set_similarity,
+    "range_window": q_range_window,
+    "event_transitions": q_event_transitions,
+    "first_last_per_user": q_first_last_per_user,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -4007,6 +4182,9 @@ ORACLE_SQL = {
     "regr_by_flag": SQL_REGR_BY_FLAG,
     "cohort_retention": SQL_COHORT_RETENTION,
     "set_similarity": SQL_SET_SIMILARITY,
+    "range_window": SQL_RANGE_WINDOW,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "first_last_per_user": SQL_FIRST_LAST_PER_USER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "union_names": SQL_UNION_NAMES,
     "distinct_sources": SQL_DISTINCT_SOURCES,
