@@ -23,18 +23,42 @@ def read_documents(
     path: str,
     columns: list[str] | None = None,
     num_blocks: int | None = None,
+    fmt: str | None = None,
 ) -> ray.data.Dataset:
     """Read an interleaved-span documents table (FIXTURES.md F1 schema).
 
-    Column pruning is passed down to the reader so only requested columns
-    leave storage (read-level pruning — a 100 TB corpus must never ship
-    unused columns through the object store). ``num_blocks`` controls block
-    granularity: finer blocks balance the extract pool's drain tail
-    (measured: coarse ~9k-row blocks cost ~1.8s of tail imbalance per
-    actor; ~16 blocks/CPU erases it)."""
-    if _lance_available():  # pragma: no cover
-        return ray.data.read_lance(path, columns=columns)
+    ``fmt`` selects the source format (``parquet`` | ``jsonl`` | ``csv`` |
+    ``lance``); when omitted it is inferred from the file extension
+    (directories and ``.parquet`` → parquet). Parquet/Lance are the scale
+    path — column pruning is passed down to the reader so only requested
+    columns leave storage (read-level pruning — a 100 TB corpus must never
+    ship unused columns through the object store). JSONL/CSV are ingest
+    formats: rows are parsed distributed (one read task per file/block)
+    but pruning happens post-parse, so convert to parquet before repeated
+    scans. ``num_blocks`` controls block granularity: finer blocks balance
+    the extract pool's drain tail (measured: coarse ~9k-row blocks cost
+    ~1.8s of tail imbalance per actor; ~16 blocks/CPU erases it)."""
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "jsonl"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        elif _lance_available():  # pragma: no cover
+            fmt = "lance"
+        else:
+            fmt = "parquet"
     kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    if fmt == "lance":  # pragma: no cover - sandbox has no pylance
+        return ray.data.read_lance(path, columns=columns)
+    if fmt == "jsonl":
+        ds = ray.data.read_json(path, **kw)
+        return ds.select_columns(columns) if columns else ds
+    if fmt == "csv":
+        ds = ray.data.read_csv(path, **kw)
+        return ds.select_columns(columns) if columns else ds
+    if fmt != "parquet":
+        raise ValueError(f"unknown documents format: {fmt!r}")
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 

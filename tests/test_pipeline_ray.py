@@ -202,3 +202,48 @@ def test_extract_corpus_fragment_mode_resume(corpus, tmp_path, ray_session):
         assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
     # per-partition row counts recorded via streamed metrics
     assert sum(r["row_count"] for r in manifest.records()) == 40
+
+
+def test_read_documents_jsonl_csv_roundtrip(ray_session, tmp_path):
+    """read_documents: JSONL and CSV ingest paths must yield the same rows
+    as the parquet scale path, with format inference from the extension
+    and column pruning applied post-parse."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.sources.io import read_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "gamma", "delta epsilon zeta"],
+            "lang": ["en", "de", "en"],
+        }
+    )
+    pq_path = str(tmp_path / "docs.parquet")
+    jl_path = str(tmp_path / "docs.jsonl")
+    csv_path = str(tmp_path / "docs.csv")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), pq_path)
+    df.to_json(jl_path, orient="records", lines=True)
+    df.to_csv(csv_path, index=False)
+
+    base = (
+        read_documents(pq_path, columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for p in (jl_path, csv_path):
+        got = (
+            read_documents(p, columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_documents(pq_path, fmt="avro")
