@@ -1417,7 +1417,30 @@ def duplicated_ngram_stats(
         )
 
     # dup counts exist only for docs with ≥1 duplicated position — left
-    # attach onto totals and zero-fill.
+    # attach onto totals and zero-fill. Size-gated like filter_out_ids:
+    # a small dup-count table ships via ray.put and merges map-side (the
+    # hash-join path pays aggregator spin-up that dominates at small
+    # corpora); the join path takes over past the guard.
+    dupc = dupc.materialize()
+    if dupc.count() <= dup_broadcast_guard:
+        import ray as _ray
+
+        dupc_ref = _ray.put(dupc.to_pandas())
+
+        def attach(t: pa.Table) -> pa.Table:
+            lut = _ray.get(dupc_ref)
+            df = t.to_pandas().merge(lut, on=id_col, how="left")
+            return pa.Table.from_pydict(
+                {id_col: pa.array(df[id_col].astype(np.int64)),
+                 "total_ngrams": pa.array(
+                     df["total_ngrams"].astype(np.int64)
+                 ),
+                 "dup_ngrams": pa.array(
+                     df["dup_ngrams"].fillna(0).astype(np.int64)
+                 )}
+            )
+
+        return total.map_batches(attach, batch_format="pyarrow")
     j = total.join(
         dupc,
         join_type="left_outer",
@@ -1720,6 +1743,7 @@ def set_similarity_join(
     threshold_num: int = 3,
     threshold_den: int = 5,
     df_broadcast_guard: int = 2_000_000,
+    verify_broadcast_bytes: int = 1 << 30,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT set-similarity self-join: all pairs whose lowercased
@@ -1872,9 +1896,74 @@ def set_similarity_join(
     cand = pref_bucketed.groupby("__tb").map_groups(
         pairs_in_token_group, batch_format="pandas"
     )
-    cand = _dedup_pairs(cand, cols=("id_a", "id_b"), num_buckets=pnb)
+    cand = _dedup_pairs(cand, cols=("id_a", "id_b"), num_buckets=pnb).materialize()
 
-    # exact verification via two hash joins + grouped intersection count
+    # VERIFY, tiered like verify_candidates_jaccard_distributed: at small
+    # candidate counts the hash-join path pays multi-second aggregator
+    # spin-up per join, so when the candidate-endpoint token rows fit under
+    # ``verify_broadcast_bytes`` the whole verification is three pandas C
+    # merges on the driver (pairs and endpoint tokens are both bounded by
+    # the candidate set, never the corpus). Past the gate: two
+    # hash-partitioned joins + grouped count — no driver collection.
+    cand_pd = None
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "jac_e4": pa.array([], pa.int64())}
+            )
+        )
+    ends_pd = cand.to_pandas() if n_cand <= df_broadcast_guard else None
+    if ends_pd is not None:
+        import ray as _ray
+
+        end_ids = pa.array(
+            np.unique(
+                np.concatenate(
+                    [ends_pd["id_a"].to_numpy(), ends_pd["id_b"].to_numpy()]
+                )
+            )
+        )
+        id_ref = _ray.put(end_ids)
+        cand_tokens = tokens.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["doc_id"], value_set=_ray.get(id_ref))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if (cand_tokens.size_bytes() or 0) <= verify_broadcast_bytes:
+            cand_pd = ends_pd
+            tok_pd = cand_tokens.to_pandas()
+    if cand_pd is not None:
+        sizes_pd = tok_pd.groupby("doc_id").size()
+        m = cand_pd.merge(
+            tok_pd.rename(columns={"doc_id": "id_a"}), on="id_a"
+        ).merge(
+            tok_pd.rename(columns={"doc_id": "id_b"}), on=["id_b", "token"]
+        )
+        inter_pd = (
+            m.groupby(["id_a", "id_b"], sort=False).size().rename("i")
+            .reset_index()
+        )
+        la = sizes_pd.reindex(inter_pd["id_a"]).to_numpy()
+        lb = sizes_pd.reindex(inter_pd["id_b"]).to_numpy()
+        i = inter_pd["i"].to_numpy()
+        union = la + lb - i
+        keep = den * i >= num * union
+        out = pd.DataFrame(
+            {
+                "id_a": inter_pd["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": inter_pd["id_b"].to_numpy()[keep].astype(np.int64),
+                "jac_e4": (10000 * i[keep] // union[keep]).astype(np.int64),
+            }
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False)
+        )
+
+    # scale path: exact verification via two hash joins + grouped count
     j1 = cand.join(
         tokens, join_type="inner", num_partitions=num_partitions,
         on=("id_a",), right_on=("doc_id",),
