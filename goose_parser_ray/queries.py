@@ -3576,6 +3576,75 @@ def q_kmeans(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (synchronized power iteration, per-round
+    hash-join + grouped-sum — see ``functions/graph.py``) over the
+    supplier→part edge graph from lineitem. Fixed 3 rounds (tol=0) so the
+    oracle can unroll the same iteration count in plain SQL; ranks are
+    compared at 1e-6 resolution (FP noise across engines ≪ 0.5e-6)."""
+    from goose_parser_ray.functions.graph import pagerank_distributed
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    ranks = pagerank_distributed(
+        ds, src="l_suppkey", dst="l_partkey",
+        damping=0.85, max_iters=3, tol=0.0,
+    )
+    return (
+        ranks.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t["node"], "rank_e6": _cents(t["rank"], 1_000_000)}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["rank_e6", "node"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_PAGERANK = """
+WITH edges AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS v
+  FROM lineitem
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+d1 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r0 r JOIN deg ON deg.u = r.node),
+c1 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r0 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r1 AS (SELECT nodes.node,
+              (0.15 / (SELECT n FROM nn)
+               + 0.85 * (SELECT dm FROM d1) / (SELECT n FROM nn))
+              + 0.85 * COALESCE(c1.c, 0) AS rank
+       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+d2 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r1 r JOIN deg ON deg.u = r.node),
+c2 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r1 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r2 AS (SELECT nodes.node,
+              (0.15 / (SELECT n FROM nn)
+               + 0.85 * (SELECT dm FROM d2) / (SELECT n FROM nn))
+              + 0.85 * COALESCE(c2.c, 0) AS rank
+       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+d3 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r2 r JOIN deg ON deg.u = r.node),
+c3 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r2 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r3 AS (SELECT nodes.node,
+              (0.15 / (SELECT n FROM nn)
+               + 0.85 * (SELECT dm FROM d3) / (SELECT n FROM nn))
+              + 0.85 * COALESCE(c3.c, 0) AS rank
+       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_e6
+FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4126,6 +4195,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_per_type": q_hll_users_per_type,
     "kmeans": q_kmeans,
+    "pagerank": q_pagerank,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4177,6 +4247,7 @@ ORACLE_SQL = {
     "percent_rank": SQL_PERCENT_RANK,
     "join_full": SQL_JOIN_FULL,
     "join_anti": SQL_JOIN_ANTI,
+    "pagerank": SQL_PAGERANK,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -1557,3 +1557,35 @@ def test_set_similarity_join_matches_bruteforce(ray_session):
             (int(r.id_a), int(r.id_b)): int(r.jac_e4) for r in out.itertuples()
         }
         assert got == ref, (kwargs, got, ref)
+
+
+def test_pagerank_distributed_matches_numpy(ray_session):
+    """pagerank_distributed must match the numpy power-iteration reference
+    (identical semantics: synchronized rounds, uniform teleport, dangling
+    mass redistributed) on a graph with cycles, a hub, and dangling nodes."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.graph import (
+        pagerank_distributed,
+        pagerank_numpy,
+    )
+
+    rng = np.random.RandomState(7)
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (1, 6)]  # 6 dangling
+    edges += [
+        (int(rng.randint(1, 10)), int(rng.randint(1, 10))) for _ in range(20)
+    ]
+    ref = pagerank_numpy(edges, max_iters=5)
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    out = pagerank_distributed(
+        ds, max_iters=5, tol=0.0, num_partitions=2
+    ).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["rank"]))
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
