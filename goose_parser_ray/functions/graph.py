@@ -186,6 +186,105 @@ def pagerank_distributed(
     return ranks
 
 
+def triangle_count(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int | None = None,
+) -> "dict[str, int]":
+    """Exact triangle / wedge / edge counts over a canonical undirected
+    edge list (``u < v``, distinct pairs). Returns
+    ``{"edges": E, "wedges": W, "triangles": T}``.
+
+    Scale shape: the classic two-join orientation method (edge-iterator on
+    the a<b<c orientation). The WEDGE COUNT never materializes wedges — it
+    is Σ_b in(b)·out(b) from two node-bounded degree aggregates joined on
+    the node. Triangles stream the wedge join (a,b)⋈(b,c) directly into the
+    closing-edge hash join on (a,c); nothing is collected driver-side. The
+    u<v orientation bounds wedge fan-out the same way degree-ordering does
+    in the standard algorithm."""
+    from ray.data.aggregate import Sum
+
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    e = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(t[u], pa.int64()), pc.cast(t[v], pa.int64())],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_edges = e.count()
+    if n_edges == 0:
+        return {"edges": 0, "wedges": 0, "triangles": 0}
+
+    def degrees(col: str, alias: str) -> ray.data.Dataset:
+        return pre_aggregated_sum(
+            e.map_batches(
+                lambda t, c=col: pa.Table.from_arrays(
+                    [t[c], pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                    names=["node", "one"],
+                ),
+                batch_format="pyarrow",
+            ),
+            keys=["node"], sums={"one": alias},
+        )
+
+    # wedges (a<b<c paths) = Σ_b (#edges ending at b) × (#edges starting at b)
+    prod = degrees("v", "l").join(
+        degrees("u", "r"), join_type="inner",
+        num_partitions=num_partitions, on=("node",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"w": pc.multiply(t["l"], t["r"])}
+        ),
+        batch_format="pyarrow",
+    )
+    row = prod.aggregate(Sum("w", alias_name="s"))
+    n_wedges = int(row["s"] or 0)
+
+    left = e.map_batches(
+        lambda t: pa.Table.from_arrays([t["u"], t["v"]], names=["a", "b"]),
+        batch_format="pyarrow",
+    )
+    right = e.map_batches(
+        lambda t: pa.Table.from_arrays([t["u"], t["v"]], names=["b", "c"]),
+        batch_format="pyarrow",
+    )
+    closing = e.map_batches(
+        lambda t: pa.Table.from_arrays([t["u"], t["v"]], names=["a", "c"]),
+        batch_format="pyarrow",
+    )
+    tri = (
+        left.join(right, join_type="inner",
+                  num_partitions=num_partitions, on=("b",))
+        .join(closing, join_type="inner",
+              num_partitions=num_partitions, on=("a", "c"))
+    )
+    return {"edges": n_edges, "wedges": n_wedges, "triangles": tri.count()}
+
+
+def triangle_count_numpy(edges: "list[tuple[int, int]]") -> "dict[str, int]":
+    """Brute-force reference with identical semantics (parity tests)."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for p in es for x in p})
+    n_wedges = sum(
+        sum(1 for e in es if e[1] == b) * sum(1 for e in es if e[0] == b)
+        for b in nodes
+    )
+    tri = 0
+    for a, b in es:
+        for c in nodes:
+            if c > b and (b, c) in es and (a, c) in es:
+                tri += 1
+    return {"edges": len(es), "wedges": n_wedges, "triangles": tri}
+
+
 def pagerank_numpy(
     edges: "list[tuple[int, int]]",
     *,

@@ -1,8 +1,9 @@
 """End-to-end pipelines (SURVEY.md §3.4)."""
 
+from goose_parser_ray.pipelines.compaction import compact_partitions
 from goose_parser_ray.pipelines.extraction import (
     build_extraction_pipeline,
     extract_corpus,
 )
 
-__all__ = ["build_extraction_pipeline", "extract_corpus"]
+__all__ = ["build_extraction_pipeline", "compact_partitions", "extract_corpus"]

@@ -3645,6 +3645,146 @@ FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
 """
 
 
+def q_triangles(sf_dir: str):
+    """Graph analytics: exact triangle count over the part co-purchase
+    graph (parts linked iff they appear in the same order). Edge build is
+    a native hash self-join on l_orderkey + distinct-pair aggregate; the
+    count uses the oriented (a<b<c) two-join method with a node-bounded
+    degree-product wedge count — see ``functions/graph.py``."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # deterministic 1/4 order slice: the full co-purchase graph is DENSE
+    # (avg degree ~80 at sf0.01) and wedge volume grows with degree² —
+    # the slice keeps the query within the per-query time budget while
+    # exercising the identical operator chain (oracle applies the same cut)
+    dis = pre_aggregated_sum(
+        li.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
+            ).filter(
+                pc.equal(
+                    pc.bit_wise_and(t["l_orderkey"], pa.scalar(3, pa.int64())),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["o", "p"], sums={}, count_alias="k",
+    ).drop_columns(["k"])
+    left = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "pu"]),
+        batch_format="pyarrow",
+    )
+    right = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "pv"]),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        left.join(right, join_type="inner",
+                  num_partitions=_dedup._default_join_partitions(), on=("o",))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["pu"], t["pv"]], names=["u", "v"]
+            ).filter(pc.less(t["pu"], t["pv"])),
+            batch_format="pyarrow",
+        )
+    )
+    edges = pre_aggregated_sum(
+        pairs, keys=["u", "v"], sums={}, count_alias="k"
+    ).drop_columns(["k"])
+    res = triangle_count(edges)
+    return pd.DataFrame(
+        {
+            "edges": [np.int64(res["edges"])],
+            "wedges": [np.int64(res["wedges"])],
+            "triangles": [np.int64(res["triangles"])],
+        }
+    )
+
+
+SQL_TRIANGLES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 3) = 0
+),
+pairs AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+degs AS (
+  SELECT node, SUM(l) AS l, SUM(r) AS r FROM (
+    SELECT v AS node, 1 AS l, 0 AS r FROM pairs
+    UNION ALL
+    SELECT u AS node, 0 AS l, 1 AS r FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS edges,
+       CAST((SELECT SUM(l * r) FROM degs) AS BIGINT) AS wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS triangles
+"""
+
+
+def q_lang_entropy(sf_dir: str):
+    """Corpus diagnostics: Shannon entropy of the language mix per source
+    (a mixture-balance signal for training-data curation). Two map-side
+    combined aggregates + one tiny join on the (source,lang) count table —
+    the raw corpus is touched exactly once."""
+    counts = pre_aggregated_sum(
+        _read(sf_dir, "documents", ["source", "lang"]),
+        keys=["source", "lang"], sums={}, count_alias="n",
+    )
+    totals = pre_aggregated_sum(counts, keys=["source"], sums={"n": "tot"})
+    terms = counts.join(
+        totals, join_type="inner",
+        num_partitions=_dedup._default_join_partitions(), on=("source",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "source": t["source"],
+                "term": pa.array(
+                    -(
+                        p := t["n"].to_numpy(zero_copy_only=False)
+                        / t["tot"].to_numpy(zero_copy_only=False)
+                    )
+                    * np.log(p)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ent = pre_aggregated_sum(terms, keys=["source"], sums={"term": "h"})
+    return ent.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"source": t["source"], "ent_e6": _cents(t["h"], 1_000_000)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_ENTROPY = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source)
+SELECT c.source,
+       CAST(ROUND(1000000 * SUM(
+         -(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+         * LN(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+       )) AS BIGINT) AS ent_e6
+FROM c JOIN t USING (source)
+GROUP BY c.source
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4196,6 +4336,8 @@ QUERIES = {
     "hll_users_per_type": q_hll_users_per_type,
     "kmeans": q_kmeans,
     "pagerank": q_pagerank,
+    "triangles": q_triangles,
+    "lang_entropy": q_lang_entropy,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4248,6 +4390,8 @@ ORACLE_SQL = {
     "join_full": SQL_JOIN_FULL,
     "join_anti": SQL_JOIN_ANTI,
     "pagerank": SQL_PAGERANK,
+    "triangles": SQL_TRIANGLES,
+    "lang_entropy": SQL_LANG_ENTROPY,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

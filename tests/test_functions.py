@@ -1559,6 +1559,29 @@ def test_set_similarity_join_matches_bruteforce(ray_session):
         assert got == ref, (kwargs, got, ref)
 
 
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Join-based triangle/wedge counts must equal the brute-force
+    reference on a random graph (hubs, isolated pairs, multi-triangles)."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.graph import (
+        triangle_count,
+        triangle_count_numpy,
+    )
+
+    rng = np.random.RandomState(3)
+    raw = {(int(rng.randint(1, 15)), int(rng.randint(1, 15))) for _ in range(60)}
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    ref = triangle_count_numpy(edges)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
+    )
+    assert triangle_count(ds, num_partitions=2) == ref
+    empty = ray.data.from_pandas(pd.DataFrame({"u": [], "v": []}))
+    assert triangle_count(empty) == {"edges": 0, "wedges": 0, "triangles": 0}
+
+
 def test_pagerank_distributed_matches_numpy(ray_session):
     """pagerank_distributed must match the numpy power-iteration reference
     (identical semantics: synchronized rounds, uniform teleport, dangling

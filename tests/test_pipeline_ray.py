@@ -247,3 +247,87 @@ def test_read_documents_jsonl_csv_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         read_documents(pq_path, fmt="avro")
+
+
+def test_compact_partitions_preserves_rows_and_resume(corpus, tmp_path):
+    """Compaction must (a) reduce files to 1 per partition, (b) change no
+    row, (c) keep the manifest valid so a subsequent run skips everything,
+    and (d) be idempotent."""
+    from goose_parser_ray.pipelines import compact_partitions
+
+    path, _ = corpus
+    out_dir = tmp_path / "out"
+    extract_corpus(
+        str(path), str(out_dir), num_partitions=6, waves=3,
+        salt_threshold=64, concurrency=2,
+    )
+    before = ray.data.read_parquet(str(out_dir)).to_pandas()
+
+    # fabricate the fragmented state a long multi-task run leaves behind:
+    # split every partition file into two small ones
+    for pdir in out_dir.glob("partition_id=*"):
+        files = sorted(pdir.glob("*.parquet"))
+        tbl = pq.read_table([str(f) for f in files])
+        for f in files:
+            f.unlink()
+        half = max(1, tbl.num_rows // 2)
+        pq.write_table(tbl.slice(0, half), pdir / "frag-0.parquet")
+        pq.write_table(tbl.slice(half), pdir / "frag-1.parquet")
+    n_files_before = len(list(out_dir.glob("partition_id=*/*.parquet")))
+    assert n_files_before == 12
+
+    s = compact_partitions(str(out_dir))
+    assert s["compacted"] > 0 and s["files_after"] <= s["files_before"]
+    assert len(list(out_dir.glob("partition_id=*/*.parquet"))) == 6
+
+    after = ray.data.read_parquet(str(out_dir)).to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+    b, a = key(before), key(after)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert [seq(s_) for s_ in a["spans"]] == [seq(s_) for s_ in b["spans"]]
+
+    # manifest still complete: resume skips all partitions
+    s2 = extract_corpus(
+        str(path), str(out_dir), num_partitions=6, waves=3,
+        salt_threshold=64, concurrency=2,
+    )
+    assert s2["skipped"] == 6 and s2["processed"] == 0
+
+    # idempotent: second compaction is a no-op
+    s3 = compact_partitions(str(out_dir))
+    assert s3["compacted"] == 0 and s3["skipped"] == 6
+
+
+def test_compact_verification_guard(corpus, tmp_path):
+    """A manifest/data row-count mismatch must leave the partition's files
+    untouched (and keep its record) rather than swap in bad data."""
+    import json
+
+    from goose_parser_ray.pipelines import compact_partitions
+
+    path, _ = corpus
+    out_dir = tmp_path / "out"
+    extract_corpus(
+        str(path), str(out_dir), num_partitions=2, waves=1,
+        salt_threshold=64, concurrency=2,
+    )
+    # fragment partition 0 so it is a compaction candidate, then corrupt
+    # its recorded row_count
+    pdir = out_dir / "partition_id=0"
+    files = sorted(pdir.glob("*.parquet"))
+    tbl = pq.read_table([str(f) for f in files])
+    for f in files:
+        f.unlink()
+    pq.write_table(tbl.slice(0, 1), pdir / "frag-0.parquet")
+    pq.write_table(tbl.slice(1), pdir / "frag-1.parquet")
+    rec_file = Manifest(str(out_dir)).dir / "partition-00000.json"
+    rec = json.loads(rec_file.read_text())
+    rec["row_count"] = rec["row_count"] + 999
+    rec_file.write_text(json.dumps(rec))
+
+    s = compact_partitions(str(out_dir))
+    assert s["compacted"] == 0
+    assert sorted(p.name for p in pdir.glob("*.parquet")) == [
+        "frag-0.parquet", "frag-1.parquet",
+    ]
+    assert rec_file.exists()
