@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -256,3 +257,42 @@ def salted_join(
     )
     drop = [c for c in ("__salt", "__rsalt") if c in out.columns()]
     return out.drop_columns(drop) if drop else out
+
+
+def _pareto_local(df: "pd.DataFrame", mn: str, mx: str) -> "pd.DataFrame":
+    """Rows not dominated within this frame (minimize ``mn``, maximize
+    ``mx``). Dominance: b dominates a iff b.mn <= a.mn and b.mx >= a.mx
+    with at least one strict. Exact duplicates on (mn, mx) never dominate
+    each other, matching the SQL NOT-EXISTS formulation. Vectorized:
+    per-mn-value max of mx, then a strict cummax scan over ascending mn."""
+    pairs = (
+        df.groupby(mn, as_index=False)[mx].max().sort_values(mn, kind="mergesort")
+    )
+    # a distinct pair survives iff its mx strictly exceeds every mx seen at
+    # a strictly smaller mn (equal mx at larger mn is dominated)
+    prev_best = pairs[mx].cummax().shift(1)
+    front = pairs[(prev_best.isna()) | (pairs[mx] > prev_best)]
+    keyed = df.merge(front, on=[mn, mx], how="inner")
+    return keyed
+
+
+def pareto_front(
+    ds: "ray.data.Dataset", *, minimize: str, maximize: str
+) -> "ray.data.Dataset":
+    """Distributed skyline (Pareto-dominance filter) on two criteria.
+
+    Scale shape: the global front is a subset of the union of per-block
+    fronts (any globally non-dominated row is non-dominated in its own
+    block), so phase 1 is an embarrassingly-parallel vectorized local
+    filter and phase 2 re-runs the same filter once over the (small)
+    union of survivors in a single partition. The final pass holds only
+    candidate front rows — bounded by the front size × blocks, not the
+    corpus."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return _pareto_local(df, minimize, maximize)
+
+    survivors = ds.map_batches(local, batch_format="pandas")
+    return survivors.repartition(1).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )

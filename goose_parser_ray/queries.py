@@ -3785,6 +3785,113 @@ GROUP BY c.source
 """
 
 
+def q_skyline(sf_dir: str):
+    """Skyline / Pareto-dominance filter (cheapest-yet-largest parts:
+    minimize p_retailprice, maximize p_size). Phase 1 is a vectorized
+    per-block front (embarrassingly parallel — the global front is a
+    subset of the union of local fronts), phase 2 re-runs the same kernel
+    once over the small survivor union. Dominance is evaluated on the raw
+    doubles in both engines; cents conversion is output-only."""
+    from goose_parser_ray.functions.relational import pareto_front
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    front = pareto_front(ds, minimize="p_retailprice", maximize="p_size")
+    return front.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"],
+                "price_cents": _cents(t["p_retailprice"]),
+                "p_size": t["p_size"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SKYLINE = """
+SELECT a.p_partkey,
+       CAST(ROUND(a.p_retailprice * 100) AS BIGINT) AS price_cents,
+       a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+def q_gapfill(sf_dir: str):
+    """Time-series resample with gap filling: per-hour event counts over
+    the full [min, max] span, absent hours emitted as 0 (the dense layout
+    chart/alerting consumers need). Counts come from one map-side combined
+    aggregate; the dense hour axis is bounded by the TIME SPAN (not the
+    corpus) so it is generated driver-side and left-joined against the
+    tiny count table."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["ts"])
+    hours = ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "bucket_s": pc.multiply(
+                    pc.divide(
+                        pc.cast(
+                            pc.cast(
+                                pc.floor_temporal(t["ts"], unit="second"),
+                                pa.timestamp("s"),
+                            ),
+                            pa.int64(),
+                        ),
+                        3600,
+                    ),
+                    3600,
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = pre_aggregated_sum(hours, keys=["bucket_s"], sums={}, count_alias="n")
+    span = hours.aggregate(Min("bucket_s", alias_name="lo"),
+                           Max("bucket_s", alias_name="hi"))
+    axis = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "bucket_s": pa.array(
+                    np.arange(span["lo"], span["hi"] + 1, 3600, dtype=np.int64)
+                )
+            }
+        )
+    )
+    return axis.join(
+        counts, join_type="left_outer",
+        num_partitions=_dedup._default_join_partitions(), on=("bucket_s",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "bucket_s": pc.cast(t["bucket_s"], pa.int64()),
+                "n": pc.cast(pc.coalesce(t["n"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GAPFILL = """
+WITH b AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s FROM events
+),
+c AS (SELECT bucket_s, COUNT(*) AS n FROM b GROUP BY bucket_s),
+axis AS (
+  SELECT UNNEST(generate_series(
+    (SELECT MIN(bucket_s) FROM b), (SELECT MAX(bucket_s) FROM b), 3600
+  )) AS bucket_s
+)
+SELECT axis.bucket_s, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM axis LEFT JOIN c USING (bucket_s)
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4338,6 +4445,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
+    "skyline": q_skyline,
+    "gapfill": q_gapfill,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4392,6 +4501,8 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
+    "skyline": SQL_SKYLINE,
+    "gapfill": SQL_GAPFILL,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -1612,3 +1612,34 @@ def test_pagerank_distributed_matches_numpy(ray_session):
     for k in ref:
         assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pareto_front_matches_bruteforce(ray_session):
+    """Distributed skyline == brute-force dominance filter, including
+    duplicate points on the front (neither dominates the other) and
+    ties along one axis, across multiple blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import pareto_front
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "cost": rng.randint(0, 40, 300).astype(float),
+            "gain": rng.randint(0, 40, 300),
+        }
+    )
+    rows = list(zip(df["cost"], df["gain"], df["id"]))
+
+    def dominated(a):
+        return any(
+            (c <= a[0] and g >= a[1]) and (c < a[0] or g > a[1])
+            for c, g, _ in rows
+        )
+
+    ref = sorted(i for r in rows if not dominated(r) for i in [r[2]])
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = pareto_front(ds, minimize="cost", maximize="gain").to_pandas()
+    assert sorted(out["id"].tolist()) == ref
