@@ -19,7 +19,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="goose_parser_ray.run", description=__doc__)
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", help="required unless --compact")
     p.add_argument("--output", required=True)
     p.add_argument("--rules", help="rule-tree JSON file (default: boilerplate mode)")
     p.add_argument("--registry", help="per-source rules registry JSON file (G8)")
@@ -37,7 +37,16 @@ def main(argv: list[str] | None = None) -> int:
         "pruning, single-partition blocks); --partitions is then derived "
         "from the file count",
     )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: compact fragmented partition directories "
+        "under --output down to one file each (crash-safe via the "
+        "manifest contract) instead of running an extraction",
+    )
     args = p.parse_args(argv)
+    if not args.compact and not args.input:
+        p.error("--input is required unless --compact is given")
 
     import ray
 
@@ -52,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.compact:
+        from goose_parser_ray.pipelines import compact_partitions
+
+        print(json.dumps(compact_partitions(args.output)))
+        ray.shutdown()
+        return 0
 
     rules = json.load(open(args.rules)) if args.rules else None
     registry = json.load(open(args.registry)) if args.registry else None

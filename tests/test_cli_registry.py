@@ -78,3 +78,41 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert summary["processed"] == 2 and summary["rows"] == 3
     back = pq.read_table(str(outdir / "partition_id=0")) if (outdir / "partition_id=0").exists() else None
     assert (outdir / "_manifest").is_dir()
+
+
+def test_cli_compact_mode(ray_session, tmp_path):
+    """--compact runs the maintenance pass instead of an extraction and
+    works without --input."""
+    inp = tmp_path / "documents.parquet"
+    pq.write_table(_docs_table(), inp)
+    outdir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "goose_parser_ray.run",
+            "--input", str(inp), "--output", str(outdir),
+            "--partitions", "2", "--waves", "1",
+            "--concurrency", "1", "--num-cpus", "2",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # fragment one partition so compaction has work
+    pdir = outdir / "partition_id=0"
+    files = sorted(pdir.glob("*.parquet"))
+    tbl = pq.read_table([str(f) for f in files])
+    for f in files:
+        f.unlink()
+    pq.write_table(tbl.slice(0, 1), pdir / "frag-0.parquet")
+    pq.write_table(tbl.slice(1), pdir / "frag-1.parquet")
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "goose_parser_ray.run",
+            "--output", str(outdir), "--compact", "--num-cpus", "2",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["compacted"] == 1
+    assert len(list(pdir.glob("*.parquet"))) == 1
