@@ -3892,6 +3892,129 @@ FROM axis LEFT JOIN c USING (bucket_s)
 """
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (count floor 10) with the same tokenizer as q_top_words. One corpus
+    scan emits BOTH pair and unigram per-batch partial counts (tagged
+    rows, materialized once — the partial stream is distinct-terms-per-
+    batch, far smaller than the corpus — so the lazy lineage is not
+    re-executed by the two downstream aggregates); the tiny floored pair
+    table then joins the unigram dictionary twice for the PMI closed form."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = np.asarray(pc.list_flatten(words).to_pylist(), dtype=object)
+        offs = words.offsets.to_numpy()
+        nonempty = flat != ""
+        uni = pd.Series(flat[nonempty]).value_counts()
+        frames = [
+            pd.DataFrame(
+                {"kind": "u", "w1": uni.index, "w2": "",
+                 "n": uni.to_numpy(np.int64)}
+            )
+        ]
+        if len(flat) >= 2:
+            same_doc = np.ones(len(flat) - 1, dtype=bool)
+            same_doc[offs[1:-1] - 1] = False  # last token of a doc
+            mask = same_doc & nonempty[:-1] & nonempty[1:]
+            pr = (
+                pd.DataFrame({"w1": flat[:-1][mask], "w2": flat[1:][mask]})
+                .groupby(["w1", "w2"], as_index=False)
+                .size()
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"kind": "p", "w1": pr["w1"], "w2": pr["w2"],
+                     "n": pr["size"].to_numpy(np.int64)}
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    uni = pre_aggregated_sum(
+        parts.filter(expr="kind == 'u'").drop_columns(["kind", "w2"]),
+        keys=["w1"], sums={"n": "c"},
+    )
+    pr = pre_aggregated_sum(
+        parts.filter(expr="kind == 'p'").drop_columns(["kind"]),
+        keys=["w1", "w2"], sums={"n": "c"},
+    )
+    from ray.data.aggregate import Sum
+
+    nw = int(uni.aggregate(Sum("c", alias_name="s"))["s"])
+    npair = int(pr.aggregate(Sum("c", alias_name="s"))["s"])
+
+    floored = pr.filter(expr="c >= 10")
+    a = uni.map_batches(
+        lambda t: pa.Table.from_arrays([t["w1"], t["c"]], names=["w1", "ca"]),
+        batch_format="pyarrow",
+    )
+    b = uni.map_batches(
+        lambda t: pa.Table.from_arrays([t["w1"], t["c"]], names=["w2", "cb"]),
+        batch_format="pyarrow",
+    )
+    nparts = _dedup._default_join_partitions()
+    joined = floored.join(
+        a, join_type="inner", num_partitions=nparts, on=("w1",)
+    ).join(b, join_type="inner", num_partitions=nparts, on=("w2",))
+
+    def pmi(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log((c / npair) / ((ca / nw) * (cb / nw)))
+        return pa.Table.from_pydict(
+            {
+                "w1": t["w1"], "w2": t["w2"],
+                "n": pc.cast(t["c"], pa.int64()),
+                "pmi_e6": _cents(pa.chunked_array([pa.array(val)]), 1_000_000),
+            }
+        )
+
+    return (
+        joined.map_batches(pmi, batch_format="pyarrow")
+        .sort(["pmi_e6", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+') AS w
+  FROM documents
+),
+uni AS (
+  SELECT word, COUNT(*) AS c FROM (SELECT unnest(w) AS word FROM toks)
+  WHERE word <> '' GROUP BY word
+),
+nw AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+pairs AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE w[i] <> '' AND w[i+1] <> ''
+),
+pr AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+np AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pr)
+SELECT p.w1, p.w2, CAST(p.c AS BIGINT) AS n,
+  CAST(ROUND(1000000 * LN(
+    (CAST(p.c AS DOUBLE) / (SELECT n FROM np))
+    / ((CAST(a.c AS DOUBLE) / (SELECT n FROM nw))
+       * (CAST(b.c AS DOUBLE) / (SELECT n FROM nw)))
+  )) AS BIGINT) AS pmi_e6
+FROM pr p JOIN uni a ON p.w1 = a.word JOIN uni b ON p.w2 = b.word
+WHERE p.c >= 10
+ORDER BY pmi_e6 DESC, p.w1, p.w2 LIMIT 20
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4447,6 +4570,7 @@ QUERIES = {
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
     "gapfill": q_gapfill,
+    "pmi_bigrams": q_pmi_bigrams,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4503,6 +4627,7 @@ ORACLE_SQL = {
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
     "gapfill": SQL_GAPFILL,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,
