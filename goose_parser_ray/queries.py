@@ -4015,6 +4015,37 @@ ORDER BY pmi_e6 DESC, p.w1, p.w2 LIMIT 20
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Web-archive interchange: export the corpus to WARC shards (one per
+    block, streaming map sink) and read it back via the parallel framed
+    parser — proving lossless doc_id/source/payload roundtrip against the
+    original table (see ``sources/warc.py``)."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.sources.warc import read_warc, write_warc_shards
+
+    out = "/tmp/warc_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    write_warc_shards(ds, out)
+    return read_warc(out).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4571,6 +4602,7 @@ QUERIES = {
     "skyline": q_skyline,
     "gapfill": q_gapfill,
     "pmi_bigrams": q_pmi_bigrams,
+    "warc_roundtrip": q_warc_roundtrip,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4628,6 +4660,7 @@ ORACLE_SQL = {
     "skyline": SQL_SKYLINE,
     "gapfill": SQL_GAPFILL,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -14,10 +14,13 @@ from goose_parser_ray.sources.corpus import (
     generate_corpus_table,
     wrap_flat_documents,
 )
+from goose_parser_ray.sources.warc import read_warc, write_warc_shards
 
 __all__ = [
     "read_documents",
     "write_spans",
     "generate_corpus_table",
     "wrap_flat_documents",
+    "read_warc",
+    "write_warc_shards",
 ]

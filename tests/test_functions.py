@@ -1643,3 +1643,43 @@ def test_pareto_front_matches_bruteforce(ray_session):
     ds = ray.data.from_pandas(df).repartition(6)
     out = pareto_front(ds, minimize="cost", maximize="gain").to_pandas()
     assert sorted(out["id"].tolist()) == ref
+
+
+def test_warc_roundtrip_exact(ray_session, tmp_path):
+    """WARC export→import must be byte-lossless on payloads containing
+    CRLFs, separators, unicode, and empty strings (Content-Length framing,
+    not delimiter scanning)."""
+    import pandas as pd
+
+    from goose_parser_ray.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc_shards,
+    )
+
+    texts = [
+        "plain",
+        "",
+        "crlf\r\n\r\ninside\r\n",
+        "unicode: привет 你好 — ∑",
+        "WARC/1.0\r\nContent-Length: 5\r\n\r\nfake!",  # payload that LOOKS like a record
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(len(texts))],
+            "source": [f"https://example.test/{i}" for i in range(len(texts))],
+            "text": texts,
+        }
+    )
+    out = tmp_path / "warc"
+    n = write_warc_shards(ray.data.from_pandas(df).repartition(2), str(out))
+    assert n == len(texts)
+    back = read_warc(str(out)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["text"].tolist() == texts
+    assert back["source"].tolist() == df["source"].tolist()
+
+    # corrupt magic is a loud error, not silent skipping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad WARC magic"):
+        parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
