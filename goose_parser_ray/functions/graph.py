@@ -104,23 +104,11 @@ def pagerank_distributed(
         batch_format="pyarrow",
     ).materialize()
 
-    # nodes WITH out-edges (to compute dangling mass per round)
-    out_nodes = deg.map_batches(
-        lambda t: pa.Table.from_arrays([t["u"]], names=["node"]),
-        batch_format="pyarrow",
-    ).materialize()
-
     def scalar_sum(ds: ray.data.Dataset, col: str) -> float:
         row = ds.aggregate(Sum(col, alias_name="s"))
         return float(row["s"] or 0.0)
 
     for _ in range(max_iters):
-        # dangling mass = total rank − rank held by nodes with out-edges
-        linked = ranks.join(
-            out_nodes, join_type="inner",
-            num_partitions=num_partitions, on=("node",),
-        )
-        dangling = 1.0 - scalar_sum(linked, "rank")
         # contributions along edges
         msgs = e.join(
             ranks, join_type="inner", num_partitions=num_partitions,
@@ -135,7 +123,13 @@ def pagerank_distributed(
             ),
             batch_format="pyarrow",
         )
-        contrib = pre_aggregated_sum(msgs, keys=["node"], sums={"c": "c"})
+        contrib = pre_aggregated_sum(
+            msgs, keys=["node"], sums={"c": "c"}
+        ).materialize()
+        # Σ contributions = Σ_{u: deg>0} rank(u) (each u emits deg copies
+        # of rank/deg), so the dangling mass needs NO extra ranks⋈out_nodes
+        # join — one tiny aggregate over the already-materialized contrib
+        dangling = 1.0 - scalar_sum(contrib, "c")
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
         new_ranks = nodes.join(
