@@ -296,3 +296,58 @@ def pareto_front(
     return survivors.repartition(1).map_batches(
         local, batch_format="pandas", batch_size=None
     )
+
+
+def diff_datasets(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    compare: list[str],
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Snapshot diff (CDC-style): rows ``added`` (key only in ``right``),
+    ``removed`` (only in ``left``), ``modified`` (present in both, any
+    ``compare`` column differs — null-safe). Unchanged rows are dropped
+    map-side after one full-outer hash join, so the output is bounded by
+    the CHANGE volume, not the table size."""
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = [t[key]] + [t[c] for c in compare]
+            names = [key] + [f"{c}__{side}" for c in compare]
+            cols.append(pa.array([True] * t.num_rows))
+            names.append(f"__in_{side}")
+            return pa.Table.from_arrays(cols, names=names)
+
+        return fn
+
+    j = left.map_batches(tag("l"), batch_format="pyarrow").join(
+        right.map_batches(tag("r"), batch_format="pyarrow"),
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=(key,),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_l = pc.fill_null(t["__in_l"], False)
+        in_r = pc.fill_null(t["__in_r"], False)
+        differs = pa.array([False] * t.num_rows)
+        for c in compare:
+            a, b = t[f"{c}__l"], t[f"{c}__r"]
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
+            differs = pc.or_(differs, pc.or_(neq, null_mismatch))
+        change = pc.if_else(
+            pc.and_(in_l, pc.invert(in_r)),
+            "removed",
+            pc.if_else(
+                pc.and_(in_r, pc.invert(in_l)),
+                "added",
+                pc.if_else(differs, "modified", "unchanged"),
+            ),
+        )
+        out = pa.Table.from_arrays([t[key], change], names=[key, "change"])
+        return out.filter(pc.not_equal(change, "unchanged"))
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -4046,6 +4046,67 @@ SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM documents
 """
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot diff (CDC-style migration validation): compare the
+    documents table against a deterministically mutated second snapshot
+    (1/8 of keys dropped, 1/8 value-bumped, 1/8 re-keyed as inserts) and
+    emit only the changed keys. One full-outer hash join; unchanged rows
+    are dropped map-side so the output is bounded by change volume."""
+    from goose_parser_ray.functions.relational import diff_datasets
+
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        m = pc.bit_wise_and(t["doc_id"], pa.scalar(7, pa.int64()))
+        kept = t.filter(pc.not_equal(m, 0))
+        km = pc.bit_wise_and(kept["doc_id"], pa.scalar(7, pa.int64()))
+        bumped = pc.if_else(
+            pc.equal(km, 1), pc.add(kept["n_chars"], 1), kept["n_chars"]
+        )
+        add_src = t.filter(pc.equal(m, 2))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        kept["doc_id"].combine_chunks(),
+                        pc.add(
+                            add_src["doc_id"], pa.scalar(10_000_000, pa.int64())
+                        ).combine_chunks(),
+                    ]
+                ),
+                "n_chars": pa.concat_arrays(
+                    [
+                        pc.cast(bumped, pa.int64()).combine_chunks(),
+                        add_src["n_chars"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    snap2 = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        mutate, batch_format="pyarrow"
+    )
+    return diff_datasets(base, snap2, key="doc_id", compare=["n_chars"])
+
+
+SQL_TABLE_DIFF = """
+WITH snap2 AS (
+  SELECT doc_id, CAST(n_chars + CASE WHEN (doc_id & 7) = 1 THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_chars
+  FROM documents WHERE (doc_id & 7) <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, n_chars
+  FROM documents WHERE (doc_id & 7) = 2
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'modified' END AS change
+FROM documents a FULL OUTER JOIN snap2 b USING (doc_id)
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.n_chars <> b.n_chars
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -4603,6 +4664,7 @@ QUERIES = {
     "gapfill": q_gapfill,
     "pmi_bigrams": q_pmi_bigrams,
     "warc_roundtrip": q_warc_roundtrip,
+    "table_diff": q_table_diff,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4661,6 +4723,7 @@ ORACLE_SQL = {
     "gapfill": SQL_GAPFILL,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "table_diff": SQL_TABLE_DIFF,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -1683,3 +1683,29 @@ def test_warc_roundtrip_exact(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="bad WARC magic"):
         parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_diff_datasets_null_safe(ray_session):
+    """null→value, value→null, and null→null transitions classify as
+    modified / modified / unchanged respectively; adds and removes detected."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import diff_datasets
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5, 6], "v": [10, None, None, 40, 50, 60]}
+    )
+    right = pd.DataFrame(
+        {"k": [2, 3, 4, 5, 7, 6], "v": [20, None, None, 50, 70, 60]}
+    )
+    out = (
+        diff_datasets(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="k", compare=["v"], num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("k")["change"]
+        .to_dict()
+    )
+    # k=3 (null→null) and k=5/6 (equal values) are unchanged and dropped
+    assert out == {1: "removed", 2: "modified", 4: "modified", 7: "added"}
