@@ -4390,6 +4390,92 @@ def q_data_pipeline(sf_dir: str):
 
 
 
+def q_web_pipeline(sf_dir: str):
+    """Flagship web-corpus curation composite, ORACLE-CHECKED end to end:
+    WARC archive roundtrip (real shard files on disk) → actor-pool lang-ID
+    → quality gate (basis-point threshold — integer-exact on both engines)
+    → exact dedup (min-id winner) → per-language doc/token rollup. Every
+    stage is the scale-shaped implementation verified individually; the
+    composed DuckDB twin nests the SAME generated lang-ID/quality SQL, so
+    the whole chain is hash-compared, not just row counts."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.textstats import (
+        LangIdActor,
+        add_quality_score,
+    )
+    from goose_parser_ray.sources.warc import read_warc, write_warc_shards
+
+    out = "/tmp/web_pipeline_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    src = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_rows = src.count()  # metadata-only (fresh parquet read)
+    write_warc_shards(src, out)
+
+    docs = read_warc(out).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = docs.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = add_quality_score(t, round_digits=None)
+        keep = pc.greater_equal(_cents(t["quality"], 10000), 5000)
+        return t.filter(keep).drop_columns(["quality"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    kept = exact_dedup(
+        gated, col="text", id_col="doc_id",
+        num_buckets=num_shuffle_buckets(n_rows),
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {"lang_pred": t["lang_pred"], "n_tok": n_tok}
+        )
+
+    return pre_aggregated_sum(
+        kept.map_batches(stats, batch_format="pyarrow"),
+        keys=["lang_pred"], sums={"n_tok": "sum_tokens"},
+        count_alias="n_docs",
+    )
+
+
+def _web_pipeline_sql() -> str:
+    """Composed oracle: nests the generated lang-ID and quality twins as
+    CTE subqueries (the WARC roundtrip is the identity over documents, so
+    the SQL side starts from the table directly)."""
+    return f"""
+WITH lang AS ({_langid_sql()}),
+qual AS ({_quality_sql()}),
+gated AS (
+  SELECT d.doc_id, d.text, l.lang_pred
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE q.quality_bp >= 5000
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+)
+SELECT g.lang_pred,
+       CAST(SUM(length(regexp_extract_all(g.text, '\\S+'))) AS BIGINT)
+           AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM dedup JOIN gated g ON dedup.doc_id = g.doc_id
+GROUP BY g.lang_pred
+"""
+
+
 def q_top_words(sf_dir: str):
     """Exact corpus vocabulary top-k (distributed wordcount): same tokenizer
     as lang-ID (split on non-letter/digit runs, lower-cased), map-side
@@ -4665,6 +4751,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "warc_roundtrip": q_warc_roundtrip,
     "table_diff": q_table_diff,
+    "web_pipeline": q_web_pipeline,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4785,6 +4872,7 @@ ORACLE_SQL = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "lang_id": _langid_sql(),
     "quality_score": _quality_sql(),
+    "web_pipeline": _web_pipeline_sql(),
     # dedup_minhash / dedup_simhash / dedup_embedding / ann_lsh /
     # hll (sketch vs exact) / sample_random (RNG) / fingerprint (crc32
     # rolling hash has no DuckDB equivalent) / media_decode / extract_spans
