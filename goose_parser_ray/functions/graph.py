@@ -307,3 +307,103 @@ def pagerank_numpy(
             break
         r = new
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+def kcore_distributed(
+    edges: ray.data.Dataset,
+    *,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Nodes of the k-core (maximal subgraph where every node has degree
+    ≥ k) of an undirected edge list, via the classic synchronized peel.
+
+    Scale shape: each round is one node-bounded degree aggregate plus two
+    semi-joins that keep only edges whose BOTH endpoints survive; the edge
+    set shrinks monotonically, so convergence is detected by an edge-count
+    fixed point (metadata-only after materialize). Per-round distributed
+    state = the current edge set; nothing is collected driver-side."""
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    e = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(t[u], pa.int64()), pc.cast(t[v], pa.int64())],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_edges = e.count()
+
+    def degrees(cur: ray.data.Dataset) -> ray.data.Dataset:
+        both = cur.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "one": pa.array(np.ones(2 * t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return pre_aggregated_sum(both, keys=["node"], sums={"one": "deg"})
+
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+        )
+    )
+    if n_edges == 0:
+        return empty
+
+    for _ in range(max_iters):
+        good = degrees(e).filter(expr=f"deg >= {int(k)}").materialize()
+        if good.count() == 0:
+            return empty
+        keep_u = good.map_batches(
+            lambda t: pa.Table.from_arrays([t["node"]], names=["u"]),
+            batch_format="pyarrow",
+        )
+        keep_v = good.map_batches(
+            lambda t: pa.Table.from_arrays([t["node"]], names=["v"]),
+            batch_format="pyarrow",
+        )
+        e2 = (
+            e.join(keep_u, join_type="inner",
+                   num_partitions=num_partitions, on=("u",))
+            .join(keep_v, join_type="inner",
+                  num_partitions=num_partitions, on=("v",))
+            .materialize()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return good
+        e, n_edges = e2, n2
+        if n_edges == 0:
+            return empty
+    return good
+
+
+def kcore_numpy(edges: "list[tuple[int, int]]", k: int) -> "set[int]":
+    """Brute-force peel reference with identical semantics (parity tests)."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    # NOTE: parallel edges collapse here; the distributed version counts
+    # them separately — pass distinct pairs when comparing.
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return set(deg)
+        es = {e for e in es if e[0] not in bad and e[1] not in bad}
+        if not es:
+            return set()

@@ -3645,21 +3645,15 @@ FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
 """
 
 
-def q_triangles(sf_dir: str):
-    """Graph analytics: exact triangle count over the part co-purchase
-    graph (parts linked iff they appear in the same order). Edge build is
-    a native hash self-join on l_orderkey + distinct-pair aggregate; the
-    count uses the oriented (a<b<c) two-join method with a node-bounded
-    degree-product wedge count — see ``functions/graph.py``."""
-    import pandas as pd
-
-    from goose_parser_ray.functions.graph import triangle_count
-
+def _copurchase_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical (u < v, distinct) part co-purchase edges: parts linked iff
+    they appear in the same order. Deterministic 1/4 order slice — the full
+    graph is DENSE (avg degree ~80 at sf0.01) and wedge volume grows with
+    degree²; the slice keeps the graph queries inside the per-query time
+    budget while exercising the identical chain (oracles apply the same
+    cut). Build = native hash self-join on l_orderkey + distinct-pair
+    aggregate."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    # deterministic 1/4 order slice: the full co-purchase graph is DENSE
-    # (avg degree ~80 at sf0.01) and wedge volume grows with degree² —
-    # the slice keeps the query within the per-query time budget while
-    # exercising the identical operator chain (oracle applies the same cut)
     dis = pre_aggregated_sum(
         li.map_batches(
             lambda t: pa.Table.from_arrays(
@@ -3692,10 +3686,20 @@ def q_triangles(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    edges = pre_aggregated_sum(
+    return pre_aggregated_sum(
         pairs, keys=["u", "v"], sums={}, count_alias="k"
     ).drop_columns(["k"])
-    res = triangle_count(edges)
+
+
+def q_triangles(sf_dir: str):
+    """Graph analytics: exact triangle count over the part co-purchase
+    graph — oriented (a<b<c) two-join method with a node-bounded
+    degree-product wedge count, see ``functions/graph.py``."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.graph import triangle_count
+
+    res = triangle_count(_copurchase_edges(sf_dir))
     return pd.DataFrame(
         {
             "edges": [np.int64(res["edges"])],
@@ -3730,6 +3734,48 @@ tri AS (
 SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS edges,
        CAST((SELECT SUM(l * r) FROM degs) AS BIGINT) AS wedges,
        CAST((SELECT t FROM tri) AS BIGINT) AS triangles
+"""
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (synchronized peel) of the co-purchase graph,
+    fixed 3 rounds so the oracle can unroll the same peel as CTEs — an
+    early fixed-point exit returns the identical set (further rounds are
+    no-ops). See ``functions/graph.py:kcore_distributed``."""
+    from goose_parser_ray.functions.graph import kcore_distributed
+
+    core = kcore_distributed(_copurchase_edges(sf_dir), k=24, max_iters=3)
+    return core.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": pc.cast(t["node"], pa.int64()),
+             "deg": pc.cast(t["deg"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KCORE = """
+WITH e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE (l_orderkey & 3) = 0) a
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE (l_orderkey & 3) = 0) b
+  ON a.o = b.o AND a.p < b.p
+),
+d1 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+g1 AS (SELECT node FROM d1 WHERE deg >= 24),
+e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM g1)
+                             AND v IN (SELECT node FROM g1)),
+d2 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node),
+g2 AS (SELECT node FROM d2 WHERE deg >= 24),
+e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM g2)
+                             AND v IN (SELECT node FROM g2)),
+d3 AS (SELECT node, COUNT(*) AS deg FROM
+       (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node)
+SELECT node, CAST(deg AS BIGINT) AS deg FROM d3 WHERE deg >= 24
 """
 
 
@@ -4752,6 +4798,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "table_diff": q_table_diff,
     "web_pipeline": q_web_pipeline,
+    "kcore": q_kcore,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4811,6 +4858,7 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "table_diff": SQL_TABLE_DIFF,
+    "kcore": SQL_KCORE,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -1709,3 +1709,28 @@ def test_diff_datasets_null_safe(ray_session):
     )
     # k=3 (null→null) and k=5/6 (equal values) are unchanged and dropped
     assert out == {1: "removed", 2: "modified", 4: "modified", 7: "added"}
+
+
+def test_kcore_distributed_matches_bruteforce(ray_session):
+    """3 synchronized peel rounds to convergence must match the brute-force
+    peel on a graph with a dense core plus pendant chains."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.graph import (
+        kcore_distributed,
+        kcore_numpy,
+    )
+
+    rng = np.random.RandomState(5)
+    core = [(a, b) for a in range(6) for b in range(a + 1, 6)]  # K6
+    chains = [(5 + i, 6 + i) for i in range(1, 8)]  # pendant path
+    rand = {(int(rng.randint(0, 20)), int(rng.randint(0, 20))) for _ in range(25)}
+    edges = sorted({(min(a, b), max(a, b)) for a, b in core + chains + list(rand) if a != b})
+    for k in (2, 3, 5):
+        ref = kcore_numpy(edges, k)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
+        )
+        got = kcore_distributed(ds, k=k, num_partitions=2).to_pandas()
+        assert sorted(got["node"].astype(int).tolist()) == sorted(ref), k
