@@ -161,3 +161,45 @@ class AudioFeatureActor:
         return batch.append_column(
             "audio_features", pa.array(feats, pa.list_(pa.float32()))
         )
+
+
+class PgmThumbnailActor:
+    """REAL image decode→resize→feature stage (no stub): binary PGM
+    payloads are decoded with the in-repo Netpbm codec, thumbnailed by
+    nearest-neighbor index gather, and summarized as an EXACT integer
+    feature (``mean_e6 = pixel_sum × (10⁶ / 64)`` for an 8×8 thumb — no
+    float rounding anywhere, so the stage is SQL-oracle-comparable).
+    Same actor-pool shape as the stub codecs: parse table built once per
+    actor, small batches for wide binary payloads."""
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        out_w: int = 8,
+        out_h: int = 8,
+    ) -> None:
+        from goose_parser_ray.functions.netpbm import decode_pgm, resize_nearest
+
+        self._decode, self._resize = decode_pgm, resize_nearest
+        self.payload_col, self.out_w, self.out_h = payload_col, out_w, out_h
+        scale, rem = divmod(1_000_000, out_w * out_h)
+        self._scale = scale if rem == 0 else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means = [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            img = self._decode(p or b"")
+            h, w = img.shape
+            thumb = self._resize(img, self.out_w, self.out_h)
+            s = int(thumb.astype(np.int64).sum())
+            if self._scale is not None:
+                mean_e6 = s * self._scale  # exact integer
+            else:  # pragma: no cover - non-divisor thumb sizes
+                mean_e6 = round(1_000_000 * s / (self.out_w * self.out_h))
+            widths.append(w)
+            heights.append(h)
+            means.append(mean_e6)
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        return batch.append_column("mean_e6", pa.array(means, pa.int64()))

@@ -4393,6 +4393,62 @@ def q_media_pipeline(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_pgm(sf_dir: str):
+    """REAL image pipeline, oracle-checked end to end: deterministic PGM
+    payloads are synthesized per doc (gradient image, size keyed off
+    doc_id), round-tripped through actual bytes (encode → binary column →
+    actor-pool Netpbm decode → nearest-neighbor 8×8 thumbnail → exact
+    integer mean). The DuckDB twin recomputes the sampled pixels in closed
+    form — every value is integer arithmetic, so the hash compare is exact.
+    This is the non-stub counterpart of the q_media_decode codec stubs."""
+    from goose_parser_ray.functions.multimodal import PgmThumbnailActor
+    from goose_parser_ray.functions.netpbm import encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 16 + (d & 15)
+            h = 16 + ((d >> 4) & 15)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            img = ((31 * i + 17 * j + d) % 256).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        PgmThumbnailActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_PGM = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id & 15) AS width,
+         16 + ((doc_id // 16) & 15) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height,
+         (31 * ((a.i * d.height) // 8) + 17 * ((b.j * d.width) // 8)
+          + d.doc_id) % 256 AS val
+  FROM dims d,
+       UNNEST(generate_series(0, 7)) AS a(i),
+       UNNEST(generate_series(0, 7)) AS b(j)
+)
+SELECT doc_id, width, height,
+       CAST(SUM(val) * 15625 AS BIGINT) AS mean_e6
+FROM pix GROUP BY doc_id, width, height
+"""
+
+
 def q_data_pipeline(sf_dir: str):
     """Composite LLM-training-data pipeline — the ops composed the way a
     real corpus run chains them: quality gate → exact dedup → MinHash
@@ -4799,6 +4855,7 @@ QUERIES = {
     "table_diff": q_table_diff,
     "web_pipeline": q_web_pipeline,
     "kcore": q_kcore,
+    "media_pgm": q_media_pgm,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4859,6 +4916,7 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "table_diff": SQL_TABLE_DIFF,
     "kcore": SQL_KCORE,
+    "media_pgm": SQL_MEDIA_PGM,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

@@ -1734,3 +1734,36 @@ def test_kcore_distributed_matches_bruteforce(ray_session):
         )
         got = kcore_distributed(ds, k=k, num_partitions=2).to_pandas()
         assert sorted(got["node"].astype(int).tolist()) == sorted(ref), k
+
+
+def test_netpbm_codec_roundtrip_and_errors():
+    """decode(encode(x)) == x; header comments handled; truncation and bad
+    magic are loud ValueErrors; nearest resize == direct index gather."""
+    import numpy as np
+    import pytest as _pytest
+
+    from goose_parser_ray.functions.netpbm import (
+        decode_pgm,
+        encode_pgm,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(13, 29)).astype(np.uint8)
+    assert (decode_pgm(encode_pgm(img)) == img).all()
+
+    # comments + extra whitespace in the header
+    payload = b"P5 # magic\n# a comment line\n 29\t13 # dims\n255\n" + img.tobytes()
+    assert (decode_pgm(payload) == img).all()
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_pgm(b"P6\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="truncated PGM raster"):
+        decode_pgm(encode_pgm(img)[:-5])
+    with _pytest.raises(ValueError, match="truncated PGM header"):
+        decode_pgm(b"P5\n29")
+
+    thumb = resize_nearest(img, 8, 8)
+    for i in range(8):
+        for j in range(8):
+            assert thumb[i, j] == img[(i * 13) // 8, (j * 29) // 8]
