@@ -1146,6 +1146,83 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    Distinct (user, day) via one map-side combined aggregate, then the
+    sessionize regroup shape — users coalesced into data-proportional hash
+    buckets, one vectorized pandas pass per bucket (sort, day-diff breaks,
+    cumsum island ids, per-island sizes, per-user max)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day_i = pc.divide(
+            pc.cast(
+                pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("s")),
+                pa.int64(),
+            ),
+            86400,
+        )
+        return pa.Table.from_pydict({"user_id": t["user_id"], "day_i": day_i})
+
+    days = pre_aggregated_sum(
+        ds.map_batches(to_days, batch_format="pyarrow"),
+        keys=["user_id", "day_i"], sums={}, count_alias="k",
+    ).drop_columns(["k"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__sb")
+
+    def streaks_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day_i"], kind="mergesort")
+        brk = g["user_id"].ne(g["user_id"].shift()) | (
+            g["day_i"].diff() != 1
+        )
+        isl = brk.cumsum()
+        sizes = g.groupby(["user_id", isl], sort=False).size().reset_index(
+            name="streak"
+        )
+        out = sizes.groupby("user_id", as_index=False)["streak"].max()
+        return out.rename(columns={"streak": "max_streak"})
+
+    return (
+        days.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(streaks_bucket, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "max_streak": pc.cast(t["max_streak"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_i
+  FROM events
+),
+i AS (
+  SELECT user_id, day_i,
+         day_i - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_i)
+             AS grp
+  FROM d
+),
+s AS (SELECT user_id, COUNT(*) AS streak FROM i GROUP BY user_id, grp)
+SELECT user_id, CAST(MAX(streak) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id
+"""
+
+
 def q_sort_global(sf_dir: str):
     """S4 global ordered emission: full distributed sort (range-partitioned
     all-to-all) with a deterministic tie-break, emitted WITH the ordinal so
@@ -4856,6 +4933,7 @@ QUERIES = {
     "web_pipeline": q_web_pipeline,
     "kcore": q_kcore,
     "media_pgm": q_media_pgm,
+    "activity_streaks": q_activity_streaks,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -4917,6 +4995,7 @@ ORACLE_SQL = {
     "table_diff": SQL_TABLE_DIFF,
     "kcore": SQL_KCORE,
     "media_pgm": SQL_MEDIA_PGM,
+    "activity_streaks": SQL_ACTIVITY_STREAKS,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,
