@@ -26,8 +26,8 @@ everything downstream is columnar.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import zlib
 from pathlib import Path
 
 import pyarrow as pa
@@ -90,7 +90,9 @@ def write_warc_shards(
     """Export a documents Dataset to WARC shard files under ``out_dir``
     (one shard per block, executed as a streaming map; returns the record
     count). Shard names derive from the block's id content, so re-running
-    the same export overwrites the same files instead of duplicating."""
+    the same export overwrites the same files instead of duplicating.
+    On a multi-node cluster ``out_dir`` must be cluster-visible storage
+    (object store / NFS mount) — write tasks run on arbitrary nodes."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
@@ -98,8 +100,10 @@ def write_warc_shards(
         blob = _encode_records(
             ids, t[source].to_pylist(), t[text].to_pylist()
         )
-        key = zlib.crc32(",".join(str(i) for i in ids).encode()) & 0xFFFFFFFF
-        path = Path(out_dir) / f"shard-{key:08x}-{t.num_rows}.warc"
+        # 128-bit content key: a 32-bit name would birthday-collide (and
+        # silently merge shards) at the millions-of-blocks scale
+        key = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        path = Path(out_dir) / f"shard-{key}-{t.num_rows}.warc"
         tmp = path.with_suffix(".warc.tmp")
         tmp.write_bytes(blob)
         os.replace(tmp, path)
