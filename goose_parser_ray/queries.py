@@ -3744,7 +3744,9 @@ def _copurchase_edges(sf_dir: str) -> "ray.data.Dataset":
             batch_format="pyarrow",
         ),
         keys=["o", "p"], sums={}, count_alias="k",
-    ).drop_columns(["k"])
+    ).drop_columns(["k"]).materialize()
+    # pinned: dis feeds BOTH sides of the self-join — lazy lineage would
+    # re-run the read + distinct shuffle per side
     left = dis.map_batches(
         lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "pu"]),
         batch_format="pyarrow",
@@ -3861,10 +3863,13 @@ def q_lang_entropy(sf_dir: str):
     (a mixture-balance signal for training-data curation). Two map-side
     combined aggregates + one tiny join on the (source,lang) count table —
     the raw corpus is touched exactly once."""
+    # materialize the tiny (source,lang) count table — it feeds BOTH the
+    # totals aggregate and the join; lazy lineage would re-scan the corpus
+    # once per consumer
     counts = pre_aggregated_sum(
         _read(sf_dir, "documents", ["source", "lang"]),
         keys=["source", "lang"], sums={}, count_alias="n",
-    )
+    ).materialize()
     totals = pre_aggregated_sum(counts, keys=["source"], sums={"n": "tot"})
     terms = counts.join(
         totals, join_type="inner",
@@ -3974,9 +3979,14 @@ def q_gapfill(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    counts = pre_aggregated_sum(hours, keys=["bucket_s"], sums={}, count_alias="n")
-    span = hours.aggregate(Min("bucket_s", alias_name="lo"),
-                           Max("bucket_s", alias_name="hi"))
+    # pin the tiny (span-bounded) count table: deriving the span from it
+    # instead of from `hours` keeps the corpus scan at exactly ONE — lazy
+    # lineage would otherwise re-read events for each consumer
+    counts = pre_aggregated_sum(
+        hours, keys=["bucket_s"], sums={}, count_alias="n"
+    ).materialize()
+    span = counts.aggregate(Min("bucket_s", alias_name="lo"),
+                            Max("bucket_s", alias_name="hi"))
     axis = ray.data.from_arrow(
         pa.Table.from_pydict(
             {
@@ -4062,14 +4072,18 @@ def q_pmi_bigrams(sf_dir: str):
         return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
 
     parts = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    # uni feeds a scalar aggregate AND two joins; pr feeds a scalar
+    # aggregate AND the floor filter — materialize both (vocab-bounded,
+    # strictly smaller than the already-pinned partial stream) so each
+    # aggregation shuffle runs exactly once
     uni = pre_aggregated_sum(
         parts.filter(expr="kind == 'u'").drop_columns(["kind", "w2"]),
         keys=["w1"], sums={"n": "c"},
-    )
+    ).materialize()
     pr = pre_aggregated_sum(
         parts.filter(expr="kind == 'p'").drop_columns(["kind"]),
         keys=["w1", "w2"], sums={"n": "c"},
-    )
+    ).materialize()
     from ray.data.aggregate import Sum
 
     nw = int(uni.aggregate(Sum("c", alias_name="s"))["s"])
