@@ -3913,6 +3913,59 @@ GROUP BY c.source
 """
 
 
+def q_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence test over the lang × source
+    contingency table (are languages distributed independently of
+    sources?). The corpus is scanned ONCE into a map-side combined
+    (lang, source) count table; the closed form runs on that bounded
+    ~|langs|×|sources| table driver-side (the k-means-reduce legitimacy
+    argument), including zero cells via the full cross product."""
+    import pandas as pd
+
+    counts = pre_aggregated_sum(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        keys=["lang", "source"], sums={}, count_alias="n",
+    ).to_pandas()
+    piv = counts.pivot_table(
+        index="lang", columns="source", values="n", fill_value=0,
+        aggfunc="sum",
+    ).to_numpy(dtype=np.float64)
+    r = piv.sum(axis=1, keepdims=True)
+    s = piv.sum(axis=0, keepdims=True)
+    n = piv.sum()
+    exp = r * s / n
+    chi2 = float((((piv - exp) ** 2) / exp).sum())
+    chi2_e6 = _cents(
+        pa.chunked_array([pa.array([chi2])]), 1_000_000
+    ).to_pylist()[0]
+    dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+    return pd.DataFrame(
+        {"chi2_e6": [np.int64(chi2_e6)], "dof": [np.int64(dof)]}
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+rl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM c GROUP BY lang),
+cs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS s FROM c GROUP BY source),
+nn AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM c),
+cells AS (
+  SELECT COALESCE(c.n, 0) AS n,
+         CAST(rl.r AS DOUBLE) * CAST(cs.s AS DOUBLE)
+             / (SELECT N FROM nn) AS exp
+  FROM rl CROSS JOIN cs
+  LEFT JOIN c ON c.lang = rl.lang AND c.source = cs.source
+)
+SELECT CAST(ROUND(1000000 * SUM((n - exp) * (n - exp) / exp)) AS BIGINT)
+           AS chi2_e6,
+       CAST(((SELECT COUNT(*) FROM rl) - 1)
+            * ((SELECT COUNT(*) FROM cs) - 1) AS BIGINT) AS dof
+FROM cells
+"""
+
+
 def q_skyline(sf_dir: str):
     """Skyline / Pareto-dominance filter (cheapest-yet-largest parts:
     minimize p_retailprice, maximize p_size). Phase 1 is a vectorized
@@ -4948,6 +5001,7 @@ QUERIES = {
     "kcore": q_kcore,
     "media_pgm": q_media_pgm,
     "activity_streaks": q_activity_streaks,
+    "chi2_independence": q_chi2_independence,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -5010,6 +5064,7 @@ ORACLE_SQL = {
     "kcore": SQL_KCORE,
     "media_pgm": SQL_MEDIA_PGM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,
