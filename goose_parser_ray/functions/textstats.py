@@ -178,6 +178,25 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(out))
 
 
+def normalize_unicode(
+    batch: "pa.Table", col: str = "text", form: str = "NFC",
+    out: str = "text_norm",
+) -> "pa.Table":
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) as a pure map stage —
+    the canonical first step of web-corpus cleaning (decomposed accents,
+    compatibility ligatures, width variants all collapse to one form so
+    downstream dedup/tokenization see one representation). Arrow has no
+    normalization kernel; pandas ``str.normalize`` wraps stdlib
+    ``unicodedata`` — per-element C-loop at the ingest boundary, identical
+    semantics to DuckDB's ``nfc_normalize`` for form=NFC (oracle-paired).
+    """
+    import pandas as pd
+
+    s = batch[col].to_pandas().astype("string")
+    normed = s.str.normalize(form).astype(object).where(s.notna(), None)
+    return batch.append_column(out, pa.array(normed, pa.string()))
+
+
 def _flat_words(col: "pa.ChunkedArray | pa.Array"):
     """Whitespace-split every string, flatten: returns (words as a pandas
     Series, parent row index per word as numpy int array). One regex

@@ -3913,6 +3913,30 @@ GROUP BY c.source
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC normalization as a pure map stage (the canonical web-
+    corpus cleaning prefix) — oracle-paired against DuckDB's
+    ``nfc_normalize`` (identical stdlib semantics; the unicode edge cases
+    are locked by the unit test)."""
+    from goose_parser_ray.functions.textstats import normalize_unicode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "text_norm": normalize_unicode(t)["text_norm"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id, nfc_normalize(text) AS text_norm FROM documents
+"""
+
+
 def q_chi2_independence(sf_dir: str):
     """Pearson chi-square independence test over the lang × source
     contingency table (are languages distributed independently of
@@ -5002,6 +5026,7 @@ QUERIES = {
     "media_pgm": q_media_pgm,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
+    "normalize_text": q_normalize_text,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,
@@ -5065,6 +5090,7 @@ ORACLE_SQL = {
     "media_pgm": SQL_MEDIA_PGM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "ngram_dup_spans": SQL_NGRAM_DUP_SPANS,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "regr_by_flag": SQL_REGR_BY_FLAG,

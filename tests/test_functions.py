@@ -1767,3 +1767,36 @@ def test_netpbm_codec_roundtrip_and_errors():
     for i in range(8):
         for j in range(8):
             assert thumb[i, j] == img[(i * 13) // 8, (j * 29) // 8]
+
+
+def test_normalize_unicode_edge_cases():
+    """NFC composes decomposed accents, keeps compatibility ligatures
+    (NFKC folds them), preserves nulls — semantics must match DuckDB's
+    nfc_normalize (oracle twin)."""
+    import duckdb
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.textstats import normalize_unicode
+
+    cases = [
+        "éclair",      # decomposed accent -> composed under NFC
+        "ﬁne",          # fi ligature: NFC keeps, NFKC folds
+        "　wide",        # ideographic space: NFC keeps
+        "Å",           # A + ring -> Å
+        None,
+        "plain",
+    ]
+    t = pa.table({"text": pa.array(cases, pa.string())})
+    got = normalize_unicode(t)["text_norm"].to_pylist()
+    oracle = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT nfc_normalize(x) FROM (SELECT UNNEST(?) AS x)", [cases]
+        )
+        .fetchall()
+    ]
+    assert got == oracle
+    # NFKC folds the ligature where NFC must not
+    nfkc = normalize_unicode(t, form="NFKC")["text_norm"].to_pylist()
+    assert nfkc[1] == "fine" and got[1] == "ﬁne"
