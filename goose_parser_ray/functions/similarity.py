@@ -469,3 +469,117 @@ def kmeans_distributed(
         if shift < tol:
             break
     return cent, counts, history
+
+
+def _kmeans_l2(
+    sample: np.ndarray, k: int, seed: int, iters: int = 12
+) -> np.ndarray:
+    """Euclidean Lloyd k-means on a bounded sample (seed-fixed →
+    deterministic). Empty clusters re-seed from the worst-reconstructed
+    point. Returns (k, dim) centroids."""
+    rng = np.random.RandomState(seed)
+    x = sample.astype(np.float32)
+    n = x.shape[0]
+    c = x[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(c.shape[0]):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:
+                c[j] = x[int(d2.min(axis=1).argmax())]
+    return c
+
+
+def pq_train(
+    ds: ray.data.Dataset,
+    *,
+    col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): the
+    embedding is split into ``m`` contiguous subvectors and each subspace
+    gets its own ``k``-centroid Euclidean k-means, trained on ONE bounded
+    seeded Bernoulli sample (the ann_ivf sampling pattern — never a corpus
+    prefix). Returns (m, k, dim/m) codebooks; memory per vector after
+    encoding is m bytes at k ≤ 256 vs 4·dim — the 100 TB embedding-store
+    compression path."""
+    n_corpus = ds.count()  # metadata-only on a fresh parquet read
+    frac = 1.0 if n_corpus <= sample_size else min(
+        1.0, 1.2 * sample_size / n_corpus
+    )
+    sample_pd = ds.random_sample(frac, seed=seed).limit(2 * sample_size).to_pandas()
+    sample = np.array(sample_pd[col].to_list(), dtype=np.float32)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans_l2(sample[:, j * sub : (j + 1) * sub], k, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+class _PQEncoder:
+    """Actor stage: codebooks fetched from plasma once per actor; each
+    batch is encoded with one (n, k) distance matrix per subspace —
+    all matmul, no per-row Python."""
+
+    def __init__(self, cref, col: str, id_col: str) -> None:
+        self.books: np.ndarray = ray.get(cref)  # (m, k, sub)
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict = {self.id_col: batch[self.id_col]}
+        m, _, sub = self.books.shape
+        if batch.num_rows == 0:
+            for j in range(m):
+                out[f"code{j}"] = pa.array([], pa.int64())
+            out["recon_err_sq"] = pa.array([], pa.float64())
+            return pa.Table.from_pydict(out)
+        x = _list_col_to_matrix(batch[self.col])
+        err = np.zeros(x.shape[0], dtype=np.float64)
+        for j in range(m):
+            xj = x[:, j * sub : (j + 1) * sub]
+            c = self.books[j]
+            d2 = (
+                (xj * xj).sum(axis=1, keepdims=True)
+                - 2.0 * (xj @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes = d2.argmin(axis=1)
+            err += np.maximum(d2[np.arange(len(codes)), codes], 0.0)
+            out[f"code{j}"] = pa.array(codes.astype(np.int64))
+        out["recon_err_sq"] = pa.array(err)
+        return pa.Table.from_pydict(out)
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Encode every vector to its per-subspace nearest-centroid codes plus
+    the exact squared reconstruction error. Codebooks ride plasma
+    (ray.put once, fetched once per actor)."""
+    ref = ray.put(np.ascontiguousarray(codebooks, dtype=np.float32))
+    return ds.map_batches(
+        _PQEncoder,
+        fn_constructor_kwargs={"cref": ref, "col": col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(min(2, concurrency), concurrency),
+    )

@@ -4321,6 +4321,35 @@ WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.n_chars <> b.n_chars
 """
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization over the embeddings table (rows-only —
+    approximate by construction; determinism + reconstruction-quality
+    floors are pytest-asserted): codebooks trained on one bounded seeded
+    sample, vectors encoded map-side to m=4 sub-codes + exact squared
+    reconstruction error. The 100 TB embedding-store compression path
+    (m bytes/vector at k ≤ 256 vs 4·dim)."""
+    from goose_parser_ray.functions.similarity import pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=4, k=16, sample_size=2000, seed=7)
+    out = pq_encode(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        books,
+        concurrency=max(2, _pool() // 2),
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "vec_id": t["vec_id"],
+                "code0": t["code0"], "code1": t["code1"],
+                "code2": t["code2"], "code3": t["code3"],
+                "err_e6": _cents(t["recon_err_sq"], 1_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""
@@ -5027,6 +5056,7 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
     "normalize_text": q_normalize_text,
+    "pq_codes": q_pq_codes,
     "dedup_incremental": q_dedup_incremental,
     "split_assign": q_split_assign,
     "lm_score": q_lm_score,

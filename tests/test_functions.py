@@ -1800,3 +1800,39 @@ def test_normalize_unicode_edge_cases():
     # NFKC folds the ligature where NFC must not
     nfkc = normalize_unicode(t, form="NFKC")["text_norm"].to_pylist()
     assert nfkc[1] == "fine" and got[1] == "ﬁne"
+
+
+def test_pq_deterministic_and_quality(ray_session):
+    """PQ must be run-to-run deterministic (seeded sample + seeded Lloyd),
+    reconstruct better than the k=1 (mean-only) codebook, and improve with
+    k; codes must stay in range."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.functions.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(9)
+    # three planted clusters so quantization has structure to exploit
+    centers = rng.randn(3, 16).astype(np.float32) * 3
+    vecs = np.concatenate(
+        [centers[i % 3] + rng.randn(16).astype(np.float32) * 0.3 for i in range(240)]
+    ).reshape(240, 16)
+    df = pd.DataFrame({"vec_id": np.arange(240), "embedding": list(map(list, vecs))})
+
+    def run(k):
+        ds = ray.data.from_pandas(df).repartition(3)
+        books = pq_train(ds, m=4, k=k, sample_size=200, seed=11)
+        out = pq_encode(
+            ray.data.from_pandas(df).repartition(3), books, concurrency=2
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        return books, out
+
+    b1, o1 = run(8)
+    b2, o2 = run(8)
+    assert (b1 == b2).all()
+    assert o1.equals(o2)
+    for j in range(4):
+        assert o1[f"code{j}"].between(0, 7).all()
+
+    _, mean_only = run(1)
+    assert o1["recon_err_sq"].mean() < mean_only["recon_err_sq"].mean() * 0.5
