@@ -1,0 +1,121 @@
+"""Link-graph extraction: drive the real DOM parser over a corpus and emit
+the hyperlink edge list.
+
+This is the web-curation shape the extraction engine exists for (upstream:
+goose-parser evaluates CSS-scoped rules against a parsed DOM — SURVEY.md
+§2.1 G5): every document is parsed with the from-scratch HTML5 tree builder,
+``a[href]`` anchors are matched with the compiled CSS selector engine, and
+the (src, dst) edges stream out as a normal Arrow table — feed them to
+``functions.graph.pagerank_distributed`` / ``triangle_count`` downstream.
+
+Scale shape: one fixed actor pool, selector compiled once per actor in
+``__init__``, per-batch work is the DOM parse kernel (inherently per-
+document, same kernel as the extraction flagship) plus vectorized Arrow
+string assembly/escaping around it. No shuffle — the edge list is map-only;
+the in-degree rollup downstream uses the partial/combiner pattern so the
+exchange carries one row per (batch, dst).
+
+For the oracle-paired query the corpus HTML is synthesized DETERMINISTICALLY
+from (doc_id, text): doc ``i`` links to ``(i*7 + k) % 1000`` for
+``k = 1 .. (i % 3) + 1``. SQL can therefore state the expected edge set in
+closed form (LATERAL generate_series) while the engine path has to recover
+it the hard way — tokenizer → tree builder → selector → attribute read —
+through arbitrary document text (entity-escaped into the markup). Any parser
+regression that drops/duplicates/reorders anchors breaks the hash match.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from goose_parser_ray.css.selector import compile_selector, select
+from goose_parser_ray.html.treebuilder import parse_html
+
+LINK_MOD = 1000  # dst id space for the synthetic graph (SQL twin uses it)
+
+
+def _escape_text(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Entity-escape document text for embedding in element content.
+
+    ``&`` first (else the escapes themselves get re-escaped), then the tag
+    delimiters — text containing ``</body>`` or raw ``&lt;`` round-trips
+    through the tokenizer back to the original document text.
+    """
+    out = pc.replace_substring(col, "&", "&amp;")
+    out = pc.replace_substring(out, "<", "&lt;")
+    return pc.replace_substring(out, ">", "&gt;")
+
+
+def synthesize_page(doc_id: int, text: str) -> str:
+    """One synthetic page (scalar reference used by the actor and tests)."""
+    n = doc_id % 3 + 1
+    links = "".join(
+        f'<li><a href="/doc/{(doc_id * 7 + k) % LINK_MOD}">ref {k}</a></li>'
+        for k in range(1, n + 1)
+    )
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return (
+        f"<html><body><h1>doc {doc_id}</h1><p>{esc}</p>"
+        f"<ul>{links}</ul></body></html>"
+    )
+
+
+class LinkExtractActor:
+    """Actor-pool stage: synthesize page markup, DOM-parse it, select
+    ``a[href]`` anchors, emit (src, dst) edges.
+
+    Selector compiled once per actor. The per-document Python loop is the
+    DOM parse kernel itself (same cost model as the extraction flagship,
+    ~0.2 ms/doc); everything around it is Arrow-vectorized.
+    """
+
+    def __init__(self) -> None:
+        self._sel = compile_selector("a[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = _escape_text(batch["text"]).to_pylist()
+        src: list[int] = []
+        dst: list[int] = []
+        for doc_id, esc in zip(ids, texts):
+            n = doc_id % 3 + 1
+            links = "".join(
+                f'<li><a href="/doc/{(doc_id * 7 + k) % LINK_MOD}">'
+                f"ref {k}</a></li>"
+                for k in range(1, n + 1)
+            )
+            page = (
+                f"<html><body><h1>doc {doc_id}</h1><p>{esc}</p>"
+                f"<ul>{links}</ul></body></html>"
+            )
+            doc = parse_html(page)
+            for el in select(self._sel, doc):
+                href = el.attrs.get("href", "")
+                # href shape is "/doc/<int>" by construction; a parser bug
+                # that mangles the attribute value raises here (fail loud,
+                # the oracle hash would catch silent drops anyway).
+                src.append(doc_id)
+                dst.append(int(href.rsplit("/", 1)[1]))
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.int64()), pa.array(dst, pa.int64())],
+            names=["src", "dst"],
+        )
+
+
+def extract_links(
+    ds: ray.data.Dataset, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """Corpus → (src, dst) hyperlink edge list via the real DOM engine."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = (concurrency, concurrency)
+    return ds.map_batches(
+        LinkExtractActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        **kwargs,
+    )

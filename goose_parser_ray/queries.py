@@ -4969,6 +4969,37 @@ def q_extract_rules(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_link_graph(sf_dir: str):
+    """Hyperlink in-degree over a DOM-extracted link graph, ORACLE-CHECKED.
+
+    Pages are synthesized deterministically from (doc_id, text) — doc ``i``
+    links to ``(i*7+k) % 1000`` for ``k = 1..(i%3)+1`` — so SQL states the
+    expected edge set in closed form (LATERAL generate_series) while the
+    engine must recover it through the REAL extraction stack: tokenizer →
+    HTML5 tree builder → compiled ``a[href]`` CSS selector → attribute read,
+    with arbitrary entity-escaped document text in the way. Any parser bug
+    that drops, duplicates, or reorders anchors breaks the hash match. The
+    in-degree rollup is the partial/combiner pattern (one row per
+    (batch, dst) crosses the exchange)."""
+    from goose_parser_ray.functions.linkgraph import extract_links
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = extract_links(ds, concurrency=_pool())
+    deg = pre_aggregated_sum(edges, ["dst"], {}, count_alias="in_degree")
+    return deg.sort("dst")
+
+
+SQL_LINK_GRAPH = """
+SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS in_degree
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -5043,6 +5074,7 @@ QUERIES = {
     "hll_users_per_type": q_hll_users_per_type,
     "kmeans": q_kmeans,
     "pagerank": q_pagerank,
+    "link_graph": q_link_graph,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5109,6 +5141,7 @@ ORACLE_SQL = {
     "join_full": SQL_JOIN_FULL,
     "join_anti": SQL_JOIN_ANTI,
     "pagerank": SQL_PAGERANK,
+    "link_graph": SQL_LINK_GRAPH,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
