@@ -4990,6 +4990,80 @@ def q_link_graph(sf_dir: str):
     return deg.sort("dst")
 
 
+def q_domain_cap(sf_dir: str):
+    """URL curation (C4/RefinedWeb shape), ORACLE-CHECKED: synthesize a
+    deterministic URL per document, extract the registrable domain through
+    the vectorized RE2 public-suffix path (multi-label ``co.uk`` kept as
+    three labels, everything else two — including stripping ``www.``/
+    ``cdn.`` subdomains), then cap each domain at 8 documents in
+    cross-engine-exact Knuth-hash order. The kept membership itself is
+    compared, so the oracle guards both the parser and the cap's
+    determinism. Map-side prune bounds the exchange at cap rows per
+    (block, domain)."""
+    from goose_parser_ray.functions.urltools import (
+        add_registrable_domain,
+        cap_per_domain,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        # Arrow has no modulo kernel; id - (id // m) * m (ids non-negative)
+        mod3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), pa.scalar(3, pa.int64())))
+        sub = pc.if_else(
+            pc.equal(mod3, 0),
+            pa.scalar("www."),
+            pc.if_else(pc.equal(mod3, 1), pa.scalar("cdn."), pa.scalar("")),
+        )
+        mod2 = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), pa.scalar(2, pa.int64())))
+        tld = pc.if_else(pc.equal(mod2, 0), pa.scalar(".com"), pa.scalar(".co.uk"))
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://"),
+            sub,
+            t["source"],
+            tld,
+            pa.scalar("/p/"),
+            pc.cast(ids, pa.string()),
+            "",
+        )
+        return pa.Table.from_arrays(
+            [ids, url], names=["doc_id", "url"]
+        )
+
+    ds = ds.map_batches(add_url, batch_format="pyarrow")
+    ds = ds.map_batches(add_registrable_domain, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "domain"])
+    kept = cap_per_domain(ds, cap=8)
+    return kept.sort(["domain", "doc_id"])
+
+
+SQL_DOMAIN_CAP = """
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END
+         || source
+         || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.co.uk' END
+         || '/p/' || doc_id AS url
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         regexp_extract(regexp_extract(url, '^https?://([^/:]+)', 1),
+                        '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1) AS domain,
+         (doc_id * 2654435761) % 4294967296 AS hv
+  FROM u
+), r AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, domain
+FROM r WHERE rn <= 8
+ORDER BY domain, doc_id
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5075,6 +5149,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "pagerank": q_pagerank,
     "link_graph": q_link_graph,
+    "domain_cap": q_domain_cap,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5142,6 +5217,7 @@ ORACLE_SQL = {
     "join_anti": SQL_JOIN_ANTI,
     "pagerank": SQL_PAGERANK,
     "link_graph": SQL_LINK_GRAPH,
+    "domain_cap": SQL_DOMAIN_CAP,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
