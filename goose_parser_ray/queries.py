@@ -5064,6 +5064,43 @@ ORDER BY domain, doc_id
 """
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (merge/purge), ORACLE-CHECKED: every
+    document pair within rank distance 2 in global (substr(text,1,12),
+    doc_id) order. The order-based candidate generator alongside the
+    hash-based ones (MinHash/SimHash/Hamming-1/AllPairs). Distributed as
+    range-bucketed global dense rank + overlap pair windows — see
+    ``functions/blocking.py``; no all-pairs, no driver materialization."""
+    from goose_parser_ray.functions.blocking import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_id"], pc.utf8_slice_codeunits(t["text"], 0, 12)],
+            names=["doc_id", "k"],
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(
+        keyed, key_col="k", id_col="doc_id", window=2, n_rows=n
+    )
+    return pairs.sort(["id_a", "id_b"])
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY substr(text, 1, 12), doc_id) AS rn
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+ORDER BY id_a, id_b
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5150,6 +5187,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "link_graph": q_link_graph,
     "domain_cap": q_domain_cap,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5218,6 +5256,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "link_graph": SQL_LINK_GRAPH,
     "domain_cap": SQL_DOMAIN_CAP,
+    "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
