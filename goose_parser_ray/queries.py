@@ -5101,6 +5101,183 @@ ORDER BY id_a, id_b
 """
 
 
+def q_token_budget(sf_dir: str):
+    """Per-language budget fill (training-mixture shape), ORACLE-CHECKED:
+    each language contributes documents in cross-engine-exact Knuth-hash
+    order until its running character total would exceed 12 000. This is
+    the budgeted variant of mixture resampling — deterministic membership
+    (stable under re-runs/repartition), exact cumulative gate. Five langs →
+    exact per-group scan; at high key cardinality the same plan runs as the
+    two-pass bucketed prefix-sum scan (``functions/packing.py``)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(t["doc_id"], pa.scalar(2654435761, pa.int64())),
+            pa.scalar(4294967295, pa.int64()),
+        )
+        return t.append_column("hv", pc.cast(h, pa.int64()))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
+        g["cum_chars"] = g["n_chars"].cumsum().astype("int64")
+        g = g[g["cum_chars"] <= 12_000]
+        return g[["doc_id", "lang", "n_chars", "cum_chars"]]
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow")
+    return (
+        ds.groupby("lang")
+        .map_groups(fill, batch_format="pandas")
+        .sort(["lang", "cum_chars"])
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * 2654435761) % 4294967296 AS hv
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(cum AS BIGINT) AS cum_chars
+FROM c WHERE cum <= 12000
+ORDER BY lang, cum_chars
+"""
+
+
+def q_kwic(sf_dir: str):
+    """Keyword-in-context concordance (the corpus-search surface),
+    ORACLE-CHECKED: first occurrence of ``data`` per document with ≤16
+    chars of context each side, plus its position. One vectorized RE2
+    pass — leftmost-match semantics are identical in Arrow and DuckDB, so
+    the context windows hash-match exactly. Map-only at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        pos = pc.find_substring(t["text"], "data")
+        m = pc.extract_regex(
+            t["text"], r"(?P<l>.{0,16})data(?P<r>.{0,16})"
+        )
+        out = pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.cast(pc.add(pos, 1), pa.int64()),  # 1-based like strpos
+                pc.struct_field(m, "l"),
+                pc.struct_field(m, "r"),
+            ],
+            names=["doc_id", "pos", "left_ctx", "right_ctx"],
+        )
+        return out.filter(pc.greater(out["pos"], 0))
+
+    return ds.map_batches(kwic, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_KWIC = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strpos(text, 'data') AS BIGINT) AS pos,
+       regexp_extract(text, '(.{0,16})data(.{0,16})', 1) AS left_ctx,
+       regexp_extract(text, '(.{0,16})data(.{0,16})', 2) AS right_ctx
+FROM documents
+WHERE strpos(text, 'data') > 0
+ORDER BY doc_id
+"""
+
+
+def q_postings(sf_dir: str):
+    """Capped inverted-index build (IR surface), ORACLE-CHECKED: for every
+    term, its document frequency and the 5 smallest doc_ids that contain it
+    (comma-joined). The cap is the scale contract — per-term payload is
+    bounded at any corpus size, and the partials are mergeable (local df
+    count + local 5-smallest per batch → bucketed merge keeps the 5
+    smallest of the union). One doc is one row, so per-batch (term, doc)
+    dedup is globally exact. Term buckets are data-proportional."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        docs = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        df = pa.Table.from_arrays(
+            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
+        ).to_pandas()
+        df = df.drop_duplicates()
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", sort=False)
+        out = g.agg(
+            df_p=("doc_id", "size"),
+            post_p=(
+                "doc_id",
+                lambda s: ",".join(map(str, s.head(5))),
+            ),
+        ).reset_index()
+        return add_hash_bucket(
+            pa.Table.from_pandas(out, preserve_index=False), "term", nb
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        dfsum = g.groupby("term", sort=False)["df_p"].sum()
+        ex = g[["term", "post_p"]].copy()
+        ex["post_p"] = ex["post_p"].str.split(",")
+        ex = ex.explode("post_p")
+        ex["post_p"] = ex["post_p"].astype("int64")
+        ex = ex.sort_values(["term", "post_p"], kind="mergesort")
+        top = ex.groupby("term", sort=False).head(5)
+        posts = top.groupby("term", sort=False)["post_p"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        out = pd.DataFrame(
+            {
+                "term": dfsum.index,
+                "df": dfsum.to_numpy().astype("int64"),
+                "top_postings": posts.reindex(dfsum.index).to_numpy(),
+            }
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        parts.groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+        .sort("term")
+    )
+
+
+SQL_POSTINGS = """
+WITH w AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> ''
+), r AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM w
+)
+SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS top_postings
+FROM r GROUP BY term ORDER BY term
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5188,6 +5365,9 @@ QUERIES = {
     "link_graph": q_link_graph,
     "domain_cap": q_domain_cap,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "token_budget": q_token_budget,
+    "kwic": q_kwic,
+    "postings": q_postings,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5257,6 +5437,9 @@ ORACLE_SQL = {
     "link_graph": SQL_LINK_GRAPH,
     "domain_cap": SQL_DOMAIN_CAP,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "token_budget": SQL_TOKEN_BUDGET,
+    "kwic": SQL_KWIC,
+    "postings": SQL_POSTINGS,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
