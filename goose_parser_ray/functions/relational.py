@@ -259,6 +259,70 @@ def salted_join(
     return out.drop_columns(drop) if drop else out
 
 
+def detect_key_skew(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> float:
+    """Estimated share of the hottest join key, from a bounded seeded
+    sample (real fraction + limit — never first-n-rows). Driver state is
+    one value_counts over ≤ ``sample_rows`` keys regardless of input size.
+    """
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows == 0:
+        return 0.0
+    frac = min(1.0, 1.2 * sample_rows / n_rows)
+    samp = (
+        ds.select_columns([key])
+        .random_sample(frac, seed=seed)
+        .limit(sample_rows)
+        .to_pandas()[key]
+    )
+    if len(samp) == 0:
+        return 0.0
+    return float(samp.value_counts(normalize=True).iloc[0])
+
+
+def auto_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    *,
+    key: str,
+    right_key: str,
+    num_partitions: int = 16,
+    hot_share: float = 0.05,
+    salts: int = 8,
+    sample_rows: int = 100_000,
+) -> ray.data.Dataset:
+    """Skew-adaptive inner join: sample the big side's key distribution and
+    pick the plan — plain hash join when no key exceeds ``hot_share`` of
+    the sampled rows, :func:`salted_join` when one does. Both plans produce
+    identical rows (salting changes partitioning only, tested), so the
+    choice is purely a cost decision; the sample is bounded and seeded, so
+    the plan is deterministic for a given input."""
+    share = detect_key_skew(big, key, sample_rows=sample_rows)
+    if share >= hot_share:
+        return salted_join(
+            big,
+            small,
+            key=key,
+            right_key=right_key,
+            salts=salts,
+            num_partitions=num_partitions,
+        )
+    return big.join(
+        small,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(right_key,),
+    )
+
+
 def _pareto_local(df: "pd.DataFrame", mn: str, mx: str) -> "pd.DataFrame":
     """Rows not dominated within this frame (minimize ``mn``, maximize
     ``mx``). Dominance: b dominates a iff b.mn <= a.mn and b.mx >= a.mx

@@ -5278,6 +5278,121 @@ FROM r GROUP BY term ORDER BY term
 """
 
 
+def q_event_throttle(sf_dir: str):
+    """Streaming throttle/debounce dedup, ORACLE-CHECKED: an event survives
+    iff the previous event of the same (user, type) — by raw arrival, kept
+    or not — is more than 600 s older. LAG semantics (not chained-session
+    semantics), so the filter is one vectorized shift per bucketed group;
+    buckets are data-proportional on user_id."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
+
+    def throttle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        prev = g.groupby(["user_id", "event_type"])["ts"].shift()
+        keep = prev.isna() | ((g["ts"] - prev).dt.total_seconds() > 600)
+        out = g[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "event_type": out["event_type"],
+                "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return (
+        ds.groupby("__db")
+        .map_groups(throttle, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+SQL_EVENT_THROTTLE = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM o
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND
+ORDER BY event_id
+"""
+
+
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key + multi-dimensional range query,
+    ORACLE-CHECKED: interleave the low 16 bits of (l_partkey, l_suppkey)
+    into a 32-bit z-value — the layout key that makes BOTH dimensions
+    range-prunable from one sorted/clustered write (sort by z → parquet
+    row-group min/max stats serve part-key and supp-key predicates at
+    once). The query returns one z-range slice; the engine side is a pure
+    vectorized map (numpy bit-spreading), the oracle states the interleave
+    as 32 shift-mask terms. The production layout path is
+    ``ds.sort("z").write_parquet(...)`` on the same key."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        def spread(col):  # 16-bit → even-bit positions of 32
+            n = col.to_numpy(zero_copy_only=False).astype(np.uint32)
+            n &= np.uint32(0xFFFF)
+            n = (n | n << np.uint32(8)) & np.uint32(0x00FF00FF)
+            n = (n | n << np.uint32(4)) & np.uint32(0x0F0F0F0F)
+            n = (n | n << np.uint32(2)) & np.uint32(0x33333333)
+            n = (n | n << np.uint32(1)) & np.uint32(0x55555555)
+            return n
+
+        z = spread(t["l_partkey"]) | (spread(t["l_suppkey"]) << np.uint32(1))
+        t = t.append_column("z", pa.array(z.astype(np.int64)))
+        mask = pc.and_(
+            pc.greater_equal(t["z"], 1_000_000), pc.less(t["z"], 1_050_000)
+        )
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(add_z, batch_format="pyarrow")
+        .select_columns(["z", "l_orderkey", "l_partkey", "l_suppkey"])
+        .sort(["z", "l_orderkey"])
+    )
+
+
+def _sql_zorder() -> str:
+    xs = " + ".join(f"(((l_partkey >> {i}) & 1) << {2 * i})" for i in range(16))
+    ys = " + ".join(
+        f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(({xs}) + ({ys}) AS BIGINT) AS z,
+         CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_partkey AS BIGINT) AS l_partkey,
+         CAST(l_suppkey AS BIGINT) AS l_suppkey
+  FROM lineitem
+)
+SELECT z, l_orderkey, l_partkey, l_suppkey
+FROM m WHERE z >= 1000000 AND z < 1050000
+ORDER BY z, l_orderkey
+"""
+
+
+SQL_ZORDER = _sql_zorder()
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5368,6 +5483,8 @@ QUERIES = {
     "token_budget": q_token_budget,
     "kwic": q_kwic,
     "postings": q_postings,
+    "event_throttle": q_event_throttle,
+    "zorder": q_zorder,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5440,6 +5557,8 @@ ORACLE_SQL = {
     "token_budget": SQL_TOKEN_BUDGET,
     "kwic": SQL_KWIC,
     "postings": SQL_POSTINGS,
+    "event_throttle": SQL_EVENT_THROTTLE,
+    "zorder": SQL_ZORDER,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

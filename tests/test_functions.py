@@ -973,6 +973,44 @@ def test_salted_join_matches_unsalted_on_skewed_keys(ray_session):
     assert gs == ws
 
 
+def test_auto_join_detects_skew_and_matches_plain(ray_session):
+    """auto_join: the bounded-sample detector reads ~5%-hot-share skew
+    correctly (skewed input → salted plan, uniform input → plain plan) and
+    BOTH plans return exactly the pandas inner-join rows."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import (
+        auto_join,
+        detect_key_skew,
+    )
+
+    rng = np.random.RandomState(7)
+    skewed = np.where(rng.rand(2000) < 0.8, 3, rng.randint(0, 10, 2000))
+    uniform = rng.randint(0, 1000, 2000)
+    small = pd.DataFrame(
+        {"rk": np.arange(1000, dtype=np.int64),
+         "name": [f"n{i}" for i in range(1000)]}
+    )
+    for keys in (skewed, uniform):
+        big = pd.DataFrame(
+            {"k": keys.astype(np.int64), "v": np.arange(2000, dtype=np.int64)}
+        )
+        big_ds = ray.data.from_pandas(big).repartition(6)
+        share = detect_key_skew(big_ds, "k", sample_rows=500)
+        if keys is skewed:
+            assert share > 0.5
+        else:
+            assert share < 0.05
+        got = auto_join(
+            big_ds, ray.data.from_pandas(small),
+            key="k", right_key="rk", num_partitions=8, sample_rows=500,
+        ).to_pandas()
+        want = big.merge(small, left_on="k", right_on="rk", how="inner")
+        gs = sorted(map(tuple, got[["k", "v", "name"]].itertuples(index=False)))
+        ws = sorted(map(tuple, want[["k", "v", "name"]].itertuples(index=False)))
+        assert gs == ws
+
+
 def test_global_scan_offsets_matches_numpy_cumsum(ray_session):
     """Distributed range-bucketed scan == single-pass numpy exclusive
     cumsum in order-key order, regardless of block layout (rows arrive
