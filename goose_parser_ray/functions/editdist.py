@@ -1,0 +1,182 @@
+"""Edit-distance-1 similarity join (FastSS deletion-neighborhood blocking).
+
+Finds all string pairs with Levenshtein distance exactly 1 — the entity-
+resolution primitive for typo-level matching (names, SKUs, URLs). Blocking
+is the FastSS construction (Bocek et al. 2007): every string emits itself
+plus all single-character deletions as block keys; two strings at edit
+distance ≤ 1 necessarily share a key (substitution → same deletion at the
+mismatch position; insert/delete → one string IS a deletion of the other),
+so the candidate set has zero misses. Candidates are verified with an exact
+distance-1 predicate — no DP table:
+
+- equal lengths: distance = 1 ⇔ hamming = 1 (vectorized codepoint matrix)
+- lengths differ by 1: distance = 1 ⇔ common-prefix + common-suffix covers
+  the shorter string (linear scan per candidate; candidates are
+  blocking-bounded, not corpus-bounded)
+
+Scale shape: variant generation is per-row but bounded (len+1 keys/row);
+the only shuffle moves (variant, id, string) triples into data-proportional
+buckets; per-variant groups are star-capped like every other pair generator
+in this repo (a pathological hot variant emits a linear star, not a
+quadratic clique). Verification is map-side within the group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from goose_parser_ray.functions.dedup import (
+    add_hash_bucket,
+    num_shuffle_buckets,
+)
+
+_PAIR_CAP = 256  # per-variant star cap, same constant family as LSH buckets
+
+
+def _codepoint_matrix(strings: np.ndarray, width: int) -> np.ndarray:
+    """(n, width) uint32 codepoint matrix of same-length strings."""
+    if len(strings) == 0:
+        return np.zeros((0, width), dtype=np.uint32)
+    arr = np.array(list(strings), dtype=f"U{width}")
+    return arr.view(np.uint32).reshape(len(strings), width)
+
+
+def edit1_verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact predicate: levenshtein(a[i], b[i]) == 1."""
+    n = len(a)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in a), np.int64, n)
+    lb = np.fromiter((len(s) for s in b), np.int64, n)
+
+    same = la == lb
+    if same.any():
+        for width in np.unique(la[same]):
+            if width == 0:
+                continue
+            m = same & (la == width)
+            ma = _codepoint_matrix(a[m], int(width))
+            mb = _codepoint_matrix(b[m], int(width))
+            out[m] = (ma != mb).sum(axis=1) == 1
+
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        idx = np.nonzero(diff1)[0]
+        for i in idx:
+            s, t = (a[i], b[i]) if la[i] < lb[i] else (b[i], a[i])
+            # distance 1 ⇔ prefix+suffix of the short string covers it
+            k = 0
+            while k < len(s) and s[k] == t[k]:
+                k += 1
+            j = 0
+            while j < len(s) - k and s[len(s) - 1 - j] == t[len(t) - 1 - j]:
+                j += 1
+            out[i] = k + j >= len(s)
+    return out
+
+
+def edit1_pairs(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    id_col: str,
+    n_rows: int | None = None,
+) -> ray.data.Dataset:
+    """All (id_a, id_b) with levenshtein(col_a, col_b) == 1, id_a < id_b.
+
+    Exact while no variant block exceeds ``_PAIR_CAP`` members (blocking
+    has zero misses and every candidate is verified); a pathological hot
+    variant — mass near-identical strings — degrades to a linear star like
+    the repo's other pair generators. Assumes ``id_col`` unique; equal
+    strings (distance 0) are never emitted."""
+    if n_rows is None:
+        n_rows = ds.count()
+    nb = num_shuffle_buckets(n_rows * 16)  # ≈ variants per row
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        strs = t[col].to_pylist()
+        v_ids: list[int] = []
+        v_str: list[str] = []
+        v_key: list[str] = []
+        for i, s in zip(ids, strs):
+            if s is None:
+                continue
+            v_ids.append(i)
+            v_str.append(s)
+            # self key UNPREFIXED: an insert/delete pair collides exactly
+            # because one string IS a deletion variant of the other; the
+            # only extra collision this invites is equal strings, which
+            # verification rejects (distance 0).
+            v_key.append(s)
+            for p in range(len(s)):
+                v_ids.append(i)
+                v_str.append(s)
+                v_key.append(s[:p] + s[p + 1 :])
+        out = pa.Table.from_pydict(
+            {
+                "__vk": pa.array(v_key, pa.string()),
+                "id": pa.array(v_ids, pa.int64()),
+                "s": pa.array(v_str, pa.string()),
+            }
+        )
+        return add_hash_bucket(out, "__vk", nb)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, a_s, b_s = [], [], [], []
+        for _, grp in g.groupby("__vk", sort=False):
+            if len(grp) < 2:
+                continue
+            # a run of equal chars makes one string emit the same deletion
+            # variant several times — one membership per id is enough
+            grp = grp.drop_duplicates("id").sort_values(
+                "id", kind="mergesort"
+            )
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            ss = grp["s"].to_numpy()
+            if len(grp) > _PAIR_CAP:
+                # star: anchor to the smallest id (linear, not quadratic)
+                a_ids.append(np.full(len(ids) - 1, ids[0]))
+                b_ids.append(ids[1:])
+                a_s.append(np.full(len(ids) - 1, ss[0], dtype=object))
+                b_s.append(ss[1:])
+            else:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                a_ids.append(ids[iu])
+                b_ids.append(ids[ju])
+                a_s.append(ss[iu])
+                b_s.append(ss[ju])
+        if not a_ids:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        aa = np.concatenate(a_ids)
+        bb = np.concatenate(b_ids)
+        sa = np.concatenate(a_s)
+        sb = np.concatenate(b_s)
+        ok = edit1_verify(sa, sb)
+        return pd.DataFrame(
+            {
+                "id_a": aa[ok].astype("int64"),
+                "id_b": bb[ok].astype("int64"),
+            }
+        )
+
+    fanned = ds.map_batches(variants, batch_format="pyarrow")
+    pairs = fanned.groupby("__b").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # a pair can collide on several variants (and across buckets) — one
+    # bounded distinct on the pair key
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    return distinct_rows(pairs, ["id_a", "id_b"])

@@ -5393,6 +5393,31 @@ ORDER BY z, l_orderkey
 SQL_ZORDER = _sql_zorder()
 
 
+def q_editdist_pairs(sf_dir: str):
+    """Edit-distance-1 similarity join (FastSS deletion-neighborhood
+    blocking — see ``functions/editdist.py``), ORACLE-CHECKED against
+    DuckDB's built-in ``levenshtein``: every customer-name pair at exactly
+    distance 1. Zero-miss blocking + exact verification, so this is the
+    one approximate-family member whose full output hash-matches a brute
+    SQL self-join."""
+    from goose_parser_ray.functions.editdist import edit1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = edit1_pairs(ds, col="c_name", id_col="c_custkey")
+    return pairs.sort(["id_a", "id_b"])
+
+
+SQL_EDITDIST_PAIRS = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) = 1
+ORDER BY id_a, id_b
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5485,6 +5510,7 @@ QUERIES = {
     "postings": q_postings,
     "event_throttle": q_event_throttle,
     "zorder": q_zorder,
+    "editdist_pairs": q_editdist_pairs,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5559,6 +5585,7 @@ ORACLE_SQL = {
     "postings": SQL_POSTINGS,
     "event_throttle": SQL_EVENT_THROTTLE,
     "zorder": SQL_ZORDER,
+    "editdist_pairs": SQL_EDITDIST_PAIRS,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
