@@ -5418,6 +5418,101 @@ ORDER BY id_a, id_b
 """
 
 
+_PROFILE_COLS = ["user_id", "event_type", "props"]
+
+
+def q_profile(sf_dir: str):
+    """One-shot data-profiling operator (Deequ shape), ORACLE-CHECKED: per
+    column — row count, null count, EXACT distinct count, lexicographic
+    min/max (all values profiled through their string form, so one output
+    schema covers every input type; integer→string casts format identically
+    in both engines). Stats come from mergeable per-batch partials (3 rows
+    per batch); the distinct count is one bounded shuffle over per-batch-
+    unique (col, v) pairs. Two column-pruned reads of the source — no
+    derived-table re-execution, no driver materialization of values."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from goose_parser_ray.functions.relational import (
+        distinct_rows,
+        pre_aggregated_sum,
+    )
+
+    ds = _read(sf_dir, "events", _PROFILE_COLS)
+
+    def long_form(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            v = pc.cast(t[c], pa.string())
+            cols.append(pa.array([c] * t.num_rows, pa.string()))
+            vals.append(v.combine_chunks() if hasattr(v, "chunks") else v)
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(cols), pa.concat_arrays(vals)],
+            names=["col", "v"],
+        )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        lf = long_form(t)
+        df = lf.to_pandas()
+        g = df.groupby("col", dropna=False)
+        out = pd.DataFrame(
+            {
+                "col": list(g.groups),
+                "n_p": g.size().to_numpy().astype("int64"),
+                "nulls_p": g["v"].apply(lambda s: int(s.isna().sum())).to_numpy(),
+                "min_p": g["v"].min().to_numpy(),
+                "max_p": g["v"].max().to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("nulls_p", alias_name="nulls"),
+            Min("min_p", alias_name="min_v"),
+            Max("max_p", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+
+    def long_nonnull(t: pa.Table) -> pa.Table:
+        lf = long_form(t)
+        return lf.filter(pc.is_valid(lf["v"]))
+
+    long = ds.map_batches(long_nonnull, batch_format="pyarrow")
+    dis = distinct_rows(long, ["col", "v"])
+    nd = (
+        pre_aggregated_sum(dis, ["col"], {}, count_alias="n_distinct")
+        .to_pandas()
+    )
+
+    out = stats.merge(nd, on="col", how="left")
+    out["n"] = out["n"].astype("int64")
+    out["nulls"] = out["nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("col").reset_index(drop=True)[
+        ["col", "n", "nulls", "n_distinct", "min_v", "max_v"]
+    ]
+
+
+SQL_PROFILE = """
+WITH p AS (
+  SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'props', props FROM events
+)
+SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM p GROUP BY col ORDER BY col
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5511,6 +5606,7 @@ QUERIES = {
     "event_throttle": q_event_throttle,
     "zorder": q_zorder,
     "editdist_pairs": q_editdist_pairs,
+    "profile": q_profile,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5586,6 +5682,7 @@ ORACLE_SQL = {
     "event_throttle": SQL_EVENT_THROTTLE,
     "zorder": SQL_ZORDER,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
+    "profile": SQL_PROFILE,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
