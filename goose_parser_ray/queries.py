@@ -5513,6 +5513,50 @@ FROM p GROUP BY col ORDER BY col
 """
 
 
+def q_tree_rollup(sf_dir: str):
+    """Hierarchy rollup (recursive-closure class), ORACLE-CHECKED against a
+    genuine ``WITH RECURSIVE`` CTE: docs form a decimal tree (parent =
+    id // 10) and every node's subtree size is counted. The distributed
+    plan exploits the bounded depth (≤ ⌈log10(max_id)⌉): each row fans out
+    its ancestor chain ARITHMETICALLY map-side (≤ 8 rows, no joins, no
+    iteration) and one partial-combined count per ancestor finishes it —
+    the recursion is in the oracle, not the engine."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def ancestors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chains = [ids]
+        cur = ids
+        while (cur > 0).any():
+            nxt = cur // 10
+            # a node's chain continues only while the PREVIOUS link was >0;
+            # mark finished chains with -1 and drop them after concat
+            nxt = np.where(cur > 0, nxt, -1)
+            chains.append(nxt)
+            cur = np.where(cur > 0, nxt, np.int64(0))
+        flat = np.concatenate(chains)
+        flat = flat[flat >= 0]
+        return pa.Table.from_pydict({"node": pa.array(flat, pa.int64())})
+
+    fanned = ds.map_batches(ancestors, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        fanned, ["node"], {}, count_alias="subtree"
+    ).sort("node")
+
+
+SQL_TREE_ROLLUP = """
+WITH RECURSIVE a AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION ALL
+  SELECT node, anc // 10 FROM a WHERE anc > 0
+)
+SELECT CAST(anc AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS subtree
+FROM a GROUP BY anc ORDER BY node
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5607,6 +5651,7 @@ QUERIES = {
     "zorder": q_zorder,
     "editdist_pairs": q_editdist_pairs,
     "profile": q_profile,
+    "tree_rollup": q_tree_rollup,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5683,6 +5728,7 @@ ORACLE_SQL = {
     "zorder": SQL_ZORDER,
     "editdist_pairs": SQL_EDITDIST_PAIRS,
     "profile": SQL_PROFILE,
+    "tree_rollup": SQL_TREE_ROLLUP,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -7,6 +7,7 @@ slot in here without touching pipeline code.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 
@@ -44,6 +45,8 @@ def read_documents(
             fmt = "jsonl"
         elif low.endswith(".csv"):
             fmt = "csv"
+        elif low.endswith((".arrow", ".feather", ".ipc")):
+            fmt = "arrow"
         elif _lance_available():  # pragma: no cover
             fmt = "lance"
         else:
@@ -57,6 +60,30 @@ def read_documents(
     if fmt == "csv":
         ds = ray.data.read_csv(path, **kw)
         return ds.select_columns(columns) if columns else ds
+    if fmt == "arrow":
+        # Arrow IPC / Feather ingest: one read task per file (the file is
+        # the parallelism unit — IPC has no row-group pruning, so like
+        # JSONL/CSV this is an ingest format: convert to parquet/lance
+        # before repeated scans). Handles Feather v1/v2 and stream IPC.
+        import pyarrow.feather as _feather
+
+        ds = ray.data.read_binary_files(path, **kw)
+
+        def _parse_ipc(t: "pa.Table") -> "pa.Table":
+            tables = []
+            for buf in t["bytes"].to_pylist():
+                reader = pa.BufferReader(buf)
+                try:
+                    tbl = _feather.read_table(reader)
+                except pa.ArrowInvalid:
+                    reader.seek(0)
+                    tbl = pa.ipc.open_stream(reader).read_all()
+                tables.append(
+                    tbl.select(columns) if columns else tbl
+                )
+            return pa.concat_tables(tables)
+
+        return ds.map_batches(_parse_ipc, batch_format="pyarrow", batch_size=1)
     if fmt != "parquet":
         raise ValueError(f"unknown documents format: {fmt!r}")
     return ray.data.read_parquet(path, columns=columns, **kw)

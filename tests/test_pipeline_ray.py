@@ -234,7 +234,20 @@ def test_read_documents_jsonl_csv_roundtrip(ray_session, tmp_path):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    for p in (jl_path, csv_path):
+    import pyarrow.feather as feather
+
+    fe_path = str(tmp_path / "docs.feather")
+    ipc_path = str(tmp_path / "docs.arrow")
+    feather.write_feather(
+        pa.Table.from_pandas(df, preserve_index=False), fe_path
+    )
+    with pa.OSFile(ipc_path, "wb") as f:
+        with pa.ipc.new_stream(
+            f, pa.Table.from_pandas(df, preserve_index=False).schema
+        ) as w:
+            w.write_table(pa.Table.from_pandas(df, preserve_index=False))
+
+    for p in (jl_path, csv_path, fe_path, ipc_path):
         got = (
             read_documents(p, columns=["doc_id", "text"])
             .to_pandas()
