@@ -203,3 +203,43 @@ class PgmThumbnailActor:
         batch = batch.append_column("width", pa.array(widths, pa.int64()))
         batch = batch.append_column("height", pa.array(heights, pa.int64()))
         return batch.append_column("mean_e6", pa.array(means, pa.int64()))
+
+
+class PpmChannelStatsActor:
+    """Color sibling of :class:`PgmThumbnailActor`: binary PPM (P6)
+    payloads decoded with the in-repo codec, nearest-neighbor 4×4
+    thumbnail, EXACT per-channel integer means (``e6 = channel_sum ×
+    62500`` — 10⁶/16 divides exactly, no float anywhere, so the stage is
+    SQL-oracle-comparable). Same actor-pool shape: codec bound once per
+    actor, small batches for wide binary payloads."""
+
+    def __init__(self, payload_col: str = "payload", out: int = 4) -> None:
+        from goose_parser_ray.functions.netpbm import (
+            decode_ppm,
+            resize_nearest,
+        )
+
+        self._decode, self._resize = decode_ppm, resize_nearest
+        self.payload_col, self.out = payload_col, out
+        scale, rem = divmod(1_000_000, out * out)
+        if rem:
+            raise ValueError(f"thumb {out}x{out} must divide 1e6 exactly")
+        self._scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights = [], []
+        sums = [[], [], []]
+        for p in batch[self.payload_col].to_pylist():
+            img = self._decode(p or b"")
+            h, w = img.shape[:2]
+            thumb = self._resize(img, self.out, self.out).astype(np.int64)
+            widths.append(w)
+            heights.append(h)
+            for c in range(3):
+                sums[c].append(int(thumb[:, :, c].sum()) * self._scale)
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        for name, vals in zip(("r_e6", "g_e6", "b_e6"), sums):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch

@@ -5557,6 +5557,103 @@ FROM a GROUP BY anc ORDER BY node
 """
 
 
+def q_logreg(sf_dir: str):
+    """Distributed logistic regression (rows-only: iterative float
+    algorithm): predict ``event_type == 'purchase'`` from (value,
+    hour-of-day). Same scale shape as the k-means/PageRank loops — model
+    broadcast per round, one small partial row per batch, corpus pinned
+    once and never collected. Numpy-reference parity in tests/test_ml.py."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.ml import logreg_fit
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def featurize(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(t["ts"]), pa.float64())
+        y = pc.cast(
+            pc.equal(t["event_type"], "purchase"), pa.float64()
+        )
+        return pa.Table.from_arrays(
+            [t["value"], hour, y], names=["value", "hour", "y"]
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    w, acc, losses = logreg_fit(
+        feats, ["value", "hour"], "y", iters=15
+    )
+    return pd.DataFrame(
+        {
+            "w_value_e4": [int(round(w[0] * 1e4))],
+            "w_hour_e4": [int(round(w[1] * 1e4))],
+            "bias_e4": [int(round(w[2] * 1e4))],
+            "acc_e4": [int(round(acc * 1e4))],
+            "final_loss_e4": [int(round(losses[-1] * 1e4))],
+        }
+    )
+
+
+def q_media_ppm(sf_dir: str):
+    """REAL color-image pipeline (P6 sibling of q_media_pgm), ORACLE-
+    CHECKED: deterministic RGB gradients are encoded to actual PPM bytes,
+    decoded back by the in-repo codec in an actor pool, thumbnailed 4×4,
+    and summarized as exact per-channel integer means (62500 × channel
+    sum — integer arithmetic end to end, hash-exact vs the closed-form
+    SQL twin)."""
+    from goose_parser_ray.functions.multimodal import PpmChannelStatsActor
+    from goose_parser_ray.functions.netpbm import encode_ppm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 12 + (d & 7)
+            h = 12 + ((d >> 3) & 7)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((31 * i + 17 * j + 83 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        PpmChannelStatsActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    ).sort("doc_id")
+
+
+SQL_MEDIA_PPM = """
+WITH dims AS (
+  SELECT doc_id,
+         12 + (doc_id & 7) AS width,
+         12 + ((doc_id // 8) & 7) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height, c.c,
+         (31 * ((i.i * d.height) // 4) + 17 * ((j.j * d.width) // 4)
+          + 83 * c.c + d.doc_id) % 256 AS val
+  FROM dims d,
+       (SELECT unnest(generate_series(0, 3)) AS i) i,
+       (SELECT unnest(generate_series(0, 3)) AS j) j,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MAX(width) AS BIGINT) AS width,
+       CAST(MAX(height) AS BIGINT) AS height,
+       CAST(62500 * SUM(CASE WHEN c = 0 THEN val END) AS BIGINT) AS r_e6,
+       CAST(62500 * SUM(CASE WHEN c = 1 THEN val END) AS BIGINT) AS g_e6,
+       CAST(62500 * SUM(CASE WHEN c = 2 THEN val END) AS BIGINT) AS b_e6
+FROM pix GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5652,6 +5749,8 @@ QUERIES = {
     "editdist_pairs": q_editdist_pairs,
     "profile": q_profile,
     "tree_rollup": q_tree_rollup,
+    "logreg": q_logreg,
+    "media_ppm": q_media_ppm,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5729,6 +5828,7 @@ ORACLE_SQL = {
     "editdist_pairs": SQL_EDITDIST_PAIRS,
     "profile": SQL_PROFILE,
     "tree_rollup": SQL_TREE_ROLLUP,
+    "media_ppm": SQL_MEDIA_PPM,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -1806,6 +1806,22 @@ def test_netpbm_codec_roundtrip_and_errors():
         for j in range(8):
             assert thumb[i, j] == img[(i * 13) // 8, (j * 29) // 8]
 
+    # P6 color sibling: roundtrip, channel-preserving resize, loud errors
+    from goose_parser_ray.functions.netpbm import decode_ppm, encode_ppm
+
+    rgb = rng.randint(0, 256, size=(11, 17, 3)).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(rgb)) == rgb).all()
+    ct = resize_nearest(rgb, 4, 4)
+    assert ct.shape == (4, 4, 3)
+    for c in range(3):
+        assert (ct[..., c] == resize_nearest(rgb[..., c], 4, 4)).all()
+    with _pytest.raises(ValueError, match="magic"):
+        decode_ppm(encode_pgm(img))
+    with _pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(encode_ppm(rgb)[:-2])
+    with _pytest.raises(ValueError, match="RGB"):
+        encode_ppm(img)
+
 
 def test_normalize_unicode_edge_cases():
     """NFC composes decomposed accents, keeps compatibility ligatures
