@@ -41,11 +41,20 @@ def compact_partitions(
     *,
     max_files: int = 1,
     target_files: int = 1,
+    sort_within: list[str] | None = None,
 ) -> dict:
     """Compact every completed ``partition_id=K`` directory under
     ``output_path`` that holds more than ``max_files`` parquet files.
     Returns ``{"compacted": n, "skipped": n, "files_before": n,
-    "files_after": n}``. Idempotent; safe to re-run after a crash."""
+    "files_after": n}``. Idempotent; safe to re-run after a crash.
+
+    ``sort_within`` additionally rewrites each compacted partition with
+    rows sorted by the given columns (Spark's
+    ``repartitionAndSortWithinPartitions`` layout): downstream merge joins
+    and range scans read sorted runs, and parquet row-group min/max stats
+    become selective on the sort key. Sorting is PER PARTITION — no global
+    shuffle — and a sorted partition still passes the row-count
+    verification guard, so crash-safety semantics are unchanged."""
     out = Path(output_path)
     manifest = Manifest(output_path)
     tmp_root = out / "_compact_tmp"
@@ -63,7 +72,17 @@ def compact_partitions(
             continue
 
         tmp = tmp_root / f"partition_id={pid}"
-        ds = ray.data.read_parquet(str(final)).repartition(target_files)
+        # partition_id is already encoded in the dir name; the reader
+        # re-infers it from the path (sometimes as dictionary, sometimes a
+        # file-embedded int32 from an earlier rewrite), and mixed types
+        # break the schema merge a sort needs — drop it before rewriting,
+        # the hive path restores it on read-back
+        ds = ray.data.read_parquet(str(final))
+        if "partition_id" in ds.schema().names:
+            ds = ds.drop_columns(["partition_id"])
+        if sort_within:
+            ds = ds.sort(sort_within)
+        ds = ds.repartition(target_files)
         ds.write_parquet(str(tmp))
         new_files = _parquet_files(tmp)
         # metadata-only row count (footers), no second scan

@@ -5654,6 +5654,58 @@ FROM pix GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_except_all(sf_dir: str):
+    """EXCEPT ALL (bag semantics — completes the set-op family beside
+    UNION/INTERSECT/EXCEPT), ORACLE-CHECKED: click user_ids minus error
+    user_ids WITH multiplicity. One signed partial-count pass over both
+    sides (map-side combine), then each key re-emits max(0, diff) copies —
+    the exchange moves one row per (batch, user), never the raw events."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def signed(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "error"])
+        )
+        t = t.filter(keep)
+        sign = pc.if_else(
+            pc.equal(t["event_type"], "click"),
+            pa.scalar(1, pa.int64()),
+            pa.scalar(-1, pa.int64()),
+        )
+        return pa.Table.from_arrays(
+            [t["user_id"], sign], names=["user_id", "sign"]
+        )
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(signed, batch_format="pyarrow"),
+        ["user_id"],
+        {"sign": "diff"},
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        diff = t["diff"].to_numpy(zero_copy_only=False)
+        pos = diff > 0
+        out = np.repeat(uid[pos], diff[pos])
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(out, pa.int64())}
+        )
+
+    return counts.map_batches(expand, batch_format="pyarrow").sort("user_id")
+
+
+SQL_EXCEPT_ALL = """
+SELECT CAST(user_id AS BIGINT) AS user_id
+FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT CAST(user_id AS BIGINT) AS user_id
+FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5751,6 +5803,7 @@ QUERIES = {
     "tree_rollup": q_tree_rollup,
     "logreg": q_logreg,
     "media_ppm": q_media_ppm,
+    "except_all": q_except_all,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5829,6 +5882,7 @@ ORACLE_SQL = {
     "profile": SQL_PROFILE,
     "tree_rollup": SQL_TREE_ROLLUP,
     "media_ppm": SQL_MEDIA_PPM,
+    "except_all": SQL_EXCEPT_ALL,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -4,6 +4,7 @@ poison quarantine, manifest resume (SURVEY.md §5.2-2/3, FIXTURES.md F6)."""
 import shutil
 from pathlib import Path
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray.data
@@ -309,6 +310,30 @@ def test_compact_partitions_preserves_rows_and_resume(corpus, tmp_path):
     # idempotent: second compaction is a no-op
     s3 = compact_partitions(str(out_dir))
     assert s3["compacted"] == 0 and s3["skipped"] == 6
+
+    # sorted-within-partition rewrite (merge-join-friendly layout): re-frag
+    # then compact with sort_within — every output file holds rows sorted
+    # by doc_id, rows unchanged, manifest still complete
+    for pdir in out_dir.glob("partition_id=*"):
+        files = sorted(pdir.glob("*.parquet"))
+        # ParquetFile.read(): no path-based hive inference (pq.read_table
+        # would re-add a dictionary partition_id from the dir name)
+        tbl = pa.concat_tables([pq.ParquetFile(str(f)).read() for f in files])
+        idx = list(range(tbl.num_rows))[::-1]  # reverse = unsorted
+        tbl = tbl.take(idx)
+        for f in files:
+            f.unlink()
+        half = max(1, tbl.num_rows // 2)
+        pq.write_table(tbl.slice(0, half), pdir / "frag-0.parquet")
+        pq.write_table(tbl.slice(half), pdir / "frag-1.parquet")
+    s4 = compact_partitions(str(out_dir), sort_within=["doc_id"])
+    assert s4["compacted"] == 6
+    for pdir in out_dir.glob("partition_id=*"):
+        for f in pdir.glob("*.parquet"):
+            ids = pq.read_table(str(f), columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids)
+    sorted_after = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert sorted(sorted_after["doc_id"]) == sorted(b["doc_id"])
 
 
 def test_compact_verification_guard(corpus, tmp_path):
