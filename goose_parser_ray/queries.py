@@ -5706,6 +5706,114 @@ ORDER BY user_id
 """
 
 
+def q_dup_chunks(sf_dir: str):
+    """Cross-document duplicate-chunk signal (Falcon/RefinedWeb line-dedup
+    shape), ORACLE-CHECKED: slide 200-codepoint/150-stride chunks over
+    every doc, mark chunks whose text occurs in ≥2 distinct documents, and
+    report per-doc (n_chunks, dup_chunks). Distribution: the one honest
+    shuffle groups chunks by content hash into data-proportional buckets;
+    inside a bucket the distinct-doc count per chunk is a vectorized
+    pandas pass, and the per-doc rollup is the partial/combiner pattern."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    CHUNK, STRIDE = 200, 150
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count() * 4)  # ≈ chunks per doc upper bound
+
+    def chunks(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum(lens - 1, 0) // STRIDE + 1
+        parts = []
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = pa.array(n_chunks > j)
+            sub = t.filter(mask)
+            piece = pc.utf8_slice_codeunits(
+                sub["text"], start=j * STRIDE, stop=j * STRIDE + CHUNK
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [sub["doc_id"], piece], names=["doc_id", "chunk"]
+                )
+            )
+        out = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        )
+        return add_hash_bucket(out, "chunk", nb)
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        docs_with = g.groupby("chunk")["doc_id"].transform("nunique")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "dup": (docs_with > 1).astype("int64"),
+                "one": np.ones(len(g), dtype="int64"),
+            }
+        )
+
+    marked = (
+        ds.map_batches(chunks, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(mark_dups, batch_format="pandas")
+    )
+    return pre_aggregated_sum(
+        marked, ["doc_id"], {"one": "n_chunks", "dup": "dup_chunks"}
+    ).sort("doc_id")
+
+
+SQL_DUP_CHUNKS = """
+WITH ch AS (
+  SELECT doc_id, substring(text, CAST(j * 150 + 1 AS INT), 200) AS chunk
+  FROM documents,
+       UNNEST(generate_series(0, greatest(length(text) - 1, 0) // 150)) AS t(j)
+), cd AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS docs_with
+  FROM ch GROUP BY chunk
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN cd.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks
+FROM ch c JOIN cd ON c.chunk = cd.chunk
+GROUP BY c.doc_id ORDER BY doc_id
+"""
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (rows-only: iterative, string
+    surgery has no SQL twin) — the LLM-pipeline tokenizer-training step.
+    One corpus pass reduces to the word-frequency table; every merge round
+    is vocab-bounded (pair partials → grouped sum → distributed top-1 →
+    broadcast merge). Deterministic tie-breaks; reference parity in
+    tests/test_bpe.py. Returns the learned merge table."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merges = bpe_train(ds, "text", n_merges=5)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": np.array([m[2] for m in merges], dtype="int64"),
+        }
+    )
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree
@@ -5804,6 +5912,8 @@ QUERIES = {
     "logreg": q_logreg,
     "media_ppm": q_media_ppm,
     "except_all": q_except_all,
+    "dup_chunks": q_dup_chunks,
+    "bpe_merges": q_bpe_merges,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5883,6 +5993,7 @@ ORACLE_SQL = {
     "tree_rollup": SQL_TREE_ROLLUP,
     "media_ppm": SQL_MEDIA_PPM,
     "except_all": SQL_EXCEPT_ALL,
+    "dup_chunks": SQL_DUP_CHUNKS,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -1,0 +1,65 @@
+"""Distributed BPE trainer vs a single-process reference implementation."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from goose_parser_ray.functions.bpe import bpe_train
+
+
+def _reference(texts, n_merges):
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    words = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        # deterministic: count desc, then lexicographic
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        merges.append((a, b, c))
+        for w, syms in words.items():
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges
+
+
+def test_bpe_matches_reference(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the best hat",
+        "маты и кот",  # unicode symbols survive
+        "the the the that that",
+    ] * 3
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    got = bpe_train(ds, "text", n_merges=6)
+    want = _reference(texts, 6)
+    assert got == want
+    assert len(got) == 6
+    # a learned merge is a real multi-char token
+    assert any(len(a + b) >= 3 for a, b, _ in got)
+
+
+def test_bpe_stops_when_dry(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ["a b c"]}))
+    # every word is one symbol long — no adjacent pairs at count ≥ 2
+    assert bpe_train(ds, "text", n_merges=4) == []
