@@ -5824,6 +5824,272 @@ ORDER BY 1
 """
 
 
+_BM25_TERMS = ("vector", "hash", "latency")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def q_bm25(sf_dir: str):
+    """BM25 ranked retrieval (Okapi; Robertson & Spärck Jones) — the
+    classic IR top-k over the corpus, ORACLE-CHECKED at e6 fixed point.
+
+    One corpus scan emits a REDUCED dataset: per-doc rows (doc_id, dl,
+    per-term tf) only for docs matching ≥1 query term, plus one tagged
+    stat partial per batch (Σdl, batch doc count). N/avgdl/df come from
+    the tiny partials (df ≤ matched docs, partials ≤ #batches — never the
+    corpus driver-side); scoring is a second map over the reduced rows
+    only. Float discipline: each (doc, term) BM25 contribution is rounded
+    to an e6 integer INDEPENDENTLY, then int-summed per doc — the same
+    order-independent integer-partial trick as q_pmi_bigrams, so the
+    driver hash cannot see IEEE summation order. Tie-break (score DESC,
+    doc_id ASC) is total."""
+    import math
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    terms = list(_BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def reduce_batch(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        w = pd.Series(flat.to_pylist(), dtype=object)
+        nonempty = (w != "").to_numpy()
+        n_docs = len(t)
+        # per-doc length over nonempty tokens (vectorized bincount)
+        dl = np.bincount(parent[nonempty], minlength=n_docs).astype(np.int64)
+        cols = {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False), "dl": dl}
+        matched = np.zeros(n_docs, dtype=bool)
+        for j, term in enumerate(terms):
+            hit = (w == term).to_numpy()
+            tf = np.bincount(parent[hit], minlength=n_docs).astype(np.int64)
+            cols[f"tf{j}"] = tf
+            matched |= tf > 0
+        out = {k: v[matched] for k, v in cols.items()}
+        out["kind"] = np.zeros(int(matched.sum()), dtype=np.int64)
+        # one tagged stat partial per batch: Σdl in 'dl', doc count in 'tf0'
+        stat = {
+            "doc_id": np.array([-1], dtype=np.int64),
+            "dl": np.array([int(dl.sum())], dtype=np.int64),
+            "kind": np.array([1], dtype=np.int64),
+        }
+        for j in range(len(terms)):
+            stat[f"tf{j}"] = np.array(
+                [n_docs if j == 0 else 0], dtype=np.int64
+            )
+        return pa.Table.from_pydict(
+            {k: np.concatenate([out[k], stat[k]]) for k in out}
+        )
+
+    reduced = ds.map_batches(reduce_batch, batch_format="pyarrow").materialize()
+
+    # tiny aggregates: N, Σdl from the tagged partials; df from matched rows
+    def agg_batch(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        is_stat = kind == 1
+        row = {
+            "n": [int(t["tf0"].to_numpy(zero_copy_only=False)[is_stat].sum())],
+            "sumdl": [int(t["dl"].to_numpy(zero_copy_only=False)[is_stat].sum())],
+        }
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            row[f"df{j}"] = [int(((tf > 0) & ~is_stat).sum())]
+        return pa.Table.from_pydict(row)
+
+    parts = reduced.map_batches(agg_batch, batch_format="pyarrow").to_pandas()
+    n_corpus = int(parts["n"].sum())
+    avgdl = float(parts["sumdl"].sum()) / n_corpus
+    idf = [
+        math.log(
+            1.0
+            + (n_corpus - int(parts[f"df{j}"].sum()) + 0.5)
+            / (int(parts[f"df{j}"].sum()) + 0.5)
+        )
+        for j in range(len(terms))
+    ]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        keep = kind == 0
+        dl = t["dl"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        score = np.zeros(len(dl), dtype=np.int64)
+        denom_len = k1 * (1.0 - b + b * dl / avgdl)
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)[keep].astype(
+                np.float64
+            )
+            contrib = 1e6 * idf[j] * tf * (k1 + 1.0) / (tf + denom_len)
+            # half-away-from-zero == DuckDB ROUND (contribs are ≥ 0)
+            score += np.floor(contrib + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "score_e6": score,
+            }
+        )
+
+    scored = reduced.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(
+        ["score_e6", "doc_id"], descending=[True, False]
+    ).limit(_BM25_TOPK)
+
+
+SQL_BM25 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM tok WHERE w <> '' GROUP BY doc_id
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE w IN ('vector', 'hash', 'latency') GROUP BY doc_id, w
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT SUM(dl) FROM dl) * 1.0 / (SELECT COUNT(*) FROM documents)
+           AS avgdl
+),
+df AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY w
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           1e6 * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS BIGINT) AS c
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.w = tf.w
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+FROM contrib GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 15
+"""
+
+
+def q_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (Mann–Whitney rank statistic) of
+    ``value`` predicting click-vs-error, ORACLE-CHECKED with pure-integer
+    arithmetic (no float rank averaging: 2·avg-rank of a tie group is an
+    integer, so the numerator ``2·R⁺ − n⁺(n⁺+1)`` and denominator
+    ``2·n⁺·n⁻`` are exact BIGINTs; auc_e6 = num·1e6 // den matches DuckDB
+    ``//``).
+
+    Scale shape: scores quantized to cents → grouped (v, pos, cnt) via
+    map-side combine (exchange bounded by the score DOMAIN, not the corpus),
+    then the tie-group rank base C(v) = exclusive prefix sum of counts in
+    value order via the distributed range-bucketed scan
+    (functions/packing.global_scan_offsets) — no driver-side rank pass."""
+    from goose_parser_ray.functions.packing import global_scan_offsets
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "error"])
+        )
+        t = t.filter(keep)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        pos = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        import pandas as pd
+
+        g = pd.DataFrame({"v": v, "p": pos}).groupby("v", sort=False).agg(
+            p=("p", "sum"), c=("p", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "v": g.index.to_numpy(np.int64),
+                "p": g["p"].to_numpy(np.int64),
+                "c": g["c"].to_numpy(np.int64),
+            }
+        )
+
+    grouped = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["v"],
+        sums={"p": "p", "c": "c"},
+    )
+    n_groups = grouped.count()
+    ranked = global_scan_offsets(
+        grouped, order_col="v", size_col="c", offset_col="cum_before",
+        n_rows=max(1, n_groups),
+    )
+
+    def partial_auc(t: pa.Table) -> pa.Table:
+        p = t["p"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        cb = t["cum_before"].to_numpy(zero_copy_only=False)
+        # Σ over tie groups of p·(2C + c + 1) == 2·Σ avg-ranks of positives
+        return pa.Table.from_pydict(
+            {
+                "r2": [int((p * (2 * cb + c + 1)).sum())],
+                "npos": [int(p.sum())],
+                "ntot": [int(c.sum())],
+            }
+        )
+
+    parts = ranked.map_batches(
+        partial_auc, batch_format="pyarrow"
+    ).to_pandas()
+    r2 = int(parts["r2"].sum())
+    npos = int(parts["npos"].sum())
+    nneg = int(parts["ntot"].sum()) - npos
+    num = r2 - npos * (npos + 1)
+    den = 2 * npos * nneg
+    return pa.Table.from_pydict(
+        {
+            "npos": pa.array([npos], pa.int64()),
+            "nneg": pa.array([nneg], pa.int64()),
+            "auc_e6": pa.array([num * 1_000_000 // den], pa.int64()),
+        }
+    )
+
+
+SQL_AUC = """
+WITH s AS (
+  SELECT CAST(ROUND(100 * value) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IN ('click', 'error')
+),
+r AS (
+  SELECT v, pos,
+         RANK() OVER (ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY v) AS c
+  FROM s
+),
+agg AS (
+  SELECT SUM(CASE WHEN pos = 1 THEN 2 * rmin + c - 1 ELSE 0 END) AS r2,
+         SUM(pos) AS npos, SUM(1 - pos) AS nneg
+  FROM r
+)
+SELECT CAST(npos AS BIGINT) AS npos,
+       CAST(nneg AS BIGINT) AS nneg,
+       CAST(((r2 - npos * (npos + 1)) * 1000000) // (2 * npos * nneg)
+            AS BIGINT) AS auc_e6
+FROM agg
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -5914,6 +6180,8 @@ QUERIES = {
     "except_all": q_except_all,
     "dup_chunks": q_dup_chunks,
     "bpe_merges": q_bpe_merges,
+    "bm25": q_bm25,
+    "auc": q_auc,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -5994,6 +6262,8 @@ ORACLE_SQL = {
     "media_ppm": SQL_MEDIA_PPM,
     "except_all": SQL_EXCEPT_ALL,
     "dup_chunks": SQL_DUP_CHUNKS,
+    "bm25": SQL_BM25,
+    "auc": SQL_AUC,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -1890,3 +1890,75 @@ def test_pq_deterministic_and_quality(ray_session):
 
     _, mean_only = run(1)
     assert o1["recon_err_sq"].mean() < mean_only["recon_err_sq"].mean() * 0.5
+
+
+def test_auc_matches_numpy_rank_reference(ray_session):
+    """q_auc's distributed rank-scan AUC == a driver-side numpy
+    Mann–Whitney computation on the same quantized scores."""
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.queries import q_auc
+
+    sf = "/root/testdata/sf0.001"
+    out = q_auc(sf).to_pandas()
+
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.event_type.isin(["click", "error"])]
+    v = np.floor(100 * ev["value"].to_numpy() + 0.5).astype(np.int64)
+    pos = (ev.event_type == "click").to_numpy()
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=np.float64)
+    ranks[order] = np.arange(1, len(v) + 1)
+    # average ranks over ties
+    s = pd.Series(ranks).groupby(v).transform("mean").to_numpy()
+    npos, nneg = int(pos.sum()), int((~pos).sum())
+    auc = (s[pos].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert int(out["npos"][0]) == npos
+    assert int(out["nneg"][0]) == nneg
+    assert int(out["auc_e6"][0]) == int(np.floor(auc * 1_000_000))
+
+
+def test_bm25_matches_pure_python_reference(ray_session):
+    """q_bm25's distributed scoring == a single-process BM25 over the
+    same tokenizer, idf formula and e6 per-term rounding."""
+    import math
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from goose_parser_ray.queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        q_bm25,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bm25(sf).to_pandas()
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    # Python-re equivalent of the engine's RE2 [^\p{L}\p{N}_]+ splitter
+    splitter = re.compile(r"\W+", re.UNICODE)
+    toks = [
+        [w for w in splitter.split((t or "").lower()) if w]
+        for t in docs["text"]
+    ]
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in toks) / n
+    scores = {}
+    for j, term in enumerate(_BM25_TERMS):
+        df = sum(1 for ws in toks if term in ws)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for did, ws in zip(docs["doc_id"], toks):
+            tf = ws.count(term)
+            if tf:
+                c = 1e6 * idf * tf * (_BM25_K1 + 1) / (
+                    tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(ws) / avgdl)
+                )
+                scores[did] = scores.get(did, 0) + int(np.floor(c + 0.5))
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+    got = list(zip(out["doc_id"], out["score_e6"]))
+    assert got == ref
