@@ -415,3 +415,43 @@ def diff_datasets(
         return out.filter(pc.not_equal(change, "unchanged"))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def apply_changes(
+    snapshot: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    *,
+    key: str,
+    op_col: str = "op",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """CDC MERGE/upsert: apply a change feed to a snapshot. ``changes``
+    carries ``op_col`` ∈ {'U' update, 'D' delete, 'I' insert} plus the full
+    row payload for U/I (snapshot columns). Result = snapshot rows whose
+    key is untouched (one hash-partitioned LEFT ANTI join against the
+    keys-only change feed — the only exchange, sized by the CHANGE volume
+    on the build side) ∪ U/I payloads (map-only).
+
+    Deterministic contract: at most one change row per key (last-writer
+    resolution is the feed compactor's job, as in log-compacted CDC);
+    U on a missing key behaves as insert (standard MERGE semantics)."""
+    keys_only = changes.map_batches(
+        lambda t: pa.Table.from_arrays([t[key]], names=[key]),
+        batch_format="pyarrow",
+    )
+    untouched = snapshot.join(
+        keys_only,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(key,),
+    )
+    payload_cols = [c for c in snapshot.schema().names]
+    upserts = changes.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t[c] for c in payload_cols], names=payload_cols
+        ).filter(
+            pc.is_in(t[op_col], value_set=pa.array(["U", "I"]))
+        ),
+        batch_format="pyarrow",
+    )
+    return untouched.union(upserts)

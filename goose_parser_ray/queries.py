@@ -3722,14 +3722,14 @@ FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
 """
 
 
-def _copurchase_edges(sf_dir: str) -> "ray.data.Dataset":
+def _copurchase_edges(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     """Canonical (u < v, distinct) part co-purchase edges: parts linked iff
-    they appear in the same order. Deterministic 1/4 order slice — the full
-    graph is DENSE (avg degree ~80 at sf0.01) and wedge volume grows with
-    degree²; the slice keeps the graph queries inside the per-query time
-    budget while exercising the identical chain (oracles apply the same
-    cut). Build = native hash self-join on l_orderkey + distinct-pair
-    aggregate."""
+    they appear in the same order. Deterministic 1/(mask+1) order slice —
+    the full graph is DENSE (avg degree ~80 at sf0.01) and wedge volume
+    grows with degree²; the slice keeps the graph queries inside the
+    per-query time budget while exercising the identical chain (oracles
+    apply the same cut). Build = native hash self-join on l_orderkey +
+    distinct-pair aggregate."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     dis = pre_aggregated_sum(
         li.map_batches(
@@ -3737,7 +3737,9 @@ def _copurchase_edges(sf_dir: str) -> "ray.data.Dataset":
                 [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
             ).filter(
                 pc.equal(
-                    pc.bit_wise_and(t["l_orderkey"], pa.scalar(3, pa.int64())),
+                    pc.bit_wise_and(
+                        t["l_orderkey"], pa.scalar(mask, pa.int64())
+                    ),
                     0,
                 )
             ),
@@ -6090,6 +6092,305 @@ FROM agg
 """
 
 
+def q_components(sf_dir: str):
+    """Connected components of the part co-purchase graph (sparser 1/16
+    order slice so the graph actually fractures into components), ORACLE-
+    CHECKED against a DuckDB recursive-CTE min-label fixpoint. Engine side
+    = ``connected_components_distributed`` (per-round hash join +
+    groupby-min, convergence via the monotone label sum — the same
+    machinery the near-dup removal path uses), then one tiny aggregate:
+    (component = min node id, n_nodes)."""
+    from goose_parser_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+
+    edges = _copurchase_edges(sf_dir, mask=15)
+    labels = connected_components_distributed(edges, cols=("u", "v"))
+    return pre_aggregated_sum(
+        labels.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t["label"], pa.int64())], names=["component"]
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["component"], sums={}, count_alias="n_nodes",
+    )
+
+
+SQL_COMPONENTS = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE (l_orderkey & 15) = 0),
+e0 AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v
+),
+lab AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+SELECT CAST(label AS BIGINT) AS component, COUNT(*) AS n_nodes
+FROM lab GROUP BY label
+"""
+
+
+def q_cdc_apply(sf_dir: str):
+    """CDC MERGE / upsert-apply (the Hudi/Delta `MERGE INTO` shape),
+    ORACLE-CHECKED: a deterministic change feed derived from the customer
+    snapshot (key%10==0 → D, %10==1 → U with +1000.00 balance, %10==2 →
+    I under a shifted key) is applied via
+    ``functions/relational.apply_changes``: snapshot rows with untouched
+    keys survive through ONE hash-partitioned LEFT ANTI join against the
+    keys-only feed (exchange sized by the CHANGE volume, not the
+    snapshot); U/I payloads union in map-only. Balances as exact cents."""
+    from goose_parser_ray.functions.relational import apply_changes
+
+    snap = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "bal_cents": _cents(t["c_acctbal"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def make_feed(t: pa.Table) -> pa.Table:
+        # Arrow has no modulo kernel; id - (id // m) * m (ids non-negative)
+        k = t["c_custkey"]
+        mod = pc.subtract(
+            k, pc.multiply(pc.divide(k, pa.scalar(10, pa.int64())),
+                           pa.scalar(10, pa.int64()))
+        )
+        d = t.filter(pc.equal(mod, 0))
+        u = t.filter(pc.equal(mod, 1))
+        i = t.filter(pc.equal(mod, 2))
+        return pa.Table.from_pydict(
+            {
+                "op": pa.concat_arrays(
+                    [
+                        pa.array(["D"] * len(d)),
+                        pa.array(["U"] * len(u)),
+                        pa.array(["I"] * len(i)),
+                    ]
+                ),
+                "c_custkey": pa.concat_arrays(
+                    [
+                        d["c_custkey"].combine_chunks(),
+                        u["c_custkey"].combine_chunks(),
+                        pc.add(
+                            i["c_custkey"], pa.scalar(1_000_000, pa.int64())
+                        ).combine_chunks(),
+                    ]
+                ),
+                "c_name": pa.concat_arrays(
+                    [
+                        d["c_name"].combine_chunks(),
+                        u["c_name"].combine_chunks(),
+                        i["c_name"].combine_chunks(),
+                    ]
+                ),
+                "bal_cents": pa.concat_arrays(
+                    [
+                        d["bal_cents"].combine_chunks(),
+                        pc.add(
+                            u["bal_cents"], pa.scalar(100_000, pa.int64())
+                        ).combine_chunks(),
+                        i["bal_cents"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    # pinned: the snapshot feeds BOTH apply_changes sides (anti-join probe
+    # and the feed derivation) — lazy lineage would re-read per consumer
+    snap = snap.materialize()
+    changes = snap.map_batches(make_feed, batch_format="pyarrow")
+    return apply_changes(
+        snap, changes, key="c_custkey",
+        num_partitions=_dedup._default_join_partitions(),
+    )
+
+
+SQL_CDC_APPLY = """
+WITH snap AS (
+  SELECT c_custkey, c_name,
+         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
+  FROM customer
+),
+changes AS (
+  SELECT 'D' AS op, c_custkey, c_name, bal_cents
+  FROM snap WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'U', c_custkey, c_name, bal_cents + 100000
+  FROM snap WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT 'I', c_custkey + 1000000, c_name, bal_cents
+  FROM snap WHERE c_custkey % 10 = 2
+)
+SELECT s.c_custkey, s.c_name, s.bal_cents FROM snap s
+WHERE s.c_custkey NOT IN (SELECT c_custkey FROM changes)
+UNION ALL
+SELECT c_custkey, c_name, bal_cents FROM changes WHERE op IN ('U', 'I')
+"""
+
+
+def q_ohlc(sf_dir: str):
+    """Financial-style OHLC resample (per-hour open/high/low/close of the
+    event value), ORACLE-CHECKED. Open/close are order statistics, not
+    sums, so the mergeable partial is (argmin-key value, argmax-key value,
+    min, max, count) per (batch, hour): one vectorized pandas
+    sort+groupby first/last per batch, then the SAME combine inside one
+    shuffle group per hour (hours are bounded by the time DOMAIN — days ×
+    24 — not the corpus, so per-group payload is #batches, not #events).
+    Total order key = (ts, event_id); values as exact cents."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "hr": pc.cast(
+                    pc.divide(
+                        pc.cast(
+                            pc.floor_temporal(t["ts"], unit="hour"),
+                            pa.int64(),
+                        ),
+                        3_600_000_000,
+                    ),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False),
+                "tus": pc.cast(t["ts"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "eid": t["event_id"].to_numpy(zero_copy_only=False),
+                "v": _cents(t["value"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["hr", "tus", "eid"], kind="mergesort")
+        g = df.groupby("hr", sort=False)
+        out = g.agg(
+            o_tus=("tus", "first"), o_eid=("eid", "first"),
+            open_cents=("v", "first"),
+            c_tus=("tus", "last"), c_eid=("eid", "last"),
+            close_cents=("v", "last"),
+            high_cents=("v", "max"), low_cents=("v", "min"),
+            n=("v", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["o_tus", "o_eid"], kind="mergesort")
+        first = g.iloc[0]
+        last = g.sort_values(["c_tus", "c_eid"], kind="mergesort").iloc[-1]
+        return pd.DataFrame(
+            {
+                "hr": [np.int64(first["hr"])],
+                "open_cents": [np.int64(first["open_cents"])],
+                "high_cents": [np.int64(g["high_cents"].max())],
+                "low_cents": [np.int64(g["low_cents"].min())],
+                "close_cents": [np.int64(last["close_cents"])],
+                "n": [np.int64(g["n"].sum())],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("hr").map_groups(combine, batch_format="pandas")
+
+
+SQL_OHLC = """
+WITH b AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+         epoch_us(ts) AS tus, event_id,
+         CAST(ROUND(100 * value) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT hr, v,
+         ROW_NUMBER() OVER (PARTITION BY hr ORDER BY tus, event_id)
+           AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY hr ORDER BY tus DESC,
+                            event_id DESC) AS rn_d
+  FROM b
+)
+SELECT hr,
+       MAX(CASE WHEN rn_a = 1 THEN v END) AS open_cents,
+       MAX(v) AS high_cents,
+       MIN(v) AS low_cents,
+       MAX(CASE WHEN rn_d = 1 THEN v END) AS close_cents,
+       COUNT(*) AS n
+FROM w GROUP BY hr
+"""
+
+
+def q_rolling_median(sf_dir: str):
+    """Rolling median (5-event window) of each user's event values in time
+    order, ORACLE-CHECKED against DuckDB's windowed ``median``. Exactness
+    trick: values are cents ints and a median of ≤5 ints is either an int
+    or a half-int, so BOTH sides emit 2×median as BIGINT — no float hash
+    hazard. Scale shape = the sessionize template: users coalesce into
+    data-proportional hash buckets (one shuffle group per BUCKET, not per
+    user), and inside a bucket the whole window pass is one vectorized
+    pandas groupby-rolling."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "v": _cents(t["value"]),
+            }
+        )
+        return _dedup.add_hash_bucket(out, "user_id", nb, "__rb")
+
+    def roll_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        med = (
+            g.groupby("user_id", sort=False)["v"]
+            .rolling(5, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "med2": (2.0 * med.to_numpy()).astype(np.int64),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("__rb").map_groups(roll_bucket, batch_format="pandas")
+
+
+SQL_ROLLING_MEDIAN = """
+WITH b AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CAST(ROUND(100 * value) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(2 * median(v) OVER (
+         PARTITION BY user_id ORDER BY tus, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS med2
+FROM b
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -6182,6 +6483,10 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bm25": q_bm25,
     "auc": q_auc,
+    "components": q_components,
+    "cdc_apply": q_cdc_apply,
+    "ohlc": q_ohlc,
+    "rolling_median": q_rolling_median,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -6264,6 +6569,10 @@ ORACLE_SQL = {
     "dup_chunks": SQL_DUP_CHUNKS,
     "bm25": SQL_BM25,
     "auc": SQL_AUC,
+    "components": SQL_COMPONENTS,
+    "cdc_apply": SQL_CDC_APPLY,
+    "ohlc": SQL_OHLC,
+    "rolling_median": SQL_ROLLING_MEDIAN,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -1962,3 +1962,33 @@ def test_bm25_matches_pure_python_reference(ray_session):
     ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
     got = list(zip(out["doc_id"], out["score_e6"]))
     assert got == ref
+
+
+def test_apply_changes_merge_semantics(ray_session):
+    """CDC MERGE contract: D removes, U replaces (and inserts when the key
+    is missing — standard MERGE), I inserts, untouched rows survive."""
+    import pandas as pd
+    import ray
+
+    from goose_parser_ray.functions.relational import apply_changes
+
+    snap = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    )
+    changes = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "op": ["D", "U", "U", "I"],
+                "k": [2, 3, 5, 6],  # U on missing key 5 → insert
+                "x": [0, 33, 55, 66],
+            }
+        )
+    )
+    out = (
+        apply_changes(snap, changes, key="k", num_partitions=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 3, 4, 5, 6]
+    assert list(out["x"]) == [10, 33, 40, 55, 66]
