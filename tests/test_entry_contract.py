@@ -30,7 +30,12 @@ TABLES = set(
 def test_oracle_sql_references_known_tables():
     osql = entry.oracle_sql()
     for name, sql in osql.items():
-        ctes = {m.lower() for m in re.findall(r"(\w+)\s+AS\s*\(", sql)}
+        # CTE names, with or without an explicit column list:
+        # `name AS (` and `name(col, ...) AS (`
+        ctes = {
+            m.lower()
+            for m in re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", sql)
+        }
         froms = set(
             t.lower()
             for t in re.findall(
