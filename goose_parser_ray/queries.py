@@ -6391,6 +6391,167 @@ FROM b
 """
 
 
+def q_jw_pairs(sf_dir: str):
+    """Jaro-Winkler similarity join over the distinct part-name domain,
+    ORACLE-CHECKED against DuckDB's builtin ``jaro_winkler_similarity``
+    (the Python kernel in ``functions/editdist.py`` is calibrated
+    term-for-term: 0.7 boost threshold, ≤4-char prefix, 0.1 scale).
+    Corpus-scale work = the map-side-combined distinct aggregate; the
+    pair grid is DOMAIN-bounded (enforced by ``domain_cap``, documented
+    PPJoin escape hatch for free-text domains)."""
+    from goose_parser_ray.functions.editdist import jw_pairs_over_domain
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    pairs = jw_pairs_over_domain(ds, col="p_name", threshold=0.84)
+    return pairs.sort(["name_a", "name_b"])
+
+
+SQL_JW_PAIRS = """
+WITH d AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(ROUND(1e6 * jaro_winkler_similarity(a.p_name, b.p_name))
+            AS BIGINT) AS jw_e6
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.84
+ORDER BY name_a, name_b
+"""
+
+
+def q_interval_join(sf_dir: str):
+    """Interval (range-overlap) join, ORACLE-CHECKED: every error event
+    opens a 10-minute incident window [ts, ts+10min); count the click
+    events inside each window. The engine never runs a non-equi join:
+    both sides land on a 10-minute GRID — a click lives in exactly one
+    cell, an incident fans out to its ≤2 covering cells (map-only,
+    vectorized) — so the exchange is one hash equi-join on the cell key
+    and the exact boundary check is a map-side filter. Each (incident,
+    click) pair meets in precisely the click's cell: no dedup pass
+    needed. The classic bucketed range-join rewrite; grid width = window
+    width keeps the fan-out at 2."""
+    _CELL = 600_000_000  # 10 min in µs
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+
+    def incidents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        s = pc.cast(t["ts"], pa.int64())
+        cell0 = pc.divide(s, _CELL)
+        out = pa.Table.from_pydict(
+            {
+                "cell": pa.concat_arrays(
+                    [
+                        cell0.combine_chunks(),
+                        pc.add(cell0, pa.scalar(1, pa.int64())).combine_chunks(),
+                    ]
+                ),
+                "incident_id": pa.concat_arrays(
+                    [t["event_id"].combine_chunks()] * 2
+                ),
+                "s": pa.concat_arrays([s.combine_chunks()] * 2),
+            }
+        )
+        # second copy only matters when the window actually crosses the
+        # cell boundary — which it always does unless start is aligned;
+        # keep both, the boundary filter after the join is exact anyway
+        return out
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        tus = pc.cast(t["ts"], pa.int64())
+        return pa.Table.from_pydict(
+            {"cell": pc.divide(tus, _CELL), "t": tus}
+        )
+
+    inc = ds.map_batches(incidents, batch_format="pyarrow")
+    clk = ds.map_batches(clicks, batch_format="pyarrow")
+    hits = inc.join(
+        clk, join_type="inner",
+        num_partitions=_dedup._default_join_partitions(), on=("cell",),
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"incident_id": t["incident_id"]}
+        ).filter(
+            pc.and_(
+                pc.greater_equal(t["t"], t["s"]),
+                pc.less(t["t"], pc.add(t["s"], pa.scalar(_CELL, pa.int64()))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return pre_aggregated_sum(
+        hits, keys=["incident_id"], sums={}, count_alias="n_clicks"
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH i AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS s
+  FROM events WHERE event_type = 'error'
+),
+c AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+SELECT incident_id, COUNT(*) AS n_clicks
+FROM i JOIN c ON c.t >= i.s AND c.t < i.s + 600000000
+GROUP BY incident_id
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Weighted median (lower) of the extended price per return flag,
+    quantity-weighted, ORACLE-CHECKED. Two-stage exact shape: the corpus
+    collapses map-side to (flag, price-cents, Σweight) rows — the
+    exchange is bounded by the price DOMAIN, not the row count — then one
+    tiny per-flag sorted cumulative-weight pass picks the smallest value
+    with 2·cumw ≥ totw. Pure integers end to end."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "flag": t["l_returnflag"],
+                "v": _cents(t["l_extendedprice"]),
+                "w": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    grouped = pre_aggregated_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        keys=["flag", "v"], sums={"w": "w"},
+    )
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("v", kind="mergesort")
+        cw = g["w"].cumsum()
+        tot = int(g["w"].sum())
+        win = g.loc[2 * cw >= tot, "v"].iloc[0]
+        return pd.DataFrame(
+            {"flag": [g["flag"].iloc[0]], "wmedian_cents": [np.int64(win)]}
+        )
+
+    return grouped.groupby("flag").map_groups(pick, batch_format="pandas")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, v,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM g
+)
+SELECT flag, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cw >= tw GROUP BY flag
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -6487,6 +6648,9 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "ohlc": q_ohlc,
     "rolling_median": q_rolling_median,
+    "jw_pairs": q_jw_pairs,
+    "interval_join": q_interval_join,
+    "weighted_median": q_weighted_median,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -6573,6 +6737,9 @@ ORACLE_SQL = {
     "cdc_apply": SQL_CDC_APPLY,
     "ohlc": SQL_OHLC,
     "rolling_median": SQL_ROLLING_MEDIAN,
+    "jw_pairs": SQL_JW_PAIRS,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -1992,3 +1992,43 @@ def test_apply_changes_merge_semantics(ray_session):
     )
     assert list(out["k"]) == [1, 3, 4, 5, 6]
     assert list(out["x"]) == [10, 33, 40, 55, 66]
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    """The Python JW kernel is calibrated against DuckDB's builtin —
+    seeded fuzz over random word-like strings, exact float equality."""
+    import random
+
+    import duckdb
+
+    from goose_parser_ray.functions.editdist import jaro_winkler
+
+    rng = random.Random(42)
+    vocab = "abcdefg "
+    strs = [
+        "".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    con = duckdb.connect()
+    for _ in range(500):
+        a, b = rng.choice(strs), rng.choice(strs)
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def test_jw_pairs_domain_cap_guard(ray_session):
+    """jw_pairs_over_domain refuses unbounded (free-text-sized) domains
+    instead of silently building a quadratic grid."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from goose_parser_ray.functions.editdist import jw_pairs_over_domain
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"s": [f"name-{i}" for i in range(50)]})
+    )
+    with pytest.raises(ValueError, match="domain-bounded"):
+        jw_pairs_over_domain(ds, col="s", threshold=0.9, domain_cap=10)
