@@ -6552,6 +6552,120 @@ FROM c WHERE 2 * cw >= tw GROUP BY flag
 """
 
 
+def q_unpivot(sf_dir: str):
+    """Unpivot / melt (wide→long), ORACLE-CHECKED: the three lineitem
+    measure columns become (measure, value_e4) rows — the inverse of
+    q_pivot_events. Pure map-side: each batch emits a 3×-stacked Arrow
+    table (concat of three projected copies, zero shuffle); a
+    deterministic 1/8 orderkey slice keeps the long output inside the
+    compare budget while exercising the full stack."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    measures = ("l_quantity", "l_discount", "l_tax")
+
+    def melt(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(
+                pc.bit_wise_and(t["l_orderkey"], pa.scalar(7, pa.int64())), 0
+            )
+        )
+        n = len(t)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.concat_arrays(
+                    [t["l_orderkey"].combine_chunks()] * 3
+                ),
+                "l_linenumber": pa.concat_arrays(
+                    [
+                        pc.cast(t["l_linenumber"], pa.int64())
+                        .combine_chunks()
+                    ]
+                    * 3
+                ),
+                "measure": pa.array(
+                    [m for m in measures for _ in range(n)]
+                ),
+                "value_e4": pa.concat_arrays(
+                    [
+                        _cents(t[m], 10000).combine_chunks()
+                        for m in measures
+                    ]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT = """
+WITH s AS (SELECT * FROM lineitem WHERE (l_orderkey & 7) = 0)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS measure,
+       CAST(ROUND(10000 * l_quantity) AS BIGINT) AS value_e4 FROM s
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount',
+       CAST(ROUND(10000 * l_discount) AS BIGINT) FROM s
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax',
+       CAST(ROUND(10000 * l_tax) AS BIGINT) FROM s
+"""
+
+
+def q_group_concat(sf_dir: str):
+    """Ordered list aggregation (string_agg shape) with BOUNDED output,
+    ORACLE-CHECKED: per (lang, source), the first 10 doc_ids in id order,
+    comma-joined. List-agg is inherently output-unbounded at corpus
+    scale, so the engine keeps only each batch's local top-10 per group
+    map-side (the topn combine template) — the exchange carries ≤10 rows
+    per (block, group) — and the final join happens on ≤10-element
+    groups."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def local_head(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "source", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).head(10),
+            preserve_index=False,
+        )
+
+    def final_concat(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        out = (
+            g.groupby("source", as_index=False)
+            .agg(
+                lang=("lang", "first"),
+                doc_ids=(
+                    "doc_id",
+                    lambda s: ",".join(str(v) for v in s.head(10)),
+                ),
+            )
+        )
+        return out[["lang", "source", "doc_ids"]]
+
+    heads = ds.map_batches(local_head, batch_format="pyarrow")
+    return heads.groupby("lang").map_groups(
+        final_concat, batch_format="pandas"
+    )
+
+
+SQL_GROUP_CONCAT = """
+WITH r AS (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id)
+           AS rnk
+  FROM documents
+)
+SELECT lang, source,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM r WHERE rnk <= 10 GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -6651,6 +6765,8 @@ QUERIES = {
     "jw_pairs": q_jw_pairs,
     "interval_join": q_interval_join,
     "weighted_median": q_weighted_median,
+    "unpivot": q_unpivot,
+    "group_concat": q_group_concat,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -6740,6 +6856,8 @@ ORACLE_SQL = {
     "jw_pairs": SQL_JW_PAIRS,
     "interval_join": SQL_INTERVAL_JOIN,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "unpivot": SQL_UNPIVOT,
+    "group_concat": SQL_GROUP_CONCAT,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
