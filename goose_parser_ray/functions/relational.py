@@ -455,3 +455,87 @@ def apply_changes(
         batch_format="pyarrow",
     )
     return untouched.union(upserts)
+
+
+def gap_ranges(ds: "ray.data.Dataset", *, col: str) -> "ray.data.Dataset":
+    """Data-quality gap detection: all maximal missing ranges in an integer
+    id sequence, as (gap_start, gap_end) rows.
+
+    Distributed shape: one range-partitioning sort, then a single map over
+    the sorted stream — each batch emits its INTERIOR gaps via a vectorized
+    neighbor diff plus one tagged (batch-min, batch-max) summary row.
+    Cross-batch gaps are stitched from the summary rows alone, which are
+    bounded by the BATCH count (not the row count): after a range sort,
+    batches cover disjoint contiguous id ranges, so adjacent summary rows
+    in min-order decide every boundary gap exactly. Assumes unique ids
+    (duplicate handling belongs to dedup, not gap detection)."""
+    import numpy as np
+
+    sorted_ds = ds.sort(col)
+
+    def interior(t: pa.Table) -> pa.Table:
+        ids = t[col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "gap_start": pa.array([], pa.int64()),
+                    "gap_end": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                }
+            )
+        d = np.diff(ids)
+        brk = np.nonzero(d > 1)[0]
+        return pa.Table.from_pydict(
+            {
+                "gap_start": np.concatenate(
+                    [ids[brk] + 1, [int(ids[0])]]
+                ).astype(np.int64),
+                "gap_end": np.concatenate(
+                    [ids[brk + 1] - 1, [int(ids[-1])]]
+                ).astype(np.int64),
+                # kind 0 = interior gap; kind 1 = (min, max) batch summary
+                "kind": np.concatenate(
+                    [np.zeros(len(brk), dtype=np.int64), [1]]
+                ),
+            }
+        )
+
+    tagged = sorted_ds.map_batches(
+        interior, batch_format="pyarrow"
+    ).materialize()
+    gaps = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)), batch_format="pyarrow"
+    )
+
+    # summary rows: one per batch — driver-side stitch is batch-bounded
+    summaries = (
+        tagged.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("gap_start", kind="mergesort")
+    )
+    lo = summaries["gap_start"].to_numpy()  # batch min ids
+    hi = summaries["gap_end"].to_numpy()  # batch max ids
+    b_start, b_end = [], []
+    for k in range(1, len(lo)):
+        if lo[k] > hi[k - 1] + 1:
+            b_start.append(int(hi[k - 1] + 1))
+            b_end.append(int(lo[k] - 1))
+    boundary = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "gap_start": pa.array(b_start, pa.int64()),
+                "gap_end": pa.array(b_end, pa.int64()),
+                "kind": pa.array([0] * len(b_start), pa.int64()),
+            }
+        )
+    )
+    out = gaps.union(boundary) if len(b_start) else gaps
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"gap_start": t["gap_start"], "gap_end": t["gap_end"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -6666,6 +6666,118 @@ FROM r WHERE rnk <= 10 GROUP BY lang, source
 """
 
 
+_COV_DIMS = 8  # leading-dim slice keeps the generated SQL twin readable
+
+
+def q_embed_cov(sf_dir: str):
+    """Distributed covariance matrix of the leading 8 embedding dims
+    (the Σx/Σxxᵀ moment-matrix shape every PCA/whitening pass needs),
+    ORACLE-CHECKED with pure integers: values quantized to e3 on both
+    sides, output = the EXACT covariance numerator n·Σxy − Σx·Σy per
+    (i ≤ j) pair plus n (callers divide by n² themselves). One einsum
+    partial per batch (8×8 int64 moment matrix + 8 sums + count), a tiny
+    single-group combine — nothing corpus-sized crosses the exchange."""
+    from goose_parser_ray.functions.similarity import _list_col_to_matrix
+
+    d = _COV_DIMS
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_col_to_matrix(t["embedding"])[:, :d].astype(np.float64)
+        flat = pa.array(m.reshape(-1))
+        q = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(flat, 1e3),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .reshape(m.shape)
+        )
+        mom = np.einsum("ni,nj->ij", q, q)  # int64-exact
+        row = {"n": np.array([len(q)], dtype=np.int64)}
+        for i in range(d):
+            row[f"s{i}"] = np.array([int(q[:, i].sum())], dtype=np.int64)
+        for i in range(d):
+            for j in range(i, d):
+                row[f"p{i}_{j}"] = np.array([int(mom[i, j])], dtype=np.int64)
+        return pa.Table.from_pydict(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = [int(parts[f"s{i}"].sum()) for i in range(d)]
+    out = {"i": [], "j": [], "n": [], "cov_num": []}
+    for i in range(d):
+        for j in range(i, d):
+            p = int(parts[f"p{i}_{j}"].sum())
+            out["i"].append(np.int64(i))
+            out["j"].append(np.int64(j))
+            out["n"].append(np.int64(n))
+            out["cov_num"].append(np.int64(n * p - s[i] * s[j]))
+    return pa.Table.from_pydict(
+        {k: pa.array(v, pa.int64()) for k, v in out.items()}
+    )
+
+
+def _gen_sql_embed_cov() -> str:
+    d = _COV_DIMS
+    xs = ",\n         ".join(
+        f"CAST(ROUND(1000 * list_extract(embedding, {i + 1})) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(d)
+    )
+    aggs = ["COUNT(*) AS n"]
+    aggs += [f"SUM(x{i}) AS s{i}" for i in range(d)]
+    aggs += [
+        f"SUM(x{i} * x{j}) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, n,"
+        f" CAST(n * p{i}_{j} - s{i} * s{j} AS BIGINT) AS cov_num FROM a"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return (
+        f"WITH q AS (\n  SELECT {xs}\n  FROM embeddings\n),\n"
+        f"a AS (\n  SELECT {', '.join(aggs)} FROM q\n)\n{rows}"
+    )
+
+
+SQL_EMBED_COV = _gen_sql_embed_cov()
+
+
+def q_find_gaps(sf_dir: str):
+    """Sequence-integrity check, ORACLE-CHECKED: maximal missing ranges in
+    a deterministically-sliced event-id stream (ids ≡ 5 mod 8 dropped, so
+    the gap structure is known-nontrivial). Engine =
+    ``functions/relational.gap_ranges``: one range sort, vectorized
+    interior neighbor-diff per batch, batch-bounded boundary stitch."""
+    from goose_parser_ray.functions.relational import gap_ranges
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(
+                pc.bit_wise_and(t["event_id"], pa.scalar(7, pa.int64())), 5
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return gap_ranges(ds, col="event_id")
+
+
+SQL_FIND_GAPS = """
+WITH s AS (SELECT event_id AS id FROM events WHERE (event_id & 7) <> 5),
+l AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM s)
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(id - 1 AS BIGINT) AS gap_end
+FROM l WHERE prev IS NOT NULL AND id > prev + 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -6767,6 +6879,8 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "unpivot": q_unpivot,
     "group_concat": q_group_concat,
+    "embed_cov": q_embed_cov,
+    "find_gaps": q_find_gaps,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -6858,6 +6972,8 @@ ORACLE_SQL = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "unpivot": SQL_UNPIVOT,
     "group_concat": SQL_GROUP_CONCAT,
+    "embed_cov": SQL_EMBED_COV,
+    "find_gaps": SQL_FIND_GAPS,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -2032,3 +2032,32 @@ def test_jw_pairs_domain_cap_guard(ray_session):
     )
     with pytest.raises(ValueError, match="domain-bounded"):
         jw_pairs_over_domain(ds, col="s", threshold=0.9, domain_cap=10)
+
+
+def test_gap_ranges_cross_block_stitch(ray_session):
+    """gap_ranges finds interior AND cross-block gaps exactly — the input
+    is split across many blocks so boundary stitching is exercised."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from goose_parser_ray.functions.relational import gap_ranges
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.choice(5000, size=1200, replace=False))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"id": ids})
+    ).repartition(16)
+    out = (
+        gap_ranges(ds, col="id")
+        .to_pandas()
+        .sort_values("gap_start")
+        .reset_index(drop=True)
+    )
+    s = np.sort(ids)
+    d = np.diff(s)
+    brk = np.nonzero(d > 1)[0]
+    want = pd.DataFrame(
+        {"gap_start": s[brk] + 1, "gap_end": s[brk + 1] - 1}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, want)
