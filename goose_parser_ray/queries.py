@@ -6778,6 +6778,130 @@ FROM l WHERE prev IS NOT NULL AND id > prev + 1
 """
 
 
+def q_order_count_dist(sf_dir: str):
+    """Order-count distribution (TPC-H Q13 shape), ORACLE-CHECKED:
+    histogram of customers by how many orders they placed — INCLUDING the
+    zero bucket, which never appears in the orders table. Engine shape:
+    map-side-combined per-customer counts (one narrow row per customer
+    crosses the exchange), a count-of-counts re-aggregate, and the zero
+    bucket closed-form from two metadata-cheap totals (customer count −
+    distinct ordering customers) — no left join against the full customer
+    table."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = pre_aggregated_sum(
+        orders, keys=["o_custkey"], sums={}, count_alias="c_count"
+    ).materialize()  # feeds both the histogram and the distinct total
+    hist = pre_aggregated_sum(
+        per_cust.drop_columns(["o_custkey"]),
+        keys=["c_count"], sums={}, count_alias="custdist",
+    )
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = n_customers - per_cust.count()
+    if n_zero == 0:
+        return hist
+    zero = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_zero], pa.int64()),
+            }
+        )
+    )
+    return hist.union(zero)
+
+
+SQL_ORDER_COUNT_DIST = """
+WITH per AS (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM per GROUP BY c_count
+"""
+
+
+def q_rich_inactive(sf_dir: str):
+    """Global-scalar-gated anti-join (TPC-H Q22 shape), ORACLE-CHECKED:
+    customers with above-average account balance (among positive
+    balances) and NO urgent orders. The global average is a two-integer
+    partial aggregate broadcast as a closed-over scalar — never a join —
+    and the no-urgent-orders side is the hash anti-join against the
+    filtered ids-only orders projection. Cents: the threshold compare is
+    integer cross-multiplied form (bal·n > Σbal) so no float mean exists
+    on either side."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = _cents(t["c_acctbal"])
+        pos = pc.greater(b, 0)
+        return pa.Table.from_pydict(
+            {
+                "s": [
+                    int(
+                        pc.sum(
+                            pc.if_else(pos, b, pa.scalar(0, pa.int64()))
+                        ).as_py()
+                        or 0
+                    )
+                ],
+                "n": [int(pc.sum(pc.cast(pos, pa.int64())).as_py() or 0)],
+            }
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s_bal, n_bal = int(parts["s"].sum()), int(parts["n"].sum())
+
+    rich = cust.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "bal_cents": _cents(t["c_acctbal"]),
+            }
+        ).filter(
+            pc.greater(
+                pc.multiply(
+                    _cents(t["c_acctbal"]), pa.scalar(n_bal, pa.int64())
+                ),
+                pa.scalar(s_bal, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    order_keys = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["o_custkey"]], names=["c_custkey"]
+        ).filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    return rich.join(
+        order_keys,
+        join_type="left_anti",
+        num_partitions=_dedup._default_join_partitions(),
+        on=("c_custkey",),
+    )
+
+
+SQL_RICH_INACTIVE = """
+WITH b AS (
+  SELECT c_custkey, c_name,
+         CAST(ROUND(100 * c_acctbal) AS BIGINT) AS bal_cents
+  FROM customer
+),
+t AS (
+  SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM b WHERE bal_cents > 0
+)
+SELECT c_custkey, c_name, bal_cents
+FROM b, t
+WHERE bal_cents * n > s
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -6881,6 +7005,8 @@ QUERIES = {
     "group_concat": q_group_concat,
     "embed_cov": q_embed_cov,
     "find_gaps": q_find_gaps,
+    "order_count_dist": q_order_count_dist,
+    "rich_inactive": q_rich_inactive,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -6974,6 +7100,8 @@ ORACLE_SQL = {
     "group_concat": SQL_GROUP_CONCAT,
     "embed_cov": SQL_EMBED_COV,
     "find_gaps": SQL_FIND_GAPS,
+    "order_count_dist": SQL_ORDER_COUNT_DIST,
+    "rich_inactive": SQL_RICH_INACTIVE,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
