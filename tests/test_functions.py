@@ -2061,3 +2061,36 @@ def test_gap_ranges_cross_block_stitch(ray_session):
         {"gap_start": s[brk] + 1, "gap_end": s[brk + 1] - 1}
     ).astype("int64")
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_ohlc_tie_break_on_equal_timestamps(ray_session, tmp_path):
+    """q_ohlc's open/close use the (ts, event_id) total order — locked
+    with same-timestamp ties that the generated testdata never has."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.queries import q_ohlc
+
+    ts = pd.Timestamp("2026-01-01 10:00:00")
+    df = pd.DataFrame(
+        {
+            # two ties at the hour start and two at the end: ids decide
+            "event_id": [5, 2, 9, 7, 4],
+            "ts": [ts, ts, ts + pd.Timedelta("59min"),
+                   ts + pd.Timedelta("59min"), ts + pd.Timedelta("30min")],
+            "value": [1.11, 2.22, 3.33, 4.44, 9.99],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{sf}/events.parquet")
+    out = q_ohlc(sf).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # open = min (ts, event_id) → id 2 (2.22); close = max → id 9 (3.33)
+    assert int(row["open_cents"]) == 222
+    assert int(row["close_cents"]) == 333
+    assert int(row["high_cents"]) == 999
+    assert int(row["low_cents"]) == 111
+    assert int(row["n"]) == 5
