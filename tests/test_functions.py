@@ -2094,3 +2094,25 @@ def test_ohlc_tie_break_on_equal_timestamps(ray_session, tmp_path):
     assert int(row["high_cents"]) == 999
     assert int(row["low_cents"]) == 111
     assert int(row["n"]) == 5
+
+
+def test_components_log_rounds_on_deep_chain(ray_session):
+    """Pointer jumping makes label propagation converge in O(log diameter)
+    rounds: a 200-diameter path must finish within max_iters=10 (plain
+    propagation would need 200 rounds and raise)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from goose_parser_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+
+    path = ray.data.from_pandas(
+        pd.DataFrame({"a": np.arange(199), "b": np.arange(1, 200)})
+    )
+    labels = connected_components_distributed(
+        path, cols=("a", "b"), max_iters=10
+    ).to_pandas()
+    assert len(labels) == 200
+    assert (labels["label"] == 0).all()
