@@ -17,6 +17,169 @@ import ray
 import ray.data
 
 
+def _round_half_away_e6(x: np.ndarray | float) -> np.ndarray:
+    """e6 fixed point with DuckDB ROUND semantics (half away from zero);
+    np.round / Python round are half-to-even and would diverge on exact
+    .5 ulps at the 1e-6 boundary."""
+    a = np.asarray(x, dtype=np.float64) * 1e6
+    return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)).astype(np.int64)
+
+
+def _tokenize_flat(texts: pa.ChunkedArray | pa.Array):
+    """Shared engine tokenizer (== the generated SQL twin's
+    regexp_split_to_array(lower(text), WORD_SPLIT_RE)): returns the flat
+    lower-cased token array plus each token's parent row index, empties
+    dropped."""
+    import pyarrow.compute as pc
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    lowered = pc.fill_null(pc.utf8_lower(texts), "")
+    words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    tok = np.asarray(flat.to_pylist(), dtype=object)
+    keep = tok != ""
+    return tok[keep], parent[keep]
+
+
+def nb_train(
+    train: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    class_col: str = "lang",
+    vocab_cap: int = 50_000,
+) -> dict:
+    """Multinomial Naive Bayes training, Ray-Data-first.
+
+    Scale shape: ONE streaming pass emits per-batch partial token counts per
+    (class, token) (map-side value_counts — no raw-token shuffle), a small
+    ``groupby(class, token)`` sums them, and only the BOUNDED model table
+    (≤ vocab_cap × n_classes rows after the frequency cap; ties broken by
+    token ASC so the cap is deterministic) plus per-class doc counts are
+    collected driver-side. The corpus itself is never materialized.
+
+    Smoothing: Laplace — log p(w|c) = ln((c_wc + 1) / (N_c + V)) with N_c
+    counted over in-vocab tokens and V = |vocab|; priors ln(D_c / D).
+    All log-probs are e6-fixed-point integers (DuckDB ROUND parity) so
+    downstream scores are order-independent integer sums.
+
+    Returns a plain dict (suitable for ``ray.put``):
+    ``{"classes", "priors_e6", "vocab", "lp_e6"}`` where ``lp_e6`` is a
+    (V, C) int64 matrix aligned to sorted vocab / sorted classes.
+    """
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        tok, parent = _tokenize_flat(t[text_col])
+        cls = np.asarray(t[class_col].to_pylist(), dtype=object)[parent]
+        vc = pd.Series(1, index=pd.MultiIndex.from_arrays([cls, tok])).groupby(
+            level=[0, 1]
+        ).sum()
+        idx = vc.index
+        return pa.Table.from_pydict(
+            {
+                "cls": idx.get_level_values(0).to_numpy(),
+                "w": idx.get_level_values(1).to_numpy(),
+                "c": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    counts = pre_aggregated_sum(
+        train.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["cls", "w"],
+        sums={"c": "c"},
+    ).to_pandas()  # bounded: ≤ (distinct tokens × classes) rows, capped below
+
+    # per-class train-doc counts (priors) — tiny groupby
+    docs = pre_aggregated_sum(
+        train.select_columns([class_col]),
+        keys=[class_col],
+        sums={},
+        count_alias="n_docs",
+    ).to_pandas()
+
+    # deterministic frequency cap: top vocab_cap tokens by (total count DESC,
+    # token ASC) — the same QUALIFY window the SQL twin uses
+    totals = (
+        counts.groupby("w", as_index=False)["c"]
+        .sum()
+        .sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
+    )
+    vocab = np.sort(totals.head(vocab_cap)["w"].to_numpy())
+    counts = counts[counts["w"].isin(vocab)]
+
+    classes = np.sort(docs[class_col].to_numpy())
+    v = len(vocab)
+    c_idx = {c: i for i, c in enumerate(classes)}
+    w_index = pd.Index(vocab)
+    cwl = np.zeros((v, len(classes)), dtype=np.int64)
+    cwl[
+        w_index.get_indexer(counts["w"]),
+        counts["cls"].map(c_idx).to_numpy(),
+    ] = counts["c"].to_numpy()
+    n_c = cwl.sum(axis=0)  # in-vocab token total per class
+
+    lp_e6 = _round_half_away_e6(
+        np.log((cwl + 1) / (n_c + v).astype(np.float64))
+    )
+    d_total = int(docs["n_docs"].sum())
+    d_c = docs.set_index(class_col)["n_docs"].reindex(classes).to_numpy()
+    priors_e6 = _round_half_away_e6(np.log(d_c / float(d_total)))
+    return {
+        "classes": classes,
+        "priors_e6": priors_e6,
+        "vocab": vocab,
+        "lp_e6": lp_e6,
+    }
+
+
+class NBScoreActor:
+    """Actor stage: model fetched from plasma once per actor; scoring is one
+    vectorized gather+scatter per batch (int64 adds — order-independent)."""
+
+    def __init__(self, model_ref, id_col: str = "doc_id", text_col: str = "text"):
+        import pandas as pd
+
+        m = ray.get(model_ref)
+        self.classes = m["classes"]
+        self.priors_e6 = m["priors_e6"]
+        self.vocab = pd.Index(m["vocab"])
+        self.lp_e6 = m["lp_e6"]
+        self.id_col, self.text_col = id_col, text_col
+
+    _SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pred_lang", pa.string()),
+            ("score_e6", pa.int64()),
+        ]
+    )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self._SCHEMA.empty_table()
+        tok, parent = _tokenize_flat(t[self.text_col])
+        scores = np.tile(self.priors_e6, (t.num_rows, 1))
+        if len(tok):
+            idx = self.vocab.get_indexer(tok)
+            ok = idx >= 0  # OOV tokens dropped (same as the SQL inner join)
+            np.add.at(scores, parent[ok], self.lp_e6[idx[ok], :])
+        # argmax returns the FIRST max → ties break to class ASC (sorted)
+        best = np.argmax(scores, axis=1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t[self.id_col].to_numpy(zero_copy_only=False),
+                "pred_lang": self.classes[best],
+                "score_e6": scores[np.arange(len(best)), best],
+            }
+        )
+
+
 def logreg_fit(
     ds: ray.data.Dataset,
     feature_cols: list[str],

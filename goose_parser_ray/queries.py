@@ -6902,6 +6902,287 @@ WHERE bal_cents * n > s
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """Type-2 slowly-changing-dimension build from a change feed: per user,
+    consecutive runs of the tracked attribute (event_type) collapse to one
+    versioned row with [valid_from, valid_to) and the open version closed by
+    a far-future sentinel. Same scale shape as sessionize: users coalesce
+    into data-proportional hash buckets (one shuffle group per bucket, not
+    per user) and the run detection inside each bucket is one vectorized
+    pandas pass (sort → neighbor-compare → cumsum run ids → group → LEAD via
+    shift). Deterministic total order: (ts, event_id) tie-break on BOTH
+    sides."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__sb")
+
+    def scd2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_run = g["user_id"].ne(g["user_id"].shift()) | g["event_type"].ne(
+            g["event_type"].shift()
+        )
+        rid = new_run.cumsum()
+        out = g.groupby(rid).agg(
+            user_id=("user_id", "first"),
+            attr=("event_type", "first"),
+            vf=("ts", "min"),
+            n_rows=("ts", "size"),
+        )
+        # runs are (user, ts)-ordered → shift(-1) within user IS the LEAD
+        out["valid_to"] = (
+            out.groupby("user_id")["vf"]
+            .shift(-1)
+            .dt.strftime("%Y-%m-%d %H:%M:%S")
+            .fillna("9999-12-31 00:00:00")
+        )
+        out["valid_from"] = out["vf"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out[["user_id", "attr", "valid_from", "valid_to", "n_rows"]]
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__sb").map_groups(scd2_bucket, batch_format="pandas")
+
+
+SQL_SCD2_HISTORY = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_t
+  FROM events
+), r AS (
+  SELECT user_id, event_type, ts,
+         SUM(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+), g AS (
+  SELECT user_id, run_id, MIN(event_type) AS attr, MIN(ts) AS vf,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM r GROUP BY user_id, run_id
+)
+SELECT user_id, attr,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       n_rows
+FROM g
+"""
+
+
+def q_stump(sf_dir: str):
+    """Histogram decision stump (the LightGBM/XGBoost 'exact at the bins'
+    split search): label = event_type=='purchase', feature = value bucketed
+    into 64 fixed-width bins. ONE streaming pass emits per-batch (bin, n,
+    pos) partials via bincount (map-side combine, never raw rows), a ≤64-row
+    groupby sums them, and the weighted-Gini argmin over split candidates
+    runs on that bounded table. The Gini expression mirrors the SQL twin's
+    double arithmetic op-for-op (casts, subtract-then-divide, explicit x*x
+    instead of POWER) so both engines walk bit-identical IEEE doubles to the
+    same argmin; the reported gini is e9-fixed-point."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(63, np.floor(val / 8.0).astype(np.int64))
+        pos = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        n = np.bincount(bins, minlength=64).astype(np.int64)
+        p = np.bincount(bins[pos], minlength=64).astype(np.int64)
+        nz = n > 0
+        return pa.Table.from_pydict(
+            {
+                "bin": np.arange(64, dtype=np.int64)[nz],
+                "n": n[nz],
+                "p": p[nz],
+            }
+        )
+
+    hist = (
+        pre_aggregated_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["bin"],
+            sums={"n": "n", "p": "p"},
+        )
+        .to_pandas()  # ≤ 64 rows by construction
+        .sort_values("bin")
+    )
+    nt = int(hist["n"].sum())
+    pt = int(hist["p"].sum())
+    nl = hist["n"].cumsum().to_numpy()
+    pl = hist["p"].cumsum().to_numpy()
+    best = None
+    for i, b in enumerate(hist["bin"].to_numpy()):
+        nl_i, pl_i = int(nl[i]), int(pl[i])
+        nr_i, pr_i = nt - nl_i, pt - pl_i
+        if nr_i <= 0:
+            continue
+        # op-for-op mirror of the SQL twin (see docstring)
+        a = float(pl_i) / float(nl_i)
+        bq = float(nl_i - pl_i) / float(nl_i)
+        c = float(pr_i) / float(nr_i)
+        d = float(nr_i - pr_i) / float(nr_i)
+        gini = (
+            float(nl_i) * (1.0 - a * a - bq * bq)
+            + float(nr_i) * (1.0 - c * c - d * d)
+        ) / float(nt)
+        key = (gini, int(b))
+        if best is None or key < best[0]:
+            best = (key, (int(b), nl_i, pl_i, nr_i, pr_i, gini))
+    b, nl_b, pl_b, nr_b, pr_b, gini_b = best[1]
+    return pa.Table.from_pydict(
+        {
+            "split_bin": [b],
+            "left_n": [nl_b],
+            "left_pos": [pl_b],
+            "right_n": [nr_b],
+            "right_pos": [pr_b],
+            "gini_e9": [int(np.floor(1e9 * gini_b + 0.5))],
+        }
+    )
+
+
+SQL_STUMP = """
+WITH b AS (
+  SELECT LEAST(63, CAST(FLOOR(value / 8.0) AS BIGINT)) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), h AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM b GROUP BY bin
+), c AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS nl,
+         CAST(SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS pl,
+         (SELECT CAST(SUM(n) AS BIGINT) FROM h) AS nt,
+         (SELECT CAST(SUM(p) AS BIGINT) FROM h) AS pt
+  FROM h
+), s AS (
+  SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+  FROM c WHERE nt - nl > 0
+), g AS (
+  SELECT bin, nl, pl, nr, pr,
+    ((CAST(nl AS DOUBLE) * (1.0
+        - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+          * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+          * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))))
+     + (CAST(nr AS DOUBLE) * (1.0
+        - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+          * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        - (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))
+          * (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE)))))
+    / CAST(nt AS DOUBLE) AS gini
+  FROM s
+)
+SELECT bin AS split_bin, nl AS left_n, pl AS left_pos,
+       nr AS right_n, pr AS right_pos,
+       CAST(FLOOR(1e9 * gini + 0.5) AS BIGINT) AS gini_e9
+FROM g ORDER BY gini, bin LIMIT 1
+"""
+
+
+def q_nb_classify(sf_dir: str):
+    """Distributed multinomial Naive Bayes: train on docs with doc_id%5≠0
+    (class = lang), predict the held-out 20%. Training is one streaming
+    pass of map-side (class, token) partial counts + a small groupby; only
+    the BOUNDED model table (vocab-capped, deterministic frequency cap)
+    ships driver-side and broadcasts once per scoring actor (``ray.put`` →
+    fetched in ``__init__``). Scores are integer sums of e6-fixed-point
+    log-probs (order-independent; DuckDB ROUND/LN parity — the q_bm25
+    discipline), ties broken class-ASC on both sides."""
+    from goose_parser_ray.functions.ml import NBScoreActor, nb_train
+
+    def is_train(t: pa.Table, want: bool) -> pa.Table:
+        did = t["doc_id"]
+        mod5 = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        m = pc.not_equal(mod5, 0) if want else pc.equal(mod5, 0)
+        return t.filter(m)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = docs.map_batches(
+        lambda t: is_train(t, True), batch_format="pyarrow"
+    )
+    model_ref = ray.put(nb_train(train, vocab_cap=50_000))
+    test = docs.map_batches(
+        lambda t: is_train(t, False), batch_format="pyarrow"
+    )
+    return test.map_batches(
+        NBScoreActor,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+
+SQL_NB_CLASSIFY = r"""
+WITH train AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), ttok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+')) AS w
+  FROM train
+), ttok2 AS (
+  SELECT lang, w FROM ttok WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM ttok2 GROUP BY w)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) <= 50000
+), nv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), nl AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM ttok2 WHERE w IN (SELECT w FROM vocab) GROUP BY lang
+), cwl AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ttok2 WHERE w IN (SELECT w FROM vocab) GROUP BY lang, w
+), grid AS (
+  SELECT nl.lang, v.w,
+         CAST(ROUND(1e6 * LN((COALESCE(c.c, 0) + 1)
+                             / CAST(nl.n_tok + nv.v AS DOUBLE))) AS BIGINT)
+             AS lp_e6
+  FROM nl CROSS JOIN vocab v CROSS JOIN nv
+  LEFT JOIN cwl c ON c.lang = nl.lang AND c.w = v.w
+), prior AS (
+  SELECT lang,
+         CAST(ROUND(1e6 * LN(CAST(COUNT(*) AS DOUBLE)
+                             / CAST((SELECT COUNT(*) FROM train) AS DOUBLE)))
+              AS BIGINT) AS pr_e6
+  FROM train GROUP BY lang
+), stok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+')) AS w
+  FROM test
+), stok2 AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM stok WHERE w <> '' GROUP BY doc_id, w
+), contrib AS (
+  SELECT s.doc_id, g.lang, CAST(SUM(s.tf * g.lp_e6) AS BIGINT) AS c
+  FROM stok2 s JOIN grid g ON g.w = s.w
+  GROUP BY s.doc_id, g.lang
+), sc AS (
+  SELECT t.doc_id, p.lang, p.pr_e6 + COALESCE(c.c, 0) AS score_e6
+  FROM test t CROSS JOIN prior p
+  LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.lang = p.lang
+)
+SELECT doc_id, lang AS pred_lang, score_e6
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score_e6 DESC, lang ASC) = 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7007,6 +7288,9 @@ QUERIES = {
     "find_gaps": q_find_gaps,
     "order_count_dist": q_order_count_dist,
     "rich_inactive": q_rich_inactive,
+    "scd2_history": q_scd2_history,
+    "stump": q_stump,
+    "nb_classify": q_nb_classify,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -7102,6 +7386,9 @@ ORACLE_SQL = {
     "find_gaps": SQL_FIND_GAPS,
     "order_count_dist": SQL_ORDER_COUNT_DIST,
     "rich_inactive": SQL_RICH_INACTIVE,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "stump": SQL_STUMP,
+    "nb_classify": SQL_NB_CLASSIFY,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
