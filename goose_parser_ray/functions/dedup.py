@@ -921,6 +921,28 @@ def _union_find_components(pairs: "pd.DataFrame") -> dict:
     return {x: find(x) for x in parent}
 
 
+def _drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Ray's hash-shuffle join/aggregate operators emit ZERO-COLUMN blocks
+    for empty hash partitions, and a downstream ``Dataset.join`` crashes
+    with ``ArrowInvalid: No match ... FieldRef`` when a join partition
+    receives only such blocks (observed on small label sets; any corpus
+    whose candidate graph shrinks below the partition count can hit it).
+    This strips them by BLOCK METADATA only — no block is fetched to the
+    driver — and rebuilds the dataset from the surviving refs. Call it on
+    MATERIALIZED datasets (the ref-bundle walk executes the plan)."""
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs = [
+        ref
+        for bu in bundles
+        for ref, meta in bu.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    total = sum(len(bu.blocks) for bu in bundles)
+    if not refs or len(refs) == total:
+        return ds
+    return ray.data.from_arrow_refs(refs)
+
+
 def connected_components_distributed(
     pairs: ray.data.Dataset,
     *,
@@ -977,6 +999,7 @@ def connected_components_distributed(
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    labels = _drop_empty_blocks(labels)
 
     def label_sum(ls: ray.data.Dataset) -> int:
         row = ls.aggregate(Sum("label", alias_name="s"))
@@ -998,7 +1021,7 @@ def connected_components_distributed(
             ),
             batch_format="pyarrow",
         )
-        labels = (
+        labels = _drop_empty_blocks(
             labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
@@ -1021,12 +1044,14 @@ def connected_components_distributed(
             num_partitions=num_partitions,
             on=("label",),
         )
-        labels = jumped.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["node"], t["label2"]], names=["node", "label"]
-            ),
-            batch_format="pyarrow",
-        ).materialize()
+        labels = _drop_empty_blocks(
+            jumped.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["node"], t["label2"]], names=["node", "label"]
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
         cur = label_sum(labels)
         if cur == prev_sum:
             converged = True

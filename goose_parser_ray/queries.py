@@ -7183,6 +7183,264 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
 """
 
 
+def q_row_number_global(sf_dir: str):
+    """Exact global dense row numbering (the zipWithIndex primitive —
+    contiguous 1..N by a total order) WITHOUT a single-node sort owner:
+    pass 1 streams per-batch histograms over B data-proportional key
+    ranges (map-side combine → ≤B-row groupby → driver prefix sums on the
+    BOUNDED range table); pass 2 shuffles each row to its range group and
+    numbers inside the group as offset + vectorized local rank. Group
+    payload stays ~rows/B at any corpus size; the key-range grid assumes a
+    roughly uniform key domain (doc_id here) — a skewed domain would use
+    sampled quantile boundaries instead (documented partitioning
+    assumption)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()
+    nb = num_shuffle_buckets(n)
+    lo_hi = ds.aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Max("doc_id")
+    )
+    lo, hi = int(lo_hi["min(doc_id)"]), int(lo_hi["max(doc_id)"])
+    width = max(1, (hi - lo) // nb + 1)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        rng = np.minimum(nb - 1, (did - lo) // width).astype(np.int64)
+        return t.append_column("__rng", pa.array(rng))
+
+    # pass 1: bounded per-range counts → driver prefix offsets (≤nb rows)
+    counts = (
+        pre_aggregated_sum(
+            ds.map_batches(add_range, batch_format="pyarrow").select_columns(
+                ["__rng"]
+            ),
+            keys=["__rng"],
+            sums={},
+            count_alias="c",
+        )
+        .to_pandas()
+        .sort_values("__rng")
+    )
+    offsets = np.zeros(nb, dtype=np.int64)
+    offsets[counts["__rng"].to_numpy()] = counts["c"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+
+    def number_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        g["row_num"] = offsets[int(g["__rng"].iloc[0])] + np.arange(
+            1, len(g) + 1, dtype=np.int64
+        )
+        return g[["doc_id", "n_chars", "row_num"]]
+
+    return (
+        ds.map_batches(add_range, batch_format="pyarrow")
+        .groupby("__rng")
+        .map_groups(number_range, batch_format="pandas")
+    )
+
+
+SQL_ROW_NUMBER_GLOBAL = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_num
+FROM documents
+"""
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point detection per user (Page's cumulative-sum
+    statistic): the point where the centered cumulative sum deviates most
+    from the user's own mean. Exact at any scale: the statistic is
+    cross-multiplied to pure integers — T_i = n·cumsum_i − i·total over e2
+    fixed-point values — so there is no float mean and no order-dependent
+    float sum (|T| ≤ n²·5e6, int64-safe below ~10⁶ events/user; the
+    per-user magnitude bound is a domain invariant, documented). Same
+    bucketed-window shape as sessionize: data-proportional user hash
+    buckets, one vectorized pandas pass per bucket."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column("vc", _cents(t["value"]))
+        return _dedup.add_hash_bucket(
+            t.drop_columns(["value"]), "user_id", nb, "__sb"
+        )
+
+    def cusum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id")["vc"]
+        cum = grp.cumsum().to_numpy()
+        tot = grp.transform("sum").to_numpy()
+        n = grp.transform("size").to_numpy().astype(np.int64)
+        i = g.groupby("user_id").cumcount().to_numpy() + 1
+        g = g.assign(t_abs=np.abs(n * cum - i * tot))
+        # argmax |T| per user, ties → earliest (ts, event_id)
+        top = g.sort_values(
+            ["user_id", "t_abs", "ts", "event_id"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        ).groupby("user_id", as_index=False).head(1)
+        out = top[["user_id", "t_abs"]].copy()
+        out["cp_ts"] = top["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[["user_id", "cp_ts", "t_abs"]]
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__sb").map_groups(cusum_bucket, batch_format="pandas")
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(100 * value) AS BIGINT) AS vc
+  FROM events
+), a AS (
+  SELECT user_id, CAST(SUM(vc) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY user_id
+), w AS (
+  SELECT c.user_id, c.ts, c.event_id,
+         CAST(SUM(vc) OVER (PARTITION BY c.user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS i,
+         a.tot, a.n
+  FROM c JOIN a USING (user_id)
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+       ABS(n * cum - i * tot) AS t_abs
+FROM w
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ABS(n * cum - i * tot) DESC,
+                                    ts ASC, event_id ASC) = 1
+"""
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity-resolution composite (the record-linkage user story end to
+    end): fuzzy-match part names (Jaro-Winkler ≥ 0.92 over the DISTINCT
+    name domain — corpus-scale work is the map-side-combined distinct
+    aggregate), connect matches into entity clusters (distributed
+    min-label components over the name graph), and assign every ROW its
+    cluster's canonical id (min p_partkey). The only driver-side state is
+    the name→label map, bounded by the same domain_cap contract as
+    q_jw_pairs; row-level work is two broadcast-lookup map passes plus one
+    tiny groupby-min per cluster — the corpus is never collected."""
+    from goose_parser_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+    from goose_parser_ray.functions.editdist import jw_pairs_over_domain
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = jw_pairs_over_domain(parts, col="p_name", threshold=0.92)
+    # components over SORTED-index int ids (min int label ≡ min
+    # lexicographic name, and the label-sum convergence detector needs
+    # integer nodes); the id table is the same domain-bounded name list
+    names = sorted(
+        pre_aggregated_sum(
+            parts.select_columns(["p_name"]), keys=["p_name"], sums={},
+            count_alias="k",
+        )
+        .to_pandas()["p_name"]
+        .dropna()
+        .tolist()
+    )
+    nid = {n: i for i, n in enumerate(names)}
+    nid_ref = ray.put(nid)
+
+    def pairs_to_ids(t: pa.Table) -> pa.Table:
+        m = ray.get(nid_ref)
+        return pa.Table.from_pydict(
+            {
+                "a": np.array([m[v] for v in t["name_a"].to_pylist()], np.int64),
+                "b": np.array([m[v] for v in t["name_b"].to_pylist()], np.int64),
+            }
+        )
+
+    labels = connected_components_distributed(
+        pairs.map_batches(pairs_to_ids, batch_format="pyarrow"),
+        cols=("a", "b"),
+    ).to_pandas()  # bounded by the distinct-name domain (domain_cap)
+    name_label = {
+        names[int(r.node)]: names[int(r.label)]
+        for r in labels.itertuples()
+    }
+    lab_ref = ray.put(name_label)
+
+    def to_label(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(lab_ref)
+        names = pd.Series(t["p_name"].to_pylist(), dtype=object)
+        lab = names.map(m).fillna(names)  # edge-less names label themselves
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"],
+                "label": lab.to_numpy(dtype=object),
+            }
+        )
+
+    labeled = parts.map_batches(to_label, batch_format="pyarrow")
+    canon = (
+        labeled.groupby("label")
+        .aggregate(ray.data.aggregate.Min("p_partkey", alias_name="canonical_id"))
+        .to_pandas()  # ≤ one row per cluster (domain-bounded)
+    )
+    canon_ref = ray.put(dict(zip(canon["label"], canon["canonical_id"])))
+
+    def to_canon(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        c = ray.get(canon_ref)
+        lab = pd.Series(t["label"].to_pylist(), dtype=object)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["p_partkey"],
+                "canonical_id": lab.map(c).to_numpy(dtype=np.int64),
+            }
+        )
+
+    return labeled.map_batches(to_canon, batch_format="pyarrow")
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+pr AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b ON a.p_name < b.p_name
+  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+),
+edges AS (SELECT na AS u, nb AS v FROM pr UNION SELECT nb, na FROM pr),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.label < e.v
+),
+lab AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node),
+nl AS (
+  SELECT n.p_name, COALESCE(l.label, n.p_name) AS label
+  FROM names n LEFT JOIN lab l ON l.node = n.p_name
+),
+canon AS (
+  SELECT nl.label, MIN(p.p_partkey) AS canonical_id
+  FROM part p JOIN nl ON p.p_name = nl.p_name
+  GROUP BY nl.label
+)
+SELECT p.p_partkey, c.canonical_id
+FROM part p
+JOIN nl ON p.p_name = nl.p_name
+JOIN canon c ON c.label = nl.label
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7291,6 +7549,9 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "stump": q_stump,
     "nb_classify": q_nb_classify,
+    "row_number_global": q_row_number_global,
+    "cusum_changepoint": q_cusum_changepoint,
+    "entity_resolution": q_entity_resolution,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -7389,6 +7650,9 @@ ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
     "stump": SQL_STUMP,
     "nb_classify": SQL_NB_CLASSIFY,
+    "row_number_global": SQL_ROW_NUMBER_GLOBAL,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

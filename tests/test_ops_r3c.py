@@ -1,0 +1,115 @@
+"""row_number_global / cusum_changepoint / entity_resolution edge semantics
+(full DuckDB parity is covered by the oracle sweep)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_row_number_global_dense_on_clustered_ids(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_row_number_global
+
+    # ids clustered at the top of the domain: most range buckets are empty,
+    # numbering must still come back dense 1..N in id order
+    ids = np.concatenate([[0], np.arange(90_000, 90_050)])
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": ids,
+            "text": ["x"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": np.arange(len(ids), dtype=np.int64),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        q_row_number_global(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["row_num"].tolist() == list(range(1, len(ids) + 1))
+    assert out["doc_id"].tolist() == sorted(ids.tolist())
+
+
+def test_cusum_finds_the_mean_shift(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_cusum_changepoint
+
+    # 40 quiet values then 40 elevated ones -> |T| peaks at the boundary
+    vals = np.concatenate([np.full(40, 10.0), np.full(40, 50.0)])
+    n = len(vals)
+    ts = pd.date_range("2024-03-01", periods=n, freq="1h")
+    t = pa.Table.from_pydict(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": np.full(n, 5, dtype=np.int64),
+            "event_type": ["view"] * n,
+            "value": vals,
+            "props": [""] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_cusum_changepoint(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    # the last quiet sample is the maximal-deviation point
+    assert out["cp_ts"].iloc[0] == ts[39].strftime("%Y-%m-%d %H:%M:%S")
+    # exact integer statistic: n*cum_i - i*tot at i=40
+    cents = np.round(vals * 100).astype(np.int64)
+    expect = abs(n * cents[:40].sum() - 40 * cents.sum())
+    assert out["t_abs"].iloc[0] == expect
+
+
+def test_connected_components_survives_tiny_graphs(ray_session):
+    # regression: Ray's hash-shuffle join/aggregate emit zero-column blocks
+    # for empty partitions; a 3-node path used to crash the pointer-jump
+    # join with ArrowInvalid FieldRef(label) (see _drop_empty_blocks)
+    import ray
+    import ray.data
+
+    from goose_parser_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+
+    pairs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"a": np.array([0, 1], np.int64), "b": np.array([1, 2], np.int64)}
+        )
+    )
+    out = (
+        connected_components_distributed(pairs, cols=("a", "b"))
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert out["label"].tolist() == [0, 0, 0]
+
+
+def test_entity_resolution_merges_transitive_typo_chain(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_entity_resolution
+
+    # chain: "goose parser" ~ "goose parsers" ~ "goose parserss";
+    # the ends differ more but must still share one canonical id
+    names = (
+        ["goose parser"] * 3
+        + ["goose parsers"] * 2
+        + ["goose parserss"]
+        + ["entirely different"] * 2
+    )
+    t = pa.Table.from_pydict(
+        {
+            "p_partkey": np.arange(10, 10 + len(names), dtype=np.int64),
+            "p_name": names,
+        }
+    )
+    pq.write_table(t, tmp_path / "part.parquet")
+    out = (
+        q_entity_resolution(str(tmp_path))
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    canon = dict(zip(out["p_partkey"], out["canonical_id"]))
+    cluster = {canon[k] for k in range(10, 16)}
+    assert cluster == {10}  # whole chain collapses to the min key
+    assert canon[16] == canon[17] == 16  # exact-name-only cluster
