@@ -180,6 +180,97 @@ class NBScoreActor:
         )
 
 
+def ridge_fit(
+    ds: ray.data.Dataset,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    l2: float = 1e-3,
+) -> np.ndarray:
+    """Closed-form ridge regression by distributed normal equations: ONE
+    streaming pass emits per-batch Gram partials (XᵀX, Xᵀy with a bias
+    column) — a (d+1)² matrix per batch, never the rows — and the driver
+    solves the (d+1)×(d+1) system. The exact one-pass complement to the
+    iterative ``logreg_fit``; bias is unpenalized. Returns weights with
+    bias last."""
+    d = len(feature_cols)
+
+    def gram(t: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [
+                t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in feature_cols
+            ]
+            + [np.ones(t.num_rows)]
+        )
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "xtx": [(x.T @ x).ravel().tolist()],
+                "xty": [(x.T @ y).tolist()],
+            }
+        )
+
+    parts = ds.map_batches(gram, batch_format="pyarrow").to_pandas()
+    xtx = np.add.reduce([np.asarray(v) for v in parts["xtx"]]).reshape(
+        d + 1, d + 1
+    )
+    xty = np.add.reduce([np.asarray(v) for v in parts["xty"]])
+    reg = np.eye(d + 1) * l2
+    reg[d, d] = 0.0  # bias unpenalized
+    return np.linalg.solve(xtx + reg, xty)
+
+
+def pca_fit_project(
+    ds: ray.data.Dataset,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> ray.data.Dataset:
+    """Distributed PCA: exact covariance from one streaming pass of
+    (n, Σx, Σxxᵀ) partials (d² floats per batch — never the vectors),
+    driver-side ``eigh`` on the tiny d×d matrix, then a broadcast
+    projection pass (mean + top-k components fetched once per actor).
+    Component sign is fixed deterministically (largest-|loading| entry
+    made positive). Returns (id_col, pc1..pck)."""
+    from goose_parser_ray.functions.similarity import _list_col_to_matrix
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _list_col_to_matrix(t[col]).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tolist()],
+                "ss": [(x.T @ x).ravel().tolist()],
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.add.reduce([np.asarray(v) for v in parts["s"]])
+    d = len(s)
+    ss = np.add.reduce([np.asarray(v) for v in parts["ss"]]).reshape(d, d)
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / max(1, n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs[:, np.argsort(vals)[::-1][:k]]  # top-k by eigenvalue
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
+    w = w * np.where(flip == 0, 1.0, flip)
+    state = ray.put((mu, w))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu_, w_ = ray.get(state)
+        x = _list_col_to_matrix(t[col]).astype(np.float64)
+        p = (x - mu_) @ w_
+        out = {id_col: t[id_col]}
+        for j in range(w_.shape[1]):
+            out[f"pc{j + 1}"] = p[:, j]
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def logreg_fit(
     ds: ray.data.Dataset,
     feature_cols: list[str],

@@ -7441,6 +7441,51 @@ JOIN canon c ON c.label = nl.label
 """
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed PCA over the embedding table (rows-only; pytest checks
+    parity vs single-process numpy): one pass of d²-sized covariance
+    partials, driver eigh on the tiny d×d, broadcast projection pass."""
+    from goose_parser_ray.functions.ml import pca_fit_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_fit_project(ds, k=2)
+
+
+def q_ridge_fit(sf_dir: str):
+    """Closed-form ridge regression (rows-only; pytest checks parity vs
+    numpy normal equations): value ~ one-hot(event_type), ONE streaming
+    Gram-partial pass, driver solves the (d+1)² system. Output is the
+    bounded coefficient table."""
+    from goose_parser_ray.functions.ml import ridge_fit
+
+    types = ["click", "error", "purchase", "signup"]  # 'view' = baseline
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def one_hot(t: pa.Table) -> pa.Table:
+        cols = {
+            f"is_{ty}": pc.cast(
+                pc.equal(t["event_type"], ty), pa.float64()
+            )
+            for ty in types
+        }
+        cols["value"] = t["value"]
+        return pa.Table.from_pydict(cols)
+
+    w = ridge_fit(
+        ds.map_batches(one_hot, batch_format="pyarrow"),
+        [f"is_{ty}" for ty in types],
+        "value",
+    )
+    names = [f"is_{ty}" for ty in types] + ["bias"]
+    return pa.Table.from_pydict(
+        {
+            "feature": names,
+            "coef_e4": np.floor(np.abs(w) * 1e4 + 0.5).astype(np.int64)
+            * np.sign(w).astype(np.int64),
+        }
+    )
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7552,6 +7597,8 @@ QUERIES = {
     "row_number_global": q_row_number_global,
     "cusum_changepoint": q_cusum_changepoint,
     "entity_resolution": q_entity_resolution,
+    "pca_project": q_pca_project,
+    "ridge_fit": q_ridge_fit,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,

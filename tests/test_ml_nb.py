@@ -163,3 +163,63 @@ def test_stump_matches_bruteforce_gini(ray_session, tmp_path):
     assert (got["left_n"], got["left_pos"]) == (best[2], best[3])
     assert (got["right_n"], got["right_pos"]) == (best[4], best[5])
     assert abs(got["split_bin"] - 300 / 8.0) <= 2  # found the real boundary
+
+
+def test_ridge_matches_numpy_closed_form(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    x = rng.normal(size=(n, 3))
+    y = x @ [2.0, -1.0, 0.5] + 4.0 + rng.normal(scale=0.1, size=n)
+    df = pd.DataFrame({"f0": x[:, 0], "f1": x[:, 1], "f2": x[:, 2], "y": y})
+    from goose_parser_ray.functions.ml import ridge_fit
+
+    w = ridge_fit(
+        ray.data.from_pandas(df).repartition(5), ["f0", "f1", "f2"], "y",
+        l2=1e-3,
+    )
+    xb = np.column_stack([x, np.ones(n)])
+    reg = np.eye(4) * 1e-3
+    reg[3, 3] = 0.0
+    w_ref = np.linalg.solve(xb.T @ xb + reg, xb.T @ y)
+    assert np.allclose(w, w_ref, rtol=1e-8, atol=1e-10)
+    assert abs(w[3] - 4.0) < 0.05
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    n, d = 2000, 6
+    base = rng.normal(size=(n, 2)) @ rng.normal(size=(2, d)) * 3
+    x = (base + rng.normal(scale=0.05, size=(n, d)) + 10.0).astype(
+        np.float32
+    )
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": x.tolist(),
+        }
+    )
+    from goose_parser_ray.functions.ml import pca_fit_project
+
+    out = (
+        pca_fit_project(ray.data.from_arrow(t).repartition(4), k=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    xd = x.astype(np.float64)
+    mu = xd.mean(axis=0)
+    cov = (xd - mu).T @ (xd - mu) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs[:, np.argsort(vals)[::-1][:2]]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(2)])
+    w = w * np.where(flip == 0, 1.0, flip)
+    ref = (xd - mu) @ w
+    got = out[["pc1", "pc2"]].to_numpy()
+    assert np.allclose(got, ref, rtol=1e-6, atol=1e-6)
+    # the two synthetic latent directions carry ~all the variance
+    assert got.var(axis=0).sum() / xd.var(axis=0).sum() > 0.99
