@@ -2565,6 +2565,41 @@ def q_dedup_minhash_verified(sf_dir: str):
     )
 
 
+def q_dedup_precision(sf_dir: str):
+    """Quantitative quality signal for the MinHash+LSH family surfaced as
+    a query (the r2-VERDICT 'is this any good?' number): candidate pairs →
+    distributed exact-Jaccard verification → one summary row
+    (n_candidates, n_verified, precision_e4). Precision is computable at
+    ANY scale (it never enumerates non-candidate pairs); the recall floor
+    vs O(n²) ground truth lives in tests/test_recall.py where quadratic
+    enumeration is affordable (sf0.01)."""
+    from goose_parser_ray.functions.dedup import (
+        verify_candidates_jaccard_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, concurrency=_pool()).materialize()
+    n_cand = cands.count()
+    n_ver = (
+        verify_candidates_jaccard_distributed(
+            cands, _read(sf_dir, "documents", ["doc_id", "text"]),
+            threshold=0.5,
+        ).count()
+        if n_cand
+        else 0
+    )
+    prec = 0 if n_cand == 0 else int(
+        np.floor(1e4 * (n_ver / n_cand) + 0.5)
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_verified": pa.array([n_ver], pa.int64()),
+            "precision_e4": pa.array([prec], pa.int64()),
+        }
+    )
+
+
 def q_sample_random(sf_dir: str):
     """S7: seeded reservoir-free sampling (rows-only — RNG not
     oracle-matchable; determinism across runs comes from the seed)."""
@@ -7599,6 +7634,7 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "pca_project": q_pca_project,
     "ridge_fit": q_ridge_fit,
+    "dedup_precision": q_dedup_precision,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
