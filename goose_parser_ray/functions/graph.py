@@ -407,3 +407,100 @@ def kcore_numpy(edges: "list[tuple[int, int]]", k: int) -> "set[int]":
         es = {e for e in es if e[0] not in bad and e[1] not in bad}
         if not es:
             return set()
+
+
+def bfs_levels_distributed(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    *,
+    cols: tuple[str, str] = ("u", "v"),
+    seed_col: str = "node",
+    max_hops: int = 6,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Level-synchronous BFS (hop distance from a seed SET): per round one
+    hash join (frontier ⋈ edges on src) + a distinct on the discovered
+    endpoints + a visited-set anti-filter — the Pregel frontier pattern.
+    Distributed state per round is the visited table (node, lvl), bounded
+    by the REACHABLE set, never the edge set; the frontier shrinks to the
+    newly discovered nodes so join work tracks the wavefront, not the
+    graph. Terminates on an empty frontier or at ``max_hops`` (callers
+    pairing with a recursive-SQL twin keep the same cap on both sides).
+    Directed semantics: pass both edge directions for undirected graphs.
+
+    Returns Dataset(node, lvl) with lvl = min hop distance ≤ max_hops."""
+    from ray.data.aggregate import Min
+
+    from goose_parser_ray.functions.dedup import (
+        _default_join_partitions,
+        _drop_empty_blocks,
+        filter_out_ids,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    a, b = cols
+
+    def tag(lvl: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "node": t["node"],
+                    "lvl": np.full(t.num_rows, lvl, dtype=np.int64),
+                }
+            )
+
+        return fn
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        # map-side-combined distinct (the repo idiom): one narrow row per
+        # distinct node per block crosses the exchange
+        return pre_aggregated_sum(
+            ds, keys=["node"], sums={}, count_alias="k"
+        ).drop_columns(["k"])
+
+    frontier = _drop_empty_blocks(
+        _distinct(
+            seeds.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t[seed_col]], names=["node"]
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    )
+    visited = _drop_empty_blocks(
+        frontier.map_batches(tag(0), batch_format="pyarrow").materialize()
+    )
+
+    for lvl in range(1, max_hops + 1):
+        hops = edges.join(
+            frontier,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(a,),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.Table.from_arrays([t[b]], names=["node"]),
+            batch_format="pyarrow",
+        )
+        # distinct BEFORE the anti-filter: discovered set ≤ node set
+        hops = _drop_empty_blocks(_distinct(hops).materialize())
+        fresh = _drop_empty_blocks(
+            filter_out_ids(
+                hops, visited, "node", drop_col="node"
+            ).materialize()
+        )
+        if fresh.count() == 0:
+            break
+        tagged = fresh.map_batches(tag(lvl), batch_format="pyarrow")
+        visited = _drop_empty_blocks(
+            visited.union(tagged)
+            .groupby("node")
+            .aggregate(Min("lvl", alias_name="lvl"))
+            .materialize()
+        )
+        frontier = fresh
+    return visited

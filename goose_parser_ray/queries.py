@@ -7521,6 +7521,63 @@ def q_ridge_fit(sf_dir: str):
     )
 
 
+def q_bfs_levels(sf_dir: str):
+    """BFS hop distance over the part co-purchase graph from a fixed seed
+    set ((node & 63) == 0), capped at 6 hops — level-synchronous frontier
+    expansion (one hash join per round, state bounded by the reachable
+    set), ORACLE-CHECKED against a DuckDB recursive-CTE min-level
+    fixpoint. Output: (lvl, n_nodes) distance histogram."""
+    from goose_parser_ray.functions.graph import bfs_levels_distributed
+
+    und = _copurchase_edges(sf_dir, mask=15).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            ],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # feeds every BFS round — pin one build
+    seeds = und.map_batches(
+        lambda t: pa.Table.from_arrays([t["u"]], names=["node"]).filter(
+            pc.equal(
+                pc.bit_wise_and(t["u"], pa.scalar(63, pa.int64())), 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    levels = bfs_levels_distributed(und, seeds, max_hops=6)
+    return pre_aggregated_sum(
+        levels.select_columns(["lvl"]), keys=["lvl"], sums={},
+        count_alias="n_nodes",
+    )
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE (l_orderkey & 15) = 0),
+e0 AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+seeds AS (SELECT DISTINCT u AS node FROM edges WHERE (u & 63) = 0),
+walk(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.v, w.lvl + 1 FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lvl < 6
+),
+lev AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_nodes
+FROM lev GROUP BY lvl
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7635,6 +7692,7 @@ QUERIES = {
     "pca_project": q_pca_project,
     "ridge_fit": q_ridge_fit,
     "dedup_precision": q_dedup_precision,
+    "bfs_levels": q_bfs_levels,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -7736,6 +7794,7 @@ ORACLE_SQL = {
     "row_number_global": SQL_ROW_NUMBER_GLOBAL,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "bfs_levels": SQL_BFS_LEVELS,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -113,3 +113,33 @@ def test_entity_resolution_merges_transitive_typo_chain(ray_session, tmp_path):
     cluster = {canon[k] for k in range(10, 16)}
     assert cluster == {10}  # whole chain collapses to the min key
     assert canon[16] == canon[17] == 16  # exact-name-only cluster
+
+
+def test_bfs_levels_on_crafted_graph(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.graph import bfs_levels_distributed
+
+    # path 0-1-2-3-4 plus isolated edge 10-11 (unreachable from seed 0)
+    u = np.array([0, 1, 2, 3, 10], np.int64)
+    v = np.array([1, 2, 3, 4, 11], np.int64)
+    edges = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "u": np.concatenate([u, v]),
+                "v": np.concatenate([v, u]),
+            }
+        )
+    )
+    seeds = ray.data.from_arrow(
+        pa.Table.from_pydict({"node": np.array([0], np.int64)})
+    )
+    out = (
+        bfs_levels_distributed(edges, seeds, max_hops=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # cap at 3 hops: node 4 (distance 4) and the 10-11 island never appear
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["lvl"].tolist() == [0, 1, 2, 3]
