@@ -47,7 +47,23 @@ def _pool() -> int:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with a SMALL-INPUT anti-over-split guard:
+    Ray's default parallelism splits a 5k-row file into ~2×CPU tiny blocks,
+    and every downstream all-to-all then pays per-task overhead × blocks
+    (measured: dedup_minhash 5.4s → 3.7s at sf0.1 just from 64 → 8 read
+    blocks). Under 1M rows we cap blocks near the actor-pool size; at real
+    corpus scale the guard never triggers and Ray's native block sizing
+    (target_max_block_size against file fragments) governs."""
+    path = f"{sf_dir}/{table}.parquet"
+    nb = None
+    try:
+        import pyarrow.parquet as pq
+
+        if pq.read_metadata(path).num_rows < 1_000_000:
+            nb = max(8, _pool())
+    except Exception:
+        pass
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
 def _cents(col: pa.ChunkedArray, scale: int = 100) -> pa.ChunkedArray:
