@@ -7594,6 +7594,96 @@ FROM lev GROUP BY lvl
 """
 
 
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket frequent-itemset mining at the pairwise level:
+    support counts of part pairs co-purchased in the same order (1/4
+    order slice), min support 2. Engine = distinct (order, part) with a
+    map-side combine, native hash self-join on the order key, pair-keyed
+    count aggregate (again map-side combined) — the exchange moves (pair,
+    partial-count) rows, never baskets. The a-priori candidate-pruning
+    generalization to k-itemsets composes this same join+count per
+    level."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    dis = pre_aggregated_sum(
+        li.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
+            ).filter(
+                pc.equal(
+                    pc.bit_wise_and(
+                        t["l_orderkey"], pa.scalar(3, pa.int64())
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["o", "p"], sums={}, count_alias="k",
+    ).drop_columns(["k"]).materialize()  # feeds both join sides
+    left = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "u"]),
+        batch_format="pyarrow",
+    )
+    right = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "v"]),
+        batch_format="pyarrow",
+    )
+    pairs = left.join(
+        right,
+        join_type="inner",
+        num_partitions=_dedup._default_join_partitions(),
+        on=("o",),
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["u"], t["v"])).select(["u", "v"]),
+        batch_format="pyarrow",
+    )
+    counted = pre_aggregated_sum(
+        pairs, keys=["u", "v"], sums={}, count_alias="support"
+    )
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["support"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FREQUENT_PAIRS = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 3) = 0
+)
+SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS support
+FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+GROUP BY a.p, b.p
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_regex_extract(sf_dir: str):
+    """Vectorized regex capture-group extraction to a column (the classic
+    log/text field-parsing map): first 'scan <word>' bigram per doc, RE2
+    on both sides (pc.extract_regex ≡ DuckDB regexp_extract), map-only —
+    zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            pc.fill_null(t["text"], ""), pattern=r"scan (?P<w>\w+)"
+        )
+        word = pc.fill_null(pc.struct_field(m, "w"), "")
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "after_scan": word}
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_REGEX_EXTRACT = r"""
+SELECT doc_id,
+       COALESCE(regexp_extract(text, 'scan (\w+)', 1), '') AS after_scan
+FROM documents
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7709,6 +7799,8 @@ QUERIES = {
     "ridge_fit": q_ridge_fit,
     "dedup_precision": q_dedup_precision,
     "bfs_levels": q_bfs_levels,
+    "frequent_pairs": q_frequent_pairs,
+    "regex_extract": q_regex_extract,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -7811,6 +7903,8 @@ ORACLE_SQL = {
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "bfs_levels": SQL_BFS_LEVELS,
+    "frequent_pairs": SQL_FREQUENT_PAIRS,
+    "regex_extract": SQL_REGEX_EXTRACT,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
