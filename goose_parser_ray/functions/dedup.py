@@ -974,8 +974,6 @@ def connected_components_distributed(
     component (same contract as driver union-find roots)."""
     from ray.data.aggregate import Min, Sum
 
-    if num_partitions is None:
-        num_partitions = _default_join_partitions()
     a, b = cols
     # undirected edge list: both directions, so one join propagates both ways
     edges = pairs.map_batches(
@@ -988,6 +986,17 @@ def connected_components_distributed(
         ),
         batch_format="pyarrow",
     ).materialize()
+
+    if num_partitions is None:
+        # data-proportional aggregator count (the num_shuffle_buckets rule
+        # applied to hash-join partitions): a tiny candidate graph pays
+        # per-partition actor overhead × rounds for nothing, a corpus-scale
+        # one saturates the CPU-derived ceiling. count() here is
+        # metadata-only — edges was just materialized.
+        num_partitions = max(
+            2,
+            min(_default_join_partitions(), -(-edges.count() // 100_000)),
+        )
 
     # initial labels: every endpoint labels itself
     labels = (

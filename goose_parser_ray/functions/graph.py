@@ -438,7 +438,13 @@ def bfs_levels_distributed(
     )
 
     if num_partitions is None:
-        num_partitions = _default_join_partitions()
+        # data-proportional aggregator count (same rule as connected
+        # components): callers pass a materialized edge list, so count()
+        # is metadata-only; pass num_partitions explicitly for lazy input
+        num_partitions = max(
+            2,
+            min(_default_join_partitions(), -(-edges.count() // 100_000)),
+        )
     a, b = cols
 
     def tag(lvl: int):
