@@ -49,9 +49,6 @@ def pagerank_distributed(
     from goose_parser_ray.functions.dedup import _default_join_partitions
     from goose_parser_ray.functions.relational import pre_aggregated_sum
 
-    if num_partitions is None:
-        num_partitions = _default_join_partitions()
-
     e = edges.map_batches(
         lambda t: pa.Table.from_arrays(
             [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
@@ -59,6 +56,12 @@ def pagerank_distributed(
         ),
         batch_format="pyarrow",
     ).materialize()
+    if num_partitions is None:
+        # data-proportional aggregator count (metadata-only count on the
+        # just-materialized edges) capped at the CPU-derived ceiling
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-e.count() // 100_000))
+        )
 
     # out-degree per src, attached to the edges ONCE (not per round)
     deg = pre_aggregated_sum(
@@ -203,9 +206,6 @@ def triangle_count(
     from goose_parser_ray.functions.dedup import _default_join_partitions
     from goose_parser_ray.functions.relational import pre_aggregated_sum
 
-    if num_partitions is None:
-        num_partitions = _default_join_partitions()
-
     e = edges.map_batches(
         lambda t: pa.Table.from_arrays(
             [pc.cast(t[u], pa.int64()), pc.cast(t[v], pa.int64())],
@@ -214,6 +214,11 @@ def triangle_count(
         batch_format="pyarrow",
     ).materialize()
     n_edges = e.count()
+    if num_partitions is None:
+        # data-proportional aggregator count, CPU-ceiling capped
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-n_edges // 100_000))
+        )
     if n_edges == 0:
         return {"edges": 0, "wedges": 0, "triangles": 0}
 
@@ -329,9 +334,6 @@ def kcore_distributed(
     from goose_parser_ray.functions.dedup import _default_join_partitions
     from goose_parser_ray.functions.relational import pre_aggregated_sum
 
-    if num_partitions is None:
-        num_partitions = _default_join_partitions()
-
     e = edges.map_batches(
         lambda t: pa.Table.from_arrays(
             [pc.cast(t[u], pa.int64()), pc.cast(t[v], pa.int64())],
@@ -340,6 +342,11 @@ def kcore_distributed(
         batch_format="pyarrow",
     ).materialize()
     n_edges = e.count()
+    if num_partitions is None:
+        # data-proportional aggregator count, CPU-ceiling capped
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-n_edges // 100_000))
+        )
 
     def degrees(cur: ray.data.Dataset) -> ray.data.Dataset:
         both = cur.map_batches(
