@@ -7684,6 +7684,187 @@ FROM documents
 """
 
 
+def q_item_cf(sf_dir: str):
+    """Item-item collaborative filtering (the classic Amazon-style
+    neighborhood model): cosine similarity between parts over binary
+    order-basket vectors — cos(i,j) = co(i,j)/√(c(i)·c(j)). All counts
+    are exact distributed aggregates (map-side combined); the two
+    count-attach joins are hash equi-joins keyed by item, and the cosine
+    is computed map-side from pure-integer inputs in the same IEEE op
+    order as the SQL twin (int product → double sqrt → divide → e6
+    ROUND), so the fixed point matches bit-for-bit. Support floor 2
+    bounds the output to the frequent-pair set."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    dis = pre_aggregated_sum(
+        li.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
+            ).filter(
+                pc.equal(
+                    pc.bit_wise_and(
+                        t["l_orderkey"], pa.scalar(3, pa.int64())
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["o", "p"], sums={}, count_alias="k",
+    ).drop_columns(["k"]).materialize()
+    cnt = pre_aggregated_sum(
+        dis.map_batches(
+            lambda t: pa.Table.from_arrays([t["p"]], names=["p"]),
+            batch_format="pyarrow",
+        ),
+        keys=["p"], sums={}, count_alias="c",
+    )
+    left = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "u"]),
+        batch_format="pyarrow",
+    )
+    right = dis.map_batches(
+        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "v"]),
+        batch_format="pyarrow",
+    )
+    npart = _dedup._default_join_partitions()
+    co = pre_aggregated_sum(
+        left.join(right, join_type="inner", num_partitions=npart, on=("o",))
+        .map_batches(
+            lambda t: t.filter(pc.less(t["u"], t["v"])).select(["u", "v"]),
+            batch_format="pyarrow",
+        ),
+        keys=["u", "v"], sums={}, count_alias="co",
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["co"], 2)),
+        batch_format="pyarrow",
+    )
+    cu = cnt.map_batches(
+        lambda t: pa.Table.from_arrays([t["p"], t["c"]], names=["u", "cu"]),
+        batch_format="pyarrow",
+    )
+    cv = cnt.map_batches(
+        lambda t: pa.Table.from_arrays([t["p"], t["c"]], names=["v", "cv"]),
+        batch_format="pyarrow",
+    )
+    joined = co.join(
+        cu, join_type="inner", num_partitions=npart, on=("u",)
+    ).join(cv, join_type="inner", num_partitions=npart, on=("v",))
+
+    def cosine(t: pa.Table) -> pa.Table:
+        co_ = t["co"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = np.sqrt(
+            (
+                t["cu"].to_numpy(zero_copy_only=False)
+                * t["cv"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+        )
+        cos_e6 = np.floor(1e6 * co_ / denom + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "co": t["co"],
+                "cos_e6": cos_e6,
+            }
+        )
+
+    return joined.map_batches(cosine, batch_format="pyarrow")
+
+
+SQL_ITEM_CF = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 3) = 0
+),
+cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p),
+co AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+)
+SELECT co.u, co.v, co.co,
+       CAST(ROUND(1e6 * co.co / SQRT(CAST(cu.c * cv.c AS DOUBLE)))
+            AS BIGINT) AS cos_e6
+FROM co
+JOIN cnt cu ON cu.p = co.u
+JOIN cnt cv ON cv.p = co.v
+"""
+
+
+def q_minmax_normalize(sf_dir: str):
+    """Group-wise min-max feature scaling (the standard preprocessing
+    map): value → (v−min)/(max−min) within each event_type, e6 fixed
+    point over exact integer cents so both engines divide the SAME exact
+    integers. Tiny per-group min/max aggregate → broadcast → map-only
+    second pass; zero-range groups emit 0."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    from ray.data.aggregate import Max, Min
+
+    stats = (
+        ds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"event_type": t["event_type"], "vc": _cents(t["value"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Min("vc", alias_name="lo"), Max("vc", alias_name="hi"))
+        .to_pandas()  # one row per event_type — domain-bounded
+    )
+    lo = dict(zip(stats["event_type"], stats["lo"]))
+    hi = dict(zip(stats["event_type"], stats["hi"]))
+    ref = ray.put((lo, hi))
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lo_, hi_ = ray.get(ref)
+        et = pd.Series(t["event_type"].to_pylist(), dtype=object)
+        lo_v = et.map(lo_).to_numpy(dtype=np.int64)
+        hi_v = et.map(hi_).to_numpy(dtype=np.int64)
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        rng = hi_v - lo_v
+        safe = np.where(rng == 0, 1, rng)
+        norm_e6 = np.where(
+            rng == 0,
+            0,
+            np.floor(
+                1e6 * (vc - lo_v).astype(np.float64)
+                / safe.astype(np.float64)
+                + 0.5
+            ).astype(np.int64),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "norm_e6": norm_e6,
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_MINMAX_NORMALIZE = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(100 * value) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT event_id, event_type, vc,
+         MIN(vc) OVER (PARTITION BY event_type) AS lo,
+         MAX(vc) OVER (PARTITION BY event_type) AS hi
+  FROM c
+)
+SELECT event_id, event_type,
+       CASE WHEN hi = lo THEN 0
+            ELSE CAST(FLOOR(1e6 * CAST(vc - lo AS DOUBLE)
+                            / CAST(hi - lo AS DOUBLE) + 0.5) AS BIGINT)
+       END AS norm_e6
+FROM w
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7801,6 +7982,8 @@ QUERIES = {
     "bfs_levels": q_bfs_levels,
     "frequent_pairs": q_frequent_pairs,
     "regex_extract": q_regex_extract,
+    "item_cf": q_item_cf,
+    "minmax_normalize": q_minmax_normalize,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -7905,6 +8088,8 @@ ORACLE_SQL = {
     "bfs_levels": SQL_BFS_LEVELS,
     "frequent_pairs": SQL_FREQUENT_PAIRS,
     "regex_extract": SQL_REGEX_EXTRACT,
+    "item_cf": SQL_ITEM_CF,
+    "minmax_normalize": SQL_MINMAX_NORMALIZE,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
