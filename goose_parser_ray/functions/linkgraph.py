@@ -119,3 +119,73 @@ def extract_links(
         batch_size=512,
         **kwargs,
     )
+
+
+class MetaExtractActor:
+    """Actor-pool stage: synthesize a page with a real <head> (title +
+    description/og:type meta tags), DOM-parse it, and read the fields back
+    through compiled selectors — the standard page-metadata scrape
+    (upstream goose-parser pipelines read head elements constantly).
+
+    Selectors compiled once per actor; the per-document loop is the DOM
+    parse kernel itself. Title/description round-trip through entity
+    escaping, so a tokenizer or attribute-read bug breaks the closed-form
+    SQL twin's hash."""
+
+    def __init__(self) -> None:
+        self._title = compile_selector("title")
+        self._desc = compile_selector('meta[name="description"]')
+        self._og = compile_selector('meta[property="og:type"]')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sources = batch["source"].to_pylist()
+        titles: list[str] = []
+        descs: list[str] = []
+        ogs: list[str] = []
+        for doc_id, text, source in zip(ids, texts, sources):
+            snippet = (text or "")[:40]
+            esc = (
+                snippet.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+                .replace('"', "&quot;")
+            )
+            og = "website" if doc_id % 2 == 0 else "article"
+            page = (
+                f"<html><head><title>doc {doc_id} - {source}</title>"
+                f'<meta name="description" content="{esc}">'
+                f'<meta property="og:type" content="{og}">'
+                f"</head><body><p>body</p></body></html>"
+            )
+            doc = parse_html(page)
+            t = select(self._title, doc)
+            d = select(self._desc, doc)
+            o = select(self._og, doc)
+            titles.append(t[0].text() if t else "")
+            descs.append(d[0].attrs.get("content", "") if d else "")
+            ogs.append(o[0].attrs.get("content", "") if o else "")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "description": pa.array(descs, pa.string()),
+                "og_type": pa.array(ogs, pa.string()),
+            }
+        )
+
+
+def extract_meta(
+    ds: ray.data.Dataset, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """Corpus → (doc_id, title, description, og_type) via the DOM engine."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = (concurrency, concurrency)
+    return ds.map_batches(
+        MetaExtractActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        **kwargs,
+    )

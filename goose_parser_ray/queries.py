@@ -7865,6 +7865,29 @@ FROM w
 """
 
 
+def q_meta_extract(sf_dir: str):
+    """Page-metadata scrape (title + description + og:type through a real
+    <head>), ORACLE-CHECKED: pages are synthesized deterministically so
+    SQL states the expected fields in closed form while the engine must
+    recover them through the full DOM stack — tokenizer → tree builder →
+    compiled ``title`` / ``meta[name=…]`` / ``meta[property=…]`` selectors
+    → text/attribute reads, with the description round-tripping entity
+    escaping. Map-only (actor pool), zero shuffle."""
+    from goose_parser_ray.functions.linkgraph import extract_meta
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return extract_meta(ds, concurrency=_pool())
+
+
+SQL_META_EXTRACT = """
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+       substr(COALESCE(text, ''), 1, 40) AS description,
+       CASE WHEN doc_id % 2 = 0 THEN 'website' ELSE 'article' END AS og_type
+FROM documents
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -7984,6 +8007,7 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "item_cf": q_item_cf,
     "minmax_normalize": q_minmax_normalize,
+    "meta_extract": q_meta_extract,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -8090,6 +8114,7 @@ ORACLE_SQL = {
     "regex_extract": SQL_REGEX_EXTRACT,
     "item_cf": SQL_ITEM_CF,
     "minmax_normalize": SQL_MINMAX_NORMALIZE,
+    "meta_extract": SQL_META_EXTRACT,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
