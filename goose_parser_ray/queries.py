@@ -3780,7 +3780,10 @@ def _copurchase_edges(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     grows with degree²; the slice keeps the graph queries inside the
     per-query time budget while exercising the identical chain (oracles
     apply the same cut). Build = native hash self-join on l_orderkey +
-    distinct-pair aggregate."""
+    distinct-pair aggregate. Hot-basket note: self-join fan-out is
+    basket²; the TPC-H-shaped order domain bounds baskets (≤7 items), and
+    inputs without that invariant should route through the
+    ``_capped_baskets`` guard (see q_frequent_pairs) first."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     dis = pre_aggregated_sum(
         li.map_batches(
@@ -7251,7 +7254,11 @@ def q_row_number_global(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     n = ds.count()
-    nb = num_shuffle_buckets(n)
+    # coarser target than the generic shuffle default: a numbering range
+    # only carries (id, payload, rank) rows, so 1M rows/group is fine and
+    # keeps the driver-side offset table at n/1M entries (8 MB at 10¹²
+    # rows) instead of n/50k
+    nb = num_shuffle_buckets(n, target=1_000_000)
     lo_hi = ds.aggregate(
         ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Max("doc_id")
     )
@@ -7279,10 +7286,14 @@ def q_row_number_global(sf_dir: str):
     offsets = np.zeros(nb, dtype=np.int64)
     offsets[counts["__rng"].to_numpy()] = counts["c"].to_numpy()
     offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    # plasma broadcast, NOT closure capture: the offset table is fetched
+    # zero-copy once per worker instead of re-serialized into every task
+    off_ref = ray.put(offsets)
 
     def number_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
         g = g.sort_values("doc_id", kind="mergesort")
-        g["row_num"] = offsets[int(g["__rng"].iloc[0])] + np.arange(
+        g["row_num"] = off[int(g["__rng"].iloc[0])] + np.arange(
             1, len(g) + 1, dtype=np.int64
         )
         return g[["doc_id", "n_chars", "row_num"]]
@@ -7594,15 +7605,20 @@ FROM lev GROUP BY lvl
 """
 
 
-def q_frequent_pairs(sf_dir: str):
-    """Market-basket frequent-itemset mining at the pairwise level:
-    support counts of part pairs co-purchased in the same order (1/4
-    order slice), min support 2. Engine = distinct (order, part) with a
-    map-side combine, native hash self-join on the order key, pair-keyed
-    count aggregate (again map-side combined) — the exchange moves (pair,
-    partial-count) rows, never baskets. The a-priori candidate-pruning
-    generalization to k-itemsets composes this same join+count per
-    level."""
+_MAX_BASKET = 32  # self-join pair fan-out is basket², so cap it (the
+# standard a-priori hot-basket guard; the SQL twins apply the same cut)
+
+
+def _capped_baskets(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
+    """Distinct (order, part) basket items on a 1/(mask+1) order slice,
+    with baskets above ``_MAX_BASKET`` items DROPPED before any pair
+    self-join — a mega-basket (one order holding 10⁴ items) would emit
+    10⁸ pairs from a single join key otherwise, the same quadratic
+    hot-key class the LSH star cap guards against. The size filter is a
+    bounded per-order count + anti-filter (exchange sized by the basket-id
+    set, not the items)."""
+    from goose_parser_ray.functions.dedup import filter_out_ids
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     dis = pre_aggregated_sum(
         li.map_batches(
@@ -7611,7 +7627,7 @@ def q_frequent_pairs(sf_dir: str):
             ).filter(
                 pc.equal(
                     pc.bit_wise_and(
-                        t["l_orderkey"], pa.scalar(3, pa.int64())
+                        t["l_orderkey"], pa.scalar(mask, pa.int64())
                     ),
                     0,
                 )
@@ -7619,7 +7635,42 @@ def q_frequent_pairs(sf_dir: str):
             batch_format="pyarrow",
         ),
         keys=["o", "p"], sums={}, count_alias="k",
-    ).drop_columns(["k"]).materialize()  # feeds both join sides
+    ).drop_columns(["k"]).materialize()
+    big = pre_aggregated_sum(
+        dis.map_batches(
+            lambda t: pa.Table.from_arrays([t["o"]], names=["o"]),
+            batch_format="pyarrow",
+        ),
+        keys=["o"], sums={}, count_alias="n",
+    ).map_batches(
+        lambda t: pa.Table.from_arrays([t["o"]], names=["o"]).filter(
+            pc.greater(t["n"], _MAX_BASKET)
+        ),
+        batch_format="pyarrow",
+    )
+    return filter_out_ids(dis, big, "o", drop_col="o").materialize()
+
+
+_SQL_CAPPED_BASKETS = """
+li0 AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 3) = 0
+),
+ok AS (SELECT o FROM li0 GROUP BY o HAVING COUNT(*) <= 32),
+li AS (SELECT li0.o, li0.p FROM li0 JOIN ok USING (o))
+"""
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket frequent-itemset mining at the pairwise level:
+    support counts of part pairs co-purchased in the same order (1/4
+    order slice), min support 2. Engine = capped distinct baskets
+    (see ``_capped_baskets`` — the hot-basket quadratic guard), native
+    hash self-join on the order key, pair-keyed count aggregate (map-side
+    combined) — the exchange moves (pair, partial-count) rows, never
+    baskets. The a-priori candidate-pruning generalization to k-itemsets
+    composes this same join+count per level."""
+    dis = _capped_baskets(sf_dir)  # feeds both join sides (pinned)
     left = dis.map_batches(
         lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "u"]),
         batch_format="pyarrow",
@@ -7646,11 +7697,8 @@ def q_frequent_pairs(sf_dir: str):
     )
 
 
-SQL_FREQUENT_PAIRS = """
-WITH li AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-  WHERE (l_orderkey & 3) = 0
-)
+SQL_FREQUENT_PAIRS = f"""
+WITH {_SQL_CAPPED_BASKETS}
 SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS support
 FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
 GROUP BY a.p, b.p
@@ -7693,24 +7741,9 @@ def q_item_cf(sf_dir: str):
     is computed map-side from pure-integer inputs in the same IEEE op
     order as the SQL twin (int product → double sqrt → divide → e6
     ROUND), so the fixed point matches bit-for-bit. Support floor 2
-    bounds the output to the frequent-pair set."""
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    dis = pre_aggregated_sum(
-        li.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
-            ).filter(
-                pc.equal(
-                    pc.bit_wise_and(
-                        t["l_orderkey"], pa.scalar(3, pa.int64())
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        ),
-        keys=["o", "p"], sums={}, count_alias="k",
-    ).drop_columns(["k"]).materialize()
+    bounds the output to the frequent-pair set; the basket-size cap
+    (``_capped_baskets``) bounds the self-join fan-out."""
+    dis = _capped_baskets(sf_dir)
     cnt = pre_aggregated_sum(
         dis.map_batches(
             lambda t: pa.Table.from_arrays([t["p"]], names=["p"]),
@@ -7771,11 +7804,8 @@ def q_item_cf(sf_dir: str):
     return joined.map_batches(cosine, batch_format="pyarrow")
 
 
-SQL_ITEM_CF = """
-WITH li AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-  WHERE (l_orderkey & 3) = 0
-),
+SQL_ITEM_CF = f"""
+WITH {_SQL_CAPPED_BASKETS},
 cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p),
 co AS (
   SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
