@@ -1,0 +1,113 @@
+"""Seeded differential fuzz: the session's window-family queries vs DuckDB
+on RANDOM small event/document tables (the check_oracle comparison only
+exercises the fixed testdata distribution; these randomize cardinality,
+ties, and value ranges)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import duckdb
+
+
+def _mk_events(tmp_path, rng, n_users, n_rows):
+    ts0 = pd.Timestamp("2024-05-01")
+    # coarse tick grid on purpose: forces duplicate timestamps per user so
+    # the (ts, event_id) tie-break is actually exercised
+    ts = ts0 + pd.to_timedelta(
+        rng.integers(0, n_rows // 2 + 1, n_rows) * 600, unit="s"
+    )
+    t = pa.Table.from_pydict(
+        {
+            "event_id": np.arange(n_rows, dtype=np.int64),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": rng.integers(0, n_users, n_rows).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], n_rows
+            ),
+            "value": np.round(rng.uniform(0, 400, n_rows), 2),
+            "props": [""] * n_rows,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def _compare(ray_result, sql, tmp_path):
+    got = ray_result.to_pandas() if hasattr(ray_result, "to_pandas") else (
+        pd.DataFrame(ray_result.to_pydict())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    ) if (tmp_path / "documents.parquet").exists() else None
+    want = con.execute(sql).fetchdf()
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_scd2_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import SQL_SCD2_HISTORY, q_scd2_history
+
+    for seed in (1, 7, 23):
+        rng = np.random.default_rng(seed)
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        _mk_events(d, rng, n_users=9, n_rows=400)
+        _compare(q_scd2_history(str(d)), SQL_SCD2_HISTORY, d)
+
+
+def test_cusum_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import (
+        SQL_CUSUM_CHANGEPOINT,
+        q_cusum_changepoint,
+    )
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        d = tmp_path / f"c{seed}"
+        d.mkdir()
+        _mk_events(d, rng, n_users=6, n_rows=300)
+        _compare(q_cusum_changepoint(str(d)), SQL_CUSUM_CHANGEPOINT, d)
+
+
+def test_row_number_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import (
+        SQL_ROW_NUMBER_GLOBAL,
+        q_row_number_global,
+    )
+
+    for seed in (5, 17):
+        rng = np.random.default_rng(seed)
+        d = tmp_path / f"r{seed}"
+        d.mkdir()
+        # sparse, clustered, non-contiguous ids
+        ids = np.unique(rng.integers(0, 10_000_000, 700))
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": ids.astype(np.int64),
+                "text": ["x"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": rng.integers(0, 500, len(ids)).astype(np.int64),
+            }
+        )
+        pq.write_table(t, d / "documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'"
+        )
+        want = con.execute(SQL_ROW_NUMBER_GLOBAL).fetchdf()
+        got = q_row_number_global(str(d)).to_pandas()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
