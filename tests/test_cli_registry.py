@@ -116,3 +116,25 @@ def test_cli_compact_mode(ray_session, tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["compacted"] == 1
     assert len(list(pdir.glob("*.parquet"))) == 1
+
+
+def test_query_cli_list_and_run(ray_session, capsys, tmp_path):
+    from goose_parser_ray.query import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "* agg_by_lang" in out and "  ann_ivf" in out
+
+    rc = main(["agg_by_lang", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "agg_by_lang: 5 rows" in out
+
+    dest = str(tmp_path / "out.parquet")
+    rc = main(
+        ["stump", "--sf-dir", "/root/testdata/sf0.001", "--out", dest]
+    )
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(dest).num_rows == 1
