@@ -517,3 +517,78 @@ def bfs_levels_distributed(
         )
         frontier = fresh
     return visited
+
+
+def sssp_bounded(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    *,
+    cols: tuple[str, str, str] = ("u", "v", "w"),
+    seed_col: str = "node",
+    rounds: int = 4,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Bounded-round single-source(-set) shortest paths: synchronous
+    Bellman-Ford over the min-plus semiring — each round relaxes every
+    edge once via ONE hash join (dist ⋈ edges on src) and folds with a
+    groupby-min, so after R rounds dist(v) = exact shortest distance
+    using ≤ R edges. Distributed state is the distance table (bounded by
+    the reachable node set); the edge list is the big side and is only
+    ever joined, never collected. The fixed round count is what makes an
+    exact unrolled-CTE SQL twin possible (the q_pagerank pattern) — for
+    full convergence loop until a monotone distance-sum fixed point, the
+    components template."""
+    from ray.data.aggregate import Min
+
+    from goose_parser_ray.functions.dedup import (
+        _default_join_partitions,
+        _drop_empty_blocks,
+    )
+
+    a, b, wcol = cols
+    e = edges.materialize()
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-e.count() // 100_000))
+        )
+
+    dist = _drop_empty_blocks(
+        seeds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": t[seed_col],
+                    "d": np.zeros(t.num_rows, dtype=np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("d", alias_name="d"))
+        .materialize()
+    )
+    for _ in range(rounds):
+        relaxed = e.join(
+            dist,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(a,),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": t[b],
+                    "d": (
+                        t["d"].to_numpy(zero_copy_only=False)
+                        + t[wcol].to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = _drop_empty_blocks(
+            dist.union(relaxed)
+            .groupby("node")
+            .aggregate(Min("d", alias_name="d"))
+            .materialize()
+        )
+    return dist

@@ -7918,6 +7918,76 @@ FROM documents
 """
 
 
+def q_sssp(sf_dir: str):
+    """Bounded-round weighted shortest paths (synchronous Bellman-Ford,
+    min-plus semiring) from the same seed set as q_bfs_levels, edge
+    weight ((u+v)&7)+1, exactly 4 relaxation rounds — ORACLE-CHECKED
+    against a 4-round unrolled CTE (the q_pagerank oracle pattern; a
+    recursive walk CTE would enumerate every distinct path sum and blow
+    up on a dense graph). Output: (node, d) = exact shortest distance
+    using ≤4 edges."""
+    from goose_parser_ray.functions.graph import sssp_bounded
+
+    e0 = _copurchase_edges(sf_dir, mask=15)
+
+    def weighted_both(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = ((u + v) & 7) + 1
+        return pa.Table.from_pydict(
+            {
+                "u": np.concatenate([u, v]),
+                "v": np.concatenate([v, u]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    und = e0.map_batches(weighted_both, batch_format="pyarrow").materialize()
+    seeds = und.map_batches(
+        lambda t: pa.Table.from_arrays([t["u"]], names=["node"]).filter(
+            pc.equal(
+                pc.bit_wise_and(t["u"], pa.scalar(63, pa.int64())), 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return sssp_bounded(und, seeds, rounds=4)
+
+
+def _sssp_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, {prev}.d + e.w AS d
+    FROM {prev} JOIN edges e ON e.u = {prev}.node
+  ) GROUP BY node
+)"""
+
+
+SQL_SSSP = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE (l_orderkey & 15) = 0),
+e0 AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (
+  SELECT u, v, ((u + v) & 7) + 1 AS w FROM e0
+  UNION ALL
+  SELECT v, u, ((u + v) & 7) + 1 FROM e0
+),
+seeds AS (SELECT DISTINCT u AS node FROM edges WHERE (u & 63) = 0),
+r0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds),"""
+    + ",".join(
+        _sssp_round_sql(f"r{i}", f"r{i + 1}") for i in range(4)
+    )
+    + """
+SELECT node, CAST(d AS BIGINT) AS d FROM r4
+"""
+)
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8038,6 +8108,7 @@ QUERIES = {
     "item_cf": q_item_cf,
     "minmax_normalize": q_minmax_normalize,
     "meta_extract": q_meta_extract,
+    "sssp": q_sssp,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -8145,6 +8216,7 @@ ORACLE_SQL = {
     "item_cf": SQL_ITEM_CF,
     "minmax_normalize": SQL_MINMAX_NORMALIZE,
     "meta_extract": SQL_META_EXTRACT,
+    "sssp": SQL_SSSP,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,

@@ -143,3 +143,30 @@ def test_bfs_levels_on_crafted_graph(ray_session):
     # cap at 3 hops: node 4 (distance 4) and the 10-11 island never appear
     assert out["node"].tolist() == [0, 1, 2, 3]
     assert out["lvl"].tolist() == [0, 1, 2, 3]
+
+
+def test_sssp_prefers_lighter_multi_hop_path(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.graph import sssp_bounded
+
+    # 0-2 direct costs 10; 0-1-2 costs 2+3=5; node 3 unreachable in 2 rounds
+    t = pa.Table.from_pydict(
+        {
+            "u": np.array([0, 0, 1, 2], np.int64),
+            "v": np.array([2, 1, 2, 3], np.int64),
+            "w": np.array([10, 2, 3, 1], np.int64),
+        }
+    )
+    edges = ray.data.from_arrow(t)
+    seeds = ray.data.from_arrow(
+        pa.Table.from_pydict({"node": np.array([0], np.int64)})
+    )
+    out = (
+        sssp_bounded(edges, seeds, rounds=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["node"], out["d"]))
+    assert got == {0: 0, 1: 2, 2: 5, 3: 11}
