@@ -39,6 +39,11 @@ TIMED_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "ann_bruteforce",
+    # additive round-3-continuation keys (earlier keys stay comparable
+    # across BENCH_r{N} records)
+    "nb_classify",
+    "scd2_history",
+    "sessionize",
 ]
 
 
