@@ -7988,6 +7988,129 @@ SELECT node, CAST(d AS BIGINT) AS d FROM r4
 )
 
 
+def q_training_shards(sf_dir: str):
+    """Flagship pretraining-layout composite, ORACLE-CHECKED end to end:
+    quality gate (integer basis points) → exact dedup (min-id winner) →
+    benchmark decontamination (8-gram broadcast probe) → tokenize → pack
+    into 512-token examples (distributed prefix-sum scan) → per-shard
+    rollup (shard = example-index mod 8). This is the full corpus →
+    training-shards path a 100 TB run executes; every stage is the
+    scale-shaped implementation verified individually, and the composed
+    DuckDB twin nests the SAME generated quality SQL + decontamination
+    CTEs + window prefix sum so the final shard layout is hash-compared,
+    not just counted."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.dedup import decontaminate_ngrams
+    from goose_parser_ray.functions.packing import pack_sequences
+    from goose_parser_ray.functions.textstats import add_quality_score
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    keep = pc.equal(
+        pc.subtract(
+            bench_tbl["doc_id"],
+            pc.multiply(pc.divide(bench_tbl["doc_id"], 97), 97),
+        ),
+        0,
+    )
+    bench_texts = bench_tbl.filter(keep)["text"].to_pylist()
+    n_rows_upper = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: add_quality_score(t, round_digits=None),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["text"]], names=["doc_id", "text"]
+        ).filter(pc.greater_equal(_cents(t["quality"], 10000), 5000)),
+        batch_format="pyarrow",
+    )
+    ds = exact_dedup(ds, col="text", id_col="doc_id")
+    ds = decontaminate_ngrams(ds, bench_texts, n=8)
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64()
+        )
+        t = pa.Table.from_arrays([t["doc_id"], n], names=["doc_id", "n_tok"])
+        return t.filter(pc.greater(t["n_tok"], 0))
+
+    ds = ds.map_batches(tok, batch_format="pyarrow")
+    packed = pack_sequences(
+        ds, order_col="doc_id", size_col="n_tok", seq_len=512,
+        n_rows=n_rows_upper,  # upper bound (pre-filter) sizes the scan buckets
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        ex = t["start_off"].to_numpy(zero_copy_only=False) // 512
+        return pa.Table.from_pydict(
+            {"shard": (ex % 8).astype(np.int64), "n_tok": t["n_tok"]}
+        )
+
+    return pre_aggregated_sum(
+        packed.map_batches(shard, batch_format="pyarrow"),
+        keys=["shard"], sums={"n_tok": "sum_tokens"}, count_alias="n_docs",
+    )
+
+
+def _training_shards_sql() -> str:
+    return rf"""
+WITH qual AS ({_quality_sql()}),
+gated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN qual q USING (doc_id)
+  WHERE q.quality_bp >= 5000
+),
+dedup AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+dd AS (SELECT g.doc_id, g.text FROM dedup JOIN gated g USING (doc_id)),
+bw AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+),
+bidx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM bw
+),
+bg AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram FROM bidx),
+cw AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM dd),
+cidx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM cw
+),
+cg AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM cidx),
+bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+clean AS (
+  SELECT dd.doc_id, dd.text
+  FROM dd LEFT JOIN bad USING (doc_id)
+  WHERE bad.doc_id IS NULL
+),
+t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM clean
+),
+f AS (SELECT * FROM t WHERE n_tok > 0),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM f
+)
+SELECT CAST((start_off // 512) % 8 AS BIGINT) AS shard,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM o GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8109,6 +8232,7 @@ QUERIES = {
     "minmax_normalize": q_minmax_normalize,
     "meta_extract": q_meta_extract,
     "sssp": q_sssp,
+    "training_shards": q_training_shards,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -8217,6 +8341,7 @@ ORACLE_SQL = {
     "minmax_normalize": SQL_MINMAX_NORMALIZE,
     "meta_extract": SQL_META_EXTRACT,
     "sssp": SQL_SSSP,
+    "training_shards": _training_shards_sql(),
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
