@@ -8111,6 +8111,69 @@ FROM o GROUP BY 1
 """
 
 
+def q_html_table(sf_dir: str):
+    """HTML <table> extraction to relational rows (the tabular-scrape op:
+    goose-parser grid rules over real markup), ORACLE-CHECKED: each doc
+    synthesizes a deterministic table (row k → cells (k, (doc_id·k)%101)
+    for k = 1..doc_id%4+1), and the engine recovers the cells through the
+    real DOM stack — tree builder (including implicit tbody handling) →
+    ``table#data tr`` descendant selector → td child traversal — while
+    the SQL twin states the expected rows in closed form (LATERAL
+    generate_series). Map-only actor pool."""
+
+    class TableExtract:
+        def __init__(self) -> None:
+            from goose_parser_ray.css.selector import compile_selector
+
+            self._rows = compile_selector("table#data tr")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from goose_parser_ray.css.selector import select
+            from goose_parser_ray.html import parse_html
+
+            ids = t["doc_id"].to_pylist()
+            out_id: list[int] = []
+            out_k: list[int] = []
+            out_v: list[int] = []
+            for doc_id in ids:
+                n = doc_id % 4 + 1
+                body = "".join(
+                    f"<tr><td>{k}</td><td>{(doc_id * k) % 101}</td></tr>"
+                    for k in range(1, n + 1)
+                )
+                page = (
+                    f'<html><body><table id="data">{body}</table>'
+                    f"</body></html>"
+                )
+                doc = parse_html(page)
+                for r in select(self._rows, doc):
+                    cells = [
+                        c.text() for c in r.child_elements() if c.tag == "td"
+                    ]
+                    out_id.append(doc_id)
+                    out_k.append(int(cells[0]))
+                    out_v.append(int(cells[1]))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "row_idx": pa.array(out_k, pa.int64()),
+                    "val": pa.array(out_v, pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(
+        TableExtract, batch_format="pyarrow", concurrency=_pool()
+    )
+
+
+SQL_HTML_TABLE = """
+SELECT doc_id, CAST(k AS BIGINT) AS row_idx,
+       CAST((doc_id * k) % 101 AS BIGINT) AS val
+FROM documents, LATERAL unnest(generate_series(1, doc_id % 4 + 1)) AS t(k)
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8233,6 +8296,7 @@ QUERIES = {
     "meta_extract": q_meta_extract,
     "sssp": q_sssp,
     "training_shards": q_training_shards,
+    "html_table": q_html_table,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,
@@ -8342,6 +8406,7 @@ ORACLE_SQL = {
     "meta_extract": SQL_META_EXTRACT,
     "sssp": SQL_SSSP,
     "training_shards": _training_shards_sql(),
+    "html_table": SQL_HTML_TABLE,
     "triangles": SQL_TRIANGLES,
     "lang_entropy": SQL_LANG_ENTROPY,
     "skyline": SQL_SKYLINE,
