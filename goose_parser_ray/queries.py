@@ -8174,6 +8174,26 @@ FROM documents, LATERAL unnest(generate_series(1, doc_id % 4 + 1)) AS t(k)
 """
 
 
+def q_bootstrap_ci(sf_dir: str):
+    """Poisson-bootstrap 95% CI for the mean order value (Chamandy et al.
+    2012 — THE distributed resampling technique: per-row Poisson(1)
+    weights seeded from (id, replicate) make resampling map-side; one
+    tiny B-vector partial per batch, no shuffle). Deterministic and
+    block-layout-invariant (pytest locks both); rows-only — the seeded
+    hash draw has no SQL twin."""
+    from goose_parser_ray.functions.stats import bootstrap_mean_ci
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"o_orderkey": t["o_orderkey"], "cents": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return bootstrap_mean_ci(
+        ds, id_col="o_orderkey", value_col="cents", n_reps=64
+    )
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8297,6 +8317,7 @@ QUERIES = {
     "sssp": q_sssp,
     "training_shards": q_training_shards,
     "html_table": q_html_table,
+    "bootstrap_ci": q_bootstrap_ci,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,

@@ -170,3 +170,31 @@ def test_sssp_prefers_lighter_multi_hop_path(ray_session):
     )
     got = dict(zip(out["node"], out["d"]))
     assert got == {0: 0, 1: 2, 2: 5, 3: 11}
+
+
+def test_bootstrap_ci_covers_mean_and_is_block_invariant(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.stats import bootstrap_mean_ci
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    vals = rng.integers(0, 10_000, n).astype(np.int64)
+    t = pa.Table.from_pydict(
+        {"id": np.arange(n, dtype=np.int64), "v": vals}
+    )
+
+    out3 = bootstrap_mean_ci(
+        ray.data.from_arrow(t).repartition(3), id_col="id", value_col="v"
+    ).to_pylist()[0]
+    out11 = bootstrap_mean_ci(
+        ray.data.from_arrow(t).repartition(11), id_col="id", value_col="v"
+    ).to_pylist()[0]
+    # weights depend only on (id, replicate) -> block layout cannot matter
+    assert out3 == out11
+    true_mean_e4 = int(vals.sum()) * 10_000 // n
+    assert out3["ci_lo_e4"] <= true_mean_e4 <= out3["ci_hi_e4"]
+    # CI width ≈ 2·1.96·sd/√n: sd≈2887, n=20k → ≈80 value units = 800k e4;
+    # B=64 replicates add noise — allow 3× slack
+    width = out3["ci_hi_e4"] - out3["ci_lo_e4"]
+    assert 0 < width < 3 * 800_000
