@@ -85,3 +85,64 @@ def bootstrap_mean_ci(
             "ci_hi_e4": pa.array([int(hi)], pa.int64()),
         }
     )
+
+
+def bootstrap_ab_uplift(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_reps: int = 64,
+    alpha: float = 0.05,
+) -> pa.Table:
+    """A/B uplift with a Poisson-bootstrap CI on the DIFFERENCE of means
+    (experiment analysis at corpus scale): same one-pass map-side shape
+    as :func:`bootstrap_mean_ci`, but each batch emits per-replicate
+    partials for BOTH arms; replicate diffs are exact e4 integer
+    divisions. Returns one row: per-arm n/mean plus diff CI and a
+    two-sided significance flag (CI excludes 0)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {}
+        for tag, gname in (("a", group_a), ("b", group_b)):
+            sub = t.filter(pc.equal(t[group_col], gname))
+            ids = sub[id_col].to_numpy(zero_copy_only=False)
+            v = sub[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = _poisson1_weights(ids, n_reps) if len(ids) else np.zeros(
+                (0, n_reps), dtype=np.int64
+            )
+            out[f"s_{tag}"] = [(w * v[:, None]).sum(axis=0).tolist()]
+            out[f"c_{tag}"] = [w.sum(axis=0).tolist()]
+            out[f"n_{tag}"] = [len(ids)]
+            out[f"tot_{tag}"] = [int(v.sum())]
+        return pa.Table.from_pydict(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def fold(col):
+        return np.add.reduce(
+            [np.asarray(x, dtype=np.int64) for x in parts[col]]
+        )
+
+    s_a, c_a, s_b, c_b = fold("s_a"), fold("c_a"), fold("s_b"), fold("c_b")
+    n_a, n_b = int(parts["n_a"].sum()), int(parts["n_b"].sum())
+    tot_a, tot_b = int(parts["tot_a"].sum()), int(parts["tot_b"].sum())
+    ok = (c_a > 0) & (c_b > 0)
+    diffs = np.sort((s_a[ok] * 10_000) // c_a[ok] - (s_b[ok] * 10_000) // c_b[ok])
+    lo = diffs[int(np.floor(alpha / 2 * len(diffs)))]
+    hi = diffs[min(len(diffs) - 1, int(np.ceil((1 - alpha / 2) * len(diffs))))]
+    return pa.Table.from_pydict(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "mean_a_e4": pa.array([(tot_a * 10_000) // max(1, n_a)], pa.int64()),
+            "mean_b_e4": pa.array([(tot_b * 10_000) // max(1, n_b)], pa.int64()),
+            "diff_lo_e4": pa.array([int(lo)], pa.int64()),
+            "diff_hi_e4": pa.array([int(hi)], pa.int64()),
+            "significant": pa.array([bool(lo > 0 or hi < 0)], pa.bool_()),
+        }
+    )

@@ -8194,6 +8194,36 @@ def q_bootstrap_ci(sf_dir: str):
     )
 
 
+def q_ab_test(sf_dir: str):
+    """Experiment analysis: purchase-vs-view mean event value with a
+    Poisson-bootstrap CI on the uplift (one map-side pass, both arms'
+    replicate partials per batch). Deterministic + block-invariant like
+    q_bootstrap_ci; rows-only (seeded hash draw has no SQL twin)."""
+    from goose_parser_ray.functions.stats import bootstrap_ab_uplift
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "vc": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bootstrap_ab_uplift(
+        ds,
+        id_col="event_id",
+        value_col="vc",
+        group_col="event_type",
+        group_a="purchase",
+        group_b="view",
+        n_reps=64,
+    )
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8318,6 +8348,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "html_table": q_html_table,
     "bootstrap_ci": q_bootstrap_ci,
+    "ab_test": q_ab_test,
     "triangles": q_triangles,
     "lang_entropy": q_lang_entropy,
     "skyline": q_skyline,

@@ -198,3 +198,38 @@ def test_bootstrap_ci_covers_mean_and_is_block_invariant(ray_session):
     # B=64 replicates add noise — allow 3× slack
     width = out3["ci_hi_e4"] - out3["ci_lo_e4"]
     assert 0 < width < 3 * 800_000
+
+
+def test_ab_uplift_detects_a_real_difference(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.stats import bootstrap_ab_uplift
+
+    rng = np.random.default_rng(4)
+    n = 8000
+    grp = np.where(np.arange(n) % 2 == 0, "treat", "ctrl")
+    v = np.where(
+        grp == "treat",
+        rng.integers(900, 1100, n),
+        rng.integers(700, 900, n),
+    ).astype(np.int64)
+    t = pa.Table.from_pydict(
+        {"id": np.arange(n, dtype=np.int64), "g": grp, "v": v}
+    )
+    out = bootstrap_ab_uplift(
+        ray.data.from_arrow(t).repartition(5),
+        id_col="id", value_col="v", group_col="g",
+        group_a="treat", group_b="ctrl",
+    ).to_pylist()[0]
+    assert out["significant"] is True
+    assert out["diff_lo_e4"] > 0
+    # true uplift ≈ 200 units = 2_000_000 e4; CI must bracket it
+    assert out["diff_lo_e4"] < 2_000_000 < out["diff_hi_e4"]
+
+    # identical inputs split differently -> identical output
+    out2 = bootstrap_ab_uplift(
+        ray.data.from_arrow(t).repartition(13),
+        id_col="id", value_col="v", group_col="g",
+        group_a="treat", group_b="ctrl",
+    ).to_pylist()[0]
+    assert out == out2
