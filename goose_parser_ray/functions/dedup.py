@@ -1977,6 +1977,116 @@ def set_similarity_join(
                  "jac_e4": pa.array([], pa.int64())}
             )
         )
+
+    # BITSET verify — the small-vocabulary fast path. Templated corpora
+    # (boilerplate pages, log lines, synthetic docs) can have a tiny
+    # token vocabulary while still producing MILLIONS of true pairs; any
+    # token-level verify then explodes to n_cand × tokens-per-doc rows
+    # (measured 85M rows / 6-9 minutes for 3.7M candidates over a
+    # 31-token vocab at sf0.1, on BOTH the pandas and hash-join paths).
+    # With V ≤ 2048 each doc's token SET packs into ≤ 64 int64 half-words
+    # (31-bit halves so partial Sums stay exact: every (doc, token) row
+    # exists in exactly one block, so summing per-block partial bitsets
+    # IS the bitwise OR); intersections are vectorized AND+popcount per
+    # candidate — the exchange carries one fixed-width row per endpoint.
+    if n_vocab <= 2048:
+        import ray as _ray
+
+        vocab_arr = np.sort(
+            dfreq.to_pandas()["token"].to_numpy(dtype=object)
+        )
+        # 31 vocab bits per int64 word: values stay < 2^31, so per-block
+        # partial Sums are exact and the uint32 popcount view is valid
+        n_half = (len(vocab_arr) + 30) // 31
+        hw_ref = _ray.put({t: i for i, t in enumerate(vocab_arr)})
+        _PCNT = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+
+        def bit_partial(t: pa.Table) -> pa.Table:
+            m = _ray.get(hw_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = (
+                pd.Series(t["token"].to_pylist(), dtype=object)
+                .map(m)
+                .to_numpy(np.int64)
+            )
+            order = np.argsort(ids, kind="stable")
+            ids_s, pos_s = ids[order], pos[order]
+            uniq, starts = np.unique(ids_s, return_index=True)
+            half = pos_s // 31
+            shift = pos_s % 31
+            rowpos = np.searchsorted(uniq, ids_s)
+            bits = np.zeros((len(uniq), n_half), dtype=np.int64)
+            np.add.at(
+                bits,
+                (rowpos, half),
+                np.left_shift(np.int64(1), shift),
+            )
+            cols = {"doc_id": uniq}
+            for k in range(n_half):
+                cols[f"b{k}"] = bits[:, k]
+            cols["l"] = np.bincount(rowpos, minlength=len(uniq)).astype(
+                np.int64
+            )
+            return pa.Table.from_pydict(cols)
+
+        from goose_parser_ray.functions.relational import (
+            pre_aggregated_sum as _pas,
+        )
+
+        bcols = [f"b{k}" for k in range(n_half)]
+        bitsets = _pas(
+            tokens.map_batches(bit_partial, batch_format="pyarrow"),
+            keys=["doc_id"],
+            sums={c: c for c in bcols + ["l"]},
+        ).materialize()
+
+        def rename(tag: str):
+            def fn(t: pa.Table) -> pa.Table:
+                cols = {tag: t["doc_id"]}
+                for c in bcols:
+                    cols[f"{c}_{tag}"] = t[c]
+                cols[f"l_{tag}"] = t["l"]
+                return pa.Table.from_pydict(cols)
+
+            return fn
+
+        j = cand.join(
+            bitsets.map_batches(rename("id_a"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("id_a",),
+        ).join(
+            bitsets.map_batches(rename("id_b"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("id_b",),
+        )
+
+        def popcount_gate(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "jac_e4": pa.array([], pa.int64())}
+                )
+            inter = np.zeros(t.num_rows, dtype=np.int64)
+            for c in bcols:
+                x = (
+                    t[f"{c}_id_a"].to_numpy(zero_copy_only=False)
+                    & t[f"{c}_id_b"].to_numpy(zero_copy_only=False)
+                ).astype(np.uint32)
+                inter += _PCNT[x.view(np.uint8).reshape(-1, 4)].sum(axis=1)
+            la = t["l_id_a"].to_numpy(zero_copy_only=False)
+            lb = t["l_id_b"].to_numpy(zero_copy_only=False)
+            union = la + lb - inter
+            keep = den * inter >= num * union
+            return pa.Table.from_pydict(
+                {
+                    "id_a": t["id_a"].to_numpy(zero_copy_only=False)[keep],
+                    "id_b": t["id_b"].to_numpy(zero_copy_only=False)[keep],
+                    "jac_e4": (10_000 * inter[keep]) // union[keep],
+                }
+            )
+
+        return j.map_batches(popcount_gate, batch_format="pyarrow")
     ends_pd = cand.to_pandas() if n_cand <= df_broadcast_guard else None
     if ends_pd is not None:
         import ray as _ray
@@ -1995,7 +2105,20 @@ def set_similarity_join(
             ),
             batch_format="pyarrow",
         ).materialize()
-        if (cand_tokens.size_bytes() or 0) <= verify_broadcast_bytes:
+        # the first driver merge explodes to ~n_cand × avg-tokens-per-doc
+        # rows BEFORE the (id_b, token) inner join shrinks it — on a
+        # pathologically self-similar corpus (millions of true pairs ×
+        # ~40-token docs) that is a 10⁸-row single-threaded pandas frame
+        # (measured: 9 minutes / tens of GiB at sf0.1). Gate on the
+        # ESTIMATED EXPLODED ROWS, not just candidate count; past it the
+        # hash-join verify spreads the same rows across aggregators.
+        est_merge_rows = n_cand * (
+            cand_tokens.count() // max(1, len(end_ids))
+        )
+        if (
+            est_merge_rows <= 20_000_000
+            and (cand_tokens.size_bytes() or 0) <= verify_broadcast_bytes
+        ):
             cand_pd = ends_pd
             tok_pd = cand_tokens.to_pandas()
     if cand_pd is not None:

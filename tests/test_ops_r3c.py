@@ -233,3 +233,72 @@ def test_ab_uplift_detects_a_real_difference(ray_session):
         group_a="treat", group_b="ctrl",
     ).to_pylist()[0]
     assert out == out2
+
+
+def _brute_jaccard_pairs(texts, num, den):
+    sets = [set((t or "").lower().split()) for t in texts]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a and not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if den * inter >= num * union:
+                out.add((i, j, 10_000 * inter // union))
+    return out
+
+
+def test_set_similarity_bitset_path_spans_word_boundaries(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.dedup import set_similarity_join
+
+    # vocab of 80 tokens -> 3 bit half-words; docs built so matches cross
+    # the 31/62-bit boundaries
+    rng = np.random.default_rng(6)
+    vocab = [f"tok{i:03d}" for i in range(80)]
+    texts = []
+    base = rng.choice(vocab, 40, replace=False)
+    for k in range(60):
+        drop = rng.integers(0, 3)
+        words = list(base[drop:]) + list(
+            rng.choice(vocab, rng.integers(0, 3), replace=False)
+        )
+        texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    got = set_similarity_join(ds, threshold_num=8, threshold_den=10)
+    gset = {
+        (r["id_a"], r["id_b"], r["jac_e4"]) for r in got.take_all()
+    }
+    assert gset == _brute_jaccard_pairs(texts, 8, 10)
+    assert gset  # non-degenerate
+
+
+def test_set_similarity_large_vocab_fallback_matches_bitset(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions import dedup as D
+
+    # same corpus, vocab forced over the bitset guard via unique filler
+    # tokens per doc -> exercises the join/merge verify path; results
+    # must match brute force exactly
+    texts = []
+    for k in range(40):
+        shared = " ".join(f"s{i}" for i in range(20 - (k % 3)))
+        filler = " ".join(f"u{k}_{m}" for m in range(60))
+        texts.append(shared + " " + filler)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    # vocab = 20 shared + 40*60 unique = 2420 > 2048 -> fallback path
+    got = D.set_similarity_join(ds, threshold_num=2, threshold_den=10)
+    gset = {(r["id_a"], r["id_b"], r["jac_e4"]) for r in got.take_all()}
+    assert gset == _brute_jaccard_pairs(texts, 2, 10)
