@@ -302,3 +302,42 @@ def test_set_similarity_large_vocab_fallback_matches_bitset(ray_session):
     got = D.set_similarity_join(ds, threshold_num=2, threshold_den=10)
     gset = {(r["id_a"], r["id_b"], r["jac_e4"]) for r in got.take_all()}
     assert gset == _brute_jaccard_pairs(texts, 2, 10)
+
+
+def test_capped_baskets_drops_mega_basket(ray_session, tmp_path):
+    from goose_parser_ray.queries import _MAX_BASKET, q_frequent_pairs
+
+    # order 0: mega-basket with 100 distinct parts (over the cap);
+    # orders 4 and 8 (mask & 3 == 0): small baskets sharing parts 1,2
+    rows = []
+    for p in range(100):
+        rows.append((0, 1000 + p))
+    for o in (4, 8):
+        for p in (1, 2, 3):
+            rows.append((o, p))
+    t = pa.Table.from_pydict(
+        {
+            "l_orderkey": np.array([r[0] for r in rows], np.int64),
+            "l_partkey": np.array([r[1] for r in rows], np.int64),
+            "l_suppkey": np.zeros(len(rows), np.int64),
+            "l_linenumber": np.arange(len(rows), dtype=np.int32),
+            "l_quantity": np.ones(len(rows)),
+            "l_extendedprice": np.ones(len(rows)),
+            "l_discount": np.zeros(len(rows)),
+            "l_tax": np.zeros(len(rows)),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pa.array(
+                pd.to_datetime(["2024-01-01"] * len(rows)),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    assert 100 > _MAX_BASKET
+    out = q_frequent_pairs(str(tmp_path)).to_pandas()
+    # the mega-basket's 4950 within-order pairs are gone; only the two
+    # small baskets' shared pairs (support 2) survive
+    assert set(zip(out["u"], out["v"])) == {(1, 2), (1, 3), (2, 3)}
+    assert (out["support"] == 2).all()
+    assert not (out["u"] >= 1000).any()
