@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
         "--list", action="store_true",
         help="list query names (* = has a DuckDB oracle twin) and exit",
     )
+    p.add_argument(
+        "--stats", action="store_true",
+        help="print the Ray Data execution stats (per-operator walls, "
+        "task counts) after running a Dataset-returning query",
+    )
     args = p.parse_args(argv)
 
     from goose_parser_ray.queries import ORACLE_SQL, QUERIES
@@ -59,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
 
     result = QUERIES[args.name](args.sf_dir)
     if isinstance(result, ray.data.Dataset):
+        if args.stats:
+            result = result.materialize()
+            print(result.stats())
         if args.out:
             result.write_parquet(args.out)
             n = ray.data.read_parquet(args.out).count()
