@@ -24,6 +24,38 @@ def stable_hash(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
 
 
+def coerce_spans_column(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Schema-tolerant ingest: accept any spans column whose struct carries
+    the canonical FIELDS in any order / wider integer types (Arrow ``cast``
+    refuses struct field reorders, so parquet written by another engine with
+    alphabetized fields or int64 offsets would otherwise crash the job).
+    Children are matched BY NAME and cast individually; a missing child
+    becomes typed nulls (the poison-doc quarantine catches it per row).
+    Zero-copy no-op when the column already matches ``SPAN_STRUCT``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    target = pa.list_(SPAN_STRUCT)
+    if col.type == target:
+        return col
+    ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lengths = pc.fill_null(pc.list_value_length(ch), 0)
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(lengths.to_numpy(zero_copy_only=False))]),
+        pa.int32(),
+    )
+    values = ch.flatten()  # used values in row order (null lists contribute 0)
+    have = {f.name for f in values.type} if pa.types.is_struct(values.type) else set()
+    children = []
+    for f in SPAN_STRUCT:
+        if f.name in have:
+            children.append(pc.cast(values.field(f.name), f.type))
+        else:
+            children.append(pa.nulls(len(values), f.type))
+    sv = pa.StructArray.from_arrays(children, fields=list(SPAN_STRUCT))
+    return pa.chunked_array([pa.ListArray.from_arrays(offsets, sv)])
+
+
 NORMALIZED_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -53,6 +85,12 @@ def make_normalize_fn(
     def normalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        spans_idx = batch.column_names.index("spans")
+        batch = batch.set_column(
+            spans_idx,
+            pa.field("spans", pa.list_(SPAN_STRUCT)),
+            coerce_spans_column(batch["spans"]),
+        )
         doc_ids = batch["doc_id"].to_pylist()
         n = len(doc_ids)
         if partition_source == "column":

@@ -101,6 +101,40 @@ def test_poison_document_quarantine(ray_session, tmp_path):
     assert "no-such-kind" in bad["error"] and bad["n_spans"] == 0
 
 
+def test_foreign_span_schema_coerced_at_ingest(ray_session):
+    """Parquet written by another engine may carry the spans struct with
+    alphabetized field order, int64 offsets, or a missing optional child —
+    the normalize boundary must coerce by NAME, not crash on Arrow's
+    order-sensitive struct cast."""
+    import pyarrow as pa
+
+    foreign = pa.struct(
+        [("kind", pa.string()), ("offset", pa.int64()), ("text", pa.string())]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["f-1", "f-2"], pa.string()),
+            "spans": pa.array(
+                [
+                    [{"kind": "html", "offset": 0, "text": "<p>one</p>"}],
+                    [
+                        {"kind": "text", "offset": 0, "text": "alpha"},
+                        {"kind": "text", "offset": 5, "text": "beta"},
+                    ],
+                ],
+                type=pa.list_(foreign),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = build_extraction_pipeline(
+        ds, num_partitions=2, salt_threshold=None, concurrency=1, batch_size=8
+    ).to_pandas()
+    assert len(out) == 2
+    assert (out["error"] == "").all()
+    assert int(out.set_index("doc_id").loc["f-2", "n_spans"]) == 2
+
+
 def test_extract_corpus_resume_exactness(corpus, tmp_path):
     path, oracle = corpus
     out_dir = tmp_path / "out"
