@@ -8224,6 +8224,298 @@ def q_ab_test(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shape completion (Q4/Q6/Q10/Q14… adapted to the reduced schemas —
+# no partsupp / commitdate / shipmode in the testdata; each query keeps the
+# original's distinctive join/agg pattern on the columns that exist)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: single-table filtered global aggregate. All three
+    predicates ride the one column-pruned scan; revenue = price_cents ×
+    disc_pct is exact integer c4; the global sum is a constant-key
+    pre-aggregate (one partial row per batch crosses the wire)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+
+    def sel(t: pa.Table) -> pa.Table:
+        disc_pct = _cents(t["l_discount"])
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_pct, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc_pct, pa.scalar(7, pa.int64())),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t2 = t.filter(keep)
+        rev = pc.multiply(_cents(t2["l_extendedprice"]), _cents(t2["l_discount"]))
+        n = len(t2)
+        return pa.Table.from_pydict(
+            {"k": pa.array([0] * n, pa.int64()), "rev": rev}
+        )
+
+    agg = pre_aggregated_sum(
+        ds.map_batches(sel, batch_format="pyarrow"),
+        keys=["k"], sums={"rev": "revenue_c4"}, count_alias="n_items",
+    )
+    return agg.drop_columns(["k"])
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                * CAST(ROUND(100 * l_discount) AS BIGINT)) AS BIGINT)
+           AS revenue_c4,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(ROUND(100 * l_discount) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_priority_semi(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join + priority rollup. The testdata has
+    no commit/receipt dates, so "late" adapts to l_shipdate > o_orderdate —
+    a BOTH-SIDES predicate, which keeps the real Q4 structure: the semi-join
+    cannot collapse to a key filter, it needs the join. One hash join
+    (date-filtered orders ⋈ keys+shipdate lineitem projection), vectorized
+    lateness filter, distinct (orderkey, priority) via a keyed pre-aggregate,
+    then a tiny per-priority count."""
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(sel_orders, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["l_shipdate"], t["o_orderdate"])
+        ).select(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    distinct_orders = pre_aggregated_sum(
+        joined, keys=["l_orderkey", "o_orderpriority"], sums={},
+        count_alias="__n",
+    ).drop_columns(["__n"])
+    return pre_aggregated_sum(
+        distinct_orders, keys=["o_orderpriority"], sums={},
+        count_alias="order_count",
+    )
+
+
+SQL_PRIORITY_SEMI = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20. ONE
+    large×large hash join (returnflag-filtered lineitem ⋈ quarter-filtered
+    orders); the customer dimension (name, nation name) attaches AFTER the
+    per-custkey rollup — the broadcast lookup touches one row per customer,
+    not one per lineitem."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nidx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks())
+    cust = cust.append_column("n_name", pc.take(nation["n_name"].combine_chunks(), nidx))
+    cref = ray.put(
+        (
+            cust["c_custkey"].combine_chunks(),
+            cust["c_name"].combine_chunks(),
+            cust["n_name"].combine_chunks(),
+        )
+    )
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(sel_orders, batch_format="pyarrow")
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.Table.from_pydict({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(sel_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    per_cust = pre_aggregated_sum(
+        joined.map_batches(
+            lambda t: t.select(["o_custkey", "rev"]), batch_format="pyarrow"
+        ),
+        keys=["o_custkey"], sums={"rev": "revenue_c4"},
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ck, cn, nn = ray.get(cref)
+        idx = pc.index_in(t["o_custkey"], value_set=ck)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": pc.take(cn, idx),
+                "n_name": pc.take(nn, idx),
+                "revenue_c4": t["revenue_c4"],
+            }
+        )
+
+    return (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue_c4", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM customer
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: conditional revenue share (PROMO parts / all parts)
+    in one month. The part dimension collapses to a broadcast key set
+    (`ray.put` once, `pc.is_in` per batch); both the conditional and total
+    sums ride ONE scan as integer c4 partials; the final basis-point share
+    mirrors the SQL twin's float op order exactly (one scalar division)."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import math
+
+    lo, hi = _dt.datetime(1997, 3, 1), _dt.datetime(1997, 4, 1)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(pc.equal(part["p_type"], "PROMO"))[
+        "p_partkey"
+    ].combine_chunks()
+    pref = ray.put(promo_keys)
+
+    def sel(t: pa.Table) -> pa.Table:
+        pk = ray.get(pref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        is_promo = pc.is_in(t["l_partkey"], value_set=pk)
+        promo_rev = pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))
+        n = len(t)
+        return pa.Table.from_pydict(
+            {"k": pa.array([0] * n, pa.int64()), "promo": promo_rev, "total": rev}
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(sel, batch_format="pyarrow")
+    agg = pre_aggregated_sum(
+        li, keys=["k"],
+        sums={"promo": "promo_revenue_c4", "total": "total_revenue_c4"},
+    ).to_pandas()
+    p = int(agg["promo_revenue_c4"].iloc[0])
+    t = int(agg["total_revenue_c4"].iloc[0])
+    # DuckDB ROUND = half away from zero; both operands are non-negative
+    share_bp = int(math.floor(10000.0 * float(p) / float(t) + 0.5))
+    return pd.DataFrame(
+        {
+            "promo_revenue_c4": [np.int64(p)],
+            "total_revenue_c4": [np.int64(t)],
+            "promo_share_bp": [np.int64(share_bp)],
+        }
+    )
+
+
+SQL_PROMO_SHARE = """
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                       * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS promo_revenue_c4,
+    CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+             * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+        AS total_revenue_c4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT promo_revenue_c4, total_revenue_c4,
+       CAST(ROUND(10000.0 * promo_revenue_c4 / total_revenue_c4) AS BIGINT)
+           AS promo_share_bp
+FROM s
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8266,6 +8558,10 @@ QUERIES = {
     "error_window_counts": q_error_window_counts,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_semi": q_priority_semi,
+    "returned_customers": q_returned_customers,
+    "promo_share": q_promo_share,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -8511,6 +8807,10 @@ ORACLE_SQL = {
     "error_window_counts": SQL_ERROR_WINDOW_COUNTS,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "regional_revenue": SQL_REGIONAL_REVENUE,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "priority_semi": SQL_PRIORITY_SEMI,
+    "returned_customers": SQL_RETURNED_CUSTOMERS,
+    "promo_share": SQL_PROMO_SHARE,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
