@@ -8516,6 +8516,375 @@ FROM s
 """
 
 
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. Supplier and customer nationkeys resolve MAP-SIDE via two
+    broadcast key→nation lookups (each dimension `ray.put` once), both
+    pre-filtered to the two nations of interest so the hash join moves only
+    qualifying rows; the cross-pair constraint (supp ≠ cust nation) is a
+    vectorized post-join filter; group by (supp_nation, cust_nation, year)."""
+    import pyarrow.parquet as pq
+
+    nat_a, nat_b = "NATION_1", "NATION_2"
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    keys2 = nation.filter(pc.is_in(nation["n_name"], value_set=pa.array([nat_a, nat_b])))
+    nk = keys2["n_nationkey"].combine_chunks()
+    nn = keys2["n_name"].combine_chunks()
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nk))
+    sidx = pc.index_in(sup["s_nationkey"], value_set=nk)
+    sref = ray.put((sup["s_suppkey"].combine_chunks(), pc.take(nn, sidx).combine_chunks()))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nk))
+    cidx = pc.index_in(cust["c_nationkey"], value_set=nk)
+    cref = ray.put((cust["c_custkey"].combine_chunks(), pc.take(nn, cidx).combine_chunks()))
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        idx = pc.index_in(t["o_custkey"], value_set=ck)
+        t = t.append_column("cust_nation", pc.take(cn, idx))
+        t = t.filter(pc.is_valid(t["cust_nation"]))
+        return t.select(["o_orderkey", "cust_nation"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        sel_orders, batch_format="pyarrow"
+    )
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        supp_nation = pc.take(sn, idx)
+        t = t.append_column("supp_nation", supp_nation)
+        t = t.filter(pc.is_valid(t["supp_nation"]))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "supp_nation": t["supp_nation"],
+                "l_year": year,
+                "rev": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(sel_li, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["supp_nation"], t["cust_nation"])
+        ).select(["supp_nation", "cust_nation", "l_year", "rev"]),
+        batch_format="pyarrow",
+    )
+    return pre_aggregated_sum(
+        joined, keys=["supp_nation", "cust_nation", "l_year"],
+        sums={"rev": "revenue_c4"},
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year. Three dimension filters collapse to broadcast key
+    sets (ASIA customers, ECONOMY parts) and one key→nation lookup
+    (suppliers); numerator (NATION_7 suppliers) and denominator ride the
+    same scan as conditional integer sums; share in basis points mirrors
+    the SQL twin's single float division per year."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import math
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    asia_nk = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))[
+        "n_nationkey"
+    ].combine_chunks()
+    target_nk = nation.filter(pc.equal(nation["n_name"], "NATION_7"))[
+        "n_nationkey"
+    ][0].as_py()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_keys = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asia_nk))[
+        "c_custkey"
+    ].combine_chunks()
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    part_keys = part.filter(pc.equal(part["p_type"], "ECONOMY"))[
+        "p_partkey"
+    ].combine_chunks()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    target_sup = sup.filter(pc.equal(sup["s_nationkey"], target_nk))[
+        "s_suppkey"
+    ].combine_chunks()
+    cref, pref, tref = ray.put(cust_keys), ray.put(part_keys), ray.put(target_sup)
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(cref)
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)),
+                ),
+                pc.is_in(t["o_custkey"], value_set=ck),
+            )
+        )
+        year = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        return pa.Table.from_pydict({"o_orderkey": t["o_orderkey"], "o_year": year})
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(sel_orders, batch_format="pyarrow")
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        pk, tk = ray.get(pref), ray.get(tref)
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=pk))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        is_target = pc.is_in(t["l_suppkey"], value_set=tk)
+        target_rev = pc.if_else(is_target, rev, pa.scalar(0, pa.int64()))
+        return pa.Table.from_pydict(
+            {"l_orderkey": t["l_orderkey"], "rev": rev, "target_rev": target_rev}
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(sel_li, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    per_year = pre_aggregated_sum(
+        joined.map_batches(
+            lambda t: t.select(["o_year", "rev", "target_rev"]),
+            batch_format="pyarrow",
+        ),
+        keys=["o_year"],
+        sums={"target_rev": "nation_revenue_c4", "rev": "total_revenue_c4"},
+    ).to_pandas().sort_values("o_year")
+    share = [
+        int(math.floor(10000.0 * float(p) / float(t) + 0.5)) if t else 0
+        for p, t in zip(per_year["nation_revenue_c4"], per_year["total_revenue_c4"])
+    ]
+    return pd.DataFrame(
+        {
+            "o_year": per_year["o_year"].astype(np.int64).to_numpy(),
+            "nation_revenue_c4": per_year["nation_revenue_c4"].astype(np.int64).to_numpy(),
+            "total_revenue_c4": per_year["total_revenue_c4"].astype(np.int64).to_numpy(),
+            "share_bp": np.array(share, np.int64),
+        }
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+             * (100 - CAST(ROUND(100 * l_discount) AS BIGINT)) AS rev,
+         CASE WHEN sn.n_name = 'NATION_7'
+              THEN CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                   * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))
+              ELSE 0 END AS target_rev
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(target_rev) AS BIGINT) AS nation_revenue_c4,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_c4,
+       CAST(ROUND(10000.0 * SUM(target_rev) / SUM(rev)) AS BIGINT) AS share_bp
+FROM v GROUP BY o_year
+"""
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation × year for a part-name
+    family. No partsupp in the testdata, so cost adapts to
+    p_retailprice × quantity (same join topology, same LIKE-filtered part
+    dimension). Part keys+retail cents and supplier nations broadcast once;
+    profit = rev_c4 − cost_c4 stays integer; one partial-aggregate, no
+    large×large join at all (the order side isn't needed — year comes from
+    l_shipdate)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], "gear"))
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            _cents(part["p_retailprice"]).combine_chunks(),
+        )
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nidx = pc.index_in(sup["s_nationkey"], value_set=nation["n_nationkey"].combine_chunks())
+    sref = ray.put(
+        (sup["s_suppkey"].combine_chunks(),
+         pc.take(nation["n_name"].combine_chunks(), nidx).combine_chunks())
+    )
+
+    def sel(t: pa.Table) -> pa.Table:
+        pk, pr = ray.get(pref)
+        sk, sn = ray.get(sref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        t = t.append_column("__pidx", idx).filter(pc.is_valid(idx))
+        retail_c = pc.take(pr, t["__pidx"])
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cost = pc.multiply(pc.multiply(retail_c, qty), pa.scalar(100, pa.int64()))
+        sidx = pc.index_in(t["l_suppkey"], value_set=sk)
+        return pa.Table.from_pydict(
+            {
+                "n_name": pc.take(sn, sidx),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "profit": pc.subtract(rev, cost),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    ).map_batches(sel, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        li, keys=["n_name", "l_year"], sums={"profit": "profit_c4"}
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))
+                - CAST(ROUND(100 * p_retailprice) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, l_year
+"""
+
+
+def q_late_priority(sf_dir: str):
+    """TPC-H Q12 shape: late-shipment counts split by order priority. The
+    testdata has no shipmode/commit/receipt dates, so the grouping column
+    adapts to l_linestatus and "late" to l_shipdate > o_orderdate + 60
+    days — still a both-sides predicate requiring the join, with the
+    CASE-sum priority split of the original. Orders project to
+    (key, date, priority); ONE hash join; everything after is vectorized
+    conditional sums."""
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["l_shipdate"],
+            pc.add(t["o_orderdate"], pa.scalar(_dt.timedelta(days=60))),
+        )
+        t = t.filter(late)
+        is_high = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "l_linestatus": t["l_linestatus"],
+                "high": pc.if_else(is_high, one, zero),
+                "low": pc.if_else(is_high, zero, one),
+            }
+        )
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(classify, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        joined, keys=["l_linestatus"],
+        sums={"high": "high_line_count", "low": "low_line_count"},
+    )
+
+
+SQL_LATE_PRIORITY = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8562,6 +8931,10 @@ QUERIES = {
     "priority_semi": q_priority_semi,
     "returned_customers": q_returned_customers,
     "promo_share": q_promo_share,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "late_priority": q_late_priority,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -8811,6 +9184,10 @@ ORACLE_SQL = {
     "priority_semi": SQL_PRIORITY_SEMI,
     "returned_customers": SQL_RETURNED_CUSTOMERS,
     "promo_share": SQL_PROMO_SHARE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "market_share": SQL_MARKET_SHARE,
+    "product_profit": SQL_PRODUCT_PROFIT,
+    "late_priority": SQL_LATE_PRIORITY,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
