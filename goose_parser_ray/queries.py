@@ -8885,6 +8885,334 @@ GROUP BY l_linestatus
 """
 
 
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: correlated-min supplier per part. No partsupp table,
+    so the part↔supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    pairs observed in lineitem, and "cost" adapts to s_acctbal — the
+    correlated structure survives: per-part MIN over a joined dimension
+    attribute, then keep exactly the (part, supplier) rows achieving it
+    (ties kept, like the SQL twin). Distinct pairs via keyed pre-aggregate;
+    supplier/nation dimensions broadcast; per-part min is a second tiny
+    aggregate joined back map-side."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    eur_rk = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"][0].as_py()
+    eur_nk = nation.filter(pc.equal(nation["n_regionkey"], eur_rk))[
+        "n_nationkey"
+    ].combine_chunks()
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    gear_keys = part.filter(pc.match_substring(part["p_name"], "gear"))[
+        "p_partkey"
+    ].combine_chunks()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=eur_nk))
+    nidx = pc.index_in(sup["s_nationkey"], value_set=nation["n_nationkey"].combine_chunks())
+    sref = ray.put(
+        (
+            sup["s_suppkey"].combine_chunks(),
+            sup["s_name"].combine_chunks(),
+            pc.take(nation["n_name"].combine_chunks(), nidx).combine_chunks(),
+            _cents(sup["s_acctbal"]).combine_chunks(),
+        )
+    )
+    pref = ray.put(gear_keys)
+
+    def sel(t: pa.Table) -> pa.Table:
+        pk = ray.get(pref)
+        sk = ray.get(sref)[0]
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["l_partkey"], value_set=pk),
+                pc.is_in(t["l_suppkey"], value_set=sk),
+            )
+        )
+        return t.select(["l_partkey", "l_suppkey"])
+
+    pairs = pre_aggregated_sum(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            sel, batch_format="pyarrow"
+        ),
+        keys=["l_partkey", "l_suppkey"], sums={}, count_alias="__n",
+    ).drop_columns(["__n"])
+
+    def attach_bal(t: pa.Table) -> pa.Table:
+        sk, _, _, bal = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        return t.append_column("bal_cents", pc.take(bal, idx))
+
+    with_bal = pairs.map_batches(attach_bal, batch_format="pyarrow")
+    # per-part min over the joined attribute (the correlated subquery)
+    from ray.data.aggregate import Min
+
+    mins = with_bal.groupby(["l_partkey"]).aggregate(
+        Min("bal_cents", alias_name="min_bal")
+    )
+    winners = with_bal.join(
+        mins, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("l_partkey",),
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["bal_cents"], t["min_bal"])),
+        batch_format="pyarrow",
+    )
+
+    def attach_dims(t: pa.Table) -> pa.Table:
+        sk, sname, snat, _ = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        return pa.Table.from_pydict(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_name": pc.take(sname, idx),
+                "n_name": pc.take(snat, idx),
+                "bal_cents": t["bal_cents"],
+            }
+        )
+
+    return winners.map_batches(attach_dims, batch_format="pyarrow")
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%'
+)
+SELECT l_partkey AS p_partkey, s_name, n_name,
+       CAST(ROUND(100 * s_acctbal) AS BIGINT) AS bal_cents
+FROM ps
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND CAST(ROUND(100 * s_acctbal) AS BIGINT) = (
+    SELECT MIN(CAST(ROUND(100 * s2.s_acctbal) AS BIGINT))
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE r2.r_name = 'EUROPE' AND ps2.l_partkey = ps.l_partkey
+  )
+"""
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: per-group value filtered against a GLOBAL scalar
+    (HAVING value > total/1000). One scan produces per-part c4 partials
+    restricted to NATION_3 suppliers; the global total re-aggregates the
+    SAME partial stream (no second scan); the threshold compare is the
+    integer cross-multiplication value×1000 > total — exact on both
+    engines, no float division anywhere."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation.filter(pc.equal(nation["n_name"], "NATION_3"))["n_nationkey"][0].as_py()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.filter(pc.equal(sup["s_nationkey"], nk))["s_suppkey"].combine_chunks()
+    sref = ray.put(skeys)
+
+    def sel(t: pa.Table) -> pa.Table:
+        sk = ray.get(sref)
+        t = t.filter(pc.is_in(t["l_suppkey"], value_set=sk))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.Table.from_pydict({"l_partkey": t["l_partkey"], "rev": rev})
+
+    per_part = pre_aggregated_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(sel, batch_format="pyarrow"),
+        keys=["l_partkey"], sums={"rev": "value_c4"},
+    )
+    total = int(
+        per_part.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"k": pa.array([0] * len(t), pa.int64()), "v": t["value_c4"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["k"])
+        .sum("v")
+        .to_pandas()["sum(v)"]
+        .iloc[0]
+    )
+    thresh = ray.put(total)
+    return per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_c4"], pa.scalar(1000, pa.int64())),
+                pa.scalar(ray.get(thresh), pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                  * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+             AS value_c4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_c4 FROM v
+WHERE value_c4 * 1000 > (SELECT SUM(value_c4) FROM v)
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarter revenue
+    (the view + MAX-scalar equality of the original). Per-supplier c4
+    rollup from one filtered scan; the max is a driver scalar off the tiny
+    aggregate; ties all survive, exactly like the SQL twin."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sref = ray.put((sup["s_suppkey"].combine_chunks(), sup["s_name"].combine_chunks()))
+
+    def sel(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.Table.from_pydict({"l_suppkey": t["l_suppkey"], "rev": rev})
+
+    per_sup = pre_aggregated_sum(
+        _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(sel, batch_format="pyarrow"),
+        keys=["l_suppkey"], sums={"rev": "total_revenue_c4"},
+    ).to_pandas()
+    best = int(per_sup["total_revenue_c4"].max())
+    win = per_sup[per_sup["total_revenue_c4"] == best].copy()
+    sk, sn = ray.get(sref)
+    idx = pc.index_in(pa.array(win["l_suppkey"].to_numpy()), value_set=sk)
+    win["s_name"] = pc.take(sn, idx).to_pylist()
+    win = win.rename(columns={"l_suppkey": "s_suppkey"})
+    return win[["s_suppkey", "s_name", "total_revenue_c4"]].reset_index(drop=True)
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                  * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+             AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s_name, total_revenue_c4
+FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM r)
+"""
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier counts per part group with a
+    NOT-IN supplier exclusion. The part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs from lineitem (no partsupp); excluded
+    suppliers (negative balance) and part attributes are broadcast; count
+    = a second distinct-collapse on (brand, type, size, suppkey) then a
+    keyed count — both exchanges move only collapsed keys."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    part = part.filter(
+        pc.and_(
+            pc.not_equal(part["p_brand"], "Brand#1"),
+            pc.is_in(part["p_size"], value_set=pa.array([5, 10, 15, 20, 25], pa.int64())),
+        )
+    )
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    bad = sup.filter(pc.less(sup["s_acctbal"], 0.0))["s_suppkey"].combine_chunks()
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            part["p_brand"].combine_chunks(),
+            part["p_type"].combine_chunks(),
+            pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+        )
+    )
+    bref = ray.put(bad)
+
+    def sel(t: pa.Table) -> pa.Table:
+        pk, _, _, _ = ray.get(pref)
+        bs = ray.get(bref)
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["l_partkey"], value_set=pk),
+                pc.invert(pc.is_in(t["l_suppkey"], value_set=bs)),
+            )
+        )
+        return t.select(["l_partkey", "l_suppkey"])
+
+    pairs = pre_aggregated_sum(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            sel, batch_format="pyarrow"
+        ),
+        keys=["l_partkey", "l_suppkey"], sums={}, count_alias="__n",
+    ).drop_columns(["__n"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        pk, pb, pt, psz = ray.get(pref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        return pa.Table.from_pydict(
+            {
+                "p_brand": pc.take(pb, idx),
+                "p_type": pc.take(pt, idx),
+                "p_size": pc.take(psz, idx),
+                "l_suppkey": t["l_suppkey"],
+            }
+        )
+
+    grp = pre_aggregated_sum(
+        pairs.map_batches(attach, batch_format="pyarrow"),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"], sums={},
+        count_alias="__n",
+    ).drop_columns(["__n"])
+    return pre_aggregated_sum(
+        grp, keys=["p_brand", "p_type", "p_size"], sums={},
+        count_alias="supplier_cnt",
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -8935,6 +9263,10 @@ QUERIES = {
     "market_share": q_market_share,
     "product_profit": q_product_profit,
     "late_priority": q_late_priority,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "top_supplier": q_top_supplier,
+    "part_supplier_counts": q_part_supplier_counts,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -9188,6 +9520,10 @@ ORACLE_SQL = {
     "market_share": SQL_MARKET_SHARE,
     "product_profit": SQL_PRODUCT_PROFIT,
     "late_priority": SQL_LATE_PRIORITY,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
