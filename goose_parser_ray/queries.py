@@ -9213,6 +9213,256 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand's
+    parts. The correlated per-part ``avg(l_quantity)`` becomes ONE extra
+    pass over the (brand-filtered) lineitem — a per-part (sum, count)
+    partial aggregate — hash-joined back onto the same filtered rows; the
+    ``qty < 0.2 * avg`` predicate is the integer cross-multiplication
+    ``qty_c2 * 5 * n < sum_c2`` (exact, no float threshold), and the final
+    yearly average is ONE scalar float division mirrored by the SQL twin.
+    Brand part keys broadcast via ``ray.put`` (one brand ≈ |part|/|brands|
+    keys — small at any corpus scale)."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import math
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    bkeys = part.filter(pc.equal(part["p_brand"], "Brand#1"))[
+        "p_partkey"
+    ].combine_chunks()
+    bref = ray.put(bkeys)
+
+    def sel(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=keys))
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty_c2": _cents(t["l_quantity"]),
+                "price_c2": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(sel, batch_format="pyarrow")
+
+    per_part = pre_aggregated_sum(
+        li, keys=["l_partkey"], sums={"qty_c2": "sum_q"}, count_alias="n"
+    )
+
+    def small(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(t["qty_c2"], pa.scalar(5, pa.int64())), t["n"]
+            ),
+            t["sum_q"],
+        )
+        t = t.filter(keep)
+        n = len(t)
+        return pa.Table.from_pydict(
+            {"k": pa.array([0] * n, pa.int64()), "price_c2": t["price_c2"]}
+        )
+
+    joined = li.join(
+        per_part.map_batches(
+            lambda t: t.rename_columns(["pk", "sum_q", "n"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=16,
+        on=("l_partkey",), right_on=("pk",),
+    ).map_batches(small, batch_format="pyarrow")
+    agg = pre_aggregated_sum(
+        joined, keys=["k"], sums={"price_c2": "total_c2"}
+    ).to_pandas()
+    total = int(agg["total_c2"].iloc[0]) if len(agg) else 0
+    avg_yearly = int(math.floor(float(total) / 7.0 + 0.5)) if total >= 0 else 0
+    return pd.DataFrame(
+        {"total_c2": [np.int64(total)], "avg_yearly_c2": [np.int64(avg_yearly)]}
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH brand_li AS (
+  SELECT l_partkey,
+         CAST(ROUND(100 * l_quantity) AS BIGINT) AS qty_c2,
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS price_c2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+), per_part AS (
+  SELECT l_partkey, CAST(SUM(qty_c2) AS BIGINT) AS sum_q,
+         COUNT(*) AS n
+  FROM brand_li GROUP BY l_partkey
+), s AS (
+  SELECT CAST(COALESCE(SUM(b.price_c2), 0) AS BIGINT) AS total_c2
+  FROM brand_li b JOIN per_part p ON b.l_partkey = p.l_partkey
+  WHERE b.qty_c2 * 5 * p.n < p.sum_q
+)
+SELECT total_c2,
+       CAST(ROUND(total_c2 / 7.0) AS BIGINT) AS avg_yearly_c2
+FROM s
+"""
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: customers behind very large orders. Per-order
+    quantity total via the partial/combiner aggregate (no raw-row shuffle),
+    HAVING filter on the small per-order stream, ONE hash join back to
+    orders for (custkey, date, price), and the customer name resolves
+    map-side from a broadcast key→name lookup. At 100 TB the only all-to-all
+    is the per-order partial aggregate; the post-HAVING stream is ~1% of
+    orders."""
+    import pyarrow.parquet as pq
+
+    threshold_c2 = 250 * 100  # sum(l_quantity) > 250
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_name"].combine_chunks())
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"l_orderkey": t["l_orderkey"], "qty_c2": _cents(t["l_quantity"])}
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = pre_aggregated_sum(
+        li, keys=["l_orderkey"], sums={"qty_c2": "sum_qty_c2"}
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater(t["sum_qty_c2"], pa.scalar(threshold_c2, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "totalprice_c2": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        idx = pc.index_in(t["o_custkey"], value_set=ck)
+        return t.append_column("c_name", pc.take(cn, idx))
+
+    return per_order.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(attach_name, batch_format="pyarrow").select_columns(
+        ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "totalprice_c2",
+         "sum_qty_c2"]
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_name, o_custkey, o_orderkey AS l_orderkey, o_orderdate,
+       CAST(ROUND(100 * o_totalprice) AS BIGINT) AS totalprice_c2,
+       CAST(SUM(CAST(ROUND(100 * l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c2
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(ROUND(100 * l_quantity) AS BIGINT)) > 25000
+"""
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs bracket
+    predicate mixing part attributes (brand, size) with line attributes
+    (quantity). Part (brand, size) resolve map-side from ONE broadcast
+    lookup pre-filtered to the three brands; the three brackets evaluate as
+    vectorized boolean algebra in a single lineitem scan — no join moves
+    any data, and the result is one integer-cents row."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    part = part.filter(pc.is_in(part["p_brand"], value_set=pa.array(brands)))
+    pref = ray.put(
+        (
+            part["p_partkey"].combine_chunks(),
+            part["p_brand"].combine_chunks(),
+            pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    def bracket(brand_col, size_col, qty, brand, size_hi, q_lo, q_hi):
+        return pc.and_(
+            pc.and_(
+                pc.equal(brand_col, brand),
+                pc.and_(
+                    pc.greater_equal(size_col, pa.scalar(1, pa.int64())),
+                    pc.less_equal(size_col, pa.scalar(size_hi, pa.int64())),
+                ),
+            ),
+            pc.and_(
+                pc.greater_equal(qty, pa.scalar(q_lo * 100, pa.int64())),
+                pc.less_equal(qty, pa.scalar(q_hi * 100, pa.int64())),
+            ),
+        )
+
+    def sel(t: pa.Table) -> pa.Table:
+        pk, pb, psz = ray.get(pref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        brand = pc.take(pb, idx)
+        size = pc.take(psz, idx)
+        qty = _cents(t["l_quantity"])
+        keep = pc.or_(
+            pc.or_(
+                bracket(brand, size, qty, "Brand#1", 5, 1, 11),
+                bracket(brand, size, qty, "Brand#2", 10, 10, 20),
+            ),
+            bracket(brand, size, qty, "Brand#3", 15, 20, 30),
+        )
+        keep = pc.and_(pc.is_valid(brand), keep)
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        n = len(t)
+        return pa.Table.from_pydict(
+            {"k": pa.array([0] * n, pa.int64()), "rev": rev}
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(sel, batch_format="pyarrow")
+    agg = pre_aggregated_sum(li, keys=["k"], sums={"rev": "revenue_c4"}).to_pandas()
+    total = int(agg["revenue_c4"].iloc[0]) if len(agg) else 0
+    return pd.DataFrame({"revenue_c4": [np.int64(total)]})
+
+
+SQL_BRACKET_REVENUE = """
+SELECT CAST(COALESCE(SUM(
+         CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+         * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))), 0) AS BIGINT)
+       AS revenue_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND CAST(ROUND(100 * l_quantity) AS BIGINT) BETWEEN 100 AND 1100)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND CAST(ROUND(100 * l_quantity) AS BIGINT) BETWEEN 1000 AND 2000)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(100 * l_quantity) AS BIGINT) BETWEEN 2000 AND 3000)
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -9267,6 +9517,9 @@ QUERIES = {
     "important_parts": q_important_parts,
     "top_supplier": q_top_supplier,
     "part_supplier_counts": q_part_supplier_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "bracket_revenue": q_bracket_revenue,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -9524,6 +9777,9 @@ ORACLE_SQL = {
     "important_parts": SQL_IMPORTANT_PARTS,
     "top_supplier": SQL_TOP_SUPPLIER,
     "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "bracket_revenue": SQL_BRACKET_REVENUE,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
