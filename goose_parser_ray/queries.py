@@ -9463,6 +9463,238 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers to flag for a promotion — here, suppliers
+    in one nation who DOMINATE some 'red '-prefixed part (shipped more than
+    half that part's total 1997 quantity). The partsupp availability
+    subquery adapts to nested shipped-quantity aggregates: per
+    (part, supplier) totals roll up from the partial/combiner aggregate,
+    the per-part denominator is a second rollup OVER THE FIRST (tiny)
+    stream — no second corpus scan — joined back by partkey; the final
+    supplier semi-join resolves map-side from a broadcast nation-filtered
+    name lookup. Integer c2 quantities keep the 2× comparison exact."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    red = part.filter(pc.starts_with(part["p_name"], "red "))[
+        "p_partkey"
+    ].combine_chunks()
+    rref = ray.put(red)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation.filter(pc.equal(nation["n_name"], "NATION_3"))["n_nationkey"][0].as_py()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    sup = sup.filter(pc.equal(sup["s_nationkey"], nk))
+    sref = ray.put(
+        (sup["s_suppkey"].combine_chunks(), sup["s_name"].combine_chunks())
+    )
+
+    def sel(t: pa.Table) -> pa.Table:
+        keys = ray.get(rref)
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["l_partkey"], value_set=keys),
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)),
+                ),
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "qty_c2": _cents(t["l_quantity"]),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(sel, batch_format="pyarrow")
+    per_pair = pre_aggregated_sum(
+        li, keys=["l_partkey", "l_suppkey"], sums={"qty_c2": "supp_qty"}
+    )
+    per_part = pre_aggregated_sum(
+        per_pair, keys=["l_partkey"], sums={"supp_qty": "part_qty"}
+    ).map_batches(
+        lambda t: t.rename_columns(["pk", "part_qty"]), batch_format="pyarrow"
+    )
+
+    def dominant(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(
+                pc.multiply(t["supp_qty"], pa.scalar(2, pa.int64())),
+                t["part_qty"],
+            )
+        )
+        return t.select(["l_suppkey"])
+
+    winners = per_pair.join(
+        per_part, join_type="inner", num_partitions=16,
+        on=("l_partkey",), right_on=("pk",),
+    ).map_batches(dominant, batch_format="pyarrow")
+    distinct = pre_aggregated_sum(
+        winners, keys=["l_suppkey"], sums={}, count_alias="__n"
+    ).drop_columns(["__n"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        t = t.append_column("s_name", pc.take(sn, idx))
+        return t.filter(pc.is_valid(t["s_name"])).select(["s_name"])
+
+    return distinct.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH red_li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(100 * l_quantity) AS BIGINT) AS qty_c2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+), per_pair AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(qty_c2) AS BIGINT) AS supp_qty
+  FROM red_li GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+  FROM per_pair GROUP BY l_partkey
+)
+SELECT DISTINCT s_name
+FROM per_pair
+JOIN per_part USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE supp_qty * 2 > part_qty AND n_name = 'NATION_3'
+"""
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting —
+    the SOLE late supplier on a finished order that at least one other
+    supplier served on time. Lateness (no commit/receipt dates in the
+    testdata) is l_shipdate > o_orderdate + 60 days, resolved by ONE hash
+    join to 'F'-status orders; the exists/not-exists pair collapses to two
+    rollups: per (order, supplier) any-late, then per order
+    (supplier count, late-supplier count, conditional suppkey-sum) — when
+    the late count is exactly 1 the sum IS the culprit's key. Supplier
+    name + nation filter resolve from a broadcast lookup; output is the
+    per-supplier wait count."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation.filter(pc.equal(nation["n_name"], "NATION_2"))["n_nationkey"][0].as_py()
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    sup = sup.filter(pc.equal(sup["s_nationkey"], nk))
+    sref = ray.put(
+        (sup["s_suppkey"].combine_chunks(), sup["s_name"].combine_chunks())
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["l_shipdate"],
+            pc.add(t["o_orderdate"], pa.scalar(_dt.timedelta(days=60))),
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "late": pc.cast(late, pa.int64()),
+            }
+        )
+
+    pairs = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(classify, batch_format="pyarrow")
+    per_pair = pre_aggregated_sum(
+        pairs, keys=["l_orderkey", "l_suppkey"], sums={"late": "late_lines"}
+    ).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "supp_late": pc.cast(
+                    pc.greater(t["late_lines"], pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ),
+                "late_supp": pc.if_else(
+                    pc.greater(t["late_lines"], pa.scalar(0, pa.int64())),
+                    t["l_suppkey"],
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = pre_aggregated_sum(
+        per_pair, keys=["l_orderkey"],
+        sums={"supp_late": "n_late", "late_supp": "supp_sum"},
+        count_alias="n_supp",
+    )
+
+    def sole(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_supp"], pa.scalar(2, pa.int64())),
+            pc.equal(t["n_late"], pa.scalar(1, pa.int64())),
+        )
+        t = t.filter(keep)
+        return pa.Table.from_pydict({"l_suppkey": t["supp_sum"]})
+
+    culprits = per_order.map_batches(sole, batch_format="pyarrow")
+    counts = pre_aggregated_sum(
+        culprits, keys=["l_suppkey"], sums={}, count_alias="numwait"
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        t = t.append_column("s_name", pc.take(sn, idx))
+        return t.filter(pc.is_valid(t["s_name"])).select(["s_name", "numwait"])
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH f_li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), per_pair AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN SUM(late) > 0 THEN 1 ELSE 0 END AS supp_late
+  FROM f_li GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         CAST(SUM(supp_late) AS BIGINT) AS n_late,
+         CAST(SUM(CASE WHEN supp_late = 1 THEN l_suppkey ELSE 0 END)
+              AS BIGINT) AS supp_sum
+  FROM per_pair GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = supp_sum
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_2'
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -9520,6 +9752,8 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "large_volume_customers": q_large_volume_customers,
     "bracket_revenue": q_bracket_revenue,
+    "dominant_suppliers": q_dominant_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -9780,6 +10014,8 @@ ORACLE_SQL = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "bracket_revenue": SQL_BRACKET_REVENUE,
+    "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
