@@ -9695,6 +9695,134 @@ GROUP BY s_name
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """RefinedWeb-style duplicated-passage REMOVAL (the rewrite step that
+    `dup_chunks` only signals), ORACLE-CHECKED: split every doc into
+    non-overlapping 8-word segments, drop every segment that occurs in ≥2
+    distinct documents, and REASSEMBLE each doc from its surviving segments
+    in original order. Two honest shuffles: segments hash-bucket by content
+    (data-proportional count) for the distinct-doc tally, then regroup by
+    doc for the rebuild. All string surgery is Arrow-vectorized — the
+    segment texts come from ONE ``pc.binary_join`` over an offset-sliced
+    flat word array (no per-row join), and the rebuild joins kept segments
+    the same way."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+
+    SEG = 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count() * 32)  # ≈ segments per doc bound
+
+    def segments(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        counts = counts.astype(np.int64)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_segs = (counts + SEG - 1) // SEG
+        doc_ends = np.cumsum(counts)
+        doc_starts = np.concatenate([[0], doc_ends[:-1]])
+        total_segs = int(n_segs.sum())
+        seg_doc_start = np.repeat(
+            np.concatenate([[0], np.cumsum(n_segs)[:-1]]), n_segs
+        )
+        seg_idx = np.arange(total_segs, dtype=np.int64) - seg_doc_start
+        seg_starts = np.repeat(doc_starts, n_segs) + SEG * seg_idx
+        offsets = np.concatenate(
+            [seg_starts, [doc_ends[-1] if len(doc_ends) else 0]]
+        )
+        seg_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        out = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    np.repeat(t["doc_id"].to_numpy(), n_segs)
+                ),
+                "seg_no": pa.array(seg_idx),
+                "seg": pc.binary_join(seg_list, " "),
+            }
+        )
+        return add_hash_bucket(out, "seg", nb)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        docs_with = g.groupby("seg")["doc_id"].transform("nunique")
+        out = g[["doc_id", "seg_no", "seg"]].copy()
+        out["dup"] = (docs_with > 1).astype("int64")
+        return out
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seg_no"], kind="mergesort")
+        stats = (
+            g.groupby("doc_id", sort=True)
+            .agg(n_segs=("seg", "size"), n_removed=("dup", "sum"))
+            .reset_index()
+        )
+        kept = g[g["dup"] == 0]
+        if len(kept):
+            docs = kept["doc_id"].to_numpy()
+            change = np.flatnonzero(np.diff(docs)) + 1
+            offsets = np.concatenate([[0], change, [len(docs)]])
+            seg_arr = pa.array(kept["seg"], pa.string())
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), seg_arr),
+                " ",
+            )
+            clean = pd.DataFrame(
+                {"doc_id": docs[offsets[:-1]], "clean_text": joined.to_pandas()}
+            )
+        else:
+            clean = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "clean_text": pd.Series([], dtype=object),
+                }
+            )
+        out = stats.merge(clean, on="doc_id", how="left")
+        out["clean_text"] = out["clean_text"].fillna("")
+        return out[["doc_id", "clean_text", "n_segs", "n_removed"]]
+
+    marked = (
+        ds.map_batches(segments, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(mark, batch_format="pandas")
+        .map_batches(
+            lambda t: add_hash_bucket(t, "doc_id", nb, out="__db"),
+            batch_format="pyarrow",
+        )
+    )
+    return marked.groupby("__db").map_groups(rebuild, batch_format="pandas")
+
+
+SQL_LINE_DEDUP = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS ord
+  FROM documents
+), seg AS (
+  SELECT doc_id, ord // 8 AS seg_no,
+         string_agg(word, ' ' ORDER BY ord) AS seg
+  FROM w GROUP BY doc_id, ord // 8
+), dup AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS docs_with FROM seg GROUP BY seg
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN d.docs_with < 2 THEN s.seg END,
+                           ' ' ORDER BY s.seg_no), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN d.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+FROM seg s JOIN dup d USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -9754,6 +9882,7 @@ QUERIES = {
     "bracket_revenue": q_bracket_revenue,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "line_dedup": q_line_dedup,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10016,6 +10145,7 @@ ORACLE_SQL = {
     "bracket_revenue": SQL_BRACKET_REVENUE,
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "line_dedup": SQL_LINE_DEDUP,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
