@@ -163,6 +163,39 @@ class AudioFeatureActor:
         )
 
 
+class WavFeatureActor:
+    """REAL audio decode→feature stage (no stub): binary WAV payloads are
+    decoded with the in-repo RIFF/PCM16 codec and summarized as EXACT
+    integer features — sample count, rate, total energy (Σx², int64),
+    peak amplitude, and strict-sign zero-crossing count. No float anywhere,
+    so the stage is SQL-oracle-comparable via closed-form synthesis (the
+    audio sibling of :class:`PgmThumbnailActor`). Codec bound once per
+    actor; small batches for wide binary payloads."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.wav import decode_wav_pcm16
+
+        self._decode = decode_wav_pcm16
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samples, rates, energies, peaks, zcs = [], [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            x, rate, _ch = self._decode(p or b"")
+            xi = x.astype(np.int64)
+            n_samples.append(len(xi))
+            rates.append(rate)
+            energies.append(int((xi * xi).sum()))
+            peaks.append(int(np.abs(xi).max()) if len(xi) else 0)
+            zcs.append(int(np.count_nonzero(xi[1:] * xi[:-1] < 0)))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("n_samples", pa.array(n_samples, pa.int64()))
+        batch = batch.append_column("sample_rate", pa.array(rates, pa.int64()))
+        batch = batch.append_column("energy", pa.array(energies, pa.int64()))
+        batch = batch.append_column("peak", pa.array(peaks, pa.int64()))
+        return batch.append_column("zero_crossings", pa.array(zcs, pa.int64()))
+
+
 class PgmThumbnailActor:
     """REAL image decode→resize→feature stage (no stub): binary PGM
     payloads are decoded with the in-repo Netpbm codec, thumbnailed by

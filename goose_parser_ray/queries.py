@@ -9823,6 +9823,61 @@ GROUP BY s.doc_id
 """
 
 
+def q_media_wav(sf_dir: str):
+    """REAL audio pipeline, oracle-checked end to end: deterministic square
+    waves are synthesized per doc (amplitude / half-period / length keyed
+    off doc_id), round-tripped through actual RIFF/PCM16 bytes (encode →
+    binary column → actor-pool WAV decode → exact integer features:
+    energy Σx², peak, strict-sign zero crossings). The DuckDB twin
+    recomputes every feature in closed form from the same parameters — all
+    integer arithmetic, exact hash compare. The audio sibling of
+    q_media_pgm; the stub codecs in q_media_decode remain for formats the
+    sandbox genuinely can't decode."""
+    from goose_parser_ray.functions.multimodal import WavFeatureActor
+    from goose_parser_ray.functions.wav import encode_wav_pcm16
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 800 + (d % 50) * 16
+            half = 4 + (d % 8)
+            amp = 1000 + (d % 100) * 10
+            idx = np.arange(n, dtype=np.int64)
+            x = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
+            payloads.append(encode_wav_pcm16(x, sample_rate=16_000))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        WavFeatureActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_WAV = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 50) * 16 AS n,
+         4 + (doc_id % 8) AS half,
+         1000 + (doc_id % 100) * 10 AS amp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(n * amp * amp AS BIGINT) AS energy,
+       CAST(amp AS BIGINT) AS peak,
+       CAST((n - 1) // half AS BIGINT) AS zero_crossings
+FROM p
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -9883,6 +9938,7 @@ QUERIES = {
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
     "line_dedup": q_line_dedup,
+    "media_wav": q_media_wav,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10146,6 +10202,7 @@ ORACLE_SQL = {
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "line_dedup": SQL_LINE_DEDUP,
+    "media_wav": SQL_MEDIA_WAV,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
