@@ -44,6 +44,10 @@ TIMED_QUERIES = [
     "nb_classify",
     "scd2_history",
     "sessionize",
+    # additive round-3 session-2 keys
+    "line_dedup",
+    "media_wav",
+    "waiting_suppliers",
 ]
 
 
