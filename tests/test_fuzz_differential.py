@@ -111,3 +111,35 @@ def test_row_number_fuzz_vs_duckdb(ray_session, tmp_path):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         w = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_line_dedup_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Random word-soup docs with heavy cross-doc segment collisions (tiny
+    vocab, short segments) — fuzzes boundary cases the testdata can't:
+    1-word docs, exact-multiple-of-8 lengths, identical docs."""
+    from goose_parser_ray.queries import SQL_LINE_DEDUP, q_line_dedup
+
+    vocab = ["a", "b", "c"]
+    _mk_events(tmp_path, np.random.default_rng(0), 2, 4)  # _compare view
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        n = 40
+        texts = []
+        for i in range(n):
+            k = int(rng.integers(1, 25))  # 1..24 words: partial/full segs
+            texts.append(" ".join(rng.choice(vocab, k)))
+        # force exact duplicates and an 8-multiple doc
+        texts[0] = texts[1]
+        texts[2] = " ".join(["a"] * 16)
+        texts[3] = " ".join(["a"] * 16)
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": texts,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": np.array([len(x) for x in texts], np.int64),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        _compare(q_line_dedup(str(tmp_path)), SQL_LINE_DEDUP, tmp_path)
