@@ -9878,6 +9878,89 @@ FROM p
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantile BANDS (p25/p50/p75/p90) computed the way
+    that still works at 10¹² rows: instead of sorting each group's raw
+    values (q_quantiles — group payload grows with the corpus), aggregate
+    to per-(lang, value) COUNTS first — the partial/combiner shuffle moves
+    at most |langs| × |value domain| rows no matter the corpus size — then
+    pick each quantile closed-form from the per-lang cumulative counts.
+    Same quantile_disc definition as DuckDB (smallest v with
+    cum(v) ≥ ⌈q·n⌉)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    counts = pre_aggregated_sum(
+        ds, keys=["lang", "n_chars"], sums={}, count_alias="cnt"
+    )
+
+    QS = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90)]
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars", kind="mergesort")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+        n = int(cum[-1])
+        row = {"lang": [g["lang"].iloc[0]], "n_docs": [np.int64(n)]}
+        for name, q in QS:
+            target = int(np.ceil(q * n))
+            row[name] = [np.int64(vals[np.searchsorted(cum, target)])]
+        return pd.DataFrame(row)
+
+    return counts.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def q_geo_mean(sf_dir: str):
+    """Per-group GEOMETRIC mean (the right average for multiplicative
+    quantities like doc-length ratios) under the repo's fixed-point log
+    discipline: each ln(n_chars) is e6-rounded per element and summed as
+    int64 (exact in any order — same recipe as bm25/nb_classify), so the
+    distributed sum hash-matches the SQL twin; ONE scalar exp per group at
+    the end mirrors the twin's float op order."""
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def ln_e6(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ln = np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict({"lang": t["lang"], "ln_e6": pa.array(ln)})
+
+    agg = pre_aggregated_sum(
+        ds.map_batches(ln_e6, batch_format="pyarrow"),
+        keys=["lang"], sums={"ln_e6": "sum_ln_e6"}, count_alias="n_docs",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_ln_e6"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gm = np.floor(np.exp(s / 1e6 / n) * 100 + 0.5).astype(np.int64)
+        return t.append_column("geo_mean_c2", pa.array(gm))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GEO_MEAN = """
+SELECT lang,
+       CAST(SUM(CAST(ROUND(LN(n_chars) * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_ln_e6,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(EXP(SUM(CAST(ROUND(LN(n_chars) * 1000000) AS BIGINT))
+                      / 1000000.0 / COUNT(*)) * 100) AS BIGINT)
+           AS geo_mean_c2
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -9939,6 +10022,8 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "line_dedup": q_line_dedup,
     "media_wav": q_media_wav,
+    "grouped_quantiles": q_grouped_quantiles,
+    "geo_mean": q_geo_mean,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10203,6 +10288,8 @@ ORACLE_SQL = {
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "line_dedup": SQL_LINE_DEDUP,
     "media_wav": SQL_MEDIA_WAV,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "geo_mean": SQL_GEO_MEAN,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -86,3 +86,25 @@ def test_feature_actor_exact_integers(ray_session):
     assert out["energy"][0].as_py() == n * amp * amp
     assert out["peak"][0].as_py() == amp
     assert out["zero_crossings"][0].as_py() == (n - 1) // half
+
+
+def test_codec_fuzz_roundtrip_vs_stdlib():
+    """Seeded fuzz: random lengths (incl. 0), rates, and channel counts
+    round-trip exactly and agree with the stdlib wave reader."""
+    rng = np.random.RandomState(42)
+    for _ in range(25):
+        n = int(rng.randint(0, 5000))
+        rate = int(rng.choice([8000, 16000, 22050, 44100]))
+        ch = int(rng.choice([1, 2]))
+        x = rng.randint(-32768, 32768, size=n * ch).astype(np.int16)
+        payload = encode_wav_pcm16(x, sample_rate=rate, channels=ch)
+        y, r, c = decode_wav_pcm16(payload)
+        assert (r, c) == (rate, ch)
+        assert np.array_equal(x, y)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getframerate() == rate
+            assert w.getnchannels() == ch
+            frames = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            )
+        assert np.array_equal(x, frames)
