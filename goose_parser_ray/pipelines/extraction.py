@@ -204,7 +204,13 @@ def extract_corpus(
             raise ValueError(f"no parquet fragments under {input_path}")
         num_partitions = len(fragment_files)
 
-    done = manifest.completed_partitions(rules_hash, input_path=str(input_path))
+    done = manifest.completed_partitions(
+        rules_hash,
+        input_path=str(input_path),
+        source_files=(
+            dict(enumerate(fragment_files)) if fragment_files is not None else None
+        ),
+    )
     pending = [p for p in range(num_partitions) if p not in done]
     summary = {
         "num_partitions": num_partitions,
@@ -349,6 +355,9 @@ def extract_corpus(
                     rules_hash=rules_hash,
                     code_version=CODE_VERSION,
                     input_path=str(input_path),
+                    source_file=(
+                        fragment_files[pid] if fragment_files is not None else None
+                    ),
                 )
             )
             summary["processed"] += 1

@@ -32,6 +32,13 @@ class PartitionRecord:
     rules_hash: str
     code_version: str
     input_path: str
+    # fragment mode: WHICH input file this partition id covered. Partition
+    # ids are indexes into the sorted fragment list, so a new shard that
+    # sorts mid-list silently remaps every later id — without this field a
+    # resume would trust stale outputs under the new mapping. None for
+    # hash-partitioned runs (partition identity is the doc-id hash, stable
+    # under any input file layout).
+    source_file: str | None = None
 
 
 class Manifest:
@@ -39,12 +46,19 @@ class Manifest:
         self.dir = Path(output_path) / "_manifest"
 
     def completed_partitions(
-        self, rules_hash: str | None = None, input_path: str | None = None
+        self,
+        rules_hash: str | None = None,
+        input_path: str | None = None,
+        source_files: dict[int, str] | None = None,
     ) -> set[int]:
         """Partitions safe to skip. A manifest written under a different rule
         plan — or from a DIFFERENT INPUT — does NOT count as complete;
         either change invalidates the checkpoint (full lineage check, not
-        just the plan hash)."""
+        just the plan hash). ``source_files`` (fragment mode) maps each
+        partition id to the file it must cover under the CURRENT sorted
+        fragment list: a record whose stored source differs (a new shard
+        re-sorted the list, or a legacy record without the field) is stale
+        and the partition reprocesses."""
         done: set[int] = set()
         if not self.dir.is_dir():
             return done
@@ -59,7 +73,12 @@ class Manifest:
                 continue
             if input_path is not None and rec.get("input_path") != input_path:
                 continue
-            done.add(int(rec["partition_id"]))
+            pid = int(rec["partition_id"])
+            if source_files is not None and rec.get("source_file") != (
+                source_files.get(pid)
+            ):
+                continue
+            done.add(pid)
         return done
 
     def mark_complete(self, rec: PartitionRecord) -> None:

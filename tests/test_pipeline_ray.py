@@ -403,3 +403,53 @@ def test_compact_verification_guard(corpus, tmp_path):
         "frag-0.parquet", "frag-1.parquet",
     ]
     assert rec_file.exists()
+
+
+def test_fragment_mode_incremental_shard_arrival(corpus, tmp_path, ray_session):
+    """The production ingest loop: new input shards arrive, rerun processes
+    ONLY the new work — and a shard that re-sorts the fragment list (so
+    partition ids remap) invalidates exactly the shifted partitions via the
+    manifest's source_file lineage instead of silently trusting stale
+    outputs under the new mapping."""
+    path, oracle = corpus
+    tbl = pq.read_table(path)
+    frag_dir = tmp_path / "frags"
+    frag_dir.mkdir()
+    per = 10
+    for i in range(3):  # shards 00/01/02 = docs 0..29
+        pq.write_table(tbl.slice(i * per, per), frag_dir / f"shard-{i:02d}.parquet")
+
+    out_dir = tmp_path / "out"
+    s1 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=1, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s1["processed"] == 3 and s1["rows"] == 30
+
+    # append-at-end arrival: shard-03 sorts last, ids 0-2 stay stable
+    pq.write_table(tbl.slice(3 * per, per), frag_dir / "shard-03.parquet")
+    s2 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=1, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s2["skipped"] == 3 and s2["processed"] == 1 and s2["rows"] == 10
+    full = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(full) == 40
+    for _, r in full.iterrows():
+        assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
+
+    # mid-sort insert: "shard-01a" lands between 01 and 02, remapping ids
+    # 2→3 and 3→4. The shifted partitions must reprocess (source mismatch),
+    # the stable prefix must still skip, and the result must stay exact.
+    sub = tbl.slice(0, 0)  # empty shard exercises the empty-commit path too
+    pq.write_table(sub, frag_dir / "shard-01a.parquet")
+    s3 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=1, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s3["skipped"] == 2  # shard-00, shard-01 keep their ids
+    assert s3["processed"] == 3  # shard-01a (new) + shifted 02, 03
+    final = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(final) == 40
+    for _, r in final.iterrows():
+        assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
