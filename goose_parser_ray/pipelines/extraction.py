@@ -16,6 +16,7 @@ manifest row per partition, and skips completed partitions on restart
 from __future__ import annotations
 
 import math
+import os
 import shutil
 import time
 from pathlib import Path
@@ -204,11 +205,19 @@ def extract_corpus(
             raise ValueError(f"no parquet fragments under {input_path}")
         num_partitions = len(fragment_files)
 
+    fragment_sizes = (
+        [os.path.getsize(f) for f in fragment_files]
+        if fragment_files is not None
+        else None
+    )
     done = manifest.completed_partitions(
         rules_hash,
         input_path=str(input_path),
         source_files=(
             dict(enumerate(fragment_files)) if fragment_files is not None else None
+        ),
+        source_sizes=(
+            dict(enumerate(fragment_sizes)) if fragment_sizes is not None else None
         ),
     )
     pending = [p for p in range(num_partitions) if p not in done]
@@ -357,6 +366,9 @@ def extract_corpus(
                     input_path=str(input_path),
                     source_file=(
                         fragment_files[pid] if fragment_files is not None else None
+                    ),
+                    source_size=(
+                        fragment_sizes[pid] if fragment_sizes is not None else None
                     ),
                 )
             )

@@ -39,6 +39,10 @@ class PartitionRecord:
     # hash-partitioned runs (partition identity is the doc-id hash, stable
     # under any input file layout).
     source_file: str | None = None
+    # byte size of that file when processed: a re-uploaded shard (same name,
+    # different content) must also invalidate. One os.stat per pending
+    # partition at resume — no file reads.
+    source_size: int | None = None
 
 
 class Manifest:
@@ -50,6 +54,7 @@ class Manifest:
         rules_hash: str | None = None,
         input_path: str | None = None,
         source_files: dict[int, str] | None = None,
+        source_sizes: dict[int, int] | None = None,
     ) -> set[int]:
         """Partitions safe to skip. A manifest written under a different rule
         plan — or from a DIFFERENT INPUT — does NOT count as complete;
@@ -76,6 +81,10 @@ class Manifest:
             pid = int(rec["partition_id"])
             if source_files is not None and rec.get("source_file") != (
                 source_files.get(pid)
+            ):
+                continue
+            if source_sizes is not None and rec.get("source_size") != (
+                source_sizes.get(pid)
             ):
                 continue
             done.add(pid)

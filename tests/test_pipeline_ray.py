@@ -453,3 +453,16 @@ def test_fragment_mode_incremental_shard_arrival(corpus, tmp_path, ray_session):
     assert len(final) == 40
     for _, r in final.iterrows():
         assert seq(r["spans"]) == seq(oracle[r["doc_id"]])
+
+    # re-uploaded shard: same filename, different bytes — size lineage must
+    # invalidate exactly that partition
+    pq.write_table(
+        pa.concat_tables([tbl.slice(0, per), tbl.slice(0, 1)]),
+        frag_dir / "shard-00.parquet",
+    )
+    s4 = extract_corpus(
+        str(frag_dir), str(out_dir), waves=1, salt_threshold=64,
+        concurrency=2, partition_mode="fragment",
+    )
+    assert s4["skipped"] == 4 and s4["processed"] == 1
+    assert s4["rows"] == 11  # the re-uploaded shard's new content
