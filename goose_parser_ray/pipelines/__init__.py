@@ -2,8 +2,14 @@
 
 from goose_parser_ray.pipelines.compaction import compact_partitions
 from goose_parser_ray.pipelines.extraction import (
+    ErrorBudgetExceeded,
     build_extraction_pipeline,
     extract_corpus,
 )
 
-__all__ = ["build_extraction_pipeline", "compact_partitions", "extract_corpus"]
+__all__ = [
+    "ErrorBudgetExceeded",
+    "build_extraction_pipeline",
+    "compact_partitions",
+    "extract_corpus",
+]

@@ -40,6 +40,21 @@ from goose_parser_ray import __version__ as CODE_VERSION
 DEFAULT_SALT_THRESHOLD = 512
 
 
+class ErrorBudgetExceeded(RuntimeError):
+    """Raised mid-job when the quarantined-doc fraction crosses the caller's
+    ``max_error_fraction`` budget. Carries the summary so the caller sees
+    how far the job got; committed partitions remain manifested."""
+
+    def __init__(self, summary: dict, budget: float) -> None:
+        self.summary, self.budget = summary, budget
+        frac = summary["errors"] / max(1, summary["rows"])
+        super().__init__(
+            f"error fraction {frac:.3f} exceeds budget {budget:.3f} after "
+            f"{summary['processed']}/{summary['num_partitions']} partitions "
+            f"({summary['errors']} quarantined of {summary['rows']} docs)"
+        )
+
+
 def default_pool_size() -> int:
     """Deterministic pool sizing (autoscaling disabled per BASELINE.json:6):
     all CPUs minus ~1/5 reserved for read/merge/write tasks. Measured
@@ -164,8 +179,16 @@ def extract_corpus(
     strip_boilerplate: bool = True,
     read_num_blocks: int | None = None,
     partition_mode: str = "hash",
+    max_error_fraction: float | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
+
+    ``max_error_fraction``: fail-fast error budget. Checked after every
+    committed wave: if cumulative quarantined-doc fraction exceeds it,
+    raise ``ErrorBudgetExceeded`` instead of burning the remaining corpus
+    on (say) a rule plan that errors on half the documents. Committed
+    partitions stay manifested — fixing the rules changes the lineage hash
+    and reprocesses; rerunning unchanged resumes where the budget tripped.
 
     Resume granularity is the partition: a wave writes to
     ``<output>/_tmp/wave/partition_id=K/`` then each partition directory is
@@ -378,5 +401,11 @@ def extract_corpus(
             summary["errors"] += errors
         shutil.rmtree(out / "_tmp", ignore_errors=True)
         summary["phase_s"]["commit_metrics"] += time.monotonic() - t_commit
+        if (
+            max_error_fraction is not None
+            and summary["rows"] > 0
+            and summary["errors"] > max_error_fraction * summary["rows"]
+        ):
+            raise ErrorBudgetExceeded(summary, max_error_fraction)
     summary["phase_s"] = {k: round(v, 3) for k, v in summary["phase_s"].items()}
     return summary

@@ -466,3 +466,50 @@ def test_fragment_mode_incremental_shard_arrival(corpus, tmp_path, ray_session):
     )
     assert s4["skipped"] == 4 and s4["processed"] == 1
     assert s4["rows"] == 11  # the re-uploaded shard's new content
+
+
+def test_error_budget_trips_then_resume_completes(ray_session, tmp_path):
+    """A rule plan that quarantines most docs must fail fast with
+    ErrorBudgetExceeded after a committed wave (not burn the whole corpus);
+    committed partitions stay manifested and a budget-less rerun resumes."""
+    import pyarrow as pa
+
+    from goose_parser_ray.pipelines import ErrorBudgetExceeded
+    from goose_parser_ray.spans import DOCUMENTS_SCHEMA
+
+    rows = []
+    for i in range(40):
+        kind = "html" if i % 4 == 0 else "no-such-kind"  # 75% poison
+        rows.append(
+            {
+                "doc_id": f"d-{i:03d}",
+                "spans": [
+                    {"kind": kind, "text": "<p>x</p>", "media_ref": "", "offset": 0}
+                ],
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    src = tmp_path / "documents.parquet"
+    pq.write_table(tbl, src)
+
+    out_dir = tmp_path / "out"
+    with pytest.raises(ErrorBudgetExceeded) as exc:
+        extract_corpus(
+            str(src), str(out_dir), num_partitions=8, waves=4,
+            salt_threshold=None, concurrency=2,
+            max_error_fraction=0.5,
+        )
+    tripped = exc.value.summary
+    assert 0 < tripped["processed"] < 8  # failed fast, not at the end
+    assert tripped["errors"] > 0.5 * tripped["rows"]
+
+    # unchanged rerun without a budget resumes from the committed waves
+    s2 = extract_corpus(
+        str(src), str(out_dir), num_partitions=8, waves=4,
+        salt_threshold=None, concurrency=2,
+    )
+    assert s2["skipped"] == tripped["processed"]
+    assert s2["skipped"] + s2["processed"] == 8
+    full = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert len(full) == 40
+    assert (full["error"] != "").sum() == 30  # quarantined, never dropped
