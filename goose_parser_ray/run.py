@@ -27,8 +27,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--waves", type=int, default=4)
     p.add_argument("--concurrency", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--salt-threshold", type=int, default=512)
+    p.add_argument(
+        "--salt-threshold",
+        type=int,
+        default=512,
+        help="mega-doc split threshold/chunk size; 0 or negative disables "
+        "salting entirely",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--max-error-fraction",
+        type=float,
+        default=None,
+        help="fail-fast error budget: abort (exit 2) once the quarantined-"
+        "doc fraction crosses this after any committed wave; committed "
+        "partitions stay manifested for resume",
+    )
     p.add_argument(
         "--partition-mode",
         choices=["hash", "fragment"],
@@ -72,20 +86,28 @@ def main(argv: list[str] | None = None) -> int:
     rules = json.load(open(args.rules)) if args.rules else None
     registry = json.load(open(args.registry)) if args.registry else None
 
-    from goose_parser_ray.pipelines import extract_corpus
+    from goose_parser_ray.pipelines import ErrorBudgetExceeded, extract_corpus
 
-    summary = extract_corpus(
-        args.input,
-        args.output,
-        rules,
-        rules_registry=registry,
-        num_partitions=args.partitions,
-        waves=args.waves,
-        salt_threshold=args.salt_threshold,
-        concurrency=args.concurrency,
-        batch_size=args.batch_size,
-        partition_mode=args.partition_mode,
-    )
+    try:
+        summary = extract_corpus(
+            args.input,
+            args.output,
+            rules,
+            rules_registry=registry,
+            num_partitions=args.partitions,
+            waves=args.waves,
+            salt_threshold=(
+                args.salt_threshold if args.salt_threshold > 0 else None
+            ),
+            concurrency=args.concurrency,
+            batch_size=args.batch_size,
+            partition_mode=args.partition_mode,
+            max_error_fraction=args.max_error_fraction,
+        )
+    except ErrorBudgetExceeded as exc:
+        print(json.dumps({"error_budget_exceeded": str(exc), **exc.summary}))
+        ray.shutdown()
+        return 2
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -76,11 +76,21 @@ def make_normalize_fn(
     """Build the stage fn (compile-time params captured once; the returned fn
     is a plain function → stateless Ray tasks).
 
+    ``salt_threshold`` must be ≥ 1 (it is both the split trigger and the
+    chunk size — 0 would mean zero-span chunks). Callers that want "no
+    salting" pass ``None`` at the pipeline level, which skips this stage's
+    salting branch entirely.
+
     ``partition_source``: 'hash' computes ``stable_hash(doc_id) % P`` per
     row; 'column' trusts an existing ``partition_id`` column (fragment-
     aligned mode — the reader stamped the input fragment's id, so blocks
     never straddle partitions and the hive write emits one file per block
     instead of P splits)."""
+    if salt_threshold is not None and salt_threshold < 1:
+        raise ValueError(
+            f"salt_threshold must be >= 1 (got {salt_threshold}); "
+            "pass salt_threshold=None to disable salting"
+        )
 
     def normalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
