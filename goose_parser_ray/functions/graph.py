@@ -322,9 +322,17 @@ def kcore_distributed(
     v: str = "v",
     max_iters: int = 100,
     num_partitions: int | None = None,
+    allow_partial: bool = False,
 ) -> ray.data.Dataset:
     """Nodes of the k-core (maximal subgraph where every node has degree
     ≥ k) of an undirected edge list, via the classic synchronized peel.
+
+    ``allow_partial``: the peel is EXACT only at its fixpoint. By default,
+    exhausting ``max_iters`` raises (the remaining node set is over-
+    inclusive — same failure class as the r2-ADVICE connected-components
+    silent exit). Callers whose CONTRACT is "k rounds of peeling" (e.g. a
+    bounded-round unrolled-CTE oracle twin) pass ``allow_partial=True`` to
+    get the round-truncated set deliberately.
 
     Scale shape: each round is one node-bounded degree aggregate plus two
     semi-joins that keep only edges whose BOTH endpoints survive; the edge
@@ -395,7 +403,13 @@ def kcore_distributed(
         e, n_edges = e2, n2
         if n_edges == 0:
             return empty
-    return good
+    if allow_partial:
+        return good
+    raise RuntimeError(
+        f"k-core peel did not reach a fixpoint in max_iters={max_iters} "
+        "rounds (pathological chain graph?); raise max_iters or pass "
+        "allow_partial=True for bounded-round semantics"
+    )
 
 
 def kcore_numpy(edges: "list[tuple[int, int]]", k: int) -> "set[int]":

@@ -3879,7 +3879,11 @@ def q_kcore(sf_dir: str):
     no-ops). See ``functions/graph.py:kcore_distributed``."""
     from goose_parser_ray.functions.graph import kcore_distributed
 
-    core = kcore_distributed(_copurchase_edges(sf_dir), k=24, max_iters=3)
+    # bounded-round CONTRACT: exactly 3 peel rounds, twinned by the
+    # 3-round-unrolled CTE oracle — partial-by-design, hence allow_partial
+    core = kcore_distributed(
+        _copurchase_edges(sf_dir), k=24, max_iters=3, allow_partial=True
+    )
     return core.map_batches(
         lambda t: pa.Table.from_pydict(
             {"node": pc.cast(t["node"], pa.int64()),

@@ -2116,3 +2116,24 @@ def test_components_log_rounds_on_deep_chain(ray_session):
     ).to_pandas()
     assert len(labels) == 200
     assert (labels["label"] == 0).all()
+
+
+def test_kcore_raises_on_truncated_peel_unless_partial(ray_session):
+    """A long pendant chain peels one layer per round: exhausting max_iters
+    before the fixpoint must RAISE by default (over-inclusive set), and
+    return the round-truncated set only under allow_partial=True."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from goose_parser_ray.functions.graph import kcore_distributed
+
+    chain = [(i, i + 1) for i in range(10)]  # path graph, k=2 core is empty
+    df = pd.DataFrame({"u": [e[0] for e in chain], "v": [e[1] for e in chain]})
+    ds = ray.data.from_pandas(df)
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_distributed(ds, k=2, max_iters=2, num_partitions=2)
+    partial = kcore_distributed(
+        ray.data.from_pandas(df), k=2, max_iters=2,
+        num_partitions=2, allow_partial=True,
+    ).to_pandas()
+    assert len(partial) > 0  # truncated-by-design set, nonempty mid-peel
