@@ -42,8 +42,13 @@ from goose_parser_ray.transforms import compile_chain
 
 
 def _pool() -> int:
+    """Actor-pool size for query stages: CPU-proportional (half the
+    cluster, floor 8) rather than a fixed cap — a fixed 8 starves a big
+    cluster's actor stages; the floor keeps spin-up overhead bounded on
+    small hosts. Measured at 32 CPUs/sf0.1: 8→16 left the pure-map
+    queries flat and shaved the actor-pool-heavy ones (see commit)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(8, cpus - 2))
+    return max(1, min(cpus - 2, max(8, cpus // 2)))
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -159,7 +164,7 @@ def q_join_hash(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = li.join(
-        part, join_type="inner", num_partitions=16,
+        part, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_partkey",), right_on=("p_partkey",),
     )
     joined = joined.map_batches(
@@ -223,7 +228,7 @@ def q_join_salted(sf_dir: str):
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     joined = salted_join(
         li, sup, key="l_suppkey", right_key="s_suppkey",
-        salts=4, num_partitions=16,
+        salts=4, num_partitions=_dedup._default_join_partitions(),
     )
     joined = joined.map_batches(
         lambda t: t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())),
@@ -2198,7 +2203,7 @@ def q_shipping_priority(sf_dir: str):
     ).map_batches(sel_li, batch_format="pyarrow")
 
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     joined = joined.map_batches(
@@ -2305,7 +2310,7 @@ def q_regional_revenue(sf_dir: str):
     ).map_batches(sel_li, batch_format="pyarrow")
 
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -3127,7 +3132,7 @@ def q_join_full(sf_dir: str):
     j = cust.join(
         big,
         join_type="full_outer",
-        num_partitions=16,
+        num_partitions=_dedup._default_join_partitions(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -3176,7 +3181,7 @@ def q_join_anti(sf_dir: str):
     j = cust.join(
         ords.select_columns(["o_custkey"]),
         join_type="left_anti",
-        num_partitions=16,
+        num_partitions=_dedup._default_join_partitions(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -4957,7 +4962,7 @@ def q_extract_spans(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
     ds = build_extraction_pipeline(
-        ds, num_partitions=16, salt_threshold=None,
+        ds, num_partitions=_dedup._default_join_partitions(), salt_threshold=None,
         concurrency=_pool(), batch_size=32,
     )
 
@@ -5009,7 +5014,7 @@ def q_extract_rules(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
     ds = build_extraction_pipeline(
-        ds, rules, num_partitions=16, salt_threshold=None,
+        ds, rules, num_partitions=_dedup._default_join_partitions(), salt_threshold=None,
         concurrency=_pool(), batch_size=32,
     )
 
@@ -8313,7 +8318,7 @@ def q_priority_semi(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(
         lambda t: t.filter(
@@ -8395,7 +8400,7 @@ def q_returned_customers(sf_dir: str):
     ).map_batches(sel_li, batch_format="pyarrow")
 
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     per_cust = pre_aggregated_sum(
@@ -8588,7 +8593,7 @@ def q_volume_shipping(sf_dir: str):
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(sel_li, batch_format="pyarrow")
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(
         lambda t: t.filter(
@@ -8696,7 +8701,7 @@ def q_market_share(sf_dir: str):
         ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(sel_li, batch_format="pyarrow")
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     per_year = pre_aggregated_sum(
@@ -8866,7 +8871,7 @@ def q_late_priority(sf_dir: str):
         )
 
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(classify, batch_format="pyarrow")
     return pre_aggregated_sum(
@@ -9274,7 +9279,7 @@ def q_small_qty_revenue(sf_dir: str):
             lambda t: t.rename_columns(["pk", "sum_q", "n"]),
             batch_format="pyarrow",
         ),
-        join_type="inner", num_partitions=16,
+        join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_partkey",), right_on=("pk",),
     ).map_batches(small, batch_format="pyarrow")
     agg = pre_aggregated_sum(
@@ -9360,7 +9365,7 @@ def q_large_volume_customers(sf_dir: str):
         return t.append_column("c_name", pc.take(cn, idx))
 
     return per_order.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(attach_name, batch_format="pyarrow").select_columns(
         ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "totalprice_c2",
@@ -9537,7 +9542,7 @@ def q_dominant_suppliers(sf_dir: str):
         return t.select(["l_suppkey"])
 
     winners = per_pair.join(
-        per_part, join_type="inner", num_partitions=16,
+        per_part, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_partkey",), right_on=("pk",),
     ).map_batches(dominant, batch_format="pyarrow")
     distinct = pre_aggregated_sum(
@@ -9622,7 +9627,7 @@ def q_waiting_suppliers(sf_dir: str):
         )
 
     pairs = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(classify, batch_format="pyarrow")
     per_pair = pre_aggregated_sum(
