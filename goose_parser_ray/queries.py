@@ -8962,7 +8962,7 @@ def q_min_cost_supplier(sf_dir: str):
         Min("bal_cents", alias_name="min_bal")
     )
     winners = with_bal.join(
-        mins, join_type="inner", num_partitions=8,
+        mins, join_type="inner", num_partitions=_dedup._default_join_partitions(),
         on=("l_partkey",), right_on=("l_partkey",),
     ).map_batches(
         lambda t: t.filter(pc.equal(t["bal_cents"], t["min_bal"])),
