@@ -95,7 +95,18 @@ def sketch_quantiles(
             {"counts": [sketch_batch(vals, lo, hi, nbins).tobytes()]}
         )
 
-    rows = ds.map_batches(sk, batch_format="pyarrow").take_all()
+    def fold(t: pa.Table) -> pa.Table:
+        # map-side coalescing merge: ≤64 per-block partials → 1 row, so the
+        # driver's take_all() is bounded by blocks/64, not block count (sum
+        # is associative — result bit-identical to a flat merge)
+        acc = merge([np.frombuffer(b, dtype=np.int64) for b in t["counts"].to_pylist()])
+        return pa.Table.from_pydict({"counts": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(sk, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
     merged = merge([np.frombuffer(r["counts"], dtype=np.int64) for r in rows])
     return {q: quantile(merged, q, lo, hi) for q in qs}
 
@@ -175,7 +186,25 @@ def heavy_hitters(ds, col: str, k: int, *, width: int | None = None):
             }
         )
 
-    rows = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    def fold(t: pa.Table) -> pa.Table:
+        # map-side coalesce of ≤64 truncated summaries → 1 (bounds add per
+        # the mergeable-summary contract; the driver merge is then bounded
+        # by blocks/64 rows)
+        w, c, b = t["words"].to_pylist(), t["counts"].to_pylist(), t["bound"].to_pylist()
+        m, tb = merge_topk_summaries(list(zip(w, c, b)), width)
+        return pa.Table.from_pydict(
+            {
+                "words": [list(map(str, m.index))],
+                "counts": [[int(x) for x in m.to_numpy()]],
+                "bound": [int(tb)],
+            }
+        )
+
+    rows = (
+        ds.map_batches(summarize, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
     merged, bound = merge_topk_summaries(
         [(r["words"], r["counts"], r["bound"]) for r in rows], width
     )
@@ -318,7 +347,20 @@ def bloom_build(ds, col: str, *, n_bits: int = 1 << 20, n_hashes: int = 4):
             }
         )
 
-    rows = ds.map_batches(sk, batch_format="pyarrow").take_all()
+    def fold(t: _pa.Table) -> _pa.Table:
+        # map-side OR-coalesce (≤64 × 128KB partials → 1) so the driver's
+        # final merge is bounded by blocks/64 — OR is associative, result
+        # bit-identical
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for b in t["bits"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return _pa.Table.from_pydict({"bits": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(sk, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
     out = np.zeros(n_bits // 8, dtype=np.uint8)
     for r in rows:
         out |= np.frombuffer(r["bits"], dtype=np.uint8)

@@ -326,7 +326,20 @@ def hll_distinct(ds, col: str):
         regs = hll_sketch_batch(batch[col].to_pylist())
         return _pa.Table.from_pydict({"regs": [regs.tobytes()]})
 
-    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    def fold(t: _pa.Table) -> _pa.Table:
+        # map-side max-coalesce: ≤64 per-block register rows → 1, bounding
+        # the driver take_all() by blocks/64 (elementwise max is
+        # associative — estimate unchanged)
+        acc = hll_merge(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist()]
+        )
+        return _pa.Table.from_pydict({"regs": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
     merged = hll_merge([np.frombuffer(r["regs"], dtype=np.uint8) for r in rows])
     return hll_estimate(merged)
 
