@@ -84,11 +84,18 @@ def _rank_by_key(
             {"__b": nz.astype(np.int64), "__c": c[nz].astype(np.int64)}
         )
 
-    partials = (
-        ds.select_columns([key_col])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .to_pandas()
-    )
+    # distributed per-bucket rollup BEFORE the driver collect: raw partials
+    # are (block × distinct-buckets-touched) rows ≈ corpus rows with unique
+    # keys — unbounded. After the combine the collect is ≤ nb rows.
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    partials = pre_aggregated_sum(
+        ds.select_columns([key_col]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        keys=["__b"],
+        sums={"__c": "__c"},
+    ).to_pandas()
     totals = np.zeros(len(bounds) + 1, dtype=np.int64)
     if len(partials):
         np.add.at(
