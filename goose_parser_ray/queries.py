@@ -9970,6 +9970,50 @@ FROM documents GROUP BY lang
 """
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per hopping window (1h window / 30min
+    hop) — the dedup-WITHIN-window shape the plain hopping aggregate can't
+    express (distinct is not a sum). Two bounded stages: fan-out →
+    per-(window, user) dedup via the map-side-combined count aggregate
+    (its output is the distinct pair set), then a second rollup counts
+    pairs per window. Both exchanges move per-key partials only; no raw
+    event ever shuffles twice."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        prev = pc.subtract(
+            base, pa.scalar(1_800_000_000, pa.duration("us"))
+        )
+        users = pa.concat_arrays([pc.cast(t["user_id"], pa.int64()).combine_chunks()] * 2)
+        starts = pa.concat_arrays(
+            [base.combine_chunks(), prev.combine_chunks()]
+        )
+        win = pc.strftime(starts, "%Y-%m-%d %H:%M:00")
+        return pa.Table.from_arrays([win, users], names=["win_start", "user_id"])
+
+    pairs = pre_aggregated_sum(
+        ds.map_batches(fan_out, batch_format="pyarrow"),
+        keys=["win_start", "user_id"], sums={}, count_alias="__n",
+    ).drop_columns(["__n"])
+    return pre_aggregated_sum(
+        pairs, keys=["win_start"], sums={}, count_alias="n_users"
+    )
+
+
+SQL_WINDOW_DISTINCT_USERS = """
+WITH w AS (
+  SELECT user_id,
+         unnest([date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE,
+                 date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE - INTERVAL 30 MINUTE]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:00') AS win_start,
+       COUNT(DISTINCT user_id) AS n_users
+FROM w GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10033,6 +10077,7 @@ QUERIES = {
     "media_wav": q_media_wav,
     "grouped_quantiles": q_grouped_quantiles,
     "geo_mean": q_geo_mean,
+    "window_distinct_users": q_window_distinct_users,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10299,6 +10344,7 @@ ORACLE_SQL = {
     "media_wav": SQL_MEDIA_WAV,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "geo_mean": SQL_GEO_MEAN,
+    "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
