@@ -143,3 +143,31 @@ def test_line_dedup_fuzz_vs_duckdb(ray_session, tmp_path):
         )
         pq.write_table(t, tmp_path / "documents.parquet")
         _compare(q_line_dedup(str(tmp_path)), SQL_LINE_DEDUP, tmp_path)
+
+
+def test_asof_join_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Random events with COARSE timestamps (many exact ties at the asof
+    boundary), users with zero purchases, and duplicate (user, ts) right
+    keys — the boundary cases the fixed testdata under-exercises."""
+    from goose_parser_ray.queries import SQL_ASOF_JOIN, q_asof_join
+
+    for seed in (5, 19):
+        rng = np.random.default_rng(seed)
+        _mk_events(tmp_path, rng, n_users=6, n_rows=300)
+        _compare(q_asof_join(str(tmp_path)), SQL_ASOF_JOIN, tmp_path)
+
+
+def test_window_distinct_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import (
+        SQL_WINDOW_DISTINCT_USERS,
+        q_window_distinct_users,
+    )
+
+    for seed in (2, 13):
+        rng = np.random.default_rng(seed)
+        _mk_events(tmp_path, rng, n_users=9, n_rows=400)
+        _compare(
+            q_window_distinct_users(str(tmp_path)),
+            SQL_WINDOW_DISTINCT_USERS,
+            tmp_path,
+        )
