@@ -10014,6 +10014,92 @@ FROM w GROUP BY 1
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact PHRASE search (consecutive-word match) through positional
+    postings — the IR operator `postings`/`bm25` can't express (bag-of-words
+    scoring ignores adjacency). One pass explodes (doc, position) rows for
+    the PHRASE TERMS ONLY (map-side filter — the exchange carries the three
+    terms' postings, not the corpus); every candidate row re-aligns to its
+    implied phrase START (pos − term_index), and a start with all three
+    terms present is a match — a per-(doc, start) count==3 test, vectorized
+    per doc bucket. Requires distinct phrase words (one row per word per
+    position); repeated-word phrases would need per-term multiplicity."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+
+    PHRASE = ["slow", "hash", "batch"]
+    terms = pa.array(PHRASE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def positions(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        counts = counts.astype(np.int64)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ords = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        docs = np.repeat(t["doc_id"].to_numpy(), counts)
+        tidx = pc.index_in(flat, value_set=terms)
+        keep = pc.is_valid(tidx).to_numpy(zero_copy_only=False)
+        tidx_np = tidx.to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        out = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(docs[keep]),
+                # phrase start this occurrence would imply
+                "start": pa.array(ords[keep] - tidx_np),
+                "term": pa.array(tidx_np),
+            }
+        )
+        return add_hash_bucket(out, "doc_id", nb, out="__b")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct phrase words → one row per (doc, start, term); a start
+        # holding all 3 terms is a complete phrase occurrence
+        hits = (
+            g.groupby(["doc_id", "start"], sort=False)["term"]
+            .size()
+            .reset_index(name="k")
+        )
+        hits = hits[hits["k"] == len(PHRASE)]
+        out = hits.groupby("doc_id", sort=False).size().reset_index(
+            name="n_matches"
+        )
+        out["n_matches"] = out["n_matches"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(positions, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS ord
+  FROM documents
+)
+SELECT a.doc_id, COUNT(*) AS n_matches
+FROM w a
+JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+WHERE a.word = 'slow' AND b.word = 'hash' AND c.word = 'batch'
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10078,6 +10164,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "geo_mean": q_geo_mean,
     "window_distinct_users": q_window_distinct_users,
+    "phrase_search": q_phrase_search,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10345,6 +10432,7 @@ ORACLE_SQL = {
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "geo_mean": SQL_GEO_MEAN,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
