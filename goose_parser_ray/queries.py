@@ -10100,6 +10100,54 @@ GROUP BY a.doc_id
 """
 
 
+def q_media_pdf(sf_dir: str):
+    """REAL PDF layout-text pipeline, oracle-checked end to end: each doc's
+    first 12 words are typeset into an actual single-page PDF (FlateDecode
+    content stream, correct xref) and round-tripped through real bytes —
+    binary column → actor-pool parse (object walk, zlib inflate, Tj
+    tokenization) → extracted text. The DuckDB twin recomputes the expected
+    text closed-form from the same words, so the hash compare certifies the
+    whole encode→parse path. This replaces the stub-only PDF branch of
+    q_media_decode for the north rule's media-span parse obligation."""
+    from goose_parser_ray.functions.multimodal import PdfTextActor
+    from goose_parser_ray.functions.pdfmini import encode_pdf
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for txt in t["text"].to_pylist():
+            words = (txt or "").split(" ")[:12]
+            lines = [" ".join(words[i : i + 4]) for i in range(0, len(words), 4)]
+            payloads.append(encode_pdf(lines))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        PdfTextActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_PDF = """
+WITH w AS (
+  SELECT doc_id,
+         list_slice(string_split(text, ' '), 1, 12) AS first12,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CEIL(LEAST(n_words, 12) / 4.0) AS BIGINT) AS n_lines,
+       array_to_string(first12, ' ') AS extracted_text,
+       CAST(length(array_to_string(first12, ' ')) AS BIGINT) AS n_chars
+FROM w
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10165,6 +10213,7 @@ QUERIES = {
     "geo_mean": q_geo_mean,
     "window_distinct_users": q_window_distinct_users,
     "phrase_search": q_phrase_search,
+    "media_pdf": q_media_pdf,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10433,6 +10482,7 @@ ORACLE_SQL = {
     "geo_mean": SQL_GEO_MEAN,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "media_pdf": SQL_MEDIA_PDF,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

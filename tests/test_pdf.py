@@ -1,0 +1,74 @@
+"""Minimal PDF codec: round-trip, escape fuzz, compression variants, and
+the actor's exact outputs."""
+
+import numpy as np
+import pyarrow as pa
+
+from goose_parser_ray.functions.pdfmini import encode_pdf, extract_pdf_text
+
+
+def test_roundtrip_compressed_and_raw():
+    lines = ["hello world", "second line", ""]
+    for compress in (True, False):
+        payload = encode_pdf(lines, compress=compress)
+        assert payload.startswith(b"%PDF-1.4")
+        assert extract_pdf_text(payload) == lines
+
+
+def test_escape_fuzz_roundtrip():
+    rng = np.random.RandomState(3)
+    alphabet = list("ab (xyz) \\ ()\\(")
+    for _ in range(50):
+        n = rng.randint(1, 5)
+        lines = [
+            "".join(rng.choice(alphabet, rng.randint(0, 30)))
+            for _ in range(n)
+        ]
+        assert extract_pdf_text(encode_pdf(lines)) == lines
+
+
+def test_rejects_non_pdf():
+    try:
+        extract_pdf_text(b"RIFF not a pdf")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_xref_offsets_are_correct():
+    payload = encode_pdf(["x"])
+    # the startxref pointer must land exactly on the xref keyword
+    start = int(payload.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert payload[start : start + 4] == b"xref"
+    # each xref entry must point at its "N 0 obj" header
+    table = payload[start:].split(b"\n")
+    entries = [ln for ln in table if ln.endswith(b" n ")]
+    for i, ln in enumerate(entries, start=1):
+        off = int(ln.split(b" ")[0])
+        assert payload[off:].startswith(b"%d 0 obj" % i)
+
+
+def test_pdf_text_actor_exact(ray_session):
+    from goose_parser_ray.functions.multimodal import PdfTextActor
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array(
+                [encode_pdf(["a b c d", "e f"])], pa.binary()
+            ),
+        }
+    )
+    out = PdfTextActor()(t)
+    assert out["n_lines"][0].as_py() == 2
+    assert out["extracted_text"][0].as_py() == "a b c d e f"
+    assert out["n_chars"][0].as_py() == len("a b c d e f")
+
+
+def test_stream_containing_delimiter_keywords():
+    """Length-based stream slicing must survive payload text containing the
+    'endstream'/'endobj' keywords (delimiter-scanning parsers corrupt
+    here — the compressed-bytes variant of this broke the first cut)."""
+    lines = ["fake endstream marker", "and endobj too", "xref startxref"]
+    for compress in (True, False):
+        assert extract_pdf_text(encode_pdf(lines, compress=compress)) == lines
