@@ -171,3 +171,29 @@ def test_window_distinct_fuzz_vs_duckdb(ray_session, tmp_path):
             SQL_WINDOW_DISTINCT_USERS,
             tmp_path,
         )
+
+
+def test_media_pdf_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Adversarial doc text through the FULL PDF round-trip query: PDF
+    string-escape characters (parens, backslashes), empty text, 1-word and
+    exactly-12-word docs — the closed-form twin must still hash-match."""
+    from goose_parser_ray.queries import SQL_MEDIA_PDF, q_media_pdf
+
+    _mk_events(tmp_path, np.random.default_rng(0), 2, 4)  # _compare view
+    vocab = ["plain", "(paren", "back\\slash", "))((", "x"]
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(1, 20)))) for _ in range(30)]
+    texts[0] = ""  # empty doc
+    texts[1] = "solo"
+    texts[2] = " ".join(["w"] * 12)  # exact line boundary
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": np.array([len(x) for x in texts], np.int64),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    _compare(q_media_pdf(str(tmp_path)), SQL_MEDIA_PDF, tmp_path)
