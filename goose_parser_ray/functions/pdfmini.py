@@ -71,7 +71,14 @@ def encode_pdf(lines: list[str], *, compress: bool = True) -> bytes:
 
 _STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
+# show-text operators: `(s) Tj` and the kerned-array form
+# `[(a) -120 (b)] TJ` (each array's strings concatenate into one line —
+# the kern numbers are layout, not text)
+_TJ_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj"
+    rb"|\[((?:\((?:\\.|[^\\()])*\)|[-\d.\s])*)\]\s*TJ"
+)
+_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 _OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
 
 _SIMPLE_ESCAPES = {
@@ -143,7 +150,12 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         data = payload[m.end() : m.end() + n]
         if b"/FlateDecode" in head:
             data = zlib.decompress(data)
-        for raw in _TJ_RE.findall(data):
-            lines.append(_unescape(raw))
+        for tj, tj_arr in _TJ_RE.findall(data):
+            if tj or not tj_arr:
+                lines.append(_unescape(tj))
+            else:
+                lines.append(
+                    "".join(_unescape(s) for s in _STR_RE.findall(tj_arr))
+                )
         pos = m.end() + n
     return lines

@@ -72,3 +72,21 @@ def test_stream_containing_delimiter_keywords():
     lines = ["fake endstream marker", "and endobj too", "xref startxref"]
     for compress in (True, False):
         assert extract_pdf_text(encode_pdf(lines, compress=compress)) == lines
+
+
+def test_tj_array_operator():
+    """Kerned-array show text `[(a) -120 (b)] TJ` — each array concatenates
+    into one line, kern numbers dropped; mixes with plain Tj in order."""
+    import zlib as _z
+
+    content = (
+        b"BT /F1 12 Tf\n"
+        b"1 0 0 1 72 720 Tm [(Hel) -120 (lo \\(kerned\\))] TJ\n"
+        b"1 0 0 1 72 706 Tm (plain line) Tj\n"
+        b"ET"
+    )
+    payload = b"%PDF-1.4\n1 0 obj\n" + (
+        b"<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    assert extract_pdf_text(payload) == ["Hello (kerned)", "plain line"]
