@@ -9727,6 +9727,16 @@ def q_line_dedup(sf_dir: str):
     nb = num_shuffle_buckets(ds.count() * 32)  # ≈ segments per doc bound
 
     def segments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: the [0]-seeded starts array
+            # would mismatch the zero-length repeat counts below
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seg_no": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
         words = pc.split_pattern(t["text"], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -10037,6 +10047,15 @@ def q_phrase_search(sf_dir: str):
     nb = num_shuffle_buckets(ds.count())
 
     def positions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block: see q_line_dedup.segments
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
         words = pc.split_pattern(t["text"], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
