@@ -9950,6 +9950,9 @@ def q_geo_mean(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
     def ln_e6(t: pa.Table) -> pa.Table:
+        # positive-domain guard matches the SQL twin's WHERE: DuckDB LN(0)
+        # raises while numpy yields -inf — filter both sides identically
+        t = t.filter(pc.greater(t["n_chars"], pa.scalar(0, pa.int64())))
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         ln = np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
         return pa.Table.from_pydict({"lang": t["lang"], "ln_e6": pa.array(ln)})
@@ -9976,7 +9979,7 @@ SELECT lang,
        CAST(ROUND(EXP(SUM(CAST(ROUND(LN(n_chars) * 1000000) AS BIGINT))
                       / 1000000.0 / COUNT(*)) * 100) AS BIGINT)
            AS geo_mean_c2
-FROM documents GROUP BY lang
+FROM documents WHERE n_chars > 0 GROUP BY lang
 """
 
 
