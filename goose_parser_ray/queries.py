@@ -10170,6 +10170,361 @@ FROM w
 """
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the click and error
+    value distributions, ORACLE-CHECKED with pure-integer arithmetic:
+    D = max_v |F₁(v)·n₂ − F₂(v)·n₁| / (n₁·n₂) over the cents-quantized
+    value domain, so the numerator is an exact BIGINT prefix extremum and
+    ``d_e6 = max·1e6 // (n1·n2)`` matches DuckDB ``//`` with no float
+    anywhere (valid while n₁·n₂ < 2⁶³ — beyond that the statistic itself
+    needs fewer than e6 digits anyway).
+
+    Scale shape: the exchange is bounded by the score DOMAIN (map-side
+    combine → grouped (v, n_click, n_error)); both CDFs ride ONE
+    distributed range-bucketed scan by folding them into the signed
+    per-group weight w = c₁·n₂ − c₂·n₁, whose max |inclusive prefix sum|
+    IS the KS numerator."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.packing import global_scan_offsets
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "error"]))
+        t = t.filter(keep)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        pos = (
+            pc.equal(t["event_type"], "click")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g = pd.DataFrame({"v": v, "p": pos}).groupby("v", sort=False).agg(
+            c1=("p", "sum"), c=("p", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "v": g.index.to_numpy(np.int64),
+                "c1": g["c1"].to_numpy(np.int64),
+                "c2": (g["c"] - g["c1"]).to_numpy(np.int64),
+            }
+        )
+
+    grouped = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["v"],
+        sums={"c1": "c1", "c2": "c2"},
+    ).materialize()  # consumed 3× (totals + scan passes); domain-bounded small
+    n_groups = max(1, grouped.count())
+    tot = grouped.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "n1": [int(pc.sum(t["c1"]).as_py() or 0)],
+                "n2": [int(pc.sum(t["c2"]).as_py() or 0)],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n1, n2 = int(tot["n1"].sum()), int(tot["n2"].sum())
+
+    def weight(t: pa.Table) -> pa.Table:
+        c1 = t["c1"].to_numpy(zero_copy_only=False)
+        c2 = t["c2"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({"v": t["v"], "w": c1 * n2 - c2 * n1})
+
+    scanned = global_scan_offsets(
+        grouped.map_batches(weight, batch_format="pyarrow"),
+        order_col="v",
+        size_col="w",
+        offset_col="w_before",
+        n_rows=n_groups,
+    )
+
+    def local_max(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        wb = t["w_before"].to_numpy(zero_copy_only=False)
+        m = int(np.abs(wb + w).max()) if len(w) else 0
+        return pa.Table.from_pydict({"m": [m]})
+
+    parts = scanned.map_batches(local_max, batch_format="pyarrow").to_pandas()
+    d_num = int(parts["m"].max()) if len(parts) else 0
+    return pa.Table.from_pydict(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d_e6": pa.array([d_num * 1_000_000 // max(1, n1 * n2)], pa.int64()),
+        }
+    )
+
+
+SQL_KS_TEST = """
+WITH s AS (
+  SELECT CAST(ROUND(100 * value) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IN ('click', 'error')
+),
+g AS (
+  SELECT v, CAST(SUM(pos) AS BIGINT) AS c1,
+         CAST(SUM(1 - pos) AS BIGINT) AS c2
+  FROM s GROUP BY v
+),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+c AS (
+  SELECT CAST(SUM(c1 * (SELECT n2 FROM n) - c2 * (SELECT n1 FROM n))
+              OVER (ORDER BY v) AS BIGINT) AS f
+  FROM g
+)
+SELECT n1, n2,
+       CAST((SELECT MAX(ABS(f)) FROM c) * 1000000 // (n1 * n2) AS BIGINT) AS d_e6
+FROM n
+"""
+
+
+def q_autocorr(sf_dir: str):
+    """Pooled lag-1 autocorrelation of event values (per-user LAG pairs),
+    ORACLE-CHECKED. Values quantize to integer units so every moment
+    (n, Σx, Σy, Σxy, Σx², Σy²) stays below 2⁵³ at compare scale — the
+    BIGINT→DOUBLE casts are then EXACT on both sides and the single float
+    expression (corr_e6 via sqrt) is mirrored op-for-op, so FLOOR lands
+    identically (IEEE mult/div/sqrt are correctly rounded).
+
+    Scale shape: the user_deltas machinery — hash-bucketed users with
+    data-proportional bucket count, one vectorized sort+shift per bucket,
+    then six integer partials per bucket to the driver (exact in any
+    accumulation order)."""
+    import math
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], t["event_id"], _cents(t["value"], 1)],
+            names=["user_id", "ts", "event_id", "v"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["v"].shift()
+        mask = prev.notna()
+        x = prev[mask].to_numpy(np.int64)
+        y = g.loc[mask, "v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [int(x.sum())],
+                "sy": [int(y.sum())],
+                "sxy": [int((x * y).sum())],
+                "sxx": [int((x * x).sum())],
+                "syy": [int((y * y).sum())],
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(moments, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    num = n * sxy - sx * sy
+    denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+    if denx * deny == 0:
+        corr_e6 = 0
+    else:
+        corr_e6 = int(
+            math.floor(
+                float(num) * 1000000.0 / math.sqrt(float(denx) * float(deny))
+            )
+        )
+    return pa.Table.from_pydict(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "corr_e6": pa.array([corr_e6], pa.int64()),
+        }
+    )
+
+
+SQL_AUTOCORR = """
+WITH d AS (
+  SELECT user_id,
+         CAST(ROUND(value) AS BIGINT) AS y,
+         LAG(CAST(ROUND(value) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+),
+p AS (SELECT x, y FROM d WHERE x IS NOT NULL),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)))
+            END AS BIGINT) AS corr_e6
+FROM m
+"""
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """Columnar interchange: export the events table to ORC shards (one
+    per block, content-keyed streaming sink) and read it back through the
+    parallel ``read_binary_files`` + pyarrow.orc decode path — proving a
+    lossless event_id/event_type/value roundtrip row-for-row against the
+    original parquet (see ``sources/orcio.py``)."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.sources.orcio import read_orc, write_orc_shards
+
+    out = "/tmp/orc_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    write_orc_shards(ds, out, key_col="event_id")
+    return read_orc(out).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "v_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_id, event_type,
+       CAST(ROUND(100 * value) AS BIGINT) AS v_cents
+FROM events
+"""
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization dedup (the crawl-curation step BEFORE content
+    dedup): synthesize a deterministically messy URL per document
+    (scheme/host case noise, www. subdomain, :443 default port, trailing
+    path slash, utm_* tracking params, #fragment), canonicalize it with
+    the exact same six-step vectorized string pipeline the DuckDB twin
+    runs (lower → strip fragment → strip utm params → fold :443 →
+    fold www. → fold path slash), and group to (canonical url, n_docs,
+    first_doc). The kept-group membership is hash-compared, so the oracle
+    guards every canonicalization rule. Map-side partial combine bounds
+    the exchange at (distinct canonical URLs) × blocks."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _mod(col, m: int):
+        # Arrow has no modulo kernel; id - (id // m) * m (ids non-negative)
+        return pc.subtract(
+            col, pc.multiply(pc.divide(col, m), pa.scalar(m, pa.int64()))
+        )
+
+    def synth_and_canon(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        m2, m3 = _mod(d, 2), _mod(d, 3)
+        m4, m5, m7 = _mod(d, 4), _mod(d, 5), _mod(d, 7)
+        empty = pa.scalar("")
+        url = pc.binary_join_element_wise(
+            pc.if_else(pc.equal(m2, 0), pa.scalar("HTTPS://"), pa.scalar("https://")),
+            pc.if_else(pc.equal(m3, 0), pa.scalar("www."), empty),
+            pc.if_else(pc.equal(m2, 0), pc.utf8_upper(t["source"]), t["source"]),
+            pa.scalar(".EXAMPLE.com"),
+            pc.if_else(pc.equal(m5, 0), pa.scalar(":443"), empty),
+            pa.scalar("/p/"),
+            pc.cast(m5, pa.string()),
+            pc.if_else(pc.equal(m4, 0), pa.scalar("/"), empty),
+            pa.scalar("?id="),
+            pc.cast(m3, pa.string()),
+            pc.if_else(
+                pc.equal(m2, 0),
+                pa.scalar("&utm_source=feed&utm_medium=rss"),
+                empty,
+            ),
+            pc.if_else(pc.equal(m7, 0), pa.scalar("#frag"), empty),
+            "",
+        )
+        # six canonicalization steps, op-for-op the SQL twin's order
+        u = pc.utf8_lower(url)
+        u = pc.replace_substring_regex(u, pattern="#.*$", replacement="")
+        u = pc.replace_substring_regex(
+            u, pattern="&utm_[a-z]+=[a-z]+", replacement=""
+        )
+        u = pc.replace_substring(u, pattern=":443/", replacement="/")
+        u = pc.replace_substring(u, pattern="://www.", replacement="://")
+        u = pc.replace_substring(u, pattern="/?id=", replacement="?id=")
+        return pa.Table.from_pydict({"url": u, "doc_id": d})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby("url", sort=False)
+            .agg(n=("doc_id", "size"), mn=("doc_id", "min"))
+        )
+        # from_pydict, not from_pandas: pandas metadata makes the schema
+        # unhashable for Ray's shuffle-side schema dedup (warn-spam)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(g.index, pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "mn": pa.array(g["mn"].to_numpy(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", sort=False).agg(
+            n_docs=("n", "sum"), first_doc=("mn", "min")
+        )
+        return out.reset_index().astype({"n_docs": "int64", "first_doc": "int64"})
+
+    return (
+        ds.map_batches(synth_and_canon, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END)
+         || '.EXAMPLE.com'
+         || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+         || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0
+             THEN '&utm_source=feed&utm_medium=rss' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         REPLACE(REPLACE(REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(LOWER(url), '#.*$', ''),
+             '&utm_[a-z]+=[a-z]+', '', 'g'),
+           ':443/', '/'), '://www.', '://'), '/?id=', '?id=') AS url
+  FROM u
+)
+SELECT url, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY url
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10236,6 +10591,10 @@ QUERIES = {
     "window_distinct_users": q_window_distinct_users,
     "phrase_search": q_phrase_search,
     "media_pdf": q_media_pdf,
+    "ks_test": q_ks_test,
+    "autocorr": q_autocorr,
+    "orc_roundtrip": q_orc_roundtrip,
+    "url_canonical": q_url_canonical,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -10505,6 +10864,10 @@ ORACLE_SQL = {
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "media_pdf": SQL_MEDIA_PDF,
+    "ks_test": SQL_KS_TEST,
+    "autocorr": SQL_AUTOCORR,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "url_canonical": SQL_URL_CANONICAL,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
