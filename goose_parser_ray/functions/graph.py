@@ -63,16 +63,24 @@ def pagerank_distributed(
             2, min(_default_join_partitions(), -(-e.count() // 100_000))
         )
 
-    # out-degree per src, attached to the edges ONCE (not per round)
-    deg = pre_aggregated_sum(
-        e.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["u"], pa.array(np.ones(t.num_rows, dtype=np.int64))],
-                names=["u", "one"],
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    # out-degree per src, attached to the edges ONCE (not per round).
+    # Aggregate-derived join inputs are compacted — Ray's hash join breaks
+    # on the empty blocks aggregates emit for empty partitions (see
+    # relational.compact_for_join).
+    deg = compact_for_join(
+        pre_aggregated_sum(
+            e.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["u"], pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                    names=["u", "one"],
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
-        ),
-        keys=["u"], sums={"one": "deg"},
+            keys=["u"], sums={"one": "deg"},
+        ).materialize(),
+        num_partitions,
     )
     e = e.join(
         deg, join_type="inner", num_partitions=num_partitions, on=("u",)
@@ -99,6 +107,7 @@ def pagerank_distributed(
             batch_format="pyarrow",
         )
 
+    nodes = compact_for_join(nodes, num_partitions, n_nodes).materialize()
     init = 1.0 / n_nodes
     ranks = nodes.map_batches(
         lambda t: t.append_column(
@@ -126,8 +135,11 @@ def pagerank_distributed(
             ),
             batch_format="pyarrow",
         )
-        contrib = pre_aggregated_sum(
-            msgs, keys=["node"], sums={"c": "c"}
+        contrib = compact_for_join(
+            pre_aggregated_sum(
+                msgs, keys=["node"], sums={"c": "c"}
+            ).materialize(),
+            num_partitions,
         ).materialize()
         # Σ contributions = Σ_{u: deg>0} rank(u) (each u emits deg copies
         # of rank/deg), so the dangling mass needs NO extra ranks⋈out_nodes
@@ -135,22 +147,26 @@ def pagerank_distributed(
         dangling = 1.0 - scalar_sum(contrib, "c")
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
-        new_ranks = nodes.join(
-            contrib, join_type="left_outer",
-            num_partitions=num_partitions, on=("node",),
-        ).map_batches(
-            lambda t: pa.Table.from_pydict(
-                {"node": pc.cast(t["node"], pa.int64()),
-                 "rank": pa.array(
-                     base
-                     + damping
-                     * np.nan_to_num(
-                         t["c"].to_numpy(zero_copy_only=False)
-                         .astype(np.float64)
-                     )
-                 )}
+        new_ranks = compact_for_join(
+            nodes.join(
+                contrib, join_type="left_outer",
+                num_partitions=num_partitions, on=("node",),
+            ).map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": pc.cast(t["node"], pa.int64()),
+                     "rank": pa.array(
+                         base
+                         + damping
+                         * np.nan_to_num(
+                             t["c"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64)
+                         )
+                     )}
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
+            num_partitions,
+            n_nodes,  # left-outer on the unique node key ⇒ n_nodes rows
         ).materialize()
 
         if tol <= 0:
@@ -181,6 +197,155 @@ def pagerank_distributed(
         if delta <= tol:
             break
     return ranks
+
+
+def hits_distributed(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """HITS hub/authority scores over a directed edge list (Kleinberg's
+    power iteration with L1 normalization — the sum-normalized variant
+    keeps the SQL unroll to plain SUM/division). Returns
+    Dataset(node, auth, hub) over every endpoint; parallel edges count as
+    parallel (weight 1 each), nodes with no in-edges carry authority 0
+    (resp. hubs for out-edges).
+
+    Scale shape mirrors :func:`pagerank_distributed`: the edge list is
+    materialized ONCE and re-joined per half-round (one hash shuffle per
+    direction), score tables stay node-bounded, and the normalizer is one
+    tiny scalar aggregate — nothing corpus-sized ever reaches the driver.
+    Fixed ``max_iters`` (no tolerance path) so bounded-round SQL twins can
+    unroll the identical computation."""
+    from ray.data.aggregate import Sum
+
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        pre_aggregated_sum,
+    )
+
+    e = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-e.count() // 100_000))
+        )
+
+    nodes = pre_aggregated_sum(
+        e.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                )}
+            ).append_column(
+                "one", pa.array(np.ones(2 * t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["node"], sums={"one": "k"},
+    ).drop_columns(["k"]).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "auth": pa.array([], pa.float64()),
+                    "hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+    # every aggregate-derived join input is compacted: Ray's hash join
+    # breaks on the empty blocks aggregates emit for empty partitions
+    nodes = compact_for_join(nodes, num_partitions, n_nodes).materialize()
+
+    def scalar_sum(ds: ray.data.Dataset, col: str) -> float:
+        row = ds.aggregate(Sum(col, alias_name="s"))
+        return float(row["s"] or 0.0)
+
+    def half_round(
+        scores: ray.data.Dataset, join_col: str, emit_col: str, score_col: str
+    ) -> ray.data.Dataset:
+        """One HITS half-step: push ``score_col`` along edges from
+        ``join_col`` endpoints to ``emit_col`` endpoints, sum per target,
+        L1-normalize over the full node set (absent targets → 0)."""
+        msgs = e.join(
+            scores, join_type="inner", num_partitions=num_partitions,
+            on=(join_col,), right_on=("node",),
+        ).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t[emit_col], "c": t[score_col]}
+            ),
+            batch_format="pyarrow",
+        )
+        raw = pre_aggregated_sum(
+            msgs, keys=["node"], sums={"c": "c"}
+        ).materialize()
+        n_raw = raw.count()
+        if n_raw == 0:
+            # no mass moved (an all-sinks direction): this side is all 0
+            return nodes.map_batches(
+                lambda t: t.append_column(
+                    score_col,
+                    pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        tot = scalar_sum(raw, "c") or 1.0
+        out = nodes.join(
+            compact_for_join(raw, num_partitions, n_raw),
+            join_type="left_outer",
+            num_partitions=num_partitions, on=("node",),
+        ).map_batches(
+            # true division (not reciprocal-multiply): the SQL twin writes
+            # COALESCE(c,0)/s and IEEE x/s != x*(1/s) in the last ulp
+            lambda t: pa.Table.from_pydict(
+                {"node": pc.cast(t["node"], pa.int64()),
+                 score_col: pa.array(
+                     np.nan_to_num(
+                         t["c"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64)
+                     ) / tot
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        # the normalize map skips empty join partitions, re-poisoning the
+        # stream — compact before this table feeds the NEXT edge join
+        # (left-outer on the unique node key ⇒ exactly n_nodes rows)
+        return compact_for_join(out, num_partitions, n_nodes).materialize()
+
+    init = 1.0 / n_nodes
+    hub = nodes.map_batches(
+        lambda t: t.append_column(
+            "s", pa.array(np.full(t.num_rows, init, dtype=np.float64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+    for _ in range(max_iters):
+        auth = half_round(hub, "u", "v", "s")    # a ∝ Σ h over in-edges
+        hub = half_round(auth, "v", "u", "s")    # h ∝ Σ a over out-edges
+
+    return auth.map_batches(
+        lambda t: pa.Table.from_pydict({"node": t["node"], "auth": t["s"]}),
+        batch_format="pyarrow",
+    ).join(
+        hub.map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["node"], "hub": t["s"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner", num_partitions=num_partitions, on=("node",),
+    )
 
 
 def triangle_count(

@@ -105,6 +105,41 @@ def distinct_rows(
     return out.drop_columns(["__b"])
 
 
+def pin_schema(schema: pa.Schema):
+    """Schema normalizer for post-groupby streams with NON-EMPTY blocks:
+    casts drift and re-orders columns so the executor's RefBundle schema
+    check stays stable. NOTE it cannot repair empty blocks — Ray 2.49's
+    map_batches never invokes the UDF on a 0-row block and forwards a
+    ZERO-COLUMN empty instead; use :func:`compact_for_join` for that."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return fn
+
+
+def compact_for_join(
+    ds: ray.data.Dataset,
+    num_partitions: int,
+    n_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Make a dataset safe as a ``Dataset.join`` input. Ray 2.49's hash
+    join fails (pyarrow acero: "No match or multiple matches for key field
+    reference …") when an input carries EMPTY blocks: empty partitions of
+    upstream aggregates surface as zero-column blocks, and ``map_batches``
+    skips 0-row blocks entirely (the UDF is never called), re-poisoning
+    anything it forwards. ``repartition`` merges blocks and restores the
+    typed schema; the block count is clamped by the row count so every
+    output block is non-empty. Call on any join input that passed through
+    a groupby/aggregate (directly or via intervening maps). ``n_rows``
+    skips the count when the caller already knows it (metadata-only on a
+    materialized dataset either way)."""
+    n = n_rows if n_rows is not None else ds.count()
+    return ds.repartition(max(1, min(num_partitions, n)))
+
+
 def pre_aggregated_sum(
     ds: ray.data.Dataset,
     keys: list[str],

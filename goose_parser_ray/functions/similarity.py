@@ -114,17 +114,9 @@ _MERGED_SCHEMA = pa.schema(
 )
 
 
-def _pin_schema(schema: pa.Schema):
-    """Schema normalizer for post-groupby streams: empty partitions emit
-    schemaless blocks that trip the executor's RefBundle schema check —
-    replace them with typed empties and cast the rest."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return schema.empty_table()
-        return t.select(schema.names).cast(schema)
-
-    return fn
+from goose_parser_ray.functions.relational import pin_schema as _pin_schema  # noqa: E402
+# (shared home: relational.pin_schema — the graph iteration paths need the
+# same normalizer, so the single implementation lives beside the joins)
 
 
 def ann_lsh(

@@ -3778,6 +3778,71 @@ FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
 """
 
 
+def q_hits(sf_dir: str):
+    """HITS hub/authority scores (Kleinberg power iteration, L1
+    normalization — see ``functions/graph.py:hits_distributed``) over the
+    supplier→part edge graph: suppliers are hubs, parts authorities.
+    Fixed 2 rounds so the oracle unrolls the identical four half-steps in
+    plain SQL; scores compare at 1e-6 resolution (same FP-noise argument
+    as q_pagerank — cross-engine sum-order noise ≪ 0.5e-6)."""
+    from goose_parser_ray.functions.graph import hits_distributed
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    scores = hits_distributed(
+        ds, src="l_suppkey", dst="l_partkey", max_iters=2
+    )
+    return (
+        scores.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "node": t["node"],
+                    "auth_e6": _cents(t["auth"], 1_000_000),
+                    "hub_e6": _cents(t["hub"], 1_000_000),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["auth_e6", "node"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_HITS = """
+WITH edges AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS v
+  FROM lineitem
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS s FROM nodes),
+a1p AS (SELECT e.v AS node, SUM(h.s) AS c
+        FROM edges e JOIN h0 h ON e.u = h.node GROUP BY e.v),
+a1 AS (SELECT nodes.node,
+              COALESCE(a1p.c, 0) / (SELECT SUM(c) FROM a1p) AS s
+       FROM nodes LEFT JOIN a1p ON nodes.node = a1p.node),
+h1p AS (SELECT e.u AS node, SUM(a.s) AS c
+        FROM edges e JOIN a1 a ON e.v = a.node GROUP BY e.u),
+h1 AS (SELECT nodes.node,
+              COALESCE(h1p.c, 0) / (SELECT SUM(c) FROM h1p) AS s
+       FROM nodes LEFT JOIN h1p ON nodes.node = h1p.node),
+a2p AS (SELECT e.v AS node, SUM(h.s) AS c
+        FROM edges e JOIN h1 h ON e.u = h.node GROUP BY e.v),
+a2 AS (SELECT nodes.node,
+              COALESCE(a2p.c, 0) / (SELECT SUM(c) FROM a2p) AS s
+       FROM nodes LEFT JOIN a2p ON nodes.node = a2p.node),
+h2p AS (SELECT e.u AS node, SUM(a.s) AS c
+        FROM edges e JOIN a2 a ON e.v = a.node GROUP BY e.u),
+h2 AS (SELECT nodes.node,
+              COALESCE(h2p.c, 0) / (SELECT SUM(c) FROM h2p) AS s
+       FROM nodes LEFT JOIN h2p ON nodes.node = h2p.node)
+SELECT a2.node,
+       CAST(ROUND(a2.s * 1000000) AS BIGINT) AS auth_e6,
+       CAST(ROUND(h2.s * 1000000) AS BIGINT) AS hub_e6
+FROM a2 JOIN h2 ON a2.node = h2.node
+ORDER BY auth_e6 DESC, a2.node LIMIT 20
+"""
+
+
 def _copurchase_edges(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     """Canonical (u < v, distinct) part co-purchase edges: parts linked iff
     they appear in the same order. Deterministic 1/(mask+1) order slice —
@@ -10591,6 +10656,7 @@ QUERIES = {
     "window_distinct_users": q_window_distinct_users,
     "phrase_search": q_phrase_search,
     "media_pdf": q_media_pdf,
+    "hits": q_hits,
     "ks_test": q_ks_test,
     "autocorr": q_autocorr,
     "orc_roundtrip": q_orc_roundtrip,
@@ -10864,6 +10930,7 @@ ORACLE_SQL = {
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "media_pdf": SQL_MEDIA_PDF,
+    "hits": SQL_HITS,
     "ks_test": SQL_KS_TEST,
     "autocorr": SQL_AUTOCORR,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,

@@ -144,3 +144,37 @@ def test_url_canonical_merges_equivalent_urls(ray_session, tmp_path):
     assert len(out) == 1
     assert out["n_docs"].iloc[0] == 2
     assert out["first_doc"].iloc[0] == 0
+
+
+def test_hits_star_graph_scores(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.graph import hits_distributed
+
+    # star 0 -> {1,2,3}: node 0 is the only hub, 1..3 equal authorities
+    edges = ray.data.from_items(
+        [{"src": 0, "dst": 1}, {"src": 0, "dst": 2}, {"src": 0, "dst": 3}]
+    )
+    out = (
+        hits_distributed(edges, max_iters=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["hub"].tolist() == [1.0, 0.0, 0.0, 0.0]
+    assert np.allclose(out["auth"].tolist(), [0.0, 1 / 3, 1 / 3, 1 / 3])
+
+
+def test_pagerank_single_edge_graph(ray_session):
+    """Regression: aggregate-derived join inputs on tiny graphs used to
+    carry Ray's zero-column empty blocks into the hash join (ArrowInvalid
+    'No match or multiple matches for key field reference')."""
+    import ray.data
+
+    from goose_parser_ray.functions.graph import pagerank_distributed
+
+    edges = ray.data.from_items([{"src": 1, "dst": 2}])
+    out = pagerank_distributed(edges, max_iters=2, tol=0.0).to_pandas()
+    assert sorted(out["node"].tolist()) == [1, 2]
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
