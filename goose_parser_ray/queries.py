@@ -10590,6 +10590,102 @@ FROM c GROUP BY url
 """
 
 
+def q_sentence_stats(sf_dir: str):
+    """Sentence segmentation statistics per language, ORACLE-CHECKED. The
+    corpus is synthetic word soup with no punctuation, so both sides first
+    punctuate deterministically (REPLACE ' table ' → '. ' — sequential
+    non-overlapping left-to-right in Arrow and DuckDB alike), then split
+    on '[.!?]+' (RE2 in both engines), trim SPACES only (DuckDB TRIM
+    strips ' ', so the engine uses utf8_trim(' ') rather than the
+    all-whitespace kernel), drop empties, and aggregate (lang →
+    n_sentences, sum_chars). Fully vectorized: list_flatten +
+    list_parent_indices fan-out, map-side combine, tiny lang-domain
+    shuffle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        punct = pc.replace_substring(
+            t["text"], pattern=" table ", replacement=". "
+        )
+        parts = pc.split_pattern_regex(punct, pattern="[.!?]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        idx = pc.list_parent_indices(parts)
+        flat = pc.utf8_trim(pc.list_flatten(parts), characters=" ")
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        lang = pc.take(t["lang"], idx).filter(keep)
+        g = pd.DataFrame(
+            {
+                "lang": lang.to_pandas(),
+                "len": pc.utf8_length(flat).to_numpy(zero_copy_only=False),
+            }
+        ).groupby("lang", sort=False)["len"].agg(["size", "sum"])
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(g.index, pa.string()),
+                "n_sentences": pa.array(g["size"].to_numpy(np.int64)),
+                "sum_chars": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    return pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang"],
+        sums={"n_sentences": "n_sentences", "sum_chars": "sum_chars"},
+    )
+
+
+SQL_SENTENCE_STATS = """
+WITH p AS (
+  SELECT lang, REPLACE(text, ' table ', '. ') AS text FROM documents
+),
+s AS (
+  SELECT lang, TRIM(x) AS sent
+  FROM (
+    SELECT lang, UNNEST(regexp_split_to_array(text, '[.!?]+')) AS x FROM p
+  )
+  WHERE TRIM(x) <> ''
+)
+SELECT lang,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(LENGTH(sent)) AS BIGINT) AS sum_chars
+FROM s GROUP BY lang
+"""
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Blocklist screening (the C4/RefinedWeb banned-term gate): count
+    occurrences of any blocklist term per document with ONE compiled RE2
+    alternation pass (scales to thousands of terms at constant scan
+    count, vs one pass per term), keep offending docs. Leftmost
+    non-overlapping match semantics are identical in Arrow's RE2 and
+    DuckDB's regexp_extract_all, so the oracle hash-compares the full
+    (doc_id, n_matches) membership."""
+    pattern = "(?:spark|vector|stream)"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=pattern)
+        out = pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "n_matches": pc.cast(n, pa.int64())}
+        )
+        return out.filter(pc.greater(out["n_matches"], 0))
+
+    return ds.map_batches(screen, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_FILTER = """
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '(?:spark|vector|stream)'))
+            AS BIGINT) AS n_matches
+FROM documents
+WHERE LEN(regexp_extract_all(text, '(?:spark|vector|stream)')) > 0
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10657,6 +10753,8 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "media_pdf": q_media_pdf,
     "hits": q_hits,
+    "sentence_stats": q_sentence_stats,
+    "blocklist_filter": q_blocklist_filter,
     "ks_test": q_ks_test,
     "autocorr": q_autocorr,
     "orc_roundtrip": q_orc_roundtrip,
@@ -10931,6 +11029,8 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "media_pdf": SQL_MEDIA_PDF,
     "hits": SQL_HITS,
+    "sentence_stats": SQL_SENTENCE_STATS,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "ks_test": SQL_KS_TEST,
     "autocorr": SQL_AUTOCORR,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,

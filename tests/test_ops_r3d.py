@@ -178,3 +178,63 @@ def test_pagerank_single_edge_graph(ray_session):
     out = pagerank_distributed(edges, max_iters=2, tol=0.0).to_pandas()
     assert sorted(out["node"].tolist()) == [1, 2]
     assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def _write_docs(tmp_path, texts, langs=None):
+    n = len(texts)
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": list(texts),
+            "lang": list(langs) if langs else ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.array([len(x) for x in texts], np.int64),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+def test_sentence_stats_counts_and_lengths(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_sentence_stats
+
+    # ' table ' -> '. ' gives "a b. c d. e": 3 sentences of 3/3/1 chars;
+    # trailing '!!' and empty segments are dropped
+    _write_docs(
+        tmp_path,
+        ["a b table c d table e", "only one sentence!!", "x table "],
+        langs=["en", "en", "fr"],
+    )
+    out = (
+        q_sentence_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert out.loc["en", "n_sentences"] == 4  # 3 from doc0 + 1 from doc1
+    assert out.loc["en", "sum_chars"] == 3 + 3 + 1 + len("only one sentence")
+    # doc2: "x table " DOES contain ' table ' (trailing space) -> "x. "
+    # -> one 1-char sentence; the empty tail segment is dropped
+    assert out.loc["fr", "n_sentences"] == 1
+    assert out.loc["fr", "sum_chars"] == 1
+
+
+def test_blocklist_filter_counts_and_membership(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_blocklist_filter
+
+    _write_docs(
+        tmp_path,
+        [
+            "spark and vector and spark",  # 3 matches
+            "clean document here",         # dropped
+            "streamstream",                # 2 non-overlapping matches
+        ],
+    )
+    out = (
+        q_blocklist_filter(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [0, 2]
+    assert out.loc[0, "n_matches"] == 3
+    assert out.loc[2, "n_matches"] == 2
