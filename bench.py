@@ -48,6 +48,10 @@ TIMED_QUERIES = [
     "line_dedup",
     "media_wav",
     "waiting_suppliers",
+    # additive round-3 session-4 keys
+    "hits",
+    "ks_test",
+    "url_canonical",
 ]
 
 
