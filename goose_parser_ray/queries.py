@@ -10686,6 +10686,250 @@ WHERE LEN(regexp_extract_all(text, '(?:spark|vector|stream)')) > 0
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """Text interchange: export events to CSV shards through Ray Data's
+    native streaming sink and read them back with the parallel
+    ``read_csv`` path. Floats don't survive a text roundtrip bit-exact,
+    so ``value`` is folded to integer cents BEFORE export — the
+    int/string schema is lossless through CSV and the oracle hash proves
+    row-for-row identity with the source parquet."""
+    import hashlib
+    import shutil
+
+    out = "/tmp/csv_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "v_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ds.write_csv(out)
+    return ray.data.read_csv(out)
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_id, event_type,
+       CAST(ROUND(100 * value) AS BIGINT) AS v_cents
+FROM events
+"""
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Row-oriented interchange: export events to JSONL shards
+    (``write_json`` emits one JSON object per line) and read them back
+    through the parallel ``read_json`` path. Same cents-before-export
+    discipline as the CSV twin keeps the roundtrip lossless."""
+    import hashlib
+    import shutil
+
+    out = "/tmp/jsonl_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "v_cents": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ds.write_json(out)
+    return ray.data.read_json(out)
+
+
+SQL_JSONL_ROUNDTRIP = SQL_CSV_ROUNDTRIP
+
+
+def q_k_anonymize(sf_dir: str):
+    """k-anonymity suppression (privacy gate before corpus release):
+    drop every document whose quasi-identifier combination
+    (lang, source) is shared by fewer than K=4 documents. Shape is
+    broadcast-filter, not shuffle: per-batch partial counts feed a tiny
+    (lang, source) groupby, the surviving key set is ``ray.put`` once,
+    and each batch filters map-side with a vectorized ``is_in`` — the
+    corpus itself never moves. Oracle is the window-count QUALIFY twin."""
+    import pandas as pd
+
+    K = 4
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        vc = pa.chunked_array([key]).combine_chunks().value_counts()
+        return pa.Table.from_pydict(
+            {
+                "key": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .take_all()
+    )  # one row per distinct (lang, source) — tiny at any corpus size
+    kept = pa.array(
+        sorted(r["key"] for r in counts if r["sum(n)"] >= K), pa.string()
+    )
+    kept_ref = ray.put(kept)
+
+    def suppress(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        mask = pc.is_in(key, value_set=ray.get(kept_ref))
+        return t.filter(mask)
+
+    return ds.map_batches(suppress, batch_format="pyarrow")
+
+
+SQL_K_ANONYMIZE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+) WHERE n >= 4
+"""
+
+
+def _benford_e6() -> dict[int, int]:
+    """log10(1 + 1/d) in e6 fixed point — the Benford first-digit law.
+    Computed once here and formatted as literals into the SQL twin so
+    engine and oracle share identical constants by construction."""
+    import math
+
+    return {d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit screen (fraud/synthetic-data detector for a
+    numeric column): first digit of the order total in integer cents,
+    observed count per digit alongside the Benford-law expectation in
+    e6 fixed point (``n_total * round(log10(1+1/d)*1e6)`` — integer on
+    both sides, no float drift). Digit extraction is one vectorized
+    cast→slice pass; the count is a 9-group aggregate of map-side
+    partials."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    n_total = ds.count()  # metadata-only row count
+    consts = _benford_e6()
+
+    def digits(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        d = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1), pa.int64()
+        )
+        vc = pa.chunked_array([d]).combine_chunks().value_counts()
+        return pa.Table.from_pydict(
+            {
+                "digit": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        exp = pa.array(
+            [n_total * consts[d] for d in t["digit"].to_pylist()], pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {"digit": t["digit"], "n_obs": t["sum(n)"], "exp_e6": exp}
+        )
+
+    return (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("n")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+SQL_BENFORD = f"""
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(100 * o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders
+), t AS (SELECT COUNT(*) AS n FROM d)
+SELECT digit, COUNT(*) AS n_obs,
+       CAST((SELECT n FROM t) * CASE digit
+            {' '.join(f'WHEN {d} THEN {c}' for d, c in _benford_e6().items())}
+            END AS BIGINT) AS exp_e6
+FROM d GROUP BY digit
+"""
+
+
+def q_ewma_value(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event value —
+    an inherently sequential per-key fold made distributed + vectorized:
+    users are hash-bucketed (data-proportional bucket count, one shuffle
+    group each), and inside a bucket the recurrence
+    ``s_t = (9*s_{{t-1}} + x_t + 5) // 10`` runs step-synchronously
+    across ALL users at once (one numpy pass per time-step rank, not per
+    row) — loop length = max events/user, not bucket rows. The integer
+    recurrence is exactly reproducible, so the DuckDB twin folds the
+    same lists with ``list_reduce`` and the hash must match row-for-row."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], t["ts"], _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "v_c"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": [], "ts": [], "ewma_c": []})
+        # event_id tiebreak ⇒ a total order, deterministic on both sides
+        g = g.sort_values(
+            ["user_id", "ts", "v_c", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        x = g["v_c"].to_numpy(np.int64)
+        pos = g.groupby("user_id").cumcount().to_numpy()
+        s = x.copy()  # rank-0 rows: EWMA seeds at the first observation
+        for k in range(1, int(pos.max()) + 1):
+            idx = np.nonzero(pos == k)[0]
+            # row idx-1 is the same user at rank k-1 (sorted by user,rank)
+            s[idx] = (9 * s[idx - 1] + x[idx] + 5) // 10
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "ts": g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "ewma_c": s,
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__db").map_groups(fold, batch_format="pandas")
+
+
+SQL_EWMA_VALUE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(100 * value) AS BIGINT) AS v_c
+  FROM events
+), h AS (
+  SELECT user_id, ts,
+         list(v_c) OVER (PARTITION BY user_id ORDER BY ts, v_c, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hist
+  FROM d
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(list_reduce(hist, (s, x) -> (9*s + x + 5) // 10) AS BIGINT)
+         AS ewma_c
+FROM h
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -10759,6 +11003,11 @@ QUERIES = {
     "autocorr": q_autocorr,
     "orc_roundtrip": q_orc_roundtrip,
     "url_canonical": q_url_canonical,
+    "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "k_anonymize": q_k_anonymize,
+    "benford": q_benford,
+    "ewma_value": q_ewma_value,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -11035,6 +11284,11 @@ ORACLE_SQL = {
     "autocorr": SQL_AUTOCORR,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "url_canonical": SQL_URL_CANONICAL,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "k_anonymize": SQL_K_ANONYMIZE,
+    "benford": SQL_BENFORD,
+    "ewma_value": SQL_EWMA_VALUE,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
