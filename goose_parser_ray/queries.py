@@ -10930,6 +10930,372 @@ FROM h
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy in e6 fixed point —
+    the classic gibberish / binary-junk detector for web-corpus quality
+    gating. Pure map, zero shuffle: each batch decodes its Arrow string
+    buffer ONCE into a flat codepoint array (no per-row Python), builds
+    (doc, codepoint) counts with a single ``np.unique`` over a packed
+    key, and folds -p·ln p per doc with ``np.bincount``. Float
+    discipline: each (doc, char) term is e6-rounded THEN integer-summed,
+    so the result is independent of summation order on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        a = t["text"].combine_chunks()
+        lens = pc.utf8_length(a).to_numpy(zero_copy_only=False).astype(np.int64)
+        # one C decode pass: UTF-8 buffer -> str -> UTF-32 codepoint array
+        off = np.frombuffer(a.buffers()[1], np.int32)
+        data = np.frombuffer(a.buffers()[2], np.uint8)[off[0] : off[-1]]
+        cp = np.frombuffer(
+            bytes(data).decode("utf-8").encode("utf-32-le"), np.uint32
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        key, counts = np.unique(doc_of * 0x110000 + cp, return_counts=True)
+        d = key // 0x110000
+        p = counts / lens[d].astype(np.float64)
+        term_e6 = np.floor(-(p) * np.log(p) * 1_000_000.0 + 0.5)
+        ent_e6 = np.bincount(d, weights=term_e6, minlength=len(lens))
+        mask = lens > 0  # SQL's GROUP BY emits no row for empty text
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[mask],
+                "ent_e6": ent_e6.astype(np.int64)[mask],
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, substring(text, gs.i, 1) AS ch
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) gs
+), k AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY doc_id, ch
+), t AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot FROM k GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(SUM(CAST(ROUND(
+         -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+         * LN(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0
+       ) AS BIGINT)) AS BIGINT) AS ent_e6
+FROM k JOIN t USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test between the click and view value
+    distributions — the non-parametric A/B twin of ``ks_test``, exact in
+    integers: tie-averaged ranks are carried DOUBLED (2·avgrank =
+    2·cum_before + c + 1, always integral), so rank sums and
+    U = R − n(n+1)/2 never touch a float. Scale shape: the exchange is
+    bounded by the cents-quantized value DOMAIN (map-side value_counts →
+    tiny grouped table); the corpus crosses the wire as one row per
+    distinct (type, value)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        pos = (
+            pc.equal(t["event_type"], "click")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g = pd.DataFrame({"v": v, "p": pos}).groupby("v", sort=False).agg(
+            c1=("p", "sum"), c=("p", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "v": g.index.to_numpy(np.int64),
+                "c1": g["c1"].to_numpy(np.int64),
+                "c2": (g["c"] - g["c1"]).to_numpy(np.int64),
+            }
+        )
+
+    grouped = (
+        pre_aggregated_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["v"],
+            sums={"c1": "c1", "c2": "c2"},
+        )
+        .sort("v")
+        .to_pandas()
+    )  # one row per distinct cents value — domain-bounded small
+    c1 = grouped["c1"].to_numpy(np.int64)
+    c2 = grouped["c2"].to_numpy(np.int64)
+    c = c1 + c2
+    cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+    r2 = 2 * cum_before + c + 1  # doubled tie-averaged rank per value
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    r2_1, r2_2 = int((c1 * r2).sum()), int((c2 * r2).sum())
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "n_obs": pa.array([n1, n2], pa.int64()),
+            "rank2_sum": pa.array([r2_1, r2_2], pa.int64()),
+            "u2x": pa.array(
+                [r2_1 - n1 * (n1 + 1), r2_2 - n2 * (n2 + 1)], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(100 * value) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+), c AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY v
+), r AS (
+  SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM c
+), g AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY event_type, v
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_obs,
+       CAST(SUM(n * r2) AS BIGINT) AS rank2_sum,
+       CAST(SUM(n * r2) - SUM(n) * (SUM(n) + 1) AS BIGINT) AS u2x
+FROM g JOIN r USING (v)
+GROUP BY event_type
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click no more than 7 days earlier — the marketing-
+    analytics window join. Map-side prune keeps only click/purchase rows
+    before the exchange; users are hash-bucketed (data-proportional
+    count) and the per-user fold is cython-vectorized (groupby cummax +
+    shift), never a Python loop. Ties in ts break on event_id, giving a
+    total order shared with the SQL window frame."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def prune_bucket(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        return _dedup.add_hash_bucket(t.filter(keep), "user_id", nb, "__ab")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": [], "user_id": [], "ts": [], "click_ts": []}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts_us = g["ts"].astype("int64")
+        click_ts = ts_us.where(g["event_type"] == "click")
+        # cummax leaves NaN AT non-click rows (it only skips them for the
+        # accumulation) — ffill carries the running max onto every row
+        last = (
+            click_ts.groupby(g["user_id"]).cummax().groupby(g["user_id"]).ffill()
+        )
+        prev = last.groupby(g["user_id"]).shift(1)  # strictly-preceding frame
+        is_p = (g["event_type"] == "purchase") & prev.notna()
+        window = prev >= ts_us - 7 * 86_400 * 1_000_000
+        out = g[is_p & window]
+        if len(out) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(np.int64),
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "click_ts": pd.to_datetime(
+                    prev[is_p & window].astype("int64"), unit="us"
+                ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    ds = ds.map_batches(prune_bucket, batch_format="pyarrow")
+    return ds.groupby("__ab").map_groups(fold, batch_format="pandas")
+
+
+SQL_ATTRIBUTION = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), a AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS click_ts
+  FROM e
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM a
+WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+  AND click_ts >= ts - INTERVAL 7 DAY
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the DOM-extracted link graph:
+    page pairs sharing in-link targets, scored Σ 1/ln(indegree) in e6
+    fixed point. The edge set comes through the REAL extraction stack
+    (tokenizer → tree builder → ``a[href]`` selector), same as
+    ``link_graph``; the oracle states it in closed form. Pair generation
+    groups by target — group payload is the target's in-degree, bounded
+    by graph structure, and the per-pair weight is e6-rounded before the
+    exact integer (a,b) sum. At adversarial in-degree skew the dedup
+    family's star-cap (functions/dedup.py) is the documented fallback;
+    this exact variant matches the oracle pair-for-pair."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.linkgraph import extract_links
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = extract_links(ds, concurrency=_pool())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "w": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        out = []
+        for _, grp in g.groupby("dst", sort=False):
+            d = len(grp)
+            if d < 2:
+                continue
+            src = np.sort(grp["src"].to_numpy(np.int64))
+            w = int(np.floor(1_000_000.0 / np.log(float(d)) + 0.5))
+            ia, ib = np.triu_indices(d, k=1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "a": src[ia],
+                        "b": src[ib],
+                        "n": np.ones(len(ia), np.int64),
+                        "w": np.full(len(ia), w, np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pair_ds = edges.groupby("dst").map_groups(pairs, batch_format="pandas")
+    return pre_aggregated_sum(
+        pair_ds, keys=["a", "b"], sums={"n": "cn", "w": "aa_e6"}
+    )
+
+
+SQL_ADAMIC_ADAR = """
+WITH edges AS (
+  SELECT d.doc_id AS src, CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+), deg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY dst
+), p AS (
+  SELECT e1.src AS a, e2.src AS b,
+         CAST(ROUND(1000000.0 / LN(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w
+  FROM edges e1
+  JOIN edges e2 USING (dst)
+  JOIN deg USING (dst)
+  WHERE e1.src < e2.src
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn, CAST(SUM(w) AS BIGINT) AS aa_e6
+FROM p GROUP BY a, b
+"""
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average value — each observation is held
+    until the user's next event, so the exact aggregate is
+    Σ v·gap / Σ gap. Numerator and denominator are returned as separate
+    exact integers (cents × seconds) rather than a lossy quotient. Gap
+    seconds mirror DuckDB ``date_diff('second', …)`` boundary-crossing
+    semantics (epoch-floor difference, not duration floor). Same
+    bucketed cython-vectorized per-user fold as ``attribution``."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], t["ts"], _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "v_c"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__tb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "dur_s": pd.Series([], dtype=np.int64),
+                    "twap_num": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "ts", "v_c", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        sec = g["ts"].astype("int64") // 1_000_000  # epoch-second floor
+        nxt = sec.groupby(g["user_id"]).shift(-1)
+        gap = (nxt - sec).dropna().astype(np.int64)
+        kept = g.loc[gap.index]
+        agg = (
+            pd.DataFrame(
+                {
+                    "user_id": kept["user_id"].to_numpy(np.int64),
+                    "dur_s": gap.to_numpy(np.int64),
+                    "twap_num": kept["v_c"].to_numpy(np.int64)
+                    * gap.to_numpy(np.int64),
+                }
+            )
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
+        return agg
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__tb").map_groups(fold, batch_format="pandas")
+
+
+SQL_TWAP = """
+WITH d AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(100 * value) AS BIGINT) AS v_c
+  FROM events
+), l AS (
+  SELECT user_id, v_c,
+         CAST(date_diff('second', ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, v_c, event_id))
+           AS BIGINT) AS gap_s
+  FROM d
+)
+SELECT user_id,
+       CAST(SUM(gap_s) AS BIGINT) AS dur_s,
+       CAST(SUM(v_c * gap_s) AS BIGINT) AS twap_num
+FROM l WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -11008,6 +11374,11 @@ QUERIES = {
     "k_anonymize": q_k_anonymize,
     "benford": q_benford,
     "ewma_value": q_ewma_value,
+    "char_entropy": q_char_entropy,
+    "mann_whitney": q_mann_whitney,
+    "attribution": q_attribution,
+    "adamic_adar": q_adamic_adar,
+    "twap": q_twap,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -11289,6 +11660,11 @@ ORACLE_SQL = {
     "k_anonymize": SQL_K_ANONYMIZE,
     "benford": SQL_BENFORD,
     "ewma_value": SQL_EWMA_VALUE,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "attribution": SQL_ATTRIBUTION,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "twap": SQL_TWAP,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
