@@ -199,6 +199,71 @@ def pagerank_distributed(
     return ranks
 
 
+def _hits_broadcast(
+    e: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_nodes: int,
+    max_iters: int,
+) -> ray.data.Dataset:
+    """Broadcast tier of :func:`hits_distributed` for node sets that fit
+    in a worker heap: the score vector rides the object store (one
+    ``ray.put`` per half-round, zero-copy ``ray.get`` per task), the
+    weighted edge list streams through ONE ``map_batches`` +
+    node-bounded aggregate per half-round — no hash joins at all. The
+    edge list stays distributed; only node-bounded vectors reach the
+    driver (≤ ``broadcast_nodes_threshold`` rows, the same collect bound
+    the verify/components tiers use)."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    node_arr = np.sort(
+        nodes.to_pandas()["node"].to_numpy(np.int64, copy=True)
+    )
+    nodes_ref = ray.put(node_arr)
+
+    def push(scores_vec: np.ndarray, join_col: str, emit_col: str) -> np.ndarray:
+        s_ref = ray.put(scores_vec)
+
+        def msgs(t: pa.Table) -> pa.Table:
+            na = ray.get(nodes_ref)
+            s = ray.get(s_ref)
+            idx = np.searchsorted(
+                na, t[join_col].to_numpy(zero_copy_only=False)
+            )
+            c = s[idx] * t["w"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            return pa.Table.from_pydict({"node": t[emit_col], "c": pa.array(c)})
+
+        raw = pre_aggregated_sum(
+            e.map_batches(msgs, batch_format="pyarrow"),
+            keys=["node"],
+            sums={"c": "c"},
+        ).to_pandas()  # node-bounded
+        vals = np.zeros(n_nodes, dtype=np.float64)
+        if len(raw) == 0:
+            return vals  # no mass moved: this side is all 0, unnormalized
+        pos = np.searchsorted(node_arr, raw["node"].to_numpy(np.int64))
+        vals[pos] = raw["c"].to_numpy(np.float64)
+        tot = float(raw["c"].to_numpy(np.float64).sum()) or 1.0
+        # true division, matching the SQL twin's COALESCE(c,0)/SUM(c)
+        return vals / tot
+
+    hub = np.full(n_nodes, 1.0 / n_nodes, dtype=np.float64)
+    auth = np.zeros(n_nodes, dtype=np.float64)
+    for _ in range(max_iters):
+        auth = push(hub, "u", "v")
+        hub = push(auth, "v", "u")
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(node_arr, pa.int64()),
+                "auth": pa.array(auth, pa.float64()),
+                "hub": pa.array(hub, pa.float64()),
+            }
+        )
+    )
+
+
 def hits_distributed(
     edges: ray.data.Dataset,
     *,
@@ -206,6 +271,7 @@ def hits_distributed(
     dst: str = "dst",
     max_iters: int = 2,
     num_partitions: int | None = None,
+    broadcast_nodes_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """HITS hub/authority scores over a directed edge list (Kleinberg's
     power iteration with L1 normalization — the sum-normalized variant
@@ -219,7 +285,19 @@ def hits_distributed(
     direction), score tables stay node-bounded, and the normalizer is one
     tiny scalar aggregate — nothing corpus-sized ever reaches the driver.
     Fixed ``max_iters`` (no tolerance path) so bounded-round SQL twins can
-    unroll the identical computation."""
+    unroll the identical computation.
+
+    Perf tiers (same pattern as the dedup family's broadcast/join gates):
+    parallel edges are first collapsed to weighted (u, v, w) — messages
+    push w·s, identical mass, a fraction of the join/map input on
+    multi-edge graphs — and while the node set fits under
+    ``broadcast_nodes_threshold`` the per-half-round hash joins are
+    replaced by a broadcast score vector (``ray.put`` once per
+    half-round, ``np.searchsorted`` lookup inside ``map_batches``); past
+    the threshold the node-keyed hash-join path below runs unchanged.
+    w·s vs repeated addition and driver vs distributed sum order differ
+    only in last-ulp float noise — covered by the same ≪ 0.5e-6 rounding
+    argument the SQL twins already rely on (see q_hits)."""
     from ray.data.aggregate import Sum
 
     from goose_parser_ray.functions.dedup import _default_join_partitions
@@ -228,12 +306,17 @@ def hits_distributed(
         pre_aggregated_sum,
     )
 
-    e = edges.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
-            names=["u", "v"],
+    e = pre_aggregated_sum(
+        edges.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
+                names=["u", "v"],
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        keys=["u", "v"],
+        sums={},
+        count_alias="w",
     ).materialize()
     if num_partitions is None:
         num_partitions = max(
@@ -264,6 +347,9 @@ def hits_distributed(
                 }
             )
         )
+    if n_nodes <= broadcast_nodes_threshold:
+        return _hits_broadcast(e, nodes, n_nodes, max_iters)
+
     # every aggregate-derived join input is compacted: Ray's hash join
     # breaks on the empty blocks aggregates emit for empty partitions
     nodes = compact_for_join(nodes, num_partitions, n_nodes).materialize()
@@ -283,7 +369,12 @@ def hits_distributed(
             on=(join_col,), right_on=("node",),
         ).map_batches(
             lambda t: pa.Table.from_pydict(
-                {"node": t[emit_col], "c": t[score_col]}
+                {
+                    "node": t[emit_col],
+                    "c": pc.multiply(
+                        t[score_col], pc.cast(t["w"], pa.float64())
+                    ),
+                }
             ),
             batch_format="pyarrow",
         )

@@ -11296,6 +11296,260 @@ GROUP BY user_id
 """
 
 
+def q_survival(sf_dir: str):
+    """Kaplan-Meier risk table over user lifetimes (churn analysis):
+    lifetime = day-span between a user's first and last event; a user
+    still active in the final 14 days is right-CENSORED. The output is
+    the exact-integer KM table — deaths dᵢ and at-risk nᵢ per event
+    time — from which the estimator is a trivial product; emitting the
+    table instead of the product keeps the oracle float-free. Mergeable
+    per-user endpoint aggregate (≤2 candidate rows per user per batch
+    cross the exchange is not even needed — min/max combine natively);
+    the day-domain risk table is tiny at any corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    spans = (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("us", alias_name="f"), Max("us", alias_name="l"))
+    ).materialize()  # one row per user; consumed twice (max + table)
+    mx = int(spans.max("l"))
+    cutoff = mx - 14 * 86_400 * 1_000_000
+
+    def lifetimes(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        l = t["l"].to_numpy(zero_copy_only=False)
+        day = 86_400 * 1_000_000
+        lt = l // day - f // day  # date_diff('day') boundary crossings
+        death = (l <= cutoff).astype(np.int64)
+        g = pd.DataFrame({"lt": lt, "d": death}).groupby("lt", sort=False).agg(
+            d=("d", "sum"), c=("d", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "lt": g.index.to_numpy(np.int64),
+                "d": g["d"].to_numpy(np.int64),
+                "c": g["c"].to_numpy(np.int64),
+            }
+        )
+
+    grouped = (
+        pre_aggregated_sum(
+            spans.map_batches(lifetimes, batch_format="pyarrow"),
+            keys=["lt"],
+            sums={"d": "d", "c": "c"},
+        )
+        .sort("lt")
+        .to_pandas()
+    )  # day-domain bounded small
+    c = grouped["c"].to_numpy(np.int64)
+    n_risk = np.cumsum(c[::-1])[::-1]  # users with lifetime >= lt
+    out = pa.Table.from_pydict(
+        {
+            "lt": grouped["lt"].to_numpy(np.int64),
+            "d": grouped["d"].to_numpy(np.int64),
+            "n_risk": n_risk,
+        }
+    )
+    return out.filter(pc.greater(out["d"], 0))
+
+
+SQL_SURVIVAL = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY user_id
+), m AS (SELECT MAX(l) AS mx FROM u),
+s AS (
+  SELECT date_diff('day', f, l) AS lt,
+         CASE WHEN l <= (SELECT mx FROM m) - INTERVAL 14 DAY
+              THEN 1 ELSE 0 END AS death
+  FROM u
+), g AS (
+  SELECT lt, CAST(SUM(death) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY lt
+)
+SELECT CAST(lt AS BIGINT) AS lt, d,
+       CAST(SUM(c) OVER (ORDER BY lt DESC) AS BIGINT) AS n_risk
+FROM g
+QUALIFY d > 0
+"""
+
+
+def q_gini(sf_dir: str):
+    """Gini concentration coefficient of event value per event type
+    (inequality screen for spend/engagement distributions), EXACT in
+    integers: with values cents-quantized and tie groups occupying
+    consecutive ranks, 2·Σ rank·xᵢ = Σ c·v·(2·cum_before + c + 1), so
+    G = gini_num / gini_den is reported as an exact integer fraction.
+    Exchange bounded by the value DOMAIN (map-side value_counts, one row
+    per distinct (type, cents))."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {"et": t["event_type"].to_pandas(), "v": v}
+            )
+            .groupby(["et", "v"], sort=False)
+            .size()
+        )
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_pydict(
+            {
+                "event_type": idx["et"].to_numpy(),
+                "v": idx["v"].to_numpy(np.int64),
+                "c": g.to_numpy(np.int64),
+            }
+        )
+
+    grouped = (
+        pre_aggregated_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["event_type", "v"],
+            sums={"c": "c"},
+        )
+        .sort(["event_type", "v"])
+        .to_pandas()
+    )  # one row per distinct (type, cents) — domain-bounded small
+    out = []
+    for et, g in grouped.groupby("event_type", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        cb = np.concatenate(([0], np.cumsum(c)[:-1]))
+        n = int(c.sum())
+        sx = int((c * v).sum())
+        s2 = int((c * v * (2 * cb + c + 1)).sum())
+        out.append((et, n, s2 - (n + 1) * sx, n * sx))
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array([o[0] for o in out], pa.string()),
+            "n": pa.array([o[1] for o in out], pa.int64()),
+            "gini_num": pa.array([o[2] for o in out], pa.int64()),
+            "gini_den": pa.array([o[3] for o in out], pa.int64()),
+        }
+    )
+
+
+SQL_GINI = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(100 * value) AS BIGINT) AS v FROM events
+), c AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d GROUP BY event_type, v
+), r AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) - c AS cb
+  FROM c
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * v * (2 * cb + c + 1)) - (SUM(c) + 1) * SUM(c * v)
+            AS BIGINT) AS gini_num,
+       CAST(SUM(c) * SUM(c * v) AS BIGINT) AS gini_den
+FROM r GROUP BY event_type
+"""
+
+
+def q_wilson_ctr(sf_dir: str):
+    """Daily click-through rate with a Wilson-style lower confidence
+    bound (z = 2): the ranking-safe CTR that small-sample days can't
+    game. One day-domain aggregate (map-side combine), then the bound in
+    e6 fixed point with the one float subexpression written op-for-op
+    like the SQL (IEEE mirror discipline) so FLOOR(SQRT(...)) lands on
+    the same integer on both engines."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "view"]))
+        t = t.filter(keep)
+        day = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // (
+            86_400 * 1_000_000
+        )
+        k = (
+            pc.equal(t["event_type"], "click")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g = pd.DataFrame({"day": day, "k": k}).groupby("day", sort=False).agg(
+            k=("k", "sum"), n=("k", "size")
+        )
+        return pa.Table.from_pydict(
+            {
+                "day": g.index.to_numpy(np.int64),
+                "k": g["k"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    grouped = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["day"],
+        sums={"k": "k", "n": "n"},
+    )
+
+    def bound(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # mirror of the SQL expression, op for op
+        inner = np.floor(
+            np.sqrt((k * (n - k) / n + 1.0) * 1_000_000_000_000.0)
+        ).astype(np.int64)
+        ki = t["k"].to_numpy(zero_copy_only=False)
+        ni = t["n"].to_numpy(zero_copy_only=False)
+        lb = ((ki + 2) * 1_000_000 - 2 * inner) // (ni + 4)
+        day_s = pd.to_datetime(
+            t["day"].to_numpy(zero_copy_only=False) * 86_400, unit="s"
+        ).strftime("%Y-%m-%d")
+        return pa.Table.from_pydict(
+            {
+                "day": pa.array(day_s, pa.string()),
+                "k": t["k"],
+                "n": t["n"],
+                "wilson_lb_e6": pa.array(lb, pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(bound, batch_format="pyarrow")
+
+
+SQL_WILSON_CTR = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS k
+  FROM events WHERE event_type IN ('click', 'view')
+), g AS (
+  SELECT day, CAST(SUM(k) AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, k, n,
+       CAST(((k + 2) * 1000000
+             - 2 * CAST(FLOOR(SQRT(
+                 (CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                  / CAST(n AS DOUBLE) + 1.0) * 1000000000000.0
+               )) AS BIGINT))
+            // (n + 4) AS BIGINT) AS wilson_lb_e6
+FROM g
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -11379,6 +11633,9 @@ QUERIES = {
     "attribution": q_attribution,
     "adamic_adar": q_adamic_adar,
     "twap": q_twap,
+    "survival": q_survival,
+    "gini": q_gini,
+    "wilson_ctr": q_wilson_ctr,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -11665,6 +11922,9 @@ ORACLE_SQL = {
     "attribution": SQL_ATTRIBUTION,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "twap": SQL_TWAP,
+    "survival": SQL_SURVIVAL,
+    "gini": SQL_GINI,
+    "wilson_ctr": SQL_WILSON_CTR,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
