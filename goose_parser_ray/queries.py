@@ -11550,6 +11550,328 @@ FROM g
 """
 
 
+def q_funnel(sf_dir: str):
+    """Three-step conversion funnel with a 72-hour step window: per user,
+    the first ``signup``, then the first ``click`` within 72 h of it, then
+    the first ``purchase`` within 72 h of that click; the user's furthest
+    stage (1/2/3) is emitted. One user-bucketed fold (payload = the
+    user's own events) — the per-user step minima are three vectorized
+    masked ``transform('min')`` passes, no joins, no per-row Python.
+    Timestamps stay exact through the float64 transforms (µs since epoch
+    ≈ 1.8e15 ≪ 2^53)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+    win_us = 72 * 3600 * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["user_id"], pc.cast(t["ts"], pa.int64()), t["event_type"]],
+            names=["user_id", "us", "event_type"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__fb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "stage": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.reset_index(drop=True)
+        uid = g["user_id"]
+        us = g["us"]
+        et = g["event_type"]
+        t1 = us.where(et.eq("signup")).groupby(uid).transform("min")
+        t2 = (
+            us.where(et.eq("click") & (us >= t1) & (us <= t1 + win_us))
+            .groupby(uid)
+            .transform("min")
+        )
+        t3 = (
+            us.where(et.eq("purchase") & (us >= t2) & (us <= t2 + win_us))
+            .groupby(uid)
+            .transform("min")
+        )
+        per = (
+            pd.DataFrame({"user_id": uid, "t1": t1, "t2": t2, "t3": t3})
+            .groupby("user_id", as_index=False)
+            .min()
+        )
+        per = per[per["t1"].notna()]
+        stage = np.where(
+            per["t3"].notna(), 3, np.where(per["t2"].notna(), 2, 1)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": per["user_id"].to_numpy(np.int64),
+                "stage": stage.astype(np.int64),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__fb").map_groups(fold, batch_format="pandas")
+
+
+SQL_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= u1.t1
+    AND e.ts <= u1.t1 + INTERVAL 72 HOUR
+  GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= u2.t2
+    AND e.ts <= u2.t2 + INTERVAL 72 HOUR
+  GROUP BY e.user_id
+)
+SELECT u1.user_id,
+       CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                 WHEN u2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+         AS stage
+FROM u1
+LEFT JOIN u2 ON u1.user_id = u2.user_id
+LEFT JOIN u3 ON u1.user_id = u3.user_id
+"""
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix: cohort = a user's first active day,
+    offset = whole weeks since that day; cell = distinct users from the
+    cohort active in that week. One user-bucketed fold computes the
+    cohort day and the per-user distinct (cohort, week) pairs locally
+    (users are disjoint across buckets, so bucket-local distinct counts
+    sum exactly); the cross-bucket exchange carries only
+    (cohort_day, offset_week, count) — calendar-domain bounded at any
+    corpus size."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400 * 1_000_000)
+        t = pa.Table.from_arrays([t["user_id"], day], names=["user_id", "day"])
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__rb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype=np.int64),
+                    "offset_week": pd.Series([], dtype=np.int64),
+                    "users": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.reset_index(drop=True)
+        d0 = g.groupby("user_id")["day"].transform("min")
+        p = pd.DataFrame(
+            {
+                "cohort_day": d0.to_numpy(np.int64),
+                "offset_week": ((g["day"] - d0) // 7).to_numpy(np.int64),
+                "user_id": g["user_id"],
+            }
+        ).drop_duplicates()
+        agg = (
+            p.groupby(["cohort_day", "offset_week"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "users"})
+        )
+        agg["users"] = agg["users"].astype(np.int64)
+        return agg
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    partial = ds.groupby("__rb").map_groups(fold, batch_format="pandas")
+    return pre_aggregated_sum(
+        partial, keys=["cohort_day", "offset_week"], sums={"users": "users"}
+    )
+
+
+SQL_RETENTION = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id
+), p AS (
+  SELECT DISTINCT d.user_id, f.d0, (d.day - f.d0) // 7 AS ow
+  FROM d JOIN f USING (user_id)
+)
+SELECT CAST(d0 AS BIGINT) AS cohort_day, CAST(ow AS BIGINT) AS offset_week,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM p GROUP BY d0, ow
+"""
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event-type
+    sequence (consecutive pairs ordered by ts with event_id as the
+    deterministic tie-break — the same total order the SQL LEAD twin
+    uses). User-bucketed fold: one mergesort + grouped shift(-1) per
+    bucket, bucket-local pair counts, then a type-domain-bounded
+    (|types|² rows) cross-bucket sum."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__mb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "src_type": pd.Series([], dtype=object),
+                    "dst_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        nxt = g.groupby("user_id")["event_type"].shift(-1)
+        keep = nxt.notna()
+        agg = (
+            pd.DataFrame(
+                {"src_type": g["event_type"][keep], "dst_type": nxt[keep]}
+            )
+            .groupby(["src_type", "dst_type"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    partial = ds.groupby("__mb").map_groups(fold, batch_format="pandas")
+    return pre_aggregated_sum(
+        partial, keys=["src_type", "dst_type"], sums={"n": "n"}
+    )
+
+
+SQL_MARKOV = """
+WITH l AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS b
+  FROM events
+)
+SELECT a AS src_type, b AS dst_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM l WHERE b IS NOT NULL GROUP BY a, b
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier counts per event type via median absolute
+    deviation, EXACT in the cents domain: med = the rank-⌈n/2⌉ value,
+    mad = the same rank statistic of |v − med|, outlier ⇔
+    |v − med| > 3·mad (the 1.4826 normal-consistency constant is folded
+    into the multiplier choice, keeping everything integer). The
+    exchange carries one row per distinct (type, cents) — value-domain
+    bounded, the same counting shape as ``gini`` — and the rank scans
+    are driver-side numpy over that tiny table."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"et": t["event_type"].to_pandas(), "v": v})
+            .groupby(["et", "v"], sort=False)
+            .size()
+        )
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_pydict(
+            {
+                "event_type": idx["et"].to_numpy(),
+                "v": idx["v"].to_numpy(np.int64),
+                "c": g.to_numpy(np.int64),
+            }
+        )
+
+    grouped = (
+        pre_aggregated_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["event_type", "v"],
+            sums={"c": "c"},
+        )
+        .sort(["event_type", "v"])
+        .to_pandas()
+    )  # one row per distinct (type, cents) — domain-bounded small
+    out = []
+    for et, g in grouped.groupby("event_type", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        thresh = (n + 1) // 2
+        med = int(v[np.searchsorted(np.cumsum(c), thresh)])
+        av = np.abs(v - med)
+        order = np.argsort(av, kind="stable")
+        mad = int(av[order][np.searchsorted(np.cumsum(c[order]), thresh)])
+        n_out = int(c[av > 3 * mad].sum())
+        out.append((et, n, med, mad, n_out))
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array([o[0] for o in out], pa.string()),
+            "n": pa.array([o[1] for o in out], pa.int64()),
+            "med_c": pa.array([o[2] for o in out], pa.int64()),
+            "mad_c": pa.array([o[3] for o in out], pa.int64()),
+            "n_outliers": pa.array([o[4] for o in out], pa.int64()),
+        }
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(100 * value) AS BIGINT) AS v FROM events
+), c AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d GROUP BY event_type, v
+), t AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY event_type
+), r AS (
+  SELECT c.event_type, c.v, c.c,
+         SUM(c.c) OVER (PARTITION BY c.event_type ORDER BY c.v) AS cum
+  FROM c
+), med AS (
+  SELECT r.event_type, CAST(MIN(r.v) AS BIGINT) AS med
+  FROM r JOIN t USING (event_type)
+  WHERE r.cum >= (t.n + 1) // 2 GROUP BY r.event_type
+), a AS (
+  SELECT c.event_type, ABS(c.v - med.med) AS av, CAST(SUM(c.c) AS BIGINT) AS c
+  FROM c JOIN med USING (event_type) GROUP BY 1, 2
+), ar AS (
+  SELECT a.event_type, a.av, a.c,
+         SUM(a.c) OVER (PARTITION BY a.event_type ORDER BY a.av) AS cum
+  FROM a
+), mad AS (
+  SELECT ar.event_type, CAST(MIN(ar.av) AS BIGINT) AS mad
+  FROM ar JOIN t USING (event_type)
+  WHERE ar.cum >= (t.n + 1) // 2 GROUP BY ar.event_type
+)
+SELECT c.event_type, MAX(t.n) AS n, MAX(med.med) AS med_c,
+       MAX(mad.mad) AS mad_c,
+       CAST(COALESCE(SUM(CASE WHEN ABS(c.v - med.med) > 3 * mad.mad
+                              THEN c.c END), 0) AS BIGINT) AS n_outliers
+FROM c
+JOIN med USING (event_type) JOIN mad USING (event_type)
+JOIN t USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -11636,6 +11958,10 @@ QUERIES = {
     "survival": q_survival,
     "gini": q_gini,
     "wilson_ctr": q_wilson_ctr,
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "markov_transitions": q_markov_transitions,
+    "mad_outliers": q_mad_outliers,
     "running_totals": q_running_totals,
     "ntile_orders": q_ntile,
     "sample_weighted": q_sample_weighted,
@@ -11925,6 +12251,10 @@ ORACLE_SQL = {
     "survival": SQL_SURVIVAL,
     "gini": SQL_GINI,
     "wilson_ctr": SQL_WILSON_CTR,
+    "funnel": SQL_FUNNEL,
+    "retention": SQL_RETENTION,
+    "markov_transitions": SQL_MARKOV,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "running_totals": SQL_RUNNING_TOTALS,
     "ntile_orders": SQL_NTILE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
