@@ -11550,7 +11550,7 @@ FROM g
 """
 
 
-def q_funnel(sf_dir: str):
+def q_funnel_steps(sf_dir: str):
     """Three-step conversion funnel with a 72-hour step window: per user,
     the first ``signup``, then the first ``click`` within 72 h of it, then
     the first ``purchase`` within 72 h of that click; the user's furthest
@@ -11617,7 +11617,7 @@ def q_funnel(sf_dir: str):
     return ds.groupby("__fb").map_groups(fold, batch_format="pandas")
 
 
-SQL_FUNNEL = """
+SQL_FUNNEL_STEPS = """
 WITH u1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = 'signup' GROUP BY user_id
@@ -11899,7 +11899,7 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "mode_per_group": q_mode_per_group,
     "zscore_by_type": q_zscore_by_type,
-    "funnel": q_funnel,
+    "funnel_steps": q_funnel_steps,
     "tfidf_top_terms": q_tfidf_top_terms,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -12193,7 +12193,7 @@ ORACLE_SQL = {
     "cube_agg": SQL_CUBE_AGG,
     "mode_per_group": SQL_MODE_PER_GROUP,
     "zscore_by_type": SQL_ZSCORE_BY_TYPE,
-    "funnel": SQL_FUNNEL,
+    "funnel_steps": SQL_FUNNEL_STEPS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,

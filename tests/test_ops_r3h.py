@@ -31,7 +31,7 @@ def _write_events(tmp_path, *, ts, values=None, event_types=None, user_ids=None)
 
 
 def test_funnel_stages(ray_session, tmp_path):
-    from goose_parser_ray.queries import q_funnel
+    from goose_parser_ray.queries import q_funnel_steps
 
     # u1: signup -> click(+1h) -> purchase(+2h)           => stage 3
     # u2: signup -> click(+1h) -> purchase 80h after click => stage 2
@@ -56,12 +56,12 @@ def test_funnel_stages(ray_session, tmp_path):
             "click", "signup",
         ],
     )
-    out = q_funnel(str(tmp_path)).to_pandas().set_index("user_id")["stage"]
+    out = q_funnel_steps(str(tmp_path)).to_pandas().set_index("user_id")["stage"]
     assert out.to_dict() == {1: 3, 2: 2, 3: 1, 5: 1}
 
 
 def test_funnel_window_boundary_inclusive(ray_session, tmp_path):
-    from goose_parser_ray.queries import q_funnel
+    from goose_parser_ray.queries import q_funnel_steps
 
     # click exactly 72h after signup is IN (<=); purchase 72h+1us is OUT
     _write_events(
@@ -74,7 +74,7 @@ def test_funnel_window_boundary_inclusive(ray_session, tmp_path):
         user_ids=[1, 1, 1],
         event_types=["signup", "click", "purchase"],
     )
-    out = q_funnel(str(tmp_path)).to_pandas()
+    out = q_funnel_steps(str(tmp_path)).to_pandas()
     assert out["stage"].tolist() == [2]
 
 
