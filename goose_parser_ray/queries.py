@@ -9962,6 +9962,117 @@ FROM p
 """
 
 
+def q_media_png(sf_dir: str):
+    """REAL compressed-image pipeline, oracle-checked end to end:
+    deterministic RGB gradients are synthesized per doc, encoded through
+    the in-repo zlib PNG codec with a per-row CYCLING scanline filter
+    (None/Sub/Up/Average/Paeth all exercised on every image), decoded in
+    an actor pool, and summarized as the FULL-raster pixel sum — so the
+    hash compare against the closed-form DuckDB twin proves every byte of
+    DEFLATE + unfiltering reconstruction, not just a sampled thumbnail.
+    The compressed sibling of q_media_pgm/q_media_ppm."""
+    from goose_parser_ray.functions.multimodal import PngStatsActor
+    from goose_parser_ray.functions.pngmini import encode_png
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 16 + (d & 15)
+            h = 16 + ((d >> 4) & 15)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((31 * i + 17 * j + 7 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_png(img, filter_mode="cycle"))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        PngStatsActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_PNG = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id & 15) AS width,
+         16 + ((doc_id // 16) & 15) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height,
+         (31 * a.i + 17 * b.j + 7 * e.c + d.doc_id) % 256 AS val
+  FROM dims d,
+       UNNEST(generate_series(0, d.height - 1)) AS a(i),
+       UNNEST(generate_series(0, d.width - 1)) AS b(j),
+       UNNEST(generate_series(0, 2)) AS e(c)
+)
+SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+       CAST(SUM(val) AS BIGINT) AS px_sum
+FROM pix GROUP BY doc_id, width, height
+"""
+
+
+def q_audio_spectrum(sf_dir: str):
+    """REAL frequency-domain audio features, oracle-checked: square waves
+    whose period divides the clip length exactly are synthesized per doc,
+    round-tripped through RIFF/PCM16 bytes, then analyzed with a full-clip
+    ``np.fft.rfft`` in an actor pool. For an exactly-periodic square wave
+    the spectrum is analytically sparse (odd harmonics of n/(2·half), all
+    other bins identically zero), so the emitted integer features —
+    dominant bin, its Hz, active-bin count at a 10×-amplitude threshold —
+    are decision-margin-exact despite the float FFT, and the DuckDB twin
+    states them closed-form. The frequency-domain sibling of q_media_wav's
+    time-domain features."""
+    from goose_parser_ray.functions.multimodal import SpectrumActor
+    from goose_parser_ray.functions.wav import encode_wav_pcm16
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 32 * (25 + d % 50)
+            half = 2 ** (1 + d % 4)  # 2/4/8/16 — period 2·half divides n
+            amp = 1000 + (d % 100) * 10
+            idx = np.arange(n, dtype=np.int64)
+            x = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
+            payloads.append(encode_wav_pcm16(x, sample_rate=16_000))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        SpectrumActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_AUDIO_SPECTRUM = """
+WITH p AS (
+  SELECT doc_id,
+         32 * (25 + doc_id % 50) AS n,
+         CAST(POWER(2, 1 + doc_id % 4) AS BIGINT) AS half
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n // (2 * half) AS BIGINT) AS dom_bin,
+       CAST(8000 // half AS BIGINT) AS dom_freq_hz,
+       CAST((half + 1) // 2 AS BIGINT) AS n_active_bins
+FROM p
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantile BANDS (p25/p50/p75/p90) computed the way
     that still works at 10¹² rows: instead of sorting each group's raw
@@ -12055,6 +12166,8 @@ QUERIES = {
     "web_pipeline": q_web_pipeline,
     "kcore": q_kcore,
     "media_pgm": q_media_pgm,
+    "media_png": q_media_png,
+    "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
     "normalize_text": q_normalize_text,
@@ -12164,6 +12277,8 @@ ORACLE_SQL = {
     "table_diff": SQL_TABLE_DIFF,
     "kcore": SQL_KCORE,
     "media_pgm": SQL_MEDIA_PGM,
+    "media_png": SQL_MEDIA_PNG,
+    "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
     "normalize_text": SQL_NORMALIZE_TEXT,
