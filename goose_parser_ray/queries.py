@@ -11983,6 +11983,238 @@ GROUP BY c.event_type
 """
 
 
+def q_compaction(sf_dir: str):
+    """Small-file compaction round trip, ORACLE-CHECKED for row
+    preservation: the documents table is deliberately shattered into tiny
+    part files (the layout a per-shard-committing resumable job leaves
+    behind), then ``compact_shards`` coalesces them shuffle-free — Ray
+    packs small fragments into blocks at the READER, the writer re-slices
+    to the target file size — and the compacted directory is read back and
+    returned in full. The hash compare proves compaction is lossless; the
+    file-count drop itself is asserted in tests."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.sources.io import compact_shards
+
+    base = "/tmp/compaction_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    small, packed = base + "/small", base + "/packed"
+    shutil.rmtree(base, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds.write_parquet(small, max_rows_per_file=8)  # the pathological layout
+    stats = compact_shards(small, packed, target_rows_per_file=512)
+    if stats["files_out"] > max(1, stats["files_in"] // 4):
+        raise AssertionError(f"compaction did not compact: {stats}")
+    return ray.data.read_parquet(packed)
+
+
+SQL_COMPACTION = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read, ORACLE-CHECKED: the corpus is written as two
+    generations of shards — OLD (doc_id as int32, no ``n_chars``; the
+    schema a year-old crawl run produced) and NEW (int64 + the added
+    column) — then read back through ONE ``read_evolving`` call whose
+    target schema pushes the unification into the pyarrow scanner:
+    per-fragment int32→int64 widening and typed-null fill for the missing
+    column, no per-batch fixup stage and no driver-side schema sniffing.
+    The SQL twin states the expected merged relation closed-form."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.sources.io import read_evolving
+
+    base = "/tmp/schema_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(base, ignore_errors=True)
+
+    def write_generation(t: pa.Table) -> pa.Table:
+        old = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        new = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+        tag = hashlib.md5(old["doc_id"].to_string().encode()).hexdigest()[:12]
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pc.cast(old["doc_id"], pa.int32()), old["lang"]],
+                names=["doc_id", "lang"],
+            ),
+            f"{base}/old-{tag}.parquet",
+        )
+        pq.write_table(
+            pa.Table.from_arrays(
+                [new["doc_id"], new["lang"], new["n_chars"]],
+                names=["doc_id", "lang", "n_chars"],
+            ),
+            f"{base}/new-{tag}.parquet",
+        )
+        return pa.Table.from_pydict({"n": [len(t)]})
+
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    # consume the writer stage (side-effect map — one tiny count row per block)
+    ds.map_batches(write_generation, batch_format="pyarrow").count()
+
+    target = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+    )
+    return read_evolving(base, target)
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars
+FROM documents
+"""
+
+
+def q_pair_windows(sf_dir: str):
+    """Windowed stream self-join: count ordered event-type pairs (a, b)
+    where b follows a for the same user within 10 minutes (strictly after
+    in the (ts, event_id) total order). The scale shape: user-bucketed
+    fold — inside each bucket one lexicographic sort, per-segment
+    ``searchsorted`` on an int64 composite key (segment × time-span;
+    bounded because users-per-bucket is data-proportional — guarded
+    loudly), and per-type prefix sums turn the quadratic pair count into
+    O(rows × |types|). Cross-bucket exchange is the |types|² count
+    matrix."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+    win_us = 600 * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__pb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        seg = pd.factorize(g["user_id"], sort=False)[0].astype(np.int64)
+        rel = us - us.min()
+        span = int(rel.max()) + win_us + 1
+        if seg.max() + 1 > (2**62) // span:
+            raise AssertionError(
+                "composite key overflow: users-per-bucket x time-span too "
+                "large — raise the bucket count"
+            )
+        key = seg * span + rel
+        # rng[a] = first index past a's 10-minute window within a's user
+        # segment (key construction keeps windows from crossing segments)
+        rng = np.searchsorted(key, key + win_us, side="right")
+        types, tcodes = np.unique(g["event_type"].to_numpy(), return_inverse=True)
+        out_a, out_b, out_n = [], [], []
+        for tb in range(len(types)):
+            cum = np.concatenate(([0], np.cumsum(tcodes == tb)))
+            cnt = cum[rng] - cum[np.arange(len(g)) + 1]
+            if cnt.any():
+                s = (
+                    pd.Series(cnt)
+                    .groupby(pd.Series(tcodes))
+                    .sum()
+                )
+                for ta, n in s[s > 0].items():
+                    out_a.append(types[ta])
+                    out_b.append(types[tb])
+                    out_n.append(int(n))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "type_a": out_a,
+                "type_b": out_b,
+                "n": np.asarray(out_n, np.int64),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    partial = ds.groupby("__pb").map_groups(fold, batch_format="pandas")
+    return pre_aggregated_sum(partial, keys=["type_a", "type_b"], sums={"n": "n"})
+
+
+SQL_PAIR_WINDOWS = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q_skew_profile(sf_dir: str):
+    """Key-skew diagnostics — the profile you run BEFORE picking a join or
+    groupby strategy at corpus scale: per-user event counts rolled into
+    power-of-two buckets (bucket = ⌊log₂ count⌋ via exact integer frexp,
+    no float log), with key count, event mass, and the largest key per
+    bucket. Two bounded exchanges: per-(bucket, user) partials combine
+    map-side, then the log-domain-bounded (≤ 64 rows) final fold."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_user = pre_aggregated_sum(
+        ds, keys=["user_id"], sums={}, count_alias="cnt"
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _m, e = np.frexp(cnt.astype(np.float64))
+        bucket = e.astype(np.int64) - 1  # exact: cnt in [2^b, 2^(b+1))
+        return pa.Table.from_pydict(
+            {
+                "bucket_log2": bucket,
+                "n_keys": np.ones(len(cnt), np.int64),
+                "n_events": cnt,
+                "max_count": cnt,
+            }
+        )
+
+    b = per_user.map_batches(bucketize, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket_log2": [g["bucket_log2"].iloc[0]],
+                "n_keys": [np.int64(g["n_keys"].sum())],
+                "n_events": [np.int64(g["n_events"].sum())],
+                "max_count": [np.int64(g["max_count"].max())],
+            }
+        )
+
+    return b.groupby("bucket_log2").map_groups(fold, batch_format="pandas")
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(FLOOR(LOG2(cnt)) AS BIGINT) AS bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(MAX(cnt) AS BIGINT) AS max_count
+FROM c GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12167,6 +12399,10 @@ QUERIES = {
     "kcore": q_kcore,
     "media_pgm": q_media_pgm,
     "media_png": q_media_png,
+    "compaction": q_compaction,
+    "schema_evolution": q_schema_evolution,
+    "pair_windows": q_pair_windows,
+    "skew_profile": q_skew_profile,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12278,6 +12514,10 @@ ORACLE_SQL = {
     "kcore": SQL_KCORE,
     "media_pgm": SQL_MEDIA_PGM,
     "media_png": SQL_MEDIA_PNG,
+    "compaction": SQL_COMPACTION,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "pair_windows": SQL_PAIR_WINDOWS,
+    "skew_profile": SQL_SKEW_PROFILE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

@@ -118,3 +118,52 @@ def write_spans(ds: ray.data.Dataset, path: str, **kwargs) -> None:
         ds.write_lance(path, **kwargs)
         return
     ds.write_parquet(path, **kwargs)
+
+
+def compact_shards(
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int,
+    columns: "list[str] | None" = None,
+) -> dict:
+    """Small-file compaction — the maintenance op every long-running
+    100 TB pipeline needs (a resumable job that commits per input shard
+    leaves thousands of tiny part files; readers then pay per-file open
+    cost and lose row-group pruning).
+
+    Shuffle-free by design: ``read_parquet`` coalesces many small
+    fragments into few blocks at the READER (Ray packs fragments to the
+    target block size — no all-to-all), and the writer re-slices blocks to
+    ``target_rows_per_file`` bounds. Returns ``{files_in, files_out,
+    rows}`` so callers/tests can assert the compaction actually happened.
+    """
+    import os
+
+    def _count_files(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    ds = ray.data.read_parquet(in_dir, columns=columns)
+    rows = ds.count()
+    ds.write_parquet(
+        out_dir,
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+    )
+    return {
+        "files_in": _count_files(in_dir),
+        "files_out": _count_files(out_dir),
+        "rows": rows,
+    }
+
+
+def read_evolving(path: str, target_schema: "pa.Schema") -> ray.data.Dataset:
+    """Schema-evolution read over heterogeneous parquet shards (old shards
+    missing later-added columns, or carrying narrower integer types).
+    Passing an explicit unified schema pushes the evolution INTO the
+    pyarrow scanner: missing columns come back as typed nulls and
+    compatible types are cast per fragment at the read — no post-hoc
+    per-batch fixup stage, no driver-side schema sniffing loop."""
+    return ray.data.read_parquet(path, schema=target_schema)

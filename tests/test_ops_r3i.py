@@ -1,0 +1,122 @@
+"""compaction / schema-evolution / pair_windows / skew_profile edge
+semantics (full DuckDB parity is covered by the oracle sweep)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, *, ts, event_types=None, user_ids=None):
+    n = len(ts)
+    t = pa.Table.from_pydict(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pa.array(
+                pd.to_datetime(list(ts), format="ISO8601"), pa.timestamp("us")
+            ),
+            "user_id": np.asarray(
+                user_ids if user_ids is not None else np.full(n, 1), np.int64
+            ),
+            "event_type": list(
+                event_types if event_types is not None else ["click"] * n
+            ),
+            "value": np.ones(n, np.float64),
+            "props": [""] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def test_compact_shards_reduces_files_losslessly(ray_session, tmp_path):
+    import ray.data
+
+    from goose_parser_ray.sources.io import compact_shards
+
+    src, dst = tmp_path / "small", tmp_path / "packed"
+    src.mkdir()
+    for i in range(30):
+        pq.write_table(
+            pa.table({"a": np.arange(i * 7, (i + 1) * 7, dtype=np.int64)}),
+            src / f"part-{i:04d}.parquet",
+        )
+    stats = compact_shards(str(src), str(dst), target_rows_per_file=70)
+    assert stats == {"files_in": 30, "files_out": stats["files_out"], "rows": 210}
+    assert stats["files_out"] <= 6
+    back = ray.data.read_parquet(str(dst)).to_pandas()["a"].sort_values()
+    assert back.tolist() == list(range(210))
+
+
+def test_read_evolving_widens_and_fills(ray_session, tmp_path):
+    from goose_parser_ray.sources.io import read_evolving
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int32()), "lang": ["en", "fr"]}),
+        tmp_path / "old.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3], pa.int64()),
+                "lang": ["de"],
+                "n_chars": pa.array([9], pa.int64()),
+            }
+        ),
+        tmp_path / "new.parquet",
+    )
+    target = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+    )
+    ds = read_evolving(str(tmp_path), target)
+    assert ds.schema().base_schema == target
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_chars"].isna().tolist() == [True, True, False]
+
+
+def test_pair_windows_boundary_and_user_isolation(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_pair_windows
+
+    # u1: a->b at exactly +10min (IN), a->c at +10min+1us (OUT)
+    # u2 right after u1's window: must not pair across users
+    # u1 same-ts pair: event_id order decides (a before d at identical ts)
+    _write_events(
+        tmp_path,
+        ts=[
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:10:00",
+            "2024-01-01 00:10:00.000001",
+            "2024-01-01 00:11:00",
+        ],
+        user_ids=[1, 1, 1, 1, 2],
+        event_types=["a", "d", "b", "c", "e"],
+    )
+    out = q_pair_windows(str(tmp_path)).to_pandas()
+    got = {(r.type_a, r.type_b): r.n for r in out.itertuples()}
+    # a->d (same ts, id order), a->b and d->b at exactly +10min (inclusive),
+    # b->c (1us apart); a->c and d->c are 1us past the window
+    assert got == {("a", "d"): 1, ("a", "b"): 1, ("d", "b"): 1, ("b", "c"): 1}
+    assert ("a", "c") not in got and ("d", "c") not in got
+    assert ("b", "e") not in got  # no cross-user pairs
+
+
+def test_skew_profile_power_of_two_buckets(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_skew_profile
+
+    # users with 1, 2, 3, 4, 8 events -> buckets 0, 1, 1, 2, 3
+    counts = {10: 1, 20: 2, 30: 3, 40: 4, 50: 8}
+    uids = [u for u, c in counts.items() for _ in range(c)]
+    _write_events(
+        tmp_path, ts=["2024-01-01"] * len(uids), user_ids=uids
+    )
+    out = (
+        q_skew_profile(str(tmp_path))
+        .to_pandas()
+        .sort_values("bucket_log2")
+        .reset_index(drop=True)
+    )
+    assert out["bucket_log2"].tolist() == [0, 1, 2, 3]
+    assert out["n_keys"].tolist() == [1, 2, 1, 1]
+    assert out["n_events"].tolist() == [1, 5, 4, 8]
+    assert out["max_count"].tolist() == [1, 3, 4, 8]
