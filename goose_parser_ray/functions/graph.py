@@ -22,6 +22,40 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _pagerank_driver(e_pd, damping, max_iters, tol) -> ray.data.Dataset:
+    """Driver tier of :func:`pagerank_distributed` for collapsed edge
+    lists under the pair guard (same tiering contract as the dedup
+    family's driver union-find and ``_hits_driver``): one collect of the
+    weighted (u, v, w) triples, then every round is a ``np.bincount`` —
+    no per-round joins or Ray executions. Identical update rule (damping,
+    dangling redistribution, L1-tolerance early exit); float sums differ
+    only in order (≪ 0.5e-6, the bound the SQL twins rely on)."""
+    uv = np.concatenate([e_pd["u"].to_numpy(np.int64), e_pd["v"].to_numpy(np.int64)])
+    node_arr, inv = np.unique(uv, return_inverse=True)
+    ui, vi = inv[: len(e_pd)], inv[len(e_pd) :]
+    w = e_pd["w"].to_numpy(np.int64).astype(np.float64)
+    n = len(node_arr)
+    deg = np.bincount(ui, weights=w, minlength=n)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(max_iters):
+        c = np.bincount(vi, weights=rank[ui] / deg[ui] * w, minlength=n)
+        dangling = 1.0 - float(c.sum())
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_rank = base + damping * c
+        if tol > 0 and float(np.abs(new_rank - rank).sum()) <= tol:
+            rank = new_rank
+            break
+        rank = new_rank
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(node_arr, pa.int64()),
+                "rank": pa.array(rank, pa.float64()),
+            }
+        )
+    )
+
+
 def pagerank_distributed(
     edges: ray.data.Dataset,
     *,
@@ -31,6 +65,7 @@ def pagerank_distributed(
     max_iters: int = 30,
     tol: float = 1e-9,
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list. Returns Dataset(node, rank)
     with Σ rank = 1. Nodes are every src/dst endpoint; parallel edges
@@ -48,6 +83,25 @@ def pagerank_distributed(
 
     from goose_parser_ray.functions.dedup import _default_join_partitions
     from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def collapse_block(t: pa.Table) -> pa.Table:
+        df = pa.Table.from_arrays(
+            [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
+            names=["u", "v"],
+        ).to_pandas()
+        out = df.groupby(["u", "v"], as_index=False).size()
+        out["w"] = out.pop("size").astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # map-side partial collapse (no shuffle); the partial row count
+    # upper-bounds distinct pairs, so it gates the driver tier
+    partials = edges.map_batches(collapse_block, batch_format="pyarrow").materialize()
+    n_partial = partials.count()  # metadata-only
+    if 0 < n_partial <= driver_edges_threshold:
+        pdf = (
+            partials.to_pandas().groupby(["u", "v"], as_index=False)["w"].sum()
+        )
+        return _pagerank_driver(pdf, damping, max_iters, tol)
 
     e = edges.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -264,6 +318,40 @@ def _hits_broadcast(
     )
 
 
+def _hits_driver(e_pd, max_iters: int) -> ray.data.Dataset:
+    """Driver tier of :func:`hits_distributed` for collapsed edge lists
+    under the pair guard (same tiering contract as the dedup family's
+    driver union-find): one collect of the weighted (u, v, w) triples,
+    then every half-round is a single ``np.bincount`` — no per-round Ray
+    execution. Float sums differ from the distributed tiers only in
+    order (same ≪ 0.5e-6 noise bound the SQL twins rely on)."""
+    uv = np.concatenate([e_pd["u"].to_numpy(np.int64), e_pd["v"].to_numpy(np.int64)])
+    node_arr, inv = np.unique(uv, return_inverse=True)
+    ui, vi = inv[: len(e_pd)], inv[len(e_pd) :]
+    w = e_pd["w"].to_numpy(np.int64).astype(np.float64)
+    n = len(node_arr)
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+
+    def push(s: np.ndarray, frm: np.ndarray, to: np.ndarray) -> np.ndarray:
+        c = np.bincount(to, weights=s[frm] * w, minlength=n)
+        tot = float(c.sum()) or 1.0
+        return c / tot
+
+    for _ in range(max_iters):
+        auth = push(hub, ui, vi)
+        hub = push(auth, vi, ui)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(node_arr, pa.int64()),
+                "auth": pa.array(auth, pa.float64()),
+                "hub": pa.array(hub, pa.float64()),
+            }
+        )
+    )
+
+
 def hits_distributed(
     edges: ray.data.Dataset,
     *,
@@ -272,6 +360,7 @@ def hits_distributed(
     max_iters: int = 2,
     num_partitions: int | None = None,
     broadcast_nodes_threshold: int = 5_000_000,
+    driver_edges_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """HITS hub/authority scores over a directed edge list (Kleinberg's
     power iteration with L1 normalization — the sum-normalized variant
@@ -306,21 +395,47 @@ def hits_distributed(
         pre_aggregated_sum,
     )
 
+    def collapse_block(t: pa.Table) -> pa.Table:
+        df = pa.Table.from_arrays(
+            [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
+            names=["u", "v"],
+        ).to_pandas()
+        out = df.groupby(["u", "v"], as_index=False).size()
+        out["w"] = out.pop("size").astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # map-side partial collapse only (no shuffle): the partial row count
+    # upper-bounds the distinct pair count, so it IS the tier gate
+    partials = edges.map_batches(collapse_block, batch_format="pyarrow").materialize()
+    n_partial = partials.count()  # metadata-only on the materialized set
+    if n_partial == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "auth": pa.array([], pa.float64()),
+                    "hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if n_partial <= driver_edges_threshold:
+        # partial pairs fit the same guard the dedup driver union-find
+        # uses: finish the collapse in one pandas fold and run every
+        # half-round as a bincount — the distributed ~600k-group Aggregate
+        # (8s at sf0.1) and the per-round Ray executions disappear
+        pdf = (
+            partials.to_pandas()
+            .groupby(["u", "v"], as_index=False)["w"]
+            .sum()
+        )
+        return _hits_driver(pdf, max_iters)
     e = pre_aggregated_sum(
-        edges.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [pc.cast(t[src], pa.int64()), pc.cast(t[dst], pa.int64())],
-                names=["u", "v"],
-            ),
-            batch_format="pyarrow",
-        ),
-        keys=["u", "v"],
-        sums={},
-        count_alias="w",
+        partials, keys=["u", "v"], sums={"w": "w"}
     ).materialize()
+    n_edges = e.count()
     if num_partitions is None:
         num_partitions = max(
-            2, min(_default_join_partitions(), -(-e.count() // 100_000))
+            2, min(_default_join_partitions(), -(-n_edges // 100_000))
         )
 
     nodes = pre_aggregated_sum(

@@ -1642,14 +1642,17 @@ def test_pagerank_distributed_matches_numpy(ray_session):
     ds = ray.data.from_pandas(
         pd.DataFrame({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
     )
-    out = pagerank_distributed(
-        ds, max_iters=5, tol=0.0, num_partitions=2
-    ).to_pandas()
-    got = dict(zip(out["node"].astype(int), out["rank"]))
-    assert set(got) == set(ref)
-    for k in ref:
-        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
-    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # both tiers: driver bincount (default gate) and the per-round-join
+    # distributed path (gate forced off)
+    for kwargs in ({}, {"driver_edges_threshold": 0}):
+        out = pagerank_distributed(
+            ds, max_iters=5, tol=0.0, num_partitions=2, **kwargs
+        ).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["rank"]))
+        assert set(got) == set(ref)
+        for k in ref:
+            assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
 def test_pareto_front_matches_bruteforce(ray_session):

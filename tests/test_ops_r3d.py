@@ -175,7 +175,9 @@ def test_pagerank_single_edge_graph(ray_session):
     from goose_parser_ray.functions.graph import pagerank_distributed
 
     edges = ray.data.from_items([{"src": 1, "dst": 2}])
-    out = pagerank_distributed(edges, max_iters=2, tol=0.0).to_pandas()
+    out = pagerank_distributed(
+        edges, max_iters=2, tol=0.0, driver_edges_threshold=0
+    ).to_pandas()
     assert sorted(out["node"].tolist()) == [1, 2]
     assert abs(out["rank"].sum() - 1.0) < 1e-9
 

@@ -102,9 +102,11 @@ def test_wilson_ctr_bound(ray_session, tmp_path):
     assert out.loc["2024-01-01", "k"] == 2 and out.loc["2024-01-01", "n"] == 4
 
 
-def test_hits_broadcast_matches_join_path(ray_session):
-    """The broadcast tier and the hash-join tier of hits_distributed must
-    agree (same graph, parallel edges included) to float-noise tolerance."""
+def test_hits_tiers_agree(ray_session):
+    """All three hits_distributed tiers — driver bincount (default for
+    small collapsed edge lists), broadcast score vector, and hash join —
+    must agree on the same graph (parallel edges included) to float-noise
+    tolerance."""
     import ray.data
 
     from goose_parser_ray.functions.graph import hits_distributed
@@ -115,15 +117,23 @@ def test_hits_broadcast_matches_join_path(ray_session):
     edges = ray.data.from_items(
         [{"src": int(u), "dst": int(v)} for u, v in zip(src, dst)]
     )
-    fast = (
+    driver = (
         hits_distributed(edges, max_iters=2)
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
-    slow = (
-        hits_distributed(edges, max_iters=2, broadcast_nodes_threshold=0)
+    bcast = (
+        hits_distributed(edges, max_iters=2, driver_edges_threshold=0)
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
-    assert fast["node"].tolist() == slow["node"].tolist()
-    assert np.allclose(fast["auth"], slow["auth"], atol=1e-12)
-    assert np.allclose(fast["hub"], slow["hub"], atol=1e-12)
-    assert abs(fast["auth"].sum() - 1.0) < 1e-9
+    join = (
+        hits_distributed(
+            edges, max_iters=2,
+            driver_edges_threshold=0, broadcast_nodes_threshold=0,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    for other in (bcast, join):
+        assert driver["node"].tolist() == other["node"].tolist()
+        assert np.allclose(driver["auth"], other["auth"], atol=1e-12)
+        assert np.allclose(driver["hub"], other["hub"], atol=1e-12)
+    assert abs(driver["auth"].sum() - 1.0) < 1e-9
