@@ -950,6 +950,7 @@ def connected_components_distributed(
     num_partitions: int | None = None,
     max_iters: int = 50,
     on_nonconverged: str = "raise",
+    driver_pair_guard: int = DRIVER_PAIR_GUARD,
 ) -> ray.data.Dataset:
     """Distributed connected components over the candidate-pair dataset:
     iterative min-label propagation. Each round is one hash join
@@ -975,6 +976,31 @@ def connected_components_distributed(
     from ray.data.aggregate import Min, Sum
 
     a, b = cols
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_pair_guard:
+        # same tier gate the keep-first caller applies before choosing this
+        # function: under the pair guard a driver union-find beats per-round
+        # distributed joins by an order of magnitude (and this path also
+        # serves direct callers like q_components)
+        pdf = pairs.to_pandas()
+        if cols != ("doc_a", "doc_b"):
+            pdf = pdf.rename(columns={a: "doc_a", b: "doc_b"})
+        roots = _union_find_components(pdf)
+        nodes = np.unique(
+            np.concatenate(
+                [pdf["doc_a"].to_numpy(np.int64), pdf["doc_b"].to_numpy(np.int64)]
+            )
+        )
+        label = np.asarray([roots.get(int(x), int(x)) for x in nodes], np.int64)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(label, pa.int64()),
+                }
+            )
+        )
+
     # undirected edge list: both directions, so one join propagates both ways
     edges = pairs.map_batches(
         lambda t: pa.Table.from_arrays(

@@ -554,12 +554,65 @@ def hits_distributed(
     )
 
 
+def _triangle_driver(
+    un: np.ndarray, vn: np.ndarray, wedge_cap: int = 20_000_000
+) -> "dict[str, int] | None":
+    """Driver tier of :func:`triangle_count` (canonical u<v edge lists
+    under the pair guard): identical a<b<c wedge-then-close counting in
+    numpy. Returns None when the wedge volume exceeds ``wedge_cap`` — the
+    one quantity that can explode past the edge guard on hub-heavy
+    graphs — so the caller falls back to the streaming join path."""
+    nodes, inv = np.unique(np.concatenate([un, vn]), return_inverse=True)
+    ui, vi = inv[: len(un)], inv[len(un) :]
+    n = len(nodes)
+    l = np.bincount(vi, minlength=n).astype(np.int64)  # in-degree (a, b)
+    r = np.bincount(ui, minlength=n).astype(np.int64)  # out-degree (b, c)
+    wedges = int((l * r).sum())
+    if wedges > wedge_cap:
+        return None
+    keys = ui.astype(np.int64) * n + vi
+    keyset = np.sort(keys)
+    # enumerate wedges grouped by the middle node b: a-list = in-neighbors
+    # (sorted by b via vi), c-list = out-neighbors (sorted by b via ui)
+    vo = np.argsort(vi, kind="stable")
+    uo = np.argsort(ui, kind="stable")
+    a_by_b, b_in = ui[vo], vi[vo]
+    c_by_b, b_out = vi[uo], ui[uo]
+    in_start = np.searchsorted(b_in, np.arange(n))
+    in_end = np.searchsorted(b_in, np.arange(n) + 1)
+    out_start = np.searchsorted(b_out, np.arange(n))
+    out_end = np.searchsorted(b_out, np.arange(n) + 1)
+    tri = 0
+    mid = np.flatnonzero((l > 0) & (r > 0))
+    wa, wc = [], []
+    pending = 0
+    for b in mid:
+        a_seg = a_by_b[in_start[b] : in_end[b]]
+        c_seg = c_by_b[out_start[b] : out_end[b]]
+        wa.append(np.repeat(a_seg, len(c_seg)))
+        wc.append(np.tile(c_seg, len(a_seg)))
+        pending += len(a_seg) * len(c_seg)
+        if pending >= 2_000_000:
+            wk = np.concatenate(wa) * n + np.concatenate(wc)
+            pos = np.searchsorted(keyset, wk)
+            pos[pos >= len(keyset)] = len(keyset) - 1
+            tri += int((keyset[pos] == wk).sum())
+            wa, wc, pending = [], [], 0
+    if pending:
+        wk = np.concatenate(wa) * n + np.concatenate(wc)
+        pos = np.searchsorted(keyset, wk)
+        pos[pos >= len(keyset)] = len(keyset) - 1
+        tri += int((keyset[pos] == wk).sum())
+    return {"edges": len(un), "wedges": wedges, "triangles": tri}
+
+
 def triangle_count(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ) -> "dict[str, int]":
     """Exact triangle / wedge / edge counts over a canonical undirected
     edge list (``u < v``, distinct pairs). Returns
@@ -592,6 +645,15 @@ def triangle_count(
         )
     if n_edges == 0:
         return {"edges": 0, "wedges": 0, "triangles": 0}
+    if n_edges <= driver_edges_threshold:
+        pdf = e.to_pandas()
+        res = _triangle_driver(
+            pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64)
+        )
+        if res is not None:
+            return res
+        # wedge volume too large for one heap — fall through to the
+        # streaming join path, which never materializes the wedges
 
     def degrees(col: str, alias: str) -> ray.data.Dataset:
         return pre_aggregated_sum(
@@ -685,6 +747,58 @@ def pagerank_numpy(
     return {v: float(r[idx[v]]) for v in nodes}
 
 
+def _kcore_driver(
+    un: np.ndarray, vn: np.ndarray, k: int, max_iters: int, allow_partial: bool
+) -> ray.data.Dataset:
+    """Driver tier of :func:`kcore_distributed` (edge lists under the pair
+    guard): the identical synchronized peel — degrees at round start,
+    simultaneous removal, edge-count fixpoint — as numpy bincounts, so the
+    returned (node, deg) table is bit-identical to the join path,
+    including the bounded-round ``allow_partial`` truncation."""
+
+    def empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        )
+
+    def result(nodes, deg) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "deg": pa.array(deg, pa.int64()),
+                }
+            )
+        )
+
+    if len(un) == 0:
+        return empty()
+    good_nodes = good_deg = None
+    for _ in range(max_iters):
+        nodes, inv = np.unique(np.concatenate([un, vn]), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+        good = deg >= k
+        if not good.any():
+            return empty()
+        good_nodes, good_deg = nodes[good], deg[good]
+        ui, vi = inv[: len(un)], inv[len(un) :]
+        keep = good[ui] & good[vi]
+        if keep.all():
+            return result(good_nodes, good_deg)
+        un, vn = un[keep], vn[keep]
+        if len(un) == 0:
+            return empty()
+    if allow_partial:
+        return result(good_nodes, good_deg)
+    raise RuntimeError(
+        f"k-core peel did not reach a fixpoint in max_iters={max_iters} "
+        "rounds (pathological chain graph?); raise max_iters or pass "
+        "allow_partial=True for bounded-round semantics"
+    )
+
+
 def kcore_distributed(
     edges: ray.data.Dataset,
     *,
@@ -694,6 +808,7 @@ def kcore_distributed(
     max_iters: int = 100,
     num_partitions: int | None = None,
     allow_partial: bool = False,
+    driver_edges_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Nodes of the k-core (maximal subgraph where every node has degree
     ≥ k) of an undirected edge list, via the classic synchronized peel.
@@ -721,6 +836,13 @@ def kcore_distributed(
         batch_format="pyarrow",
     ).materialize()
     n_edges = e.count()
+    if n_edges <= driver_edges_threshold:
+        pdf = e.to_pandas()
+        return _kcore_driver(
+            pdf["u"].to_numpy(np.int64),
+            pdf["v"].to_numpy(np.int64),
+            int(k), max_iters, allow_partial,
+        )
     if num_partitions is None:
         # data-proportional aggregator count, CPU-ceiling capped
         num_partitions = max(
@@ -801,6 +923,39 @@ def kcore_numpy(edges: "list[tuple[int, int]]", k: int) -> "set[int]":
             return set()
 
 
+def _bfs_driver(
+    un: np.ndarray, vn: np.ndarray, seed_arr: np.ndarray, max_hops: int
+) -> ray.data.Dataset:
+    """Driver tier of :func:`bfs_levels_distributed` (edge lists under the
+    pair guard): identical level-synchronous semantics — min hop distance
+    is implementation-independent, so the (node, lvl) table is
+    bit-identical to the join path."""
+    nodes, inv = np.unique(np.concatenate([un, vn, seed_arr]), return_inverse=True)
+    ui, vi = inv[: len(un)], inv[len(un) : 2 * len(un)]
+    si = inv[2 * len(un) :]
+    lvl = np.full(len(nodes), -1, dtype=np.int64)
+    lvl[si] = 0
+    in_frontier = np.zeros(len(nodes), dtype=bool)
+    in_frontier[si] = True
+    for h in range(1, max_hops + 1):
+        cand = vi[in_frontier[ui]]
+        fresh = cand[lvl[cand] < 0]
+        if len(fresh) == 0:
+            break
+        lvl[fresh] = h
+        in_frontier[:] = False
+        in_frontier[fresh] = True
+    vis = lvl >= 0
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes[vis], pa.int64()),
+                "lvl": pa.array(lvl[vis], pa.int64()),
+            }
+        )
+    )
+
+
 def bfs_levels_distributed(
     edges: "ray.data.Dataset",
     seeds: "ray.data.Dataset",
@@ -809,6 +964,7 @@ def bfs_levels_distributed(
     seed_col: str = "node",
     max_hops: int = 6,
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Level-synchronous BFS (hop distance from a seed SET): per round one
     hash join (frontier ⋈ edges on src) + a distinct on the discovered
@@ -829,6 +985,17 @@ def bfs_levels_distributed(
         filter_out_ids,
     )
 
+    a, b = cols
+    edges = edges.materialize()
+    if edges.count() <= driver_edges_threshold:
+        epd = edges.to_pandas()
+        spd = seeds.to_pandas()
+        return _bfs_driver(
+            epd[a].to_numpy(np.int64),
+            epd[b].to_numpy(np.int64),
+            np.unique(spd[seed_col].to_numpy(np.int64)),
+            max_hops,
+        )
     if num_partitions is None:
         # data-proportional aggregator count (same rule as connected
         # components): callers pass a materialized edge list, so count()
@@ -837,7 +1004,6 @@ def bfs_levels_distributed(
             2,
             min(_default_join_partitions(), -(-edges.count() // 100_000)),
         )
-    a, b = cols
 
     def tag(lvl: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -904,6 +1070,43 @@ def bfs_levels_distributed(
     return visited
 
 
+def _sssp_driver(
+    un: np.ndarray,
+    vn: np.ndarray,
+    wn: np.ndarray,
+    seed_arr: np.ndarray,
+    rounds: int,
+) -> ray.data.Dataset:
+    """Driver tier of :func:`sssp_bounded` (edge lists under the pair
+    guard): the identical synchronous Bellman-Ford — every round relaxes
+    each edge once against the PREVIOUS round's distances — as
+    ``np.minimum.at`` folds over int64, bit-identical to the join path."""
+    nodes, inv = np.unique(np.concatenate([un, vn, seed_arr]), return_inverse=True)
+    ui, vi = inv[: len(un)], inv[len(un) : 2 * len(un)]
+    si = inv[2 * len(un) :]
+    inf = np.iinfo(np.int64).max
+    dist = np.full(len(nodes), inf, dtype=np.int64)
+    dist[si] = 0
+    for _ in range(rounds):
+        src_ok = dist[ui] < inf
+        if not src_ok.any():
+            break
+        new = dist.copy()
+        np.minimum.at(new, vi[src_ok], dist[ui[src_ok]] + wn[src_ok])
+        if (new == dist).all():
+            break
+        dist = new
+    reach = dist < inf
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes[reach], pa.int64()),
+                "d": pa.array(dist[reach], pa.int64()),
+            }
+        )
+    )
+
+
 def sssp_bounded(
     edges: "ray.data.Dataset",
     seeds: "ray.data.Dataset",
@@ -912,6 +1115,7 @@ def sssp_bounded(
     seed_col: str = "node",
     rounds: int = 4,
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Bounded-round single-source(-set) shortest paths: synchronous
     Bellman-Ford over the min-plus semiring — each round relaxes every
@@ -932,6 +1136,16 @@ def sssp_bounded(
 
     a, b, wcol = cols
     e = edges.materialize()
+    if e.count() <= driver_edges_threshold:
+        epd = e.to_pandas()
+        spd = seeds.to_pandas()
+        return _sssp_driver(
+            epd[a].to_numpy(np.int64),
+            epd[b].to_numpy(np.int64),
+            epd[wcol].to_numpy(np.int64),
+            np.unique(spd[seed_col].to_numpy(np.int64)),
+            rounds,
+        )
     if num_partitions is None:
         num_partitions = max(
             2, min(_default_join_partitions(), -(-e.count() // 100_000))

@@ -3854,43 +3854,53 @@ def _copurchase_edges(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     basket²; the TPC-H-shaped order domain bounds baskets (≤7 items), and
     inputs without that invariant should route through the
     ``_capped_baskets`` guard (see q_frequent_pairs) first."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    dis = pre_aggregated_sum(
-        li.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
-            ).filter(
-                pc.equal(
-                    pc.bit_wise_and(
-                        t["l_orderkey"], pa.scalar(mask, pa.int64())
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        ),
-        keys=["o", "p"], sums={}, count_alias="k",
-    ).drop_columns(["k"]).materialize()
-    # pinned: dis feeds BOTH sides of the self-join — lazy lineage would
-    # re-run the read + distinct shuffle per side
-    left = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "pu"]),
-        batch_format="pyarrow",
-    )
-    right = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "pv"]),
-        batch_format="pyarrow",
-    )
-    pairs = (
-        left.join(right, join_type="inner",
-                  num_partitions=_dedup._default_join_partitions(), on=("o",))
-        .map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["pu"], t["pv"]], names=["u", "v"]
-            ).filter(pc.less(t["pu"], t["pv"])),
-            batch_format="pyarrow",
+    nb = num_shuffle_buckets(li.count())
+
+    def slice_and_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
         )
-    )
+        t = t.filter(
+            pc.equal(
+                pc.bit_wise_and(t["o"], pa.scalar(mask, pa.int64())), 0
+            )
+        )
+        return _dedup.add_hash_bucket(t, "o", nb, "__cb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # orders are disjoint across buckets: per-order distinct + the
+        # basket² pair expansion both complete inside the bucket — one
+        # shuffle replaces the old distinct + self-join + pair-distinct
+        # chain (three all-to-alls). Basket size is bounded (≤7 items in
+        # the TPC-H shape; see the hot-basket note above).
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "v": pd.Series([], dtype=np.int64),
+                }
+            )
+        d = g[["o", "p"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        out = m[["p_x", "p_y"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "u": out["p_x"].to_numpy(np.int64),
+                "v": out["p_y"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = li.map_batches(slice_and_bucket, batch_format="pyarrow").groupby(
+        "__cb"
+    ).map_groups(fold, batch_format="pandas")
+    # cross-bucket distinct (the same pair can arise from orders in
+    # different buckets only via identical (u, v) — dedupe once globally)
     return pre_aggregated_sum(
         pairs, keys=["u", "v"], sums={}, count_alias="k"
     ).drop_columns(["k"])

@@ -405,7 +405,7 @@ def test_distributed_components_match_union_find(ray_session):
     )
     want = _union_find_components(pairs_pd)
     got_ds = connected_components_distributed(
-        ray.data.from_pandas(pairs_pd), num_partitions=2
+        ray.data.from_pandas(pairs_pd), num_partitions=2, driver_pair_guard=0
     )
     got = {r["node"]: r["label"] for r in got_ds.to_pandas().to_dict("records")}
     # union-find returns only non-root nodes' roots plus touched roots;
@@ -617,10 +617,13 @@ def test_components_nonconvergence_raises(ray_session):
     )
     pairs = ray.data.from_pandas(chain)
     with pytest.raises(RuntimeError, match="max_iters"):
-        connected_components_distributed(pairs, num_partitions=2, max_iters=1)
+        connected_components_distributed(
+            pairs, num_partitions=2, max_iters=1, driver_pair_guard=0
+        )
     # 'warn' mode returns the partial labels instead
     partial = connected_components_distributed(
-        pairs, num_partitions=2, max_iters=1, on_nonconverged="warn"
+        pairs, num_partitions=2, max_iters=1, on_nonconverged="warn",
+        driver_pair_guard=0,
     )
     assert partial.count() == 7
 
@@ -1615,7 +1618,14 @@ def test_triangle_count_matches_bruteforce(ray_session):
     ds = ray.data.from_pandas(
         pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
     )
+    # driver tier, wedge-cap fallback-to-join tier, and forced join tier
     assert triangle_count(ds, num_partitions=2) == ref
+    from goose_parser_ray.functions.graph import _triangle_driver
+
+    un = np.array([e[0] for e in edges], np.int64)
+    vn = np.array([e[1] for e in edges], np.int64)
+    assert _triangle_driver(un, vn, wedge_cap=1) is None  # cap → fallback
+    assert triangle_count(ds, num_partitions=2, driver_edges_threshold=0) == ref
     empty = ray.data.from_pandas(pd.DataFrame({"u": [], "v": []}))
     assert triangle_count(empty) == {"edges": 0, "wedges": 0, "triangles": 0}
 
@@ -1773,8 +1783,11 @@ def test_kcore_distributed_matches_bruteforce(ray_session):
         ds = ray.data.from_pandas(
             pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
         )
-        got = kcore_distributed(ds, k=k, num_partitions=2).to_pandas()
-        assert sorted(got["node"].astype(int).tolist()) == sorted(ref), k
+        for thr in (5_000_000, 0):  # driver tier and join tier
+            got = kcore_distributed(
+                ds, k=k, num_partitions=2, driver_edges_threshold=thr
+            ).to_pandas()
+            assert sorted(got["node"].astype(int).tolist()) == sorted(ref), (k, thr)
 
 
 def test_netpbm_codec_roundtrip_and_errors():
@@ -2115,7 +2128,7 @@ def test_components_log_rounds_on_deep_chain(ray_session):
         pd.DataFrame({"a": np.arange(199), "b": np.arange(1, 200)})
     )
     labels = connected_components_distributed(
-        path, cols=("a", "b"), max_iters=10
+        path, cols=("a", "b"), max_iters=10, driver_pair_guard=0
     ).to_pandas()
     assert len(labels) == 200
     assert (labels["label"] == 0).all()
@@ -2133,10 +2146,14 @@ def test_kcore_raises_on_truncated_peel_unless_partial(ray_session):
     chain = [(i, i + 1) for i in range(10)]  # path graph, k=2 core is empty
     df = pd.DataFrame({"u": [e[0] for e in chain], "v": [e[1] for e in chain]})
     ds = ray.data.from_pandas(df)
-    with _pytest.raises(RuntimeError, match="fixpoint"):
-        kcore_distributed(ds, k=2, max_iters=2, num_partitions=2)
-    partial = kcore_distributed(
-        ray.data.from_pandas(df), k=2, max_iters=2,
-        num_partitions=2, allow_partial=True,
-    ).to_pandas()
-    assert len(partial) > 0  # truncated-by-design set, nonempty mid-peel
+    for thr in (5_000_000, 0):  # driver tier and join tier
+        with _pytest.raises(RuntimeError, match="fixpoint"):
+            kcore_distributed(
+                ray.data.from_pandas(df), k=2, max_iters=2,
+                num_partitions=2, driver_edges_threshold=thr,
+            )
+        partial = kcore_distributed(
+            ray.data.from_pandas(df), k=2, max_iters=2,
+            num_partitions=2, allow_partial=True, driver_edges_threshold=thr,
+        ).to_pandas()
+        assert len(partial) > 0  # truncated-by-design set, nonempty mid-peel

@@ -134,15 +134,18 @@ def test_bfs_levels_on_crafted_graph(ray_session):
     seeds = ray.data.from_arrow(
         pa.Table.from_pydict({"node": np.array([0], np.int64)})
     )
-    out = (
-        bfs_levels_distributed(edges, seeds, max_hops=3)
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
-    # cap at 3 hops: node 4 (distance 4) and the 10-11 island never appear
-    assert out["node"].tolist() == [0, 1, 2, 3]
-    assert out["lvl"].tolist() == [0, 1, 2, 3]
+    for thr in (5_000_000, 0):  # driver tier and join tier
+        out = (
+            bfs_levels_distributed(
+                edges, seeds, max_hops=3, driver_edges_threshold=thr
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # cap at 3 hops: node 4 (distance 4) and the 10-11 island never appear
+        assert out["node"].tolist() == [0, 1, 2, 3]
+        assert out["lvl"].tolist() == [0, 1, 2, 3]
 
 
 def test_sssp_prefers_lighter_multi_hop_path(ray_session):
@@ -162,14 +165,15 @@ def test_sssp_prefers_lighter_multi_hop_path(ray_session):
     seeds = ray.data.from_arrow(
         pa.Table.from_pydict({"node": np.array([0], np.int64)})
     )
-    out = (
-        sssp_bounded(edges, seeds, rounds=2)
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
-    got = dict(zip(out["node"], out["d"]))
-    assert got == {0: 0, 1: 2, 2: 5, 3: 11}
+    for thr in (5_000_000, 0):  # driver tier and join tier
+        out = (
+            sssp_bounded(edges, seeds, rounds=2, driver_edges_threshold=thr)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["node"], out["d"]))
+        assert got == {0: 0, 1: 2, 2: 5, 3: 11}
 
 
 def test_bootstrap_ci_covers_mean_and_is_block_invariant(ray_session):
