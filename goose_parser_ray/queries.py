@@ -7701,38 +7701,80 @@ def _capped_baskets(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     hot-key class the LSH star cap guards against. The size filter is a
     bounded per-order count + anti-filter (exchange sized by the basket-id
     set, not the items)."""
-    from goose_parser_ray.functions.dedup import filter_out_ids
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    dis = pre_aggregated_sum(
-        li.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
-            ).filter(
-                pc.equal(
-                    pc.bit_wise_and(
-                        t["l_orderkey"], pa.scalar(mask, pa.int64())
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        ),
-        keys=["o", "p"], sums={}, count_alias="k",
-    ).drop_columns(["k"]).materialize()
-    big = pre_aggregated_sum(
-        dis.map_batches(
-            lambda t: pa.Table.from_arrays([t["o"]], names=["o"]),
-            batch_format="pyarrow",
-        ),
-        keys=["o"], sums={}, count_alias="n",
-    ).map_batches(
-        lambda t: pa.Table.from_arrays([t["o"]], names=["o"]).filter(
-            pc.greater(t["n"], _MAX_BASKET)
-        ),
-        batch_format="pyarrow",
+    nb = num_shuffle_buckets(li.count())
+
+    def slice_and_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_partkey"]], names=["o", "p"]
+        )
+        t = t.filter(
+            pc.equal(
+                pc.bit_wise_and(t["o"], pa.scalar(mask, pa.int64())), 0
+            )
+        )
+        return _dedup.add_hash_bucket(t, "o", nb, "__cb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # orders are disjoint across buckets: the per-order distinct AND
+        # the basket-size cap both complete inside one bucket — one
+        # shuffle replaces the old distinct-aggregate + count-aggregate +
+        # anti-join chain. Output groups stay whole per block (bucket
+        # payload ≪ block size by the num_shuffle_buckets rule), so
+        # downstream pair expansion can run map-side on whole blocks.
+        d = g[["o", "p"]].drop_duplicates()
+        if len(d):
+            sz = d.groupby("o")["p"].transform("size")
+            d = d[sz <= _MAX_BASKET]
+        return pd.DataFrame(
+            {
+                "o": d["o"].to_numpy(np.int64),
+                "p": d["p"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(slice_and_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
     )
-    return filter_out_ids(dis, big, "o", drop_col="o").materialize()
+
+
+def _basket_pair_counts(dis: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(u, v, support) over capped baskets: pair expansion runs MAP-SIDE on
+    whole blocks (``_capped_baskets`` keeps every basket inside one block),
+    so the only exchange is the (pair, partial-count) aggregate — baskets
+    never shuffle again."""
+    import pandas as pd
+
+    def expand(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        m = d.merge(d, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        c = (
+            m.groupby(["p_x", "p_y"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"p_x": "u", "p_y": "v", "size": "support"})
+        )
+        return pa.Table.from_pydict(
+            {
+                "u": c["u"].to_numpy(np.int64),
+                "v": c["v"].to_numpy(np.int64),
+                "support": c["support"].to_numpy(np.int64),
+            }
+        )
+
+    partial = dis.map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
+    return pre_aggregated_sum(
+        partial, keys=["u", "v"], sums={"support": "support"}
+    )
 
 
 _SQL_CAPPED_BASKETS = """
@@ -7754,27 +7796,7 @@ def q_frequent_pairs(sf_dir: str):
     combined) — the exchange moves (pair, partial-count) rows, never
     baskets. The a-priori candidate-pruning generalization to k-itemsets
     composes this same join+count per level."""
-    dis = _capped_baskets(sf_dir)  # feeds both join sides (pinned)
-    left = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "u"]),
-        batch_format="pyarrow",
-    )
-    right = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "v"]),
-        batch_format="pyarrow",
-    )
-    pairs = left.join(
-        right,
-        join_type="inner",
-        num_partitions=_dedup._default_join_partitions(),
-        on=("o",),
-    ).map_batches(
-        lambda t: t.filter(pc.less(t["u"], t["v"])).select(["u", "v"]),
-        batch_format="pyarrow",
-    )
-    counted = pre_aggregated_sum(
-        pairs, keys=["u", "v"], sums={}, count_alias="support"
-    )
+    counted = _basket_pair_counts(_capped_baskets(sf_dir))
     return counted.map_batches(
         lambda t: t.filter(pc.greater_equal(t["support"], 2)),
         batch_format="pyarrow",
@@ -7835,24 +7857,11 @@ def q_item_cf(sf_dir: str):
         ),
         keys=["p"], sums={}, count_alias="c",
     )
-    left = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "u"]),
-        batch_format="pyarrow",
-    )
-    right = dis.map_batches(
-        lambda t: pa.Table.from_arrays([t["o"], t["p"]], names=["o", "v"]),
-        batch_format="pyarrow",
-    )
     npart = _dedup._default_join_partitions()
-    co = pre_aggregated_sum(
-        left.join(right, join_type="inner", num_partitions=npart, on=("o",))
-        .map_batches(
-            lambda t: t.filter(pc.less(t["u"], t["v"])).select(["u", "v"]),
-            batch_format="pyarrow",
-        ),
-        keys=["u", "v"], sums={}, count_alias="co",
-    ).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["co"], 2)),
+    co = _basket_pair_counts(dis).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"], t["v"], t["support"]], names=["u", "v", "co"]
+        ).filter(pc.greater_equal(t["support"], 2)),
         batch_format="pyarrow",
     )
     cu = cnt.map_batches(
