@@ -12234,6 +12234,174 @@ FROM c GROUP BY 1
 """
 
 
+def q_dq_audit(sf_dir: str):
+    """Data-quality audit — the expectation-check pass a production
+    pipeline runs before promoting a batch: per-check violation counts in
+    ONE streaming pass (null keys, non-positive amounts, out-of-range
+    timestamps) plus an exact duplicate-key count via the id-bucketed
+    distinct (ids disjoint across buckets ⇒ bucket-local distinct counts
+    sum exactly — the q_retention argument). Output is the tidy
+    (check, n) table dashboards ingest."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+    lo = 1_262_304_000_000_000  # 2010-01-01 in µs
+    hi = 1_893_456_000_000_000  # 2030-01-01 in µs
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        checks = {
+            "rows_total": t.num_rows,
+            "null_user_id": t["user_id"].null_count,
+            "nonpositive_value": int(
+                pc.sum(
+                    pc.cast(
+                        pc.and_kleene(
+                            pc.is_valid(t["value"]),
+                            pc.less_equal(t["value"], 0.0),
+                        ),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            ),
+            "ts_out_of_range": int(
+                pc.sum(
+                    pc.cast(
+                        pc.or_kleene(pc.less(us, lo), pc.greater_equal(us, hi)),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            ),
+        }
+        return pa.Table.from_pydict(
+            {
+                "check_name": pa.array(list(checks), pa.string()),
+                "n": pa.array([int(v) for v in checks.values()], pa.int64()),
+            }
+        )
+
+    flat = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["check_name"],
+        sums={"n": "n"},
+    )
+
+    # duplicate ids: total − distinct, distinct summed over disjoint buckets
+    def bucket_ids(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays([t["event_id"]], names=["event_id"])
+        return _dedup.add_hash_bucket(t, "event_id", nb, "__db")
+
+    def distinct_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": [np.int64(g["event_id"].nunique())]})
+
+    per_bucket = (
+        ds.map_batches(bucket_ids, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
+    )
+    totals = {r["check_name"]: r["n"] for r in flat.take_all()}
+    n_distinct = sum(r["d"] for r in per_bucket.take_all())
+    rows = sorted(totals.items()) + [
+        ("dup_event_id", totals["rows_total"] - n_distinct)
+    ]
+    return pa.Table.from_pydict(
+        {
+            "check_name": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([int(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_DQ_AUDIT = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+), checks AS (
+  SELECT 'rows_total' AS check_name, COUNT(*) AS n FROM e
+  UNION ALL
+  SELECT 'null_user_id', COUNT(*) FILTER (WHERE user_id IS NULL) FROM e
+  UNION ALL
+  SELECT 'nonpositive_value',
+         COUNT(*) FILTER (WHERE value IS NOT NULL AND value <= 0) FROM e
+  UNION ALL
+  SELECT 'ts_out_of_range',
+         COUNT(*) FILTER (WHERE us < 1262304000000000
+                             OR us >= 1893456000000000) FROM e
+  UNION ALL
+  SELECT 'dup_event_id',
+         COUNT(*) - COUNT(DISTINCT event_id) FROM e
+)
+SELECT check_name, CAST(n AS BIGINT) AS n FROM checks ORDER BY check_name
+"""
+
+
+def q_rate_spikes(sf_dir: str):
+    """Calendar-windowed rate-spike screen: per (event_type, day) counts
+    against the trailing 7 CALENDAR days (absent days count 0 — a RANGE
+    frame, not a ROWS frame), spike ⇔ 7·n > 2·trail_sum with the trailing
+    window nonempty. All-integer decision, so exact cross-engine. The
+    exchange is day-domain bounded (types × days) — per-type day series
+    fold driver-free via map_groups, windows via two searchsorted scans."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400 * 1_000_000)
+        return pa.Table.from_pydict({"event_type": t["event_type"], "day": day})
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sums={},
+        count_alias="n",
+    )
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="mergesort").reset_index(drop=True)
+        days = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        cum = np.concatenate(([0], np.cumsum(n)))
+        lo = np.searchsorted(days, days - 7, side="left")
+        hi = np.searchsorted(days, days - 1, side="right")
+        trail = cum[hi] - cum[lo]
+        spike = (hi > lo) & (7 * n > 2 * trail)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "day": days,
+                "n": n,
+                "trail_sum": trail.astype(np.int64),
+                "is_spike": spike.astype(np.int64),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        windows, batch_format="pandas"
+    )
+
+
+SQL_RATE_SPIKES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_sum,
+       CAST(CASE WHEN COUNT(n) OVER w > 0
+                  AND 7 * n > 2 * COALESCE(SUM(n) OVER w, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12422,6 +12590,8 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "pair_windows": q_pair_windows,
     "skew_profile": q_skew_profile,
+    "dq_audit": q_dq_audit,
+    "rate_spikes": q_rate_spikes,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12537,6 +12707,8 @@ ORACLE_SQL = {
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "pair_windows": SQL_PAIR_WINDOWS,
     "skew_profile": SQL_SKEW_PROFILE,
+    "dq_audit": SQL_DQ_AUDIT,
+    "rate_spikes": SQL_RATE_SPIKES,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

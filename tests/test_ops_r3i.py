@@ -120,3 +120,58 @@ def test_skew_profile_power_of_two_buckets(ray_session, tmp_path):
     assert out["n_keys"].tolist() == [1, 2, 1, 1]
     assert out["n_events"].tolist() == [1, 5, 4, 8]
     assert out["max_count"].tolist() == [1, 3, 4, 8]
+
+
+def test_dq_audit_counts_violations(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_dq_audit
+
+    n = 6
+    t = pa.Table.from_pydict(
+        {
+            "event_id": pa.array([1, 2, 2, 3, 4, 4], pa.int64()),  # 2 dups
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01"] * 5 + ["2009-12-31"]  # 1 out of range
+                ),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, None, 3, 4, 5, 6], pa.int64()),  # 1 null
+            "event_type": ["click"] * n,
+            "value": pa.array([1.0, -2.0, 0.0, 5.0, 1.0, 1.0]),  # 2 nonpos
+            "props": [""] * n,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_dq_audit(str(tmp_path)).to_pandas().set_index("check_name")["n"]
+    assert out.to_dict() == {
+        "rows_total": 6,
+        "null_user_id": 1,
+        "nonpositive_value": 2,
+        "ts_out_of_range": 1,
+        "dup_event_id": 2,
+    }
+
+
+def test_rate_spikes_calendar_window(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_rate_spikes
+
+    # day D: 2 events (no trailing window -> never a spike)
+    # D+1: 5 events, trail=2 -> 35 > 4 spike
+    # D+9: 1 event, trailing 7 days only covers D+2..D+8 (empty) -> no spike
+    # D+10: 3 events, trail=1 -> 21 > 2 spike
+    ts = (
+        ["2024-01-01"] * 2
+        + ["2024-01-02"] * 5
+        + ["2024-01-10"]
+        + ["2024-01-11"] * 3
+    )
+    _write_events(tmp_path, ts=ts)
+    out = (
+        q_rate_spikes(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 5, 1, 3]
+    assert out["trail_sum"].tolist() == [0, 2, 0, 1]
+    assert out["is_spike"].tolist() == [0, 1, 0, 1]
