@@ -1,0 +1,91 @@
+"""Randomized multi-seed parity between the driver tiers and the
+distributed join tiers of the iterative graph operators — the fixed-seed
+structural tests live in test_functions/test_ops_r3c; this sweep guards
+the tier split itself (same graph in, identical table out)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from goose_parser_ray.functions.graph import (
+    bfs_levels_distributed,
+    kcore_distributed,
+    sssp_bounded,
+    triangle_count,
+)
+
+
+def _rand_edges(seed: int, n_nodes: int = 25, n_edges: int = 80):
+    rng = np.random.RandomState(seed)
+    u = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    v = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    keep = u != v
+    return u[keep], v[keep]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_kcore_tier_parity(ray_session, seed):
+    u, v = _rand_edges(seed)
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    canon = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+    und = pd.DataFrame(
+        {
+            "u": np.concatenate([canon["u"], canon["v"]]),
+            "v": np.concatenate([canon["v"], canon["u"]]),
+        }
+    )
+    for k in (2, 3):
+        outs = []
+        for thr in (5_000_000, 0):
+            got = (
+                kcore_distributed(
+                    ray.data.from_pandas(und), k=k,
+                    num_partitions=2, driver_edges_threshold=thr,
+                )
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_bfs_sssp_tier_parity(ray_session, seed):
+    u, v = _rand_edges(seed)
+    rng = np.random.RandomState(seed + 1)
+    w = rng.randint(1, 9, len(u)).astype(np.int64)
+    edges = ray.data.from_pandas(pd.DataFrame({"u": u, "v": v, "w": w}))
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": np.unique(u)[:2].astype(np.int64)})
+    )
+    bfs = [
+        bfs_levels_distributed(
+            edges, seeds, max_hops=4, driver_edges_threshold=thr
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        for thr in (5_000_000, 0)
+    ]
+    pd.testing.assert_frame_equal(bfs[0], bfs[1])
+    ss = [
+        sssp_bounded(edges, seeds, rounds=3, driver_edges_threshold=thr)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        for thr in (5_000_000, 0)
+    ]
+    pd.testing.assert_frame_equal(ss[0], ss[1])
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_triangle_tier_parity(ray_session, seed):
+    u, v = _rand_edges(seed)
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    canon = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+    ds = ray.data.from_pandas(canon.reset_index(drop=True))
+    a = triangle_count(ds, num_partitions=2)
+    b = triangle_count(ds, num_partitions=2, driver_edges_threshold=0)
+    assert a == b
