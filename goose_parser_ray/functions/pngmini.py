@@ -143,7 +143,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     ch = _CHANNELS[ctype]
     stride = w * ch
-    data = zlib.decompress(b"".join(idat))
+    if h * (stride + 1) > 256 * 1024 * 1024:
+        raise ValueError(f"PNG raster {w}x{h}x{ch} exceeds the 256 MiB guard")
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt DEFLATE → same loud contract
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(data) != h * (stride + 1):
         raise ValueError(
             f"PNG raster size {len(data)} != expected {h * (stride + 1)}"

@@ -112,3 +112,28 @@ def test_spectrum_margins():
     assert out["dom_bin"].to_pylist() == [200, 50, 60]
     assert out["dom_freq_hz"].to_pylist() == [4000, 500, 1000]
     assert out["n_active_bins"].to_pylist() == [1, 8, 4]
+
+
+def test_mutation_fuzz_never_crashes_uncontrolled():
+    """Any single-byte mutation of a valid PNG either still decodes to the
+    right shape (mutation in slack space), or raises ValueError — never
+    another exception type, never a hang. (CRC catches most; the rest must
+    be caught by the structural guards, including zlib.error wrapping.)"""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img, "cycle"))
+    for trial in range(300):
+        b = bytearray(good)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_png(bytes(b))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+    # truncations at every prefix length are equally controlled
+    for cut in range(0, len(good), 7):
+        try:
+            decode_png(bytes(good[:cut]))
+        except ValueError:
+            pass
