@@ -12438,6 +12438,122 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
 """
 
 
+def q_reject_reasons(sf_dir: str):
+    """Filter-cascade audit — the "why did my corpus shrink" report every
+    curation run needs: each doc gets the FIRST matching rejection reason
+    (too_short → too_long → bad_lang → kept, the cascade order a real
+    filter applies), rolled up to (reason, n_docs, first_doc). Map-side
+    partial combine; the exchange is reason-domain bounded (4 rows)."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t["n_chars"]
+        reason = pc.if_else(
+            pc.less(n, 100),
+            pa.scalar("too_short"),
+            pc.if_else(
+                pc.greater(n, 400),
+                pa.scalar("too_long"),
+                pc.if_else(
+                    pc.is_in(
+                        t["lang"],
+                        value_set=pa.array(["en", "de", "fr"]),
+                    ),
+                    pa.scalar("kept"),
+                    pa.scalar("bad_lang"),
+                ),
+            ),
+        )
+        return pa.Table.from_pydict(
+            {
+                "reason": reason,
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "first_doc": t["doc_id"],
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out = df.groupby("reason", as_index=False).agg(
+            n_docs=("n_docs", "sum"), first_doc=("first_doc", "min")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc", alias_name="first_doc"),
+        )
+    )
+
+
+SQL_REJECT_REASONS = """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 400 THEN 'too_long'
+              WHEN lang IN ('en', 'de', 'fr') THEN 'kept'
+              ELSE 'bad_lang' END AS reason
+  FROM documents
+)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM r GROUP BY reason
+"""
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster profile: histogram of exact-text cluster sizes
+    (how much of the corpus is 1×, 2×, k×-replicated — the number that
+    decides whether dedup is worth a full pass). Content-hash bucketed
+    fold (identical texts share a bucket ⇒ bucket-local cluster sizes are
+    exact), then a size-domain-bounded (≤ max multiplicity) sum — the
+    corpus text never shuffles twice."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "text", nb, "__hb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("text", dropna=False).size()
+        hist = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": hist.index.to_numpy(np.int64),
+                "n_clusters": hist.to_numpy(np.int64),
+            }
+        )
+
+    partial = ds.map_batches(bucket, batch_format="pyarrow").groupby(
+        "__hb"
+    ).map_groups(fold, batch_format="pandas")
+    return pre_aggregated_sum(
+        partial, keys=["cluster_size"], sums={"n_clusters": "n_clusters"}
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = """
+WITH c AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM documents GROUP BY text
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12628,6 +12744,8 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "dq_audit": q_dq_audit,
     "rate_spikes": q_rate_spikes,
+    "reject_reasons": q_reject_reasons,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12745,6 +12863,8 @@ ORACLE_SQL = {
     "skew_profile": SQL_SKEW_PROFILE,
     "dq_audit": SQL_DQ_AUDIT,
     "rate_spikes": SQL_RATE_SPIKES,
+    "reject_reasons": SQL_REJECT_REASONS,
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

@@ -175,3 +175,55 @@ def test_rate_spikes_calendar_window(ray_session, tmp_path):
     assert out["n"].tolist() == [2, 5, 1, 3]
     assert out["trail_sum"].tolist() == [0, 2, 0, 1]
     assert out["is_spike"].tolist() == [0, 1, 0, 1]
+
+
+def _write_docs(tmp_path, texts, langs=None, n_chars=None):
+    n = len(texts)
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": list(texts),
+            "lang": list(langs) if langs else ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.asarray(
+                n_chars if n_chars is not None else [len(x) for x in texts],
+                np.int64,
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+def test_dup_cluster_sizes_histogram(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_dup_cluster_sizes
+
+    # 3 singletons, one pair, one triple -> {1: 3, 2: 1, 3: 1}
+    _write_docs(tmp_path, ["a", "b", "c", "dd", "dd", "eee", "eee", "eee"])
+    out = (
+        q_dup_cluster_sizes(str(tmp_path))
+        .to_pandas()
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    assert out["cluster_size"].tolist() == [1, 2, 3]
+    assert out["n_clusters"].tolist() == [3, 1, 1]
+
+
+def test_reject_reasons_cascade_order(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_reject_reasons
+
+    # doc 0: short AND bad lang -> too_short wins (cascade order)
+    # doc 1: long en -> too_long; doc 2: zh normal -> bad_lang; doc 3 kept
+    _write_docs(
+        tmp_path,
+        ["x", "y", "z", "w"],
+        langs=["zh", "en", "zh", "en"],
+        n_chars=[50, 500, 200, 200],
+    )
+    out = q_reject_reasons(str(tmp_path)).to_pandas().set_index("reason")
+    assert out["n_docs"].to_dict() == {
+        "too_short": 1, "too_long": 1, "bad_lang": 1, "kept": 1
+    }
+    assert out["first_doc"].to_dict() == {
+        "too_short": 0, "too_long": 1, "bad_lang": 2, "kept": 3
+    }
