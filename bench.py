@@ -52,6 +52,9 @@ TIMED_QUERIES = [
     "hits",
     "ks_test",
     "url_canonical",
+    "media_png",
+    "pair_windows",
+    "dq_audit",
 ]
 
 
