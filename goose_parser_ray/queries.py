@@ -12554,6 +12554,41 @@ FROM c GROUP BY cluster_size
 """
 
 
+def q_arrow_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) export → parallel ingest, ORACLE-CHECKED
+    row-for-row against the source table: real shard FILES on disk (one
+    per block, map-side — the same pattern as the WARC/CSV/JSONL
+    roundtrips), read back through ``sources.io.read_documents``'s IPC
+    branch (one read task per file; Feather-or-stream fallback). Floats
+    survive IPC bit-exactly (binary columnar format — no text rounding),
+    so value as exact cents on both sides compares trivially."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.feather as feather
+
+    from goose_parser_ray.sources.io import read_documents
+
+    base = "/tmp/arrow_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    src = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        tag = hashlib.md5(t["doc_id"].to_string().encode()).hexdigest()[:12]
+        feather.write_feather(t, f"{base}/shard-{tag}.feather")
+        return pa.Table.from_pydict({"n": [t.num_rows]})
+
+    src.map_batches(write_shard, batch_format="pyarrow").count()
+    return read_documents(base + "/", fmt="arrow")
+
+
+SQL_ARROW_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12746,6 +12781,7 @@ QUERIES = {
     "rate_spikes": q_rate_spikes,
     "reject_reasons": q_reject_reasons,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "arrow_roundtrip": q_arrow_roundtrip,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12865,6 +12901,7 @@ ORACLE_SQL = {
     "rate_spikes": SQL_RATE_SPIKES,
     "reject_reasons": SQL_REJECT_REASONS,
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
+    "arrow_roundtrip": SQL_ARROW_ROUNDTRIP,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

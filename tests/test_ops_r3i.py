@@ -227,3 +227,25 @@ def test_reject_reasons_cascade_order(ray_session, tmp_path):
     assert out["first_doc"].to_dict() == {
         "too_short": 0, "too_long": 1, "bad_lang": 2, "kept": 3
     }
+
+
+def test_arrow_ingest_stream_ipc_fallback(ray_session, tmp_path):
+    """The IPC branch must handle both Feather v2 files and raw stream-IPC
+    payloads (the except-fallback path) with column pruning."""
+    import pyarrow.feather as feather
+
+    from goose_parser_ray.sources.io import read_documents
+
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "lang": ["en", "fr"]})
+    feather.write_feather(t1, tmp_path / "a.feather")
+    t2 = pa.table({"doc_id": pa.array([3], pa.int64()), "lang": ["de"]})
+    with pa.OSFile(str(tmp_path / "b.arrows"), "wb") as f:
+        with pa.ipc.new_stream(f, t2.schema) as w:
+            w.write_table(t2)
+    out = (
+        read_documents(str(tmp_path) + "/", fmt="arrow", columns=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out.columns.tolist() == ["doc_id"]
