@@ -12589,6 +12589,92 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT 3-gram (word-shingle) Jaccard near-dup join — the
+    n-gram-level sibling of q_set_similarity's unigram sets: shingles are
+    far more discriminative than token sets on template-generated text, so
+    the same PPJoin machinery runs at a lower τ without pair explosion.
+    Shingle construction is fully Arrow/numpy-vectorized (flat word array
+    + parent offsets → element-wise 3-way binary_join → per-doc list
+    rebuild; no per-row Python), emitting a shingle-token column the
+    prefix-filter join consumes unchanged."""
+    from goose_parser_ray.functions.dedup import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle3(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")), pattern=r"\s+"
+        )
+        flat = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        f = pc.list_flatten(flat)
+        parent = pc.list_parent_indices(flat).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(f, "").to_numpy(zero_copy_only=False)
+        toks = f.filter(pa.array(keep))
+        parent = parent[keep]
+        n = len(parent)
+        if n >= 3:
+            ok = parent[:-2] == parent[2:]
+            a = toks.slice(0, n - 2).filter(pa.array(ok))
+            b = toks.slice(1, n - 2).filter(pa.array(ok))
+            c = toks.slice(2, n - 2).filter(pa.array(ok))
+            sh = pc.binary_join_element_wise(a, b, c, "\x1f")
+            sh_parent = parent[:-2][ok]
+        else:
+            sh = pa.array([], pa.string())
+            sh_parent = np.array([], np.int64)
+        counts = np.bincount(sh_parent, minlength=t.num_rows) if len(
+            sh_parent
+        ) else np.zeros(t.num_rows, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sh)
+        joined = pc.binary_join(lst, " ")
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "shingles": joined}
+        )
+
+    sh_ds = ds.map_batches(shingle3, batch_format="pyarrow")
+    return set_similarity_join(
+        sh_ds, col="shingles", threshold_num=6, threshold_den=10
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr
+  FROM documents
+), tok0 AS (
+  SELECT doc_id, arr[g.i] AS tok, g.i AS pos
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS g(i)
+), tok AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS ord
+  FROM tok0 WHERE tok <> ''
+), sh0 AS (
+  SELECT doc_id,
+         tok || chr(31) || LEAD(tok, 1) OVER w
+             || chr(31) || LEAD(tok, 2) OVER w AS s
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM sh0
+), sz AS (
+  SELECT doc_id, COUNT(*) AS l FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(10000 * i // (sa.l + sb.l - i) AS BIGINT) AS jac_e4
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE 10 * i >= 6 * (sa.l + sb.l - i)
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12782,6 +12868,7 @@ QUERIES = {
     "reject_reasons": q_reject_reasons,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "arrow_roundtrip": q_arrow_roundtrip,
+    "ngram_jaccard": q_ngram_jaccard,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12902,6 +12989,7 @@ ORACLE_SQL = {
     "reject_reasons": SQL_REJECT_REASONS,
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "arrow_roundtrip": SQL_ARROW_ROUNDTRIP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

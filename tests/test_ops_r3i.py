@@ -249,3 +249,19 @@ def test_arrow_ingest_stream_ipc_fallback(ray_session, tmp_path):
     )
     assert out["doc_id"].tolist() == [1, 2, 3]
     assert out.columns.tolist() == ["doc_id"]
+
+
+def test_ngram_jaccard_shingle_edges(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_ngram_jaccard
+
+    # identical 4-word docs share both 3-shingles -> jac 1.0
+    # doc 2 shares words but in different ORDER -> different shingles, no pair
+    # doc 3 has <3 words -> no shingles, never pairs
+    # doc 4 tests empty-token filtering ("  a   b  c" == "a b c" shingles)
+    _write_docs(
+        tmp_path,
+        ["a b c d", "a b c d", "d c b a", "a b", "  a   b  c ", "a b c"],
+    )
+    out = q_ngram_jaccard(str(tmp_path)).to_pandas()
+    pairs = {(r.id_a, r.id_b): r.jac_e4 for r in out.itertuples()}
+    assert pairs == {(0, 1): 10000, (4, 5): 10000}
