@@ -2078,11 +2078,25 @@ def set_similarity_join(
 
             return fn
 
-        j = cand.join(
-            bitsets.map_batches(rename("id_a"), batch_format="pyarrow"),
+        from goose_parser_ray.functions.relational import compact_for_join
+
+        # aggregate-derived join inputs: compact away the zero-column
+        # empty blocks Ray's hash join chokes on (tiny candidate sets
+        # leave most partitions empty)
+        j1 = compact_for_join(cand, num_partitions, n_cand).join(
+            compact_for_join(
+                bitsets.map_batches(rename("id_a"), batch_format="pyarrow"),
+                num_partitions,
+            ),
             join_type="inner", num_partitions=num_partitions, on=("id_a",),
-        ).join(
-            bitsets.map_batches(rename("id_b"), batch_format="pyarrow"),
+        )
+        # the first join's empty partitions re-poison the second join —
+        # compact the intermediate too (same as the graph half-rounds)
+        j = compact_for_join(j1.materialize(), num_partitions).join(
+            compact_for_join(
+                bitsets.map_batches(rename("id_b"), batch_format="pyarrow"),
+                num_partitions,
+            ),
             join_type="inner", num_partitions=num_partitions, on=("id_b",),
         )
 
