@@ -12675,6 +12675,85 @@ WHERE 10 * i >= 6 * (sa.l + sb.l - i)
 """
 
 
+def q_winsorize(sf_dir: str):
+    """Per-group winsorized mean (clip at the p05/p95 rank statistics
+    before averaging — the robust-preprocessing step that tames heavy
+    tails without dropping rows), EXACT in the cents domain: the p05/p95
+    cut points are rank-⌈q·n⌉ values from cumulative counts (same
+    discipline as grouped_quantiles), the clipped sum is Σ count·clip(v)
+    over the distinct-value table, and the means are integer floor-divides.
+    Exchange = one row per distinct (type, cents) — value-domain bounded."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"et": t["event_type"].to_pandas(), "v": v})
+            .groupby(["et", "v"], sort=False)
+            .size()
+        )
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_pydict(
+            {
+                "event_type": idx["et"].to_numpy(),
+                "v": idx["v"].to_numpy(np.int64),
+                "c": g.to_numpy(np.int64),
+            }
+        )
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "v"],
+        sums={"c": "c"},
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+        hi = int(v[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        mean_c = int(np.dot(c, v)) // n
+        wins_mean_c = int(np.dot(c, np.clip(v, lo, hi))) // n
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(n)],
+                "p05_c": [np.int64(lo)],
+                "p95_c": [np.int64(hi)],
+                "mean_c": [np.int64(mean_c)],
+                "wins_mean_c": [np.int64(wins_mean_c)],
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+SQL_WINSORIZE = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(100 * value) AS BIGINT) AS v FROM events
+), cut AS (
+  SELECT event_type,
+         CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+         CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, MAX(cut.n) AS n,
+       MAX(cut.lo) AS p05_c, MAX(cut.hi) AS p95_c,
+       CAST(MAX(cut.sv) // MAX(cut.n) AS BIGINT) AS mean_c,
+       CAST(SUM(LEAST(GREATEST(d.v, cut.lo), cut.hi)) // MAX(cut.n)
+            AS BIGINT) AS wins_mean_c
+FROM d JOIN cut USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12869,6 +12948,7 @@ QUERIES = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "arrow_roundtrip": q_arrow_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
+    "winsorize": q_winsorize,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -12990,6 +13070,7 @@ ORACLE_SQL = {
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "arrow_roundtrip": SQL_ARROW_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "winsorize": SQL_WINSORIZE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

@@ -265,3 +265,25 @@ def test_ngram_jaccard_shingle_edges(ray_session, tmp_path):
     out = q_ngram_jaccard(str(tmp_path)).to_pandas()
     pairs = {(r.id_a, r.id_b): r.jac_e4 for r in out.itertuples()}
     assert pairs == {(0, 1): 10000, (4, 5): 10000}
+
+
+def test_winsorize_known_values(ray_session, tmp_path):
+    from goose_parser_ray.queries import q_winsorize
+
+    # 20 values 1..19 plus outlier 1000 (cents 100..1900, 100000)
+    # n=20: p05 rank ceil(1)=1 -> 100; p95 rank ceil(19)=19 -> 1900
+    # mean = (sum(100..1900) + 100000)/20 = (19000 + 100000)//20 = 5950
+    # winsorized: outlier clipped to 1900 -> (19000+1900)//20 = 1045
+    vals = [float(i) for i in range(1, 20)] + [1000.0]
+    _write_events(tmp_path, ts=["2024-01-01"] * 20)
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(tmp_path / "events.parquet")
+    t = t.set_column(
+        t.column_names.index("value"), "value", pa.array(vals, pa.float64())
+    )
+    _pq.write_table(t, tmp_path / "events.parquet")
+    out = q_winsorize(str(tmp_path)).to_pandas().iloc[0]
+    assert out["n"] == 20
+    assert out["p05_c"] == 100 and out["p95_c"] == 1900
+    assert out["mean_c"] == 5950 and out["wins_mean_c"] == 1045
