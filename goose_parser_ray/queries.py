@@ -12754,6 +12754,51 @@ GROUP BY d.event_type
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((lang, source), (lang), ()) with an explicit
+    GROUPING-id column — completes the OLAP trio next to q_cube_agg and
+    q_rollup_lineitem, same scale shape: ONE distributed partial pass to
+    the finest cells, every requested set re-aggregated from that
+    (langs × sources)-bounded table; the corpus is read once."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    base = pre_aggregated_sum(
+        ds, keys=["lang", "source"], sums={"n_chars": "sum_chars"},
+        count_alias="n_docs",
+    ).to_pandas()
+
+    levels = []
+    for keys, gid in ((["lang", "source"], 0), (["lang"], 1), ([], 3)):
+        lvl = (
+            base.groupby(keys, as_index=False)[["sum_chars", "n_docs"]].sum()
+            if keys
+            else base[["sum_chars", "n_docs"]].sum().to_frame().T
+        )
+        for filled in ("lang", "source"):
+            if filled not in keys:
+                lvl[filled] = "ALL"
+        lvl["grouping_id"] = gid
+        levels.append(
+            lvl[["lang", "source", "grouping_id", "sum_chars", "n_docs"]]
+        )
+    out = pd.concat(levels, ignore_index=True)
+    for c in ("grouping_id", "sum_chars", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -12949,6 +12994,7 @@ QUERIES = {
     "arrow_roundtrip": q_arrow_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
     "winsorize": q_winsorize,
+    "grouping_sets": q_grouping_sets,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13071,6 +13117,7 @@ ORACLE_SQL = {
     "arrow_roundtrip": SQL_ARROW_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winsorize": SQL_WINSORIZE,
+    "grouping_sets": SQL_GROUPING_SETS,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
