@@ -12243,19 +12243,31 @@ def q_skew_profile(sf_dir: str):
             }
         )
 
-    b = per_user.map_batches(bucketize, batch_format="pyarrow")
+    from ray.data.aggregate import Max, Sum
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket_log2": [g["bucket_log2"].iloc[0]],
-                "n_keys": [np.int64(g["n_keys"].sum())],
-                "n_events": [np.int64(g["n_events"].sum())],
-                "max_count": [np.int64(g["max_count"].max())],
-            }
+    def partial_fold(t: pa.Table) -> pa.Table:
+        # map-side combine per block: the final groupby's payload is then
+        # ≤ 64 log-buckets × blocks, never the per-user table (most users
+        # share a handful of low buckets — an unbounded map_groups payload
+        # otherwise)
+        df = t.to_pandas()
+        out = df.groupby("bucket_log2", as_index=False).agg(
+            n_keys=("n_keys", "sum"),
+            n_events=("n_events", "sum"),
+            max_count=("max_count", "max"),
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return b.groupby("bucket_log2").map_groups(fold, batch_format="pandas")
+    return (
+        per_user.map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(partial_fold, batch_format="pyarrow")
+        .groupby("bucket_log2")
+        .aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("n_events", alias_name="n_events"),
+            Max("max_count", alias_name="max_count"),
+        )
+    )
 
 
 SQL_SKEW_PROFILE = """
@@ -12341,7 +12353,9 @@ def q_dq_audit(sf_dir: str):
         .map_groups(distinct_in_bucket, batch_format="pandas")
     )
     totals = {r["check_name"]: r["n"] for r in flat.take_all()}
-    n_distinct = sum(r["d"] for r in per_bucket.take_all())
+    # distributed scalar sum: the per-bucket table grows with the corpus
+    # (rows/50k buckets) — never collect it driver-side
+    n_distinct = int(per_bucket.sum("d") or 0)
     rows = sorted(totals.items()) + [
         ("dup_event_id", totals["rows_total"] - n_distinct)
     ]
