@@ -22,26 +22,45 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _pagerank_driver(e_pd, damping, max_iters, tol) -> ray.data.Dataset:
+def _pagerank_driver(
+    e_pd, damping, max_iters, tol, seed_arr=None
+) -> ray.data.Dataset:
     """Driver tier of :func:`pagerank_distributed` for collapsed edge
     lists under the pair guard (same tiering contract as the dedup
     family's driver union-find and ``_hits_driver``): one collect of the
     weighted (u, v, w) triples, then every round is a ``np.bincount`` —
     no per-round joins or Ray executions. Identical update rule (damping,
     dangling redistribution, L1-tolerance early exit); float sums differ
-    only in order (≪ 0.5e-6, the bound the SQL twins rely on)."""
-    uv = np.concatenate([e_pd["u"].to_numpy(np.int64), e_pd["v"].to_numpy(np.int64)])
-    node_arr, inv = np.unique(uv, return_inverse=True)
-    ui, vi = inv[: len(e_pd)], inv[len(e_pd) :]
+    only in order (≪ 0.5e-6, the bound the SQL twins rely on).
+    ``seed_arr`` switches to the PERSONALIZED teleport vector
+    (t = 1/|seeds| on seeds, 0 elsewhere; seeds join the node set)."""
+    parts = [e_pd["u"].to_numpy(np.int64), e_pd["v"].to_numpy(np.int64)]
+    if seed_arr is not None:
+        parts.append(np.asarray(seed_arr, np.int64))
+    node_arr, inv = np.unique(np.concatenate(parts), return_inverse=True)
+    ui, vi = inv[: len(e_pd)], inv[len(e_pd) : 2 * len(e_pd)]
     w = e_pd["w"].to_numpy(np.int64).astype(np.float64)
     n = len(node_arr)
     deg = np.bincount(ui, weights=w, minlength=n)
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    if seed_arr is None:
+        t = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        t = np.zeros(n, dtype=np.float64)
+        t[inv[2 * len(e_pd) :]] = 1.0 / len(np.unique(seed_arr))
+    rank = t.copy()
+    src_deg = deg[ui]
     for _ in range(max_iters):
-        c = np.bincount(vi, weights=rank[ui] / deg[ui] * w, minlength=n)
+        c = np.bincount(vi, weights=rank[ui] / src_deg * w, minlength=n)
         dangling = 1.0 - float(c.sum())
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_rank = base + damping * c
+        if seed_arr is None:
+            # scalar base, same op order as the SQL twin's
+            # (1-d)/n + d*dm/n expression
+            base = (1.0 - damping) / n + damping * dangling / n
+            new_rank = base + damping * c
+        else:
+            new_rank = (
+                ((1.0 - damping) + damping * dangling) * t + damping * c
+            )
         if tol > 0 and float(np.abs(new_rank - rank).sum()) <= tol:
             rank = new_rank
             break
@@ -66,6 +85,8 @@ def pagerank_distributed(
     tol: float = 1e-9,
     num_partitions: int | None = None,
     driver_edges_threshold: int = 5_000_000,
+    teleport_seeds: "ray.data.Dataset | None" = None,
+    seed_col: str = "node",
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list. Returns Dataset(node, rank)
     with Σ rank = 1. Nodes are every src/dst endpoint; parallel edges
@@ -97,11 +118,21 @@ def pagerank_distributed(
     # upper-bounds distinct pairs, so it gates the driver tier
     partials = edges.map_batches(collapse_block, batch_format="pyarrow").materialize()
     n_partial = partials.count()  # metadata-only
+    seed_arr = None
+    if teleport_seeds is not None:
+        # personalized teleport: seed sets are small by use-case (a user's
+        # history, a topic whitelist) — collected once and broadcast; the
+        # per-round base map does a searchsorted membership, no joins
+        seed_arr = np.unique(
+            teleport_seeds.to_pandas()[seed_col].to_numpy(np.int64)
+        )
+        if len(seed_arr) == 0:
+            raise ValueError("personalized pagerank needs >=1 teleport seed")
     if 0 < n_partial <= driver_edges_threshold:
         pdf = (
             partials.to_pandas().groupby(["u", "v"], as_index=False)["w"].sum()
         )
-        return _pagerank_driver(pdf, damping, max_iters, tol)
+        return _pagerank_driver(pdf, damping, max_iters, tol, seed_arr)
 
     e = edges.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -140,19 +171,31 @@ def pagerank_distributed(
         deg, join_type="inner", num_partitions=num_partitions, on=("u",)
     ).materialize()
 
-    # node set = distinct endpoints (distinct via grouped count partials)
-    nodes = pre_aggregated_sum(
-        e.map_batches(
-            lambda t: pa.Table.from_pydict(
-                {"node": pa.concat_arrays(
-                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
-                )}
-            ).append_column(
-                "one", pa.array(np.ones(2 * t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
+    # node set = distinct endpoints (distinct via grouped count partials);
+    # teleport seeds join the node set (isolated seeds still carry mass)
+    node_src = e.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": pa.concat_arrays(
+                [t["u"].combine_chunks(), t["v"].combine_chunks()]
+            )}
+        ).append_column(
+            "one", pa.array(np.ones(2 * t.num_rows, dtype=np.int64))
         ),
-        keys=["node"], sums={"one": "k"},
+        batch_format="pyarrow",
+    )
+    if seed_arr is not None:
+        node_src = node_src.union(
+            ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array(seed_arr, pa.int64()),
+                        "one": pa.array(np.ones(len(seed_arr), np.int64)),
+                    }
+                )
+            )
+        )
+    nodes = pre_aggregated_sum(
+        node_src, keys=["node"], sums={"one": "k"},
     ).drop_columns(["k"]).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -162,13 +205,27 @@ def pagerank_distributed(
         )
 
     nodes = compact_for_join(nodes, num_partitions, n_nodes).materialize()
-    init = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda t: t.append_column(
-            "rank", pa.array(np.full(t.num_rows, init, dtype=np.float64))
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if seed_arr is None:
+        t_ref = None
+        init = 1.0 / n_nodes
+
+        def init_fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "rank", pa.array(np.full(t.num_rows, init, dtype=np.float64))
+            )
+    else:
+        t_ref = ray.put(seed_arr)
+        t_val = 1.0 / len(seed_arr)
+
+        def init_fn(t: pa.Table) -> pa.Table:
+            sa = ray.get(t_ref)
+            node = t["node"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sa, node)
+            pos[pos >= len(sa)] = len(sa) - 1
+            tv = np.where(sa[pos] == node, t_val, 0.0)
+            return t.append_column("rank", pa.array(tv, pa.float64()))
+
+    ranks = nodes.map_batches(init_fn, batch_format="pyarrow").materialize()
 
     def scalar_sum(ds: ray.data.Dataset, col: str) -> float:
         row = ds.aggregate(Sum(col, alias_name="s"))
@@ -199,14 +256,13 @@ def pagerank_distributed(
         # of rank/deg), so the dangling mass needs NO extra ranks⋈out_nodes
         # join — one tiny aggregate over the already-materialized contrib
         dangling = 1.0 - scalar_sum(contrib, "c")
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        if seed_arr is None:
+            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
-        new_ranks = compact_for_join(
-            nodes.join(
-                contrib, join_type="left_outer",
-                num_partitions=num_partitions, on=("node",),
-            ).map_batches(
-                lambda t: pa.Table.from_pydict(
+            def apply_base(t: pa.Table) -> pa.Table:
+                # true division (not reciprocal-multiply): the SQL twin
+                # writes COALESCE(c,0)/s and IEEE x/s != x*(1/s) last-ulp
+                return pa.Table.from_pydict(
                     {"node": pc.cast(t["node"], pa.int64()),
                      "rank": pa.array(
                          base
@@ -216,9 +272,34 @@ def pagerank_distributed(
                              .astype(np.float64)
                          )
                      )}
-                ),
-                batch_format="pyarrow",
-            ),
+                )
+        else:
+            scale = (1.0 - damping) + damping * dangling
+
+            def apply_base(t: pa.Table) -> pa.Table:
+                sa = ray.get(t_ref)
+                node = pc.cast(t["node"], pa.int64())
+                nv = node.to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(sa, nv)
+                pos[pos >= len(sa)] = len(sa) - 1
+                tv = np.where(sa[pos] == nv, 1.0 / len(sa), 0.0)
+                return pa.Table.from_pydict(
+                    {"node": node,
+                     "rank": pa.array(
+                         scale * tv
+                         + damping
+                         * np.nan_to_num(
+                             t["c"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64)
+                         )
+                     )}
+                )
+
+        new_ranks = compact_for_join(
+            nodes.join(
+                contrib, join_type="left_outer",
+                num_partitions=num_partitions, on=("node",),
+            ).map_batches(apply_base, batch_format="pyarrow"),
             num_partitions,
             n_nodes,  # left-outer on the unique node key ⇒ n_nodes rows
         ).materialize()

@@ -12813,6 +12813,97 @@ GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
 
 
+def q_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (teleport restricted to a seed set — the
+    recommendation/random-walk-with-restart variant): seeds are the
+    suppliers with suppkey % 10 == 0; mass teleports back to them, so
+    ranks measure proximity to the seed neighborhood rather than global
+    centrality. Same tiered engine as q_pagerank (driver bincount under
+    the pair guard, per-round join + broadcast-seed base map past it);
+    fixed 3 rounds so the oracle unrolls identically."""
+    from goose_parser_ray.functions.graph import pagerank_distributed
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    # deterministic small seed set: suppkey % 10 == 0
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["l_suppkey"], pa.int64())
+        keep = pc.equal(
+            pc.subtract(
+                sk,
+                pc.multiply(
+                    pc.divide(sk, pa.scalar(10, pa.int64())),
+                    pa.scalar(10, pa.int64()),
+                ),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.Table.from_pydict({"node": sk.filter(keep)})
+
+    seeds = ds.map_batches(pick_seeds, batch_format="pyarrow")
+    ranks = pagerank_distributed(
+        ds, src="l_suppkey", dst="l_partkey",
+        damping=0.85, max_iters=3, tol=0.0,
+        teleport_seeds=seeds,
+    )
+    return (
+        ranks.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t["node"], "rank_e6": _cents(t["rank"], 1_000_000)}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["rank_e6", "node"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_PPR = """
+WITH edges AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS v
+  FROM lineitem
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+seeds AS (SELECT DISTINCT u AS node FROM edges WHERE u % 10 = 0),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+t AS (SELECT nodes.node,
+             CASE WHEN seeds.node IS NOT NULL
+                  THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS tv
+      FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
+r0 AS (SELECT node, tv AS rank FROM t),
+d1 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r0 r JOIN deg ON deg.u = r.node),
+c1 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r0 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r1 AS (SELECT t.node,
+              (0.15 + 0.85 * (SELECT dm FROM d1)) * t.tv
+              + 0.85 * COALESCE(c1.c, 0) AS rank
+       FROM t LEFT JOIN c1 ON t.node = c1.node),
+d2 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r1 r JOIN deg ON deg.u = r.node),
+c2 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r1 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r2 AS (SELECT t.node,
+              (0.15 + 0.85 * (SELECT dm FROM d2)) * t.tv
+              + 0.85 * COALESCE(c2.c, 0) AS rank
+       FROM t LEFT JOIN c2 ON t.node = c2.node),
+d3 AS (SELECT 1.0 - COALESCE(SUM(r.rank), 0) AS dm
+       FROM r2 r JOIN deg ON deg.u = r.node),
+c3 AS (SELECT e.v AS node, SUM(r.rank / deg.deg) AS c
+       FROM edges e JOIN r2 r ON e.u = r.node JOIN deg ON deg.u = e.u
+       GROUP BY e.v),
+r3 AS (SELECT t.node,
+              (0.15 + 0.85 * (SELECT dm FROM d3)) * t.tv
+              + 0.85 * COALESCE(c3.c, 0) AS rank
+       FROM t LEFT JOIN c3 ON t.node = c3.node)
+SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_e6
+FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13009,6 +13100,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "winsorize": q_winsorize,
     "grouping_sets": q_grouping_sets,
+    "ppr": q_ppr,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13132,6 +13224,7 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "winsorize": SQL_WINSORIZE,
     "grouping_sets": SQL_GROUPING_SETS,
+    "ppr": SQL_PPR,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

@@ -89,3 +89,33 @@ def test_triangle_tier_parity(ray_session, seed):
     a = triangle_count(ds, num_partitions=2)
     b = triangle_count(ds, num_partitions=2, driver_edges_threshold=0)
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_personalized_pagerank_tier_parity(ray_session, seed):
+    from goose_parser_ray.functions.graph import pagerank_distributed
+
+    u, v = _rand_edges(seed)
+    edges = ray.data.from_pandas(pd.DataFrame({"src": u, "dst": v}))
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": np.unique(u)[::3].astype(np.int64)})
+    )
+    outs = []
+    for thr in (5_000_000, 0):
+        got = (
+            pagerank_distributed(
+                edges, max_iters=3, tol=0.0, num_partitions=2,
+                teleport_seeds=seeds, driver_edges_threshold=thr,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0]["node"].tolist() == outs[1]["node"].tolist()
+    assert np.allclose(outs[0]["rank"], outs[1]["rank"], atol=1e-12)
+    # mass conservation and seed concentration
+    assert abs(outs[0]["rank"].sum() - 1.0) < 1e-9
+    seed_set = set(np.unique(u)[::3].tolist())
+    in_seed = outs[0][outs[0]["node"].isin(seed_set)]["rank"].sum()
+    assert in_seed > 0.3  # teleport keeps mass near the seeds
