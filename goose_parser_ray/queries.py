@@ -4580,6 +4580,40 @@ FROM c
 """
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX against the labeled lang column — the
+    quality audit you run before trusting a classifier at corpus scale:
+    actor-pool prediction (same LangIdActor as q_lang_id, patterns
+    compiled once per actor) → map-side combined (label, prediction)
+    counts; the exchange is |langs|²-bounded. The SQL twin nests the SAME
+    generated stopword classifier, so the whole matrix hash-compares."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = ds.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(2, _pool())
+    )
+    return pre_aggregated_sum(
+        pred.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["lang"], t["lang_pred"]], names=["lang", "lang_pred"]
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["lang", "lang_pred"],
+        sums={},
+        count_alias="n_docs",
+    )
+
+
+def _langid_confusion_sql() -> str:
+    inner = _langid_sql().strip()
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang, pred.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY d.lang, pred.lang_pred
+"""
+
+
 def q_quality(sf_dir: str):
     """Quality score emitted as integer basis points (deterministic
     element-wise rounding on both sides — the float-sum parity rule from
@@ -13101,6 +13135,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "grouping_sets": q_grouping_sets,
     "ppr": q_ppr,
+    "langid_confusion": q_langid_confusion,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13225,6 +13260,7 @@ ORACLE_SQL = {
     "winsorize": SQL_WINSORIZE,
     "grouping_sets": SQL_GROUPING_SETS,
     "ppr": SQL_PPR,
+    "langid_confusion": _langid_confusion_sql(),
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
