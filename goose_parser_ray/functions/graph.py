@@ -1272,3 +1272,193 @@ def sssp_bounded(
             .materialize()
         )
     return dist
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    *,
+    cols: tuple[str, str] = ("u", "v"),
+    seed_col: str = "node",
+    steps: int = 3,
+    driver_edges_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Deterministic hash-choice random walks (the node2vec p=q=1 corpus
+    sampler): from every seed, ``steps`` hops where hop ``s`` from node
+    ``x`` on walk ``w`` picks out-neighbor index
+    ``H(w, s, x) mod deg(x)`` with ``H = (w·2654435761 + s·40503 +
+    x·69069) mod 2147483647`` over the by-``v``-sorted adjacency — a pure
+    integer rule both this engine and a SQL twin state verbatim, so walks
+    are exactly reproducible. Walks that reach a sink stop (no row for
+    that step).
+
+    Tiers: adjacency ranks come from ONE u-bucketed fold (sort + cumcount
+    inside data-proportional buckets); under the pair guard the walk
+    itself is vectorized index chasing on the driver, past it each hop is
+    one frontier ⋈ ranked-edges hash join filtered on the hash rule
+    (fan-out = frontier × out-degree, the same bound the join tier of
+    PageRank moves per round).
+
+    Returns Dataset(walk_id, step, node) including step 0 = the seed."""
+    from goose_parser_ray.functions.dedup import (
+        _default_join_partitions,
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    a, b = cols
+    e = edges.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(t[a], pa.int64()), pc.cast(t[b], pa.int64())],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_edges = e.count()
+    nb = num_shuffle_buckets(max(n_edges, 1))
+
+    def rank_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop_duplicates(["u", "v"]).sort_values(
+            ["u", "v"], kind="mergesort"
+        )
+        g["r"] = g.groupby("u").cumcount().astype("int64")
+        g["deg"] = g.groupby("u")["v"].transform("size").astype("int64")
+        return g[["u", "v", "r", "deg"]].reset_index(drop=True)
+
+    ranked = (
+        e.map_batches(
+            lambda t: add_hash_bucket(t, "u", nb, "__rb"),
+            batch_format="pyarrow",
+        )
+        .groupby("__rb")
+        .map_groups(rank_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    sd = seeds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node": pc.cast(t[seed_col], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    M = 2_147_483_647
+
+    if n_edges <= driver_edges_threshold:
+        rpd = ranked.to_pandas().sort_values(["u", "r"], kind="mergesort")
+        ru = rpd["u"].to_numpy(np.int64)
+        rv = rpd["v"].to_numpy(np.int64)
+        seeds_arr = np.unique(sd.to_pandas()["node"].to_numpy(np.int64))
+        starts = np.searchsorted(ru, seeds_arr, side="left")
+        out_w, out_s, out_n = [], [], []
+        walk = np.arange(len(seeds_arr), dtype=np.int64)
+        cur = seeds_arr.copy()
+        alive = np.ones(len(cur), dtype=bool)
+        out_w.append(walk.copy()); out_s.append(np.zeros(len(cur), np.int64))
+        out_n.append(cur.copy())
+        for s in range(1, steps + 1):
+            lo = np.searchsorted(ru, cur)
+            hi = np.searchsorted(ru, cur, side="right")
+            deg = hi - lo
+            alive = alive & (deg > 0)
+            if not alive.any():
+                break
+            h = (walk * 2654435761 + s * 40503 + cur * 69069) % M
+            nxt = np.where(
+                alive, rv[np.minimum(lo + np.where(deg > 0, h % np.maximum(deg, 1), 0), len(rv) - 1)], cur
+            )
+            cur = nxt
+            out_w.append(walk[alive].copy())
+            out_s.append(np.full(int(alive.sum()), s, np.int64))
+            out_n.append(cur[alive].copy())
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "walk_id": pa.array(np.concatenate(out_w), pa.int64()),
+                    "step": pa.array(np.concatenate(out_s), pa.int64()),
+                    "node": pa.array(np.concatenate(out_n), pa.int64()),
+                }
+            )
+        )
+
+    # join tier: one hop per round
+    num_partitions = max(
+        2, min(_default_join_partitions(), -(-n_edges // 100_000))
+    )
+    ranked = compact_for_join(ranked, num_partitions).materialize()
+    frontier = (
+        sd.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": t["node"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: pa.Table.from_pydict({"node": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .sort("node")
+        .materialize()
+    )
+    # deterministic walk ids = rank of the seed in sorted order
+    fpd_parts = []
+    offset = 0
+    for t in frontier.iter_batches(batch_format="pyarrow", batch_size=None):
+        fpd_parts.append(
+            pa.Table.from_pydict(
+                {
+                    "walk_id": pa.array(
+                        np.arange(offset, offset + t.num_rows, dtype=np.int64)
+                    ),
+                    "node": t["node"],
+                }
+            )
+        )
+        offset += t.num_rows
+    cur_ds = ray.data.from_arrow(pa.concat_tables(fpd_parts))
+    outs = [
+        cur_ds.map_batches(
+            lambda t: t.append_column(
+                "step", pa.array(np.zeros(t.num_rows, np.int64))
+            ).select(["walk_id", "step", "node"]),
+            batch_format="pyarrow",
+        )
+    ]
+    for s in range(1, steps + 1):
+        hop = compact_for_join(cur_ds.materialize(), num_partitions).join(
+            ranked, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("u",),
+        )
+
+        def pick(t: pa.Table, _s=s) -> pa.Table:
+            w = t["walk_id"].to_numpy(zero_copy_only=False)
+            x = t["node"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            deg = t["deg"].to_numpy(zero_copy_only=False)
+            h = (w * 2654435761 + _s * 40503 + x * 69069) % M
+            keep = r == h % deg
+            return pa.Table.from_pydict(
+                {
+                    "walk_id": pa.array(w[keep], pa.int64()),
+                    "node": pa.array(
+                        t["v"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                    ),
+                }
+            )
+
+        cur_ds = hop.map_batches(pick, batch_format="pyarrow")
+        outs.append(
+            cur_ds.map_batches(
+                lambda t, _s=s: t.append_column(
+                    "step", pa.array(np.full(t.num_rows, _s, np.int64))
+                ).select(["walk_id", "step", "node"]),
+                batch_format="pyarrow",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -12938,6 +12938,84 @@ FROM r3 ORDER BY rank_e6 DESC, node LIMIT 20
 """
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus sampling (the node2vec p=q=1
+    walk generator that feeds graph-embedding training), ORACLE-CHECKED:
+    3-step walks over the undirected part co-purchase graph from every
+    seed (part % 50 == 0), neighbor choice = an integer hash rule both
+    engines state verbatim (``functions/graph.py:random_walks``). The
+    SQL twin unrolls the three hops as ranked-adjacency joins."""
+    from goose_parser_ray.functions.graph import random_walks
+
+    und = _copurchase_edges(sf_dir, mask=15).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "u": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["u"],
+                pc.multiply(
+                    pc.divide(t["u"], pa.scalar(50, pa.int64())),
+                    pa.scalar(50, pa.int64()),
+                ),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.Table.from_pydict({"node": t["u"].filter(keep)})
+
+    und = und.materialize()
+    seeds = und.map_batches(pick_seeds, batch_format="pyarrow")
+    return random_walks(und, seeds, steps=3)
+
+
+SQL_RANDOM_WALKS = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 15) = 0
+),
+e0 AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT DISTINCT u, v FROM
+          (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)),
+ranked AS (
+  SELECT u, v,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY u) AS deg
+  FROM edges
+),
+seeds AS (SELECT DISTINCT u AS node FROM edges WHERE u % 50 = 0),
+w0 AS (SELECT ROW_NUMBER() OVER (ORDER BY node) - 1 AS walk_id, node
+       FROM seeds),
+s1 AS (SELECT w.walk_id, rk.v AS node FROM w0 w JOIN ranked rk
+       ON rk.u = w.node
+      AND rk.r = ((w.walk_id * 2654435761 + 1 * 40503 + w.node * 69069)
+                  % 2147483647) % rk.deg),
+s2 AS (SELECT w.walk_id, rk.v AS node FROM s1 w JOIN ranked rk
+       ON rk.u = w.node
+      AND rk.r = ((w.walk_id * 2654435761 + 2 * 40503 + w.node * 69069)
+                  % 2147483647) % rk.deg),
+s3 AS (SELECT w.walk_id, rk.v AS node FROM s2 w JOIN ranked rk
+       ON rk.u = w.node
+      AND rk.r = ((w.walk_id * 2654435761 + 3 * 40503 + w.node * 69069)
+                  % 2147483647) % rk.deg)
+SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+UNION ALL SELECT walk_id, 1, node FROM s1
+UNION ALL SELECT walk_id, 2, node FROM s2
+UNION ALL SELECT walk_id, 3, node FROM s3
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13136,6 +13214,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "ppr": q_ppr,
     "langid_confusion": q_langid_confusion,
+    "random_walks": q_random_walks,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13261,6 +13340,7 @@ ORACLE_SQL = {
     "grouping_sets": SQL_GROUPING_SETS,
     "ppr": SQL_PPR,
     "langid_confusion": _langid_confusion_sql(),
+    "random_walks": SQL_RANDOM_WALKS,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,

@@ -119,3 +119,35 @@ def test_personalized_pagerank_tier_parity(ray_session, seed):
     seed_set = set(np.unique(u)[::3].tolist())
     in_seed = outs[0][outs[0]["node"].isin(seed_set)]["rank"].sum()
     assert in_seed > 0.3  # teleport keeps mass near the seeds
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_random_walks_tier_parity(ray_session, seed):
+    from goose_parser_ray.functions.graph import random_walks
+
+    u, v = _rand_edges(seed, n_nodes=20, n_edges=60)
+    canon = pd.DataFrame(
+        {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+    ).drop_duplicates()
+    edges = ray.data.from_pandas(canon.reset_index(drop=True))
+    seeds = ray.data.from_pandas(
+        pd.DataFrame({"node": np.unique(u)[:5].astype(np.int64)})
+    )
+    outs = []
+    for thr in (5_000_000, 0):
+        got = (
+            random_walks(edges, seeds, steps=3, driver_edges_threshold=thr)
+            .to_pandas()
+            .sort_values(["walk_id", "step"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # every walk starts at its seed and each hop follows a real edge
+    w = outs[0]
+    eset = set(map(tuple, canon.values))
+    for wid, g in w.groupby("walk_id"):
+        g = g.sort_values("step")
+        nodes = g["node"].tolist()
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset
