@@ -13016,6 +13016,122 @@ UNION ALL SELECT walk_id, 3, node FROM s3
 """
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase graph (Newman's r —
+    do hubs link to hubs?). Every moment is an EXACT int64 sum over the
+    symmetric edge expansion (Σx, Σxy, Σx² with x = deg(u), y = deg(v)),
+    emitted alongside r_e6 whose one sqrt is mirrored op-for-op by the
+    twin (the wilson_ctr discipline). Scale shape: degree attach is one
+    node-keyed join against the node-bounded degree table; moments
+    map-side combine to ONE row."""
+    und = _copurchase_edges(sf_dir, mask=15).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "u": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    deg = pre_aggregated_sum(
+        und.map_batches(
+            lambda t: pa.Table.from_pydict({"u": t["u"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["u"], sums={}, count_alias="deg",
+    ).materialize()
+    npart = _dedup._default_join_partitions()
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    j = (
+        und.join(
+            compact_for_join(deg, npart), join_type="inner",
+            num_partitions=npart, on=("u",),
+        )
+        .join(
+            compact_for_join(
+                deg.map_batches(
+                    lambda t: pa.Table.from_pydict(
+                        {"v": t["u"], "deg_v": t["deg"]}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                npart,
+            ),
+            join_type="inner", num_partitions=npart, on=("v",),
+        )
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["deg_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int(np.dot(x, y))], pa.int64()),
+                "sxx": pa.array([int(np.dot(x, x))], pa.int64()),
+                "syy": pa.array([int(np.dot(y, y))], pa.int64()),
+            }
+        )
+
+    rows = j.map_batches(moments, batch_format="pyarrow").take_all()
+    m = sum(r["m"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    num = m * sxy - sx * sy
+    den_x = m * sxx - sx * sx
+    den_y = m * syy - sy * sy
+    # one float sqrt, same op order as the SQL twin
+    r_e6 = int(np.floor(1_000_000.0 * num / np.sqrt(float(den_x) * float(den_y))))
+    return pa.Table.from_pydict(
+        {
+            "m": pa.array([m], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den_x": pa.array([den_x], pa.int64()),
+            "den_y": pa.array([den_y], pa.int64()),
+            "r_e6": pa.array([r_e6], pa.int64()),
+        }
+    )
+
+
+SQL_ASSORTATIVITY = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 15) = 0
+),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+j AS (SELECT du.deg AS x, dv.deg AS y
+      FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(y * y) AS BIGINT) AS syy
+       FROM j)
+SELECT m,
+       CAST(m * sxy - sx * sy AS BIGINT) AS num,
+       CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
+       CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+       CAST(FLOOR(1000000.0 * (m * sxy - sx * sy)
+                  / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                         * CAST(m * syy - sy * sy AS DOUBLE)))
+            AS BIGINT) AS r_e6
+FROM mo
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13215,6 +13331,7 @@ QUERIES = {
     "ppr": q_ppr,
     "langid_confusion": q_langid_confusion,
     "random_walks": q_random_walks,
+    "assortativity": q_assortativity,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13341,6 +13458,7 @@ ORACLE_SQL = {
     "ppr": SQL_PPR,
     "langid_confusion": _langid_confusion_sql(),
     "random_walks": SQL_RANDOM_WALKS,
+    "assortativity": SQL_ASSORTATIVITY,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
