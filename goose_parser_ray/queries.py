@@ -13132,6 +13132,119 @@ FROM mo
 """
 
 
+def q_assoc_rules(sf_dir: str):
+    """Association rules over co-purchase pairs — frequent_pairs extended
+    to the full market-basket metrics, ALL integer-exact: support count,
+    confidence_e4 = 10⁴·co // c(u) (directed u→v), and
+    lift_e6 = 10⁶·co·N // (c(u)·c(v)). Same scale shape as item_cf: one
+    bucketed basket fold, map-side pair expansion, two node-bounded count
+    attaches."""
+    dis = _capped_baskets(sf_dir)
+    n_baskets = (
+        dis.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"o": t["o"].take(pa.array([], pa.int64()))}
+            )
+            if t.num_rows == 0
+            else pa.Table.from_pydict(
+                {"o": pc.unique(t["o"].combine_chunks())}
+            ),
+            batch_format="pyarrow",
+        )
+        .count()
+    )  # baskets are whole per block, so per-block unique orders sum exactly
+    cnt = pre_aggregated_sum(
+        dis.map_batches(
+            lambda t: pa.Table.from_arrays([t["p"]], names=["p"]),
+            batch_format="pyarrow",
+        ),
+        keys=["p"], sums={}, count_alias="c",
+    )
+    npart = _dedup._default_join_partitions()
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    co = _basket_pair_counts(dis).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["support"], 2)),
+        batch_format="pyarrow",
+    ).materialize()
+    # directed rules: emit both u->v and v->u before the confidence attach
+    directed = co.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "a": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+                "co": pa.concat_arrays(
+                    [t["support"].combine_chunks(),
+                     t["support"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(directed.materialize(), npart).join(
+        compact_for_join(
+            cnt.map_batches(
+                lambda t: pa.Table.from_pydict({"a": t["p"], "ca": t["c"]}),
+                batch_format="pyarrow",
+            ),
+            npart,
+        ),
+        join_type="inner", num_partitions=npart, on=("a",),
+    )
+    j = compact_for_join(j.materialize(), npart).join(
+        compact_for_join(
+            cnt.map_batches(
+                lambda t: pa.Table.from_pydict({"b": t["p"], "cb": t["c"]}),
+                batch_format="pyarrow",
+            ),
+            npart,
+        ),
+        join_type="inner", num_partitions=npart, on=("b",),
+    )
+
+    def metrics(t: pa.Table) -> pa.Table:
+        co_ = t["co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "antecedent": t["a"],
+                "consequent": t["b"],
+                "support": co_,
+                "confidence_e4": (10_000 * co_) // ca,
+                "lift_e6": (1_000_000 * co_ * n_baskets) // (ca * cb),
+            }
+        )
+
+    return j.map_batches(metrics, batch_format="pyarrow")
+
+
+SQL_ASSOC_RULES = f"""
+WITH {_SQL_CAPPED_BASKETS}
+, n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nb FROM li)
+, cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p)
+, co AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+), directed AS (
+  SELECT u AS a, v AS b, support FROM co
+  UNION ALL SELECT v, u, support FROM co
+)
+SELECT d.a AS antecedent, d.b AS consequent, d.support,
+       CAST(10000 * d.support // ca.c AS BIGINT) AS confidence_e4,
+       CAST(1000000 * d.support * (SELECT nb FROM n)
+            // (ca.c * cb.c) AS BIGINT) AS lift_e6
+FROM directed d
+JOIN cnt ca ON ca.p = d.a
+JOIN cnt cb ON cb.p = d.b
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13332,6 +13445,7 @@ QUERIES = {
     "langid_confusion": q_langid_confusion,
     "random_walks": q_random_walks,
     "assortativity": q_assortativity,
+    "assoc_rules": q_assoc_rules,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13459,6 +13573,7 @@ ORACLE_SQL = {
     "langid_confusion": _langid_confusion_sql(),
     "random_walks": SQL_RANDOM_WALKS,
     "assortativity": SQL_ASSORTATIVITY,
+    "assoc_rules": SQL_ASSOC_RULES,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
