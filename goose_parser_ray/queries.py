@@ -13245,6 +13245,109 @@ JOIN cnt cb ON cb.p = d.b
 """
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the co-purchase graph in power-of-two
+    buckets — the graph-shape profile (is this scale-free? where do the
+    hubs start?) that decides join/salting strategy, same exact integer
+    frexp log₂ bucketing as q_skew_profile, node-bounded degree table,
+    ≤64-row final aggregate."""
+    from ray.data.aggregate import Max, Sum
+
+    und = _copurchase_edges(sf_dir, mask=15).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "u": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    deg = pre_aggregated_sum(und, keys=["u"], sums={}, count_alias="deg")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _m, e = np.frexp(d.astype(np.float64))
+        df = pd.DataFrame(
+            {"bucket_log2": e.astype(np.int64) - 1, "one": 1, "deg": d}
+        )
+        out = df.groupby("bucket_log2", as_index=False).agg(
+            n_nodes=("one", "sum"), max_deg=("deg", "max")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        deg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_log2")
+        .aggregate(
+            Sum("n_nodes", alias_name="n_nodes"),
+            Max("max_deg", alias_name="max_deg"),
+        )
+    )
+
+
+SQL_DEGREE_HIST = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey & 15) = 0
+),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b
+       ON a.o = b.o AND a.p < b.p),
+edges AS (SELECT u FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u)
+SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
+def q_seasonal_profile(sf_dir: str):
+    """Diurnal activity profile: per (event_type, hour-of-day) event count
+    and exact-cents value sum — the seasonality table ops dashboards and
+    anomaly baselines read. Domain-bounded (types × 24) exchange, all
+    integer."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(
+            pc.subtract(
+                us,
+                pc.multiply(
+                    pc.divide(us, 86_400_000_000), pa.scalar(86_400_000_000)
+                ),
+            ),
+            3_600_000_000,
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "v": _cents(t["value"]),
+            }
+        )
+
+    return pre_aggregated_sum(
+        ds.map_batches(to_hour, batch_format="pyarrow"),
+        keys=["event_type", "hour"],
+        sums={"v": "sum_value_c"},
+        count_alias="n",
+    )
+
+
+SQL_SEASONAL_PROFILE = """
+SELECT event_type,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(SUM(CAST(ROUND(100 * value) AS BIGINT)) AS BIGINT)
+         AS sum_value_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13446,6 +13549,8 @@ QUERIES = {
     "random_walks": q_random_walks,
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
+    "degree_hist": q_degree_hist,
+    "seasonal_profile": q_seasonal_profile,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13574,6 +13679,8 @@ ORACLE_SQL = {
     "random_walks": SQL_RANDOM_WALKS,
     "assortativity": SQL_ASSORTATIVITY,
     "assoc_rules": SQL_ASSOC_RULES,
+    "degree_hist": SQL_DEGREE_HIST,
+    "seasonal_profile": SQL_SEASONAL_PROFILE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
