@@ -3710,9 +3710,10 @@ def q_kmeans(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    """Distributed PageRank (synchronized power iteration, per-round
-    hash-join + grouped-sum — see ``functions/graph.py``) over the
-    supplier→part edge graph from lineitem. Fixed 3 rounds (tol=0) so the
+    """PageRank (synchronized power iteration — tiered: driver bincount
+    rounds under the pair guard, per-round hash-join + grouped-sum past
+    it; see ``functions/graph.py``) over the supplier→part edge graph
+    from lineitem. Fixed 3 rounds (tol=0) so the
     oracle can unroll the same iteration count in plain SQL; ranks are
     compared at 1e-6 resolution (FP noise across engines ≪ 0.5e-6)."""
     from goose_parser_ray.functions.graph import pagerank_distributed
@@ -3849,11 +3850,14 @@ def _copurchase_edges(sf_dir: str, mask: int = 3) -> "ray.data.Dataset":
     the full graph is DENSE (avg degree ~80 at sf0.01) and wedge volume
     grows with degree²; the slice keeps the graph queries inside the
     per-query time budget while exercising the identical chain (oracles
-    apply the same cut). Build = native hash self-join on l_orderkey +
-    distinct-pair aggregate. Hot-basket note: self-join fan-out is
-    basket²; the TPC-H-shaped order domain bounds baskets (≤7 items), and
-    inputs without that invariant should route through the
-    ``_capped_baskets`` guard (see q_frequent_pairs) first."""
+    apply the same cut). Build = ONE orderkey-bucketed fold (per-order
+    distinct + basket² pair expansion inside the bucket — orders are
+    disjoint across buckets) + a cross-bucket distinct-pair aggregate;
+    the old distinct + self-join + pair-distinct chain cost three
+    all-to-alls. Hot-basket note: pair fan-out is basket²; the
+    TPC-H-shaped order domain bounds baskets (≤7 items), and inputs
+    without that invariant should route through the ``_capped_baskets``
+    guard (see q_frequent_pairs) first."""
     import pandas as pd
 
     from goose_parser_ray.functions.dedup import num_shuffle_buckets
@@ -6268,9 +6272,10 @@ def q_components(sf_dir: str):
     """Connected components of the part co-purchase graph (sparser 1/16
     order slice so the graph actually fractures into components), ORACLE-
     CHECKED against a DuckDB recursive-CTE min-label fixpoint. Engine side
-    = ``connected_components_distributed`` (per-round hash join +
-    groupby-min, convergence via the monotone label sum — the same
-    machinery the near-dup removal path uses), then one tiny aggregate:
+    = ``connected_components_distributed`` (driver union-find under the
+    5M-pair guard; past it per-round hash join + groupby-min with
+    convergence via the monotone label sum — the same machinery the
+    near-dup removal path uses), then one tiny aggregate:
     (component = min node id, n_nodes)."""
     from goose_parser_ray.functions.dedup import (
         connected_components_distributed,
@@ -7825,11 +7830,12 @@ def q_frequent_pairs(sf_dir: str):
     """Market-basket frequent-itemset mining at the pairwise level:
     support counts of part pairs co-purchased in the same order (1/4
     order slice), min support 2. Engine = capped distinct baskets
-    (see ``_capped_baskets`` — the hot-basket quadratic guard), native
-    hash self-join on the order key, pair-keyed count aggregate (map-side
-    combined) — the exchange moves (pair, partial-count) rows, never
-    baskets. The a-priori candidate-pruning generalization to k-itemsets
-    composes this same join+count per level."""
+    (see ``_capped_baskets`` — the hot-basket quadratic guard) with
+    MAP-SIDE pair expansion on whole blocks (baskets never shuffle
+    again; ``_basket_pair_counts``) + a pair-keyed count aggregate — the
+    exchange moves (pair, partial-count) rows only. The a-priori
+    candidate-pruning generalization to k-itemsets composes this same
+    expand+count per level."""
     counted = _basket_pair_counts(_capped_baskets(sf_dir))
     return counted.map_batches(
         lambda t: t.filter(pc.greater_equal(t["support"], 2)),
@@ -7882,7 +7888,7 @@ def q_item_cf(sf_dir: str):
     order as the SQL twin (int product → double sqrt → divide → e6
     ROUND), so the fixed point matches bit-for-bit. Support floor 2
     bounds the output to the frequent-pair set; the basket-size cap
-    (``_capped_baskets``) bounds the self-join fan-out."""
+    (``_capped_baskets``) bounds the map-side pair fan-out."""
     dis = _capped_baskets(sf_dir)
     cnt = pre_aggregated_sum(
         dis.map_batches(
