@@ -13354,6 +13354,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_gap_hist(sf_dir: str):
+    """Inter-arrival-time profile: per-user consecutive event gaps (µs,
+    (ts, event_id) total order) rolled into power-of-two-second buckets —
+    the cadence fingerprint bot/burst detectors read. User-bucketed fold
+    (one mergesort + grouped diff per bucket, same shape as
+    markov_transitions), exact integer frexp bucketing, ~40-bucket
+    exchange."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__gb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bucket_log2_s": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        gap_s = (us[1:] - us[:-1])[same] // 1_000_000
+        gap_s = np.maximum(gap_s, 1)  # sub-second gaps land in bucket 0
+        _m, e = np.frexp(gap_s.astype(np.float64))
+        hist = pd.Series(e.astype(np.int64) - 1).value_counts()
+        if hist.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "bucket_log2_s": hist.index.to_numpy(np.int64),
+                "n_gaps": hist.to_numpy(np.int64),
+            }
+        )
+
+    partial = ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "__gb"
+    ).map_groups(fold, batch_format="pandas")
+    return pre_aggregated_sum(
+        partial, keys=["bucket_log2_s"], sums={"n_gaps": "n_gaps"}
+    )
+
+
+SQL_GAP_HIST = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+), g AS (
+  SELECT GREATEST((nxt - us) // 1000000, 1) AS gap_s
+  FROM l WHERE nxt IS NOT NULL
+)
+SELECT CAST(FLOOR(LOG2(gap_s)) AS BIGINT) AS bucket_log2_s,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM g GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13557,6 +13625,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "degree_hist": q_degree_hist,
     "seasonal_profile": q_seasonal_profile,
+    "gap_hist": q_gap_hist,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13687,6 +13756,7 @@ ORACLE_SQL = {
     "assoc_rules": SQL_ASSOC_RULES,
     "degree_hist": SQL_DEGREE_HIST,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
+    "gap_hist": SQL_GAP_HIST,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
