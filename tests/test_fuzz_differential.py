@@ -197,3 +197,76 @@ def test_media_pdf_fuzz_vs_duckdb(ray_session, tmp_path):
     )
     pq.write_table(t, tmp_path / "documents.parquet")
     _compare(q_media_pdf(str(tmp_path)), SQL_MEDIA_PDF, tmp_path)
+
+
+def test_funnel_steps_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import SQL_FUNNEL_STEPS, q_funnel_steps
+
+    for seed in (3, 19):
+        rng = np.random.default_rng(seed)
+        _mk_events_typed(
+            tmp_path, rng, n_users=25, n_rows=220,
+            types=["signup", "click", "purchase", "view"],
+        )
+        _compare(q_funnel_steps(str(tmp_path)), SQL_FUNNEL_STEPS, tmp_path)
+
+
+def test_pair_windows_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import SQL_PAIR_WINDOWS, q_pair_windows
+
+    for seed in (5, 29):
+        rng = np.random.default_rng(seed)
+        _mk_events_typed(
+            tmp_path, rng, n_users=12, n_rows=180,
+            types=["a", "b", "c"],
+        )
+        _compare(q_pair_windows(str(tmp_path)), SQL_PAIR_WINDOWS, tmp_path)
+
+
+def test_rate_spikes_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import SQL_RATE_SPIKES, q_rate_spikes
+
+    for seed in (11,):
+        rng = np.random.default_rng(seed)
+        _mk_events_typed(
+            tmp_path, rng, n_users=8, n_rows=300,
+            types=["x", "y"], tick_s=40_000,  # spread across many days
+        )
+        _compare(q_rate_spikes(str(tmp_path)), SQL_RATE_SPIKES, tmp_path)
+
+
+def test_markov_and_gap_hist_fuzz_vs_duckdb(ray_session, tmp_path):
+    from goose_parser_ray.queries import (
+        SQL_GAP_HIST,
+        SQL_MARKOV,
+        q_gap_hist,
+        q_markov_transitions,
+    )
+
+    for seed in (13, 41):
+        rng = np.random.default_rng(seed)
+        _mk_events_typed(
+            tmp_path, rng, n_users=15, n_rows=250, types=["a", "b", "c", "d"]
+        )
+        _compare(
+            q_markov_transitions(str(tmp_path)), SQL_MARKOV, tmp_path
+        )
+        _compare(q_gap_hist(str(tmp_path)), SQL_GAP_HIST, tmp_path)
+
+
+def _mk_events_typed(tmp_path, rng, n_users, n_rows, types, tick_s=600):
+    ts0 = pd.Timestamp("2024-05-01")
+    ts = ts0 + pd.to_timedelta(
+        rng.integers(0, n_rows // 2 + 1, n_rows) * tick_s, unit="s"
+    )
+    t = pa.Table.from_pydict(
+        {
+            "event_id": np.arange(n_rows, dtype=np.int64),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": rng.integers(0, n_users, n_rows).astype(np.int64),
+            "event_type": rng.choice(types, n_rows),
+            "value": np.round(rng.uniform(0, 400, n_rows), 2),
+            "props": [""] * n_rows,
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
