@@ -13422,6 +13422,36 @@ FROM g GROUP BY 1
 """
 
 
+def q_pushdown_scan(sf_dir: str):
+    """Scan-level predicate pushdown ("prune at the read"): the row
+    filter rides into the pyarrow scanner via ``read_parquet(filter=…)``,
+    so row groups whose min/max statistics exclude the predicate are
+    never decoded and non-matching rows never enter the object store —
+    the difference between scanning 100 TB and scanning the 0.1% that
+    matters. Exact-cents output; the oracle states the same predicate."""
+    import pyarrow.dataset as pds
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pds.field("event_type") == "purchase")
+        & (pds.field("value") > 300.0),
+    )
+    return ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"event_id": t["event_id"], "value_c": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PUSHDOWN_SCAN = """
+SELECT event_id, CAST(ROUND(100 * value) AS BIGINT) AS value_c
+FROM events
+WHERE event_type = 'purchase' AND value > 300.0
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13626,6 +13656,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "seasonal_profile": q_seasonal_profile,
     "gap_hist": q_gap_hist,
+    "pushdown_scan": q_pushdown_scan,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13757,6 +13788,7 @@ ORACLE_SQL = {
     "degree_hist": SQL_DEGREE_HIST,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "gap_hist": SQL_GAP_HIST,
+    "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
