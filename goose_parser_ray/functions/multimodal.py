@@ -374,3 +374,42 @@ class SpectrumActor:
         batch = batch.append_column("dom_bin", pa.array(doms, pa.int64()))
         batch = batch.append_column("dom_freq_hz", pa.array(freqs, pa.int64()))
         return batch.append_column("n_active_bins", pa.array(actives, pa.int64()))
+
+
+class PngThumbRoundtripActor:
+    """REAL compressed-image transform chain in one actor stage: PNG
+    decode → nearest-neighbor thumbnail → PNG RE-ENCODE → decode again →
+    exact integer channel sum. The mid-pipeline re-encode is what a
+    production thumbnail job ships back to storage; running the second
+    decode inside the same stage proves encode∘decode is the identity on
+    the transformed raster (any filter/CRC bug breaks the closed-form
+    oracle). Codec bound once per actor; small batches for wide binary
+    payloads."""
+
+    def __init__(self, payload_col: str = "payload", out: int = 8) -> None:
+        from goose_parser_ray.functions.netpbm import resize_nearest
+        from goose_parser_ray.functions.pngmini import decode_png, encode_png
+
+        self._decode, self._encode = decode_png, encode_png
+        self._resize = resize_nearest
+        self.payload_col, self.out = payload_col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, sums, nbytes = [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            img = self._decode(p or b"")
+            h, w = img.shape[:2]
+            thumb = self._resize(img, self.out, self.out)
+            reencoded = self._encode(thumb, "cycle")
+            back = self._decode(reencoded)
+            widths.append(w)
+            heights.append(h)
+            sums.append(int(back.astype(np.int64).sum()))
+            nbytes.append(len(reencoded))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        batch = batch.append_column("thumb_sum", pa.array(sums, pa.int64()))
+        return batch.append_column(
+            "thumb_png_bytes", pa.array(nbytes, pa.int64())
+        )

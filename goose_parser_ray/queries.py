@@ -13452,6 +13452,66 @@ WHERE event_type = 'purchase' AND value > 300.0
 """
 
 
+def q_image_pipeline(sf_dir: str):
+    """REAL image transform chain, oracle-checked end to end: synthetic
+    RGB gradients → PNG encode (cycling filters) → actor-pool decode →
+    8×8 nearest thumbnail → PNG RE-ENCODE → second decode → exact channel
+    sum. The mid-pipeline re-encode is the artifact a production
+    thumbnail job writes back; the closed-form DuckDB twin recomputes the
+    sampled pixels, so the hash compare proves the whole
+    decode∘resize∘encode∘decode chain is bit-exact. (q_media_pipeline
+    remains the disclosed-stub plumbing demo for codecs the sandbox
+    can't decode.)"""
+    from goose_parser_ray.functions.multimodal import PngThumbRoundtripActor
+    from goose_parser_ray.functions.pngmini import encode_png
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 16 + (d & 15)
+            h = 16 + ((d >> 4) & 15)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((31 * i + 17 * j + 7 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_png(img, filter_mode="cycle"))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        PngThumbRoundtripActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+    return out.select_columns(["doc_id", "width", "height", "thumb_sum"])
+
+
+SQL_IMAGE_PIPELINE = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id & 15) AS width,
+         16 + ((doc_id // 16) & 15) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height,
+         (31 * ((a.i * d.height) // 8) + 17 * ((b.j * d.width) // 8)
+          + 7 * e.c + d.doc_id) % 256 AS val
+  FROM dims d,
+       UNNEST(generate_series(0, 7)) AS a(i),
+       UNNEST(generate_series(0, 7)) AS b(j),
+       UNNEST(generate_series(0, 2)) AS e(c)
+)
+SELECT doc_id, width, height, CAST(SUM(val) AS BIGINT) AS thumb_sum
+FROM pix GROUP BY doc_id, width, height
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13657,6 +13717,7 @@ QUERIES = {
     "seasonal_profile": q_seasonal_profile,
     "gap_hist": q_gap_hist,
     "pushdown_scan": q_pushdown_scan,
+    "image_pipeline": q_image_pipeline,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13789,6 +13850,7 @@ ORACLE_SQL = {
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "gap_hist": SQL_GAP_HIST,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
+    "image_pipeline": SQL_IMAGE_PIPELINE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
