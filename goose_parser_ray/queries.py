@@ -13512,6 +13512,144 @@ FROM pix GROUP BY doc_id, width, height
 """
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information between lang and source (how much one column
+    predicts the other — the dependency screen feature selection and
+    leakage audits run), under the repo's fixed-point log discipline:
+    per-cell terms n_xy·ln(N·n_xy/(n_x·n_y))/N are e6-rounded ELEMENT-WISE
+    and summed as int64 (exact in any order — the char_entropy/geo_mean
+    recipe), with the ln argument formed by the identical float ops as the
+    SQL twin. One domain-bounded (langs × sources) exchange."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    cells = pre_aggregated_sum(
+        ds, keys=["lang", "source"], sums={}, count_alias="n_xy"
+    ).to_pandas()  # langs × sources — domain-bounded
+    n = int(cells["n_xy"].sum())
+    nx = cells.groupby("lang")["n_xy"].transform("sum").to_numpy(np.int64)
+    ny = cells.groupby("source")["n_xy"].transform("sum").to_numpy(np.int64)
+    nxy = cells["n_xy"].to_numpy(np.int64)
+    # identical float op order as the twin: N*n_xy first, then /(n_x*n_y)
+    arg = (float(n) * nxy) / (nx * ny).astype(np.float64)
+    term = 1_000_000.0 * (nxy * np.log(arg)) / float(n)
+    mi_e6 = int(np.round(term).astype(np.int64).sum())
+    return pa.Table.from_pydict(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "mi_e6": pa.array([mi_e6], pa.int64()),
+        }
+    )
+
+
+SQL_MUTUAL_INFO = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM documents GROUP BY lang, source
+), m AS (
+  SELECT c.*,
+         SUM(n_xy) OVER (PARTITION BY lang) AS n_x,
+         SUM(n_xy) OVER (PARTITION BY source) AS n_y,
+         SUM(n_xy) OVER () AS n
+  FROM c
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(ROUND(
+           1000000.0 * (n_xy * LN((CAST(n AS DOUBLE) * n_xy)
+                                  / (n_x * n_y))) / CAST(n AS DOUBLE)
+       ) AS BIGINT)) AS BIGINT) AS mi_e6
+FROM m
+"""
+
+
+def q_transition_entropy(sf_dir: str):
+    """Conditional entropy of each user-sequence step, H(next | current)
+    per source state — how predictable behavior is (bots collapse toward
+    0; uniform browsing approaches ln |types|). Reuses the
+    markov_transitions fold for the |types|²-bounded counts, then the
+    fixed-point log discipline (element-wise e6 rounding, int sums, float
+    ops mirrored by the twin)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__tb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "src_type": pd.Series([], dtype=object),
+                    "dst_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        nxt = g.groupby("user_id")["event_type"].shift(-1)
+        keep = nxt.notna()
+        agg = (
+            pd.DataFrame(
+                {"src_type": g["event_type"][keep], "dst_type": nxt[keep]}
+            )
+            .groupby(["src_type", "dst_type"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(fold, batch_format="pandas"),
+        keys=["src_type", "dst_type"],
+        sums={"n": "n"},
+    ).to_pandas()  # |types|² — domain-bounded
+    tot = counts.groupby("src_type")["n"].transform("sum").to_numpy(np.int64)
+    nn = counts["n"].to_numpy(np.int64)
+    # mirrored float ops: p = n/tot (per cell), term = -1e6 * ln(p) * n / tot
+    term = -1_000_000.0 * (nn * np.log(nn / tot.astype(np.float64))) / tot
+    counts["h_term_e6"] = np.round(term).astype(np.int64)
+    out = (
+        counts.groupby("src_type", as_index=False)
+        .agg(n_out=("n", "sum"), h_e6=("h_term_e6", "sum"))
+    )
+    return pa.Table.from_pydict(
+        {
+            "src_type": pa.array(out["src_type"], pa.string()),
+            "n_out": pa.array(out["n_out"].to_numpy(np.int64), pa.int64()),
+            "h_e6": pa.array(out["h_e6"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH l AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS b
+  FROM events
+), c AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM l WHERE b IS NOT NULL GROUP BY a, b
+), m AS (
+  SELECT c.*, SUM(n) OVER (PARTITION BY a) AS tot FROM c
+)
+SELECT a AS src_type, CAST(SUM(n) AS BIGINT) AS n_out,
+       CAST(SUM(CAST(ROUND(
+           -1000000.0 * (n * LN(n / CAST(tot AS DOUBLE)))
+           / CAST(tot AS DOUBLE)
+       ) AS BIGINT)) AS BIGINT) AS h_e6
+FROM m GROUP BY a
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13718,6 +13856,8 @@ QUERIES = {
     "gap_hist": q_gap_hist,
     "pushdown_scan": q_pushdown_scan,
     "image_pipeline": q_image_pipeline,
+    "mutual_info": q_mutual_info,
+    "transition_entropy": q_transition_entropy,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13851,6 +13991,8 @@ ORACLE_SQL = {
     "gap_hist": SQL_GAP_HIST,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "image_pipeline": SQL_IMAGE_PIPELINE,
+    "mutual_info": SQL_MUTUAL_INFO,
+    "transition_entropy": SQL_TRANSITION_ENTROPY,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
