@@ -13650,6 +13650,95 @@ FROM m GROUP BY a
 """
 
 
+def q_churn_rate(sf_dir: str):
+    """Weekly churn: of the users active in week w (weeks since epoch),
+    the share with no activity in w+1 — the product-health metric cohort
+    dashboards lead with. User-bucketed fold — each user's distinct week
+    set is bucket-local, so active/churned flags are exact without a
+    cross-user shuffle; the exchange is calendar-bounded (week, counts)
+    rows. The global last week is excluded on both sides (no w+1
+    evidence). rate_e4 is an exact integer ratio."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def to_week(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        week = pc.divide(us, 7 * 86_400_000_000)
+        t2 = pa.Table.from_pydict({"user_id": t["user_id"], "week": week})
+        return _dedup.add_hash_bucket(t2, "user_id", nb, "__cb")
+
+    bucketed = ds.map_batches(to_week, batch_format="pyarrow").materialize()
+    gmax = int(bucketed.max("week"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "week": pd.Series([], dtype=np.int64),
+                    "active": pd.Series([], dtype=np.int64),
+                    "churned": pd.Series([], dtype=np.int64),
+                }
+            )
+        p = pd.DataFrame(
+            {"u": g["user_id"], "m": g["week"].to_numpy(np.int64)}
+        ).drop_duplicates()
+        nxt = p.assign(m=p["m"] - 1)  # (u, m) exists at m+1 → marker at m
+        p["has_next"] = (
+            p.merge(nxt.assign(k=1), on=["u", "m"], how="left")["k"]
+            .notna()
+            .to_numpy()
+        )
+        p = p[p["m"] < gmax]
+        out = p.groupby("m", as_index=False).agg(
+            active=("u", "size"),
+            churned=("has_next", lambda s: int((~s).sum())),
+        )
+        return pd.DataFrame(
+            {
+                "week": out["m"].to_numpy(np.int64),
+                "active": out["active"].to_numpy(np.int64),
+                "churned": out["churned"].to_numpy(np.int64),
+            }
+        )
+
+    agg = pre_aggregated_sum(
+        bucketed.groupby("__cb").map_groups(fold, batch_format="pandas"),
+        keys=["week"],
+        sums={"active": "active", "churned": "churned"},
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "churn_rate_e4",
+            pc.divide(pc.multiply(t["churned"], 10_000), t["active"]),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CHURN_RATE = """
+WITH am AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS m
+  FROM events
+), gmax AS (SELECT MAX(m) AS gm FROM am),
+flags AS (
+  SELECT a.user_id, a.m,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM am a
+  LEFT JOIN am b ON b.user_id = a.user_id AND b.m = a.m + 1
+  WHERE a.m < (SELECT gm FROM gmax)
+)
+SELECT m AS week, CAST(COUNT(*) AS BIGINT) AS active,
+       CAST(SUM(churned) AS BIGINT) AS churned,
+       CAST(10000 * SUM(churned) // COUNT(*) AS BIGINT) AS churn_rate_e4
+FROM flags GROUP BY m
+"""
+
+
 QUERIES = {
     "filter_docs": q_filter_docs,
     "agg_by_lang": q_agg_by_lang,
@@ -13858,6 +13947,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "mutual_info": q_mutual_info,
     "transition_entropy": q_transition_entropy,
+    "churn_rate": q_churn_rate,
     "audio_spectrum": q_audio_spectrum,
     "activity_streaks": q_activity_streaks,
     "chi2_independence": q_chi2_independence,
@@ -13993,6 +14083,7 @@ ORACLE_SQL = {
     "image_pipeline": SQL_IMAGE_PIPELINE,
     "mutual_info": SQL_MUTUAL_INFO,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
+    "churn_rate": SQL_CHURN_RATE,
     "audio_spectrum": SQL_AUDIO_SPECTRUM,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
