@@ -532,6 +532,34 @@ def test_num_shuffle_buckets_data_proportional():
     assert num_shuffle_buckets(100) == 64
 
 
+def test_exact_dedup_default_buckets_data_derived(docs_ds):
+    """exact_dedup's default num_buckets is derived from the dataset size
+    (r3 VERDICT item 3 — a library caller with defaults must not get the
+    old fixed-1024 unbounded-group class back). The derived default must
+    grow with input size and produce output identical to an explicitly
+    sized run (bucketing only partitions work, never changes results)."""
+    from goose_parser_ray.functions.dedup import exact_dedup, num_shuffle_buckets
+
+    # data-derived default grows with input size
+    assert num_shuffle_buckets(1_000_000_000) > num_shuffle_buckets(10_000)
+
+    n = docs_ds.count()
+    default = (
+        exact_dedup(docs_ds, col="text", id_col="doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    explicit = (
+        exact_dedup(
+            docs_ds, col="text", id_col="doc_id",
+            num_buckets=num_shuffle_buckets(n),
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(default, explicit)
+
+
 def test_minhash_pairs_invariant_to_bucket_count(docs_ds):
     """The coarse bucket count only partitions work — the candidate pair set
     must be identical at any num_buckets (sizing fix can't change results)."""
