@@ -1,0 +1,320 @@
+"""Training-data gates: tokens, packing, PII, JSON, repetition, percentile, mixture, decontamination (S21).
+
+Split from the original single-file query surface (registration order preserved;
+registry lives in the package __init__). See package docstring for the
+column-naming / integer-cents parity rules every query follows."""
+
+from __future__ import annotations
+
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from goose_parser_ray.functions import dedup as _dedup
+from goose_parser_ray.functions.dedup import (
+    exact_dedup,
+    minhash_dedup_keep,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from goose_parser_ray.functions.multimodal import ImageDecodeActor
+from goose_parser_ray.functions.relational import broadcast_join, pre_aggregated_sum
+from goose_parser_ray.functions.similarity import ann_bruteforce, ann_lsh
+from goose_parser_ray.functions.textstats import LangIdActor, add_fingerprint
+from goose_parser_ray.pipelines import build_extraction_pipeline
+from goose_parser_ray.sources.corpus import wrap_flat_documents
+from goose_parser_ray.transforms import compile_chain
+
+from goose_parser_ray.queries._shared import _cents, _pool, _read
+
+
+
+
+# ---------------------------------------------------------------------------
+# text stats / windowed events
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    """Whitespace + BPE-ish token counts (the §2.6 mandate's two
+    tokenizations): ``\\S+`` runs and a GPT-2-style pretokenizer regex
+    (letter runs / digit runs / punctuation runs, optional leading space —
+    the RE2-safe subset, no lookahead, so engine and oracle agree)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"[.!?]"), pa.int64()
+        )
+        n_bpe = pc.cast(
+            pc.count_substring_regex(
+                t["text"], pattern=r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], n_tok, n_punct, n_bpe],
+            names=["doc_id", "n_tokens", "n_punct", "n_bpe"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Pack-and-chunk (the standard LLM-pretraining layout): tokenize,
+    concatenate docs in doc_id order, cut the token stream into 512-token
+    training examples. The global exclusive prefix sum is the distributed
+    range-bucketed scan in ``functions/packing.py`` (per-bucket totals →
+    driver cumsums ≤num_buckets bases → bucketed local scan); the SQL twin
+    is a window ``SUM OVER ROWS UNBOUNDED PRECEDING``."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.packing import pack_sequences
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64())
+        t = pa.Table.from_arrays([t["doc_id"], n], names=["doc_id", "n_tok"])
+        return t.filter(pc.greater(t["n_tok"], 0))
+
+    ds = ds.map_batches(tok, batch_format="pyarrow")
+    return pack_sequences(
+        ds, order_col="doc_id", size_col="n_tok", seq_len=512, n_rows=n_rows
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+), f AS (SELECT * FROM t WHERE n_tok > 0),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM f
+)
+SELECT doc_id, n_tok, start_off,
+       CAST(start_off // 512 AS BIGINT) AS ex_start,
+       CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS ex_end
+FROM o
+"""
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrubbing (C4/CCNet-style pre-training cleanup): chained
+    vectorized RE2 global replaces — email → <EMAIL>, phone → <PHONE>,
+    digit run → <NUM>. Pure map stage, no state, no shuffle."""
+    from goose_parser_ray.functions.scrub import redact_pii
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_id"], redact_pii(t["props"])],
+            names=["event_id", "props_redacted"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REDACT_PII = r"""
+SELECT event_id,
+       regexp_replace(regexp_replace(regexp_replace(props,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+         '[0-9]{2,}', '<NUM>', 'g') AS props_redacted
+FROM events
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON-ish ``props`` blob with ONE vectorized regex (`scrub.py:
+    extract_int_field`) — the scale path for flat props columns, vs a
+    per-row json.loads Python loop."""
+    from goose_parser_ray.functions.scrub import extract_int_field
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], extract_int_field(t["props"], "k")],
+            names=["event_id", "event_type", "k"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_id, event_type,
+       CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher/C4-style repetition quality gate inputs: per-doc word total,
+    distinct words, duplicate-word and top-word fractions in basis points
+    (``textstats.add_repetition_signals`` — one regex split + Arrow list
+    flatten + two vectorized groupbys per batch; map-only, no shuffle)."""
+    from goose_parser_ray.functions.textstats import add_repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_repetition_signals(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+), s AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(n) AS BIGINT) AS mx
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.total, 0) AS n_words,
+       COALESCE(s.n_distinct, 0) AS n_distinct,
+       COALESCE(CAST(ROUND(10000.0 * (s.total - s.n_distinct) / s.total)
+                     AS BIGINT), 0) AS dup_word_bp,
+       COALESCE(CAST(ROUND(10000.0 * s.mx / s.total) AS BIGINT), 0)
+         AS top_word_bp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_percentile_gate(sf_dir: str):
+    """Percentile-based corpus gate: keep docs at-or-above their
+    language's median length. Per-lang exact discrete median (same
+    quantile_disc definition as q_quantiles) collected driver-side — one
+    tiny row per language — then a broadcast vectorized filter. At 10^12
+    rows the median stage switches to the mergeable grouped quantile
+    sketch (functions/sketches.py) with identical plumbing."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]],
+             "med": [int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])]}
+        )
+
+    meds = ds.groupby("lang").map_groups(med, batch_format="pandas").to_pandas()
+    lut = dict(zip(meds["lang"], meds["med"]))
+    langs = pa.array(list(lut.keys()))
+    cuts = pa.array([lut[k] for k in lut.keys()], pa.int64())
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=langs)
+        cut = pc.take(cuts, idx)
+        return t.filter(pc.greater_equal(t["n_chars"], cut))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_PERCENTILE_GATE = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m ON d.lang = m.lang
+WHERE d.n_chars >= m.med
+"""
+
+
+def q_sample_mixture(sf_dir: str):
+    """Training-mixture resampling: per-source keep rates (upsample curated
+    sources, thin the crawl tail) via ``relational.mixture_resample`` —
+    deterministic ``id % 100 < rate(source)``, broadcast rate lookup, pure
+    map stage."""
+    from goose_parser_ray.functions.relational import mixture_resample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_resample(
+        ds, id_col="doc_id", group_col="source",
+        rates_pct={"src0": 100, "src1": 75, "src2": 50, "src3": 25},
+        default_pct=10,
+    )
+
+
+SQL_SAMPLE_MIXTURE = """
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 100) < CASE source
+  WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+  WHEN 'src2' THEN 50  WHEN 'src3' THEN 25 ELSE 10 END
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (eval-leak guard): drop every doc sharing
+    any word 8-gram with the 'benchmark' set (here: docs with
+    doc_id % 97 == 0 stand in for an external eval suite — in production
+    the bench texts arrive as a small side input). Bench grams built once
+    driver-side, broadcast, probed map-side — corpus streams through."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.dedup import decontaminate_ngrams
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    keep = pc.equal(
+        pc.subtract(
+            bench_tbl["doc_id"],
+            pc.multiply(pc.divide(bench_tbl["doc_id"], 97), 97),
+        ),
+        0,
+    )
+    bench_texts = bench_tbl.filter(keep)["text"].to_pylist()
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = decontaminate_ngrams(ds, bench_texts, n=8)
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM w
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram FROM idx
+), bg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), bad AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+)
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN bad b USING (doc_id)
+WHERE b.doc_id IS NULL
+"""

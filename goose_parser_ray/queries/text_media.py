@@ -1,0 +1,1234 @@
+"""Text analysis + multimodal: lang-id, quality, fingerprints, media decode pipelines, top words, extraction surface, link graph, KWIC, postings, z-order, edit-distance, profiler.
+
+Split from the original single-file query surface (registration order preserved;
+registry lives in the package __init__). See package docstring for the
+column-naming / integer-cents parity rules every query follows."""
+
+from __future__ import annotations
+
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from goose_parser_ray.functions import dedup as _dedup
+from goose_parser_ray.functions.dedup import (
+    exact_dedup,
+    minhash_dedup_keep,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from goose_parser_ray.functions.multimodal import ImageDecodeActor
+from goose_parser_ray.functions.relational import broadcast_join, pre_aggregated_sum
+from goose_parser_ray.functions.similarity import ann_bruteforce, ann_lsh
+from goose_parser_ray.functions.textstats import LangIdActor, add_fingerprint
+from goose_parser_ray.pipelines import build_extraction_pipeline
+from goose_parser_ray.sources.corpus import wrap_flat_documents
+from goose_parser_ray.transforms import compile_chain
+
+from goose_parser_ray.queries._shared import _cents, _pool, _read
+
+
+
+
+# ---------------------------------------------------------------------------
+# text analysis (heuristics → rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+    )
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def _langid_sql() -> str:
+    """Oracle generated from the SAME stopword sets + word-split pattern the
+    engine uses (both sides are RE2 splits + set membership — Unicode-safe,
+    unlike the old ``\\b`` patterns whose ASCII-only boundary silently never
+    matched Cyrillic stopwords, r2 ADVICE)."""
+    from goose_parser_ray.functions.textstats import STOPWORDS, WORD_SPLIT_RE
+
+    order = LangIdActor.LANG_ORDER
+    counts = ",\n         ".join(
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '"
+        + WORD_SPLIT_RE
+        + "'), w -> w IN ("
+        + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        + "))) AS BIGINT) AS c_" + lang
+        for lang in order
+    )
+    mx = "GREATEST(" + ", ".join(f"c_{lang}" for lang in order) + ")"
+    cases = "\n       ".join(
+        f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in order
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {mx} = 0 THEN 'und'
+       {cases}
+       END AS lang_pred
+FROM c
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX against the labeled lang column — the
+    quality audit you run before trusting a classifier at corpus scale:
+    actor-pool prediction (same LangIdActor as q_lang_id, patterns
+    compiled once per actor) → map-side combined (label, prediction)
+    counts; the exchange is |langs|²-bounded. The SQL twin nests the SAME
+    generated stopword classifier, so the whole matrix hash-compares."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = ds.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(2, _pool())
+    )
+    return pre_aggregated_sum(
+        pred.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["lang"], t["lang_pred"]], names=["lang", "lang_pred"]
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["lang", "lang_pred"],
+        sums={},
+        count_alias="n_docs",
+    )
+
+
+def _langid_confusion_sql() -> str:
+    inner = _langid_sql().strip()
+    return f"""
+WITH pred AS ({inner})
+SELECT d.lang, pred.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY d.lang, pred.lang_pred
+"""
+
+
+def q_quality(sf_dir: str):
+    """Quality score emitted as integer basis points (deterministic
+    element-wise rounding on both sides — the float-sum parity rule from
+    the module docstring applied to a scalar formula)."""
+    from goose_parser_ray.functions.textstats import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: add_quality_score(t, round_digits=None),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], _cents(t["quality"], 10000)],
+            names=["doc_id", "quality_bp"],
+        ),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def _quality_sql() -> str:
+    """Oracle mirrors add_quality_score term by term, association order
+    included ((a+b)+(c+d)), from the same English stopword pattern."""
+    from goose_parser_ray.functions.textstats import STOPWORDS
+
+    pat = r"(?i)\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[.!?]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(text, '{pat}')) AS DOUBLE) AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         LEAST(n_chars / 500.0, 1.0) AS len_score,
+         LEAST(n_punct, 1.0) AS punct_score,
+         CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 3.0
+                   AND n_chars / GREATEST(n_tokens, 1.0) <= 12.0
+              THEN 1.0 ELSE 0.0 END AS word_score,
+         LEAST((n_stop / GREATEST(n_tokens, 1.0)) * 4.0, 1.0) AS stop_score
+  FROM f
+)
+SELECT doc_id,
+       CAST(ROUND(10000 * ((len_score * 0.4 + punct_score * 0.1)
+                           + (word_score * 0.3 + stop_score * 0.2))) AS BIGINT)
+           AS quality_bp
+FROM s
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        # vectorized utf8 -> binary cast (same bytes as str.encode())
+        return pa.Table.from_arrays(
+            [t["doc_id"], pc.cast(t["text"], pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ImageDecodeActor,
+        batch_format="pyarrow",
+        batch_size=16,  # binary payloads: small batches (memory-aware)
+        concurrency=(_pool(), _pool()),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        meta = t["meta"]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.struct_field(meta, "width"),
+                pc.struct_field(meta, "height"),
+                pc.struct_field(meta, "format"),
+            ],
+            names=["doc_id", "width", "height", "format"],
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_media_pipeline(sf_dir: str):
+    """Full multimodal actor chain: payload → decode → resize → frame-sample
+    → audio features (all stubs deterministic; the Ray plumbing — chained
+    actor pools, small batches, list/struct schemas — is the real artifact).
+    Rows-only by nature."""
+    from goose_parser_ray.functions.multimodal import (
+        AudioFeatureActor,
+        FrameSampleActor,
+        ImageResizeActor,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        # vectorized utf8 -> binary cast (same bytes as str.encode())
+        return pa.Table.from_arrays(
+            [t["doc_id"], pc.cast(t["text"], pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+    pool = max(1, _pool() // 4)  # four chained fixed pools must coexist
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ImageDecodeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        ImageResizeActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+    ds = ds.map_batches(
+        AudioFeatureActor, batch_format="pyarrow", batch_size=16,
+        concurrency=(pool, pool),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.struct_field(t["meta"], "width"),
+                pc.list_value_length(t["frame_indices"]),
+                pc.list_value_length(t["audio_features"]),
+            ],
+            names=["doc_id", "width", "n_frames", "n_mels"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_media_pgm(sf_dir: str):
+    """REAL image pipeline, oracle-checked end to end: deterministic PGM
+    payloads are synthesized per doc (gradient image, size keyed off
+    doc_id), round-tripped through actual bytes (encode → binary column →
+    actor-pool Netpbm decode → nearest-neighbor 8×8 thumbnail → exact
+    integer mean). The DuckDB twin recomputes the sampled pixels in closed
+    form — every value is integer arithmetic, so the hash compare is exact.
+    This is the non-stub counterpart of the q_media_decode codec stubs."""
+    from goose_parser_ray.functions.multimodal import PgmThumbnailActor
+    from goose_parser_ray.functions.netpbm import encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 16 + (d & 15)
+            h = 16 + ((d >> 4) & 15)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            img = ((31 * i + 17 * j + d) % 256).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        PgmThumbnailActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_PGM = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id & 15) AS width,
+         16 + ((doc_id // 16) & 15) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height,
+         (31 * ((a.i * d.height) // 8) + 17 * ((b.j * d.width) // 8)
+          + d.doc_id) % 256 AS val
+  FROM dims d,
+       UNNEST(generate_series(0, 7)) AS a(i),
+       UNNEST(generate_series(0, 7)) AS b(j)
+)
+SELECT doc_id, width, height,
+       CAST(SUM(val) * 15625 AS BIGINT) AS mean_e6
+FROM pix GROUP BY doc_id, width, height
+"""
+
+
+def q_data_pipeline(sf_dir: str):
+    """Composite LLM-training-data pipeline — the ops composed the way a
+    real corpus run chains them: quality gate → exact dedup → MinHash
+    near-dup removal (distributed verify) → per-doc token stats. Each stage
+    is the scale-shaped implementation benchmarked elsewhere; this query
+    proves they compose (stage boundaries stay lazy Datasets, one
+    materialization at the tiny candidate-pair set only)."""
+    from goose_parser_ray.functions.textstats import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)).drop_columns(
+            ["quality"]
+        ),
+        batch_format="pyarrow",
+    )
+    ds = exact_dedup(ds, col="text", id_col="doc_id")
+    # stage boundary: the deduped set is consumed three times downstream
+    # (candidates, verify join, final filter) — pin it once instead of
+    # re-executing the upstream per consumer. A production run would
+    # write_parquet here (resumable stage output) and read back.
+    ds = ds.materialize()
+    kept = minhash_dedup_keep(
+        ds,
+        jaccard_threshold=0.8,
+        docs=ds,
+        concurrency=_pool(),
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], n_tok], names=["doc_id", "n_tokens"]
+        )
+
+    return kept.map_batches(stats, batch_format="pyarrow")
+
+
+
+
+def q_web_pipeline(sf_dir: str):
+    """Flagship web-corpus curation composite, ORACLE-CHECKED end to end:
+    WARC archive roundtrip (real shard files on disk) → actor-pool lang-ID
+    → quality gate (basis-point threshold — integer-exact on both engines)
+    → exact dedup (min-id winner) → per-language doc/token rollup. Every
+    stage is the scale-shaped implementation verified individually; the
+    composed DuckDB twin nests the SAME generated lang-ID/quality SQL, so
+    the whole chain is hash-compared, not just row counts."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.textstats import (
+        LangIdActor,
+        add_quality_score,
+    )
+    from goose_parser_ray.sources.warc import read_warc, write_warc_shards
+
+    out = "/tmp/web_pipeline_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    src = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    n_rows = src.count()  # metadata-only (fresh parquet read)
+    write_warc_shards(src, out)
+
+    docs = read_warc(out).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    docs = docs.map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = add_quality_score(t, round_digits=None)
+        keep = pc.greater_equal(_cents(t["quality"], 10000), 5000)
+        return t.filter(keep).drop_columns(["quality"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    kept = exact_dedup(
+        gated, col="text", id_col="doc_id",
+        num_buckets=num_shuffle_buckets(n_rows),
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {"lang_pred": t["lang_pred"], "n_tok": n_tok}
+        )
+
+    return pre_aggregated_sum(
+        kept.map_batches(stats, batch_format="pyarrow"),
+        keys=["lang_pred"], sums={"n_tok": "sum_tokens"},
+        count_alias="n_docs",
+    )
+
+
+def _web_pipeline_sql() -> str:
+    """Composed oracle: nests the generated lang-ID and quality twins as
+    CTE subqueries (the WARC roundtrip is the identity over documents, so
+    the SQL side starts from the table directly)."""
+    return f"""
+WITH lang AS ({_langid_sql()}),
+qual AS ({_quality_sql()}),
+gated AS (
+  SELECT d.doc_id, d.text, l.lang_pred
+  FROM documents d
+  JOIN lang l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE q.quality_bp >= 5000
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+)
+SELECT g.lang_pred,
+       CAST(SUM(length(regexp_extract_all(g.text, '\\S+'))) AS BIGINT)
+           AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM dedup JOIN gated g ON dedup.doc_id = g.doc_id
+GROUP BY g.lang_pred
+"""
+
+
+def q_top_words(sf_dir: str):
+    """Exact corpus vocabulary top-k (distributed wordcount): same tokenizer
+    as lang-ID (split on non-letter/digit runs, lower-cased), map-side
+    partial counts per batch, one vocabulary-keyed aggregate, global sort +
+    limit with deterministic tie-break."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        s = pd.Series(pc.list_flatten(words).to_pylist(), dtype=object)
+        vc = s[s != ""].value_counts()
+        return pa.Table.from_pydict(
+            {"word": vc.index.tolist(), "n": vc.to_numpy()}
+        )
+
+    ds = ds.map_batches(partial_counts, batch_format="pyarrow")
+    ds = pre_aggregated_sum(ds, keys=["word"], sums={"n": "n"})
+    return ds.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_WORDS = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Scale path for q_top_words: mergeable truncated-counts summaries
+    (map-only, one tiny row per batch, no vocabulary shuffle) — rows-only;
+    pytest asserts it reproduces the exact top-20 at sf0.01."""
+    from goose_parser_ray.functions.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", k=20)
+
+
+def q_lang_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate (the distributed k-means update step —
+    what IVF training needs at corpus scale): per-language embedding sums
+    as (lang, dim, sum_e6, n) with exact integer parity (element-wise
+    1e6-scaling; float32→double widening is lossless on both engines)."""
+    import pyarrow.parquet as pq
+
+    from goose_parser_ray.functions.similarity import _list_col_to_matrix
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    joined = broadcast_join(emb, docs, key="vec_id", concurrency=_pool())
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _list_col_to_matrix(t["embedding"])
+        # element-wise half-away rounding via the same Arrow kernel as
+        # _cents — np.round is half-to-even and would diverge from DuckDB
+        flat = pa.array(m.reshape(-1).astype(np.float64))
+        ints = pc.cast(
+            pc.round(
+                pc.multiply(flat, 1e6), round_mode="half_towards_infinity"
+            ),
+            pa.int64(),
+        ).to_numpy()
+        df = pd.DataFrame(ints.reshape(m.shape))
+        df["lang"] = t["lang"].to_pylist()
+        g = df.groupby("lang")
+        sums = g.sum()
+        ns = g.size()
+        dims = np.arange(m.shape[1], dtype=np.int64)
+        out = {
+            "lang": np.repeat(sums.index.to_numpy(), m.shape[1]),
+            "dim": np.tile(dims + 1, len(sums)),
+            "sum_e6": sums.to_numpy().reshape(-1),
+            "n": np.repeat(ns.to_numpy(), m.shape[1]),
+        }
+        return pa.Table.from_pydict(out)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        parts, keys=["lang", "dim"], sums={"sum_e6": "sum_e6", "n": "n"}
+    )
+
+
+SQL_LANG_CENTROIDS = """
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), u AS (
+  SELECT lang, i.i AS dim, CAST(j.embedding[i.i] AS DOUBLE) AS x
+  FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+)
+SELECT lang, dim,
+       CAST(SUM(CAST(ROUND(1000000 * x) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY lang, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction (rows-only: DOM semantics are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_spans(sf_dir: str):
+    """documents → interleaved span wrap → extraction pipeline → flattened
+    span rows (doc_id, seq, kind, text, media_ref)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
+    ds = build_extraction_pipeline(
+        ds, num_partitions=_dedup._default_join_partitions(), salt_threshold=None,
+        concurrency=_pool(), batch_size=32,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        # Arrow-native explode: list_parent_indices + list_flatten +
+        # struct_field — no Python row loop in the headline output stage
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), parent),
+                pc.struct_field(flat, "offset"),
+                pc.struct_field(flat, "kind"),
+                pc.struct_field(flat, "text"),
+                pc.struct_field(flat, "media_ref"),
+            ],
+            names=["doc_id", "seq", "kind", "text", "media_ref"],
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def q_extract_rules(sf_dir: str):
+    """Rules-mode flagship: a goose rule tree (grid over article paragraphs
+    + attr extraction) evaluated through the full distributed pipeline —
+    wrap → normalize → actor-pool DOM extract → flatten (rows-only)."""
+    rules = {
+        "collection": [
+            {"name": "title", "scope": "article h1", "transform": [{"type": "trim"}]},
+            {"name": "paras", "scope": "article p", "type": "array"},
+            {
+                "name": "sections",
+                "scope": "article",
+                "collection": [
+                    [
+                        {"name": "head", "scope": "h1", "id": True},
+                        {"name": "first_para", "scope": "p:first"},
+                    ]
+                ],
+            },
+            {"name": "nav_links", "scope": "nav a", "attr": "href", "type": "array"},
+        ]
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(wrap_flat_documents, batch_format="pyarrow")
+    ds = build_extraction_pipeline(
+        ds, rules, num_partitions=_dedup._default_join_partitions(), salt_threshold=None,
+        concurrency=_pool(), batch_size=32,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), parent),
+                pc.struct_field(flat, "offset"),
+                pc.struct_field(flat, "text"),
+            ],
+            names=["doc_id", "seq", "text"],
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_link_graph(sf_dir: str):
+    """Hyperlink in-degree over a DOM-extracted link graph, ORACLE-CHECKED.
+
+    Pages are synthesized deterministically from (doc_id, text) — doc ``i``
+    links to ``(i*7+k) % 1000`` for ``k = 1..(i%3)+1`` — so SQL states the
+    expected edge set in closed form (LATERAL generate_series) while the
+    engine must recover it through the REAL extraction stack: tokenizer →
+    HTML5 tree builder → compiled ``a[href]`` CSS selector → attribute read,
+    with arbitrary entity-escaped document text in the way. Any parser bug
+    that drops, duplicates, or reorders anchors breaks the hash match. The
+    in-degree rollup is the partial/combiner pattern (one row per
+    (batch, dst) crosses the exchange)."""
+    from goose_parser_ray.functions.linkgraph import extract_links
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = extract_links(ds, concurrency=_pool())
+    deg = pre_aggregated_sum(edges, ["dst"], {}, count_alias="in_degree")
+    return deg.sort("dst")
+
+
+def q_domain_cap(sf_dir: str):
+    """URL curation (C4/RefinedWeb shape), ORACLE-CHECKED: synthesize a
+    deterministic URL per document, extract the registrable domain through
+    the vectorized RE2 public-suffix path (multi-label ``co.uk`` kept as
+    three labels, everything else two — including stripping ``www.``/
+    ``cdn.`` subdomains), then cap each domain at 8 documents in
+    cross-engine-exact Knuth-hash order. The kept membership itself is
+    compared, so the oracle guards both the parser and the cap's
+    determinism. Map-side prune bounds the exchange at cap rows per
+    (block, domain)."""
+    from goose_parser_ray.functions.urltools import (
+        add_registrable_domain,
+        cap_per_domain,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        # Arrow has no modulo kernel; id - (id // m) * m (ids non-negative)
+        mod3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), pa.scalar(3, pa.int64())))
+        sub = pc.if_else(
+            pc.equal(mod3, 0),
+            pa.scalar("www."),
+            pc.if_else(pc.equal(mod3, 1), pa.scalar("cdn."), pa.scalar("")),
+        )
+        mod2 = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), pa.scalar(2, pa.int64())))
+        tld = pc.if_else(pc.equal(mod2, 0), pa.scalar(".com"), pa.scalar(".co.uk"))
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://"),
+            sub,
+            t["source"],
+            tld,
+            pa.scalar("/p/"),
+            pc.cast(ids, pa.string()),
+            "",
+        )
+        return pa.Table.from_arrays(
+            [ids, url], names=["doc_id", "url"]
+        )
+
+    ds = ds.map_batches(add_url, batch_format="pyarrow")
+    ds = ds.map_batches(add_registrable_domain, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "domain"])
+    kept = cap_per_domain(ds, cap=8)
+    return kept.sort(["domain", "doc_id"])
+
+
+SQL_DOMAIN_CAP = """
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END
+         || source
+         || CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.co.uk' END
+         || '/p/' || doc_id AS url
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         regexp_extract(regexp_extract(url, '^https?://([^/:]+)', 1),
+                        '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1) AS domain,
+         (doc_id * 2654435761) % 4294967296 AS hv
+  FROM u
+), r AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, domain
+FROM r WHERE rn <= 8
+ORDER BY domain, doc_id
+"""
+
+
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (merge/purge), ORACLE-CHECKED: every
+    document pair within rank distance 2 in global (substr(text,1,12),
+    doc_id) order. The order-based candidate generator alongside the
+    hash-based ones (MinHash/SimHash/Hamming-1/AllPairs). Distributed as
+    range-bucketed global dense rank + overlap pair windows — see
+    ``functions/blocking.py``; no all-pairs, no driver materialization."""
+    from goose_parser_ray.functions.blocking import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_id"], pc.utf8_slice_codeunits(t["text"], 0, 12)],
+            names=["doc_id", "k"],
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(
+        keyed, key_col="k", id_col="doc_id", window=2, n_rows=n
+    )
+    return pairs.sort(["id_a", "id_b"])
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY substr(text, 1, 12), doc_id) AS rn
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+ORDER BY id_a, id_b
+"""
+
+
+def q_token_budget(sf_dir: str):
+    """Per-language budget fill (training-mixture shape), ORACLE-CHECKED:
+    each language contributes documents in cross-engine-exact Knuth-hash
+    order until its running character total would exceed 12 000. This is
+    the budgeted variant of mixture resampling — deterministic membership
+    (stable under re-runs/repartition), exact cumulative gate. Five langs →
+    exact per-group scan; at high key cardinality the same plan runs as the
+    two-pass bucketed prefix-sum scan (``functions/packing.py``)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(t["doc_id"], pa.scalar(2654435761, pa.int64())),
+            pa.scalar(4294967295, pa.int64()),
+        )
+        return t.append_column("hv", pc.cast(h, pa.int64()))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
+        g["cum_chars"] = g["n_chars"].cumsum().astype("int64")
+        g = g[g["cum_chars"] <= 12_000]
+        return g[["doc_id", "lang", "n_chars", "cum_chars"]]
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow")
+    return (
+        ds.groupby("lang")
+        .map_groups(fill, batch_format="pandas")
+        .sort(["lang", "cum_chars"])
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * 2654435761) % 4294967296 AS hv
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(cum AS BIGINT) AS cum_chars
+FROM c WHERE cum <= 12000
+ORDER BY lang, cum_chars
+"""
+
+
+def q_kwic(sf_dir: str):
+    """Keyword-in-context concordance (the corpus-search surface),
+    ORACLE-CHECKED: first occurrence of ``data`` per document with ≤16
+    chars of context each side, plus its position. One vectorized RE2
+    pass — leftmost-match semantics are identical in Arrow and DuckDB, so
+    the context windows hash-match exactly. Map-only at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        pos = pc.find_substring(t["text"], "data")
+        m = pc.extract_regex(
+            t["text"], r"(?P<l>.{0,16})data(?P<r>.{0,16})"
+        )
+        out = pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pc.cast(pc.add(pos, 1), pa.int64()),  # 1-based like strpos
+                pc.struct_field(m, "l"),
+                pc.struct_field(m, "r"),
+            ],
+            names=["doc_id", "pos", "left_ctx", "right_ctx"],
+        )
+        return out.filter(pc.greater(out["pos"], 0))
+
+    return ds.map_batches(kwic, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_KWIC = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strpos(text, 'data') AS BIGINT) AS pos,
+       regexp_extract(text, '(.{0,16})data(.{0,16})', 1) AS left_ctx,
+       regexp_extract(text, '(.{0,16})data(.{0,16})', 2) AS right_ctx
+FROM documents
+WHERE strpos(text, 'data') > 0
+ORDER BY doc_id
+"""
+
+
+def q_postings(sf_dir: str):
+    """Capped inverted-index build (IR surface), ORACLE-CHECKED: for every
+    term, its document frequency and the 5 smallest doc_ids that contain it
+    (comma-joined). The cap is the scale contract — per-term payload is
+    bounded at any corpus size, and the partials are mergeable (local df
+    count + local 5-smallest per batch → bucketed merge keeps the 5
+    smallest of the union). One doc is one row, so per-batch (term, doc)
+    dedup is globally exact. Term buckets are data-proportional."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        docs = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        df = pa.Table.from_arrays(
+            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
+        ).to_pandas()
+        df = df.drop_duplicates()
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", sort=False)
+        out = g.agg(
+            df_p=("doc_id", "size"),
+            post_p=(
+                "doc_id",
+                lambda s: ",".join(map(str, s.head(5))),
+            ),
+        ).reset_index()
+        return add_hash_bucket(
+            pa.Table.from_pandas(out, preserve_index=False), "term", nb
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        dfsum = g.groupby("term", sort=False)["df_p"].sum()
+        ex = g[["term", "post_p"]].copy()
+        ex["post_p"] = ex["post_p"].str.split(",")
+        ex = ex.explode("post_p")
+        ex["post_p"] = ex["post_p"].astype("int64")
+        ex = ex.sort_values(["term", "post_p"], kind="mergesort")
+        top = ex.groupby("term", sort=False).head(5)
+        posts = top.groupby("term", sort=False)["post_p"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        out = pd.DataFrame(
+            {
+                "term": dfsum.index,
+                "df": dfsum.to_numpy().astype("int64"),
+                "top_postings": posts.reindex(dfsum.index).to_numpy(),
+            }
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        parts.groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+        .sort("term")
+    )
+
+
+SQL_POSTINGS = """
+WITH w AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> ''
+), r AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM w
+)
+SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS top_postings
+FROM r GROUP BY term ORDER BY term
+"""
+
+
+def q_event_throttle(sf_dir: str):
+    """Streaming throttle/debounce dedup, ORACLE-CHECKED: an event survives
+    iff the previous event of the same (user, type) — by raw arrival, kept
+    or not — is more than 600 s older. LAG semantics (not chained-session
+    semantics), so the filter is one vectorized shift per bucketed group;
+    buckets are data-proportional on user_id."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
+
+    def throttle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        prev = g.groupby(["user_id", "event_type"])["ts"].shift()
+        keep = prev.isna() | ((g["ts"] - prev).dt.total_seconds() > 600)
+        out = g[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "event_type": out["event_type"],
+                "ts_s": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return (
+        ds.groupby("__db")
+        .map_groups(throttle, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+SQL_EVENT_THROTTLE = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM o
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND
+ORDER BY event_id
+"""
+
+
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key + multi-dimensional range query,
+    ORACLE-CHECKED: interleave the low 16 bits of (l_partkey, l_suppkey)
+    into a 32-bit z-value — the layout key that makes BOTH dimensions
+    range-prunable from one sorted/clustered write (sort by z → parquet
+    row-group min/max stats serve part-key and supp-key predicates at
+    once). The query returns one z-range slice; the engine side is a pure
+    vectorized map (numpy bit-spreading), the oracle states the interleave
+    as 32 shift-mask terms. The production layout path is
+    ``ds.sort("z").write_parquet(...)`` on the same key."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        def spread(col):  # 16-bit → even-bit positions of 32
+            n = col.to_numpy(zero_copy_only=False).astype(np.uint32)
+            n &= np.uint32(0xFFFF)
+            n = (n | n << np.uint32(8)) & np.uint32(0x00FF00FF)
+            n = (n | n << np.uint32(4)) & np.uint32(0x0F0F0F0F)
+            n = (n | n << np.uint32(2)) & np.uint32(0x33333333)
+            n = (n | n << np.uint32(1)) & np.uint32(0x55555555)
+            return n
+
+        z = spread(t["l_partkey"]) | (spread(t["l_suppkey"]) << np.uint32(1))
+        t = t.append_column("z", pa.array(z.astype(np.int64)))
+        mask = pc.and_(
+            pc.greater_equal(t["z"], 1_000_000), pc.less(t["z"], 1_050_000)
+        )
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(add_z, batch_format="pyarrow")
+        .select_columns(["z", "l_orderkey", "l_partkey", "l_suppkey"])
+        .sort(["z", "l_orderkey"])
+    )
+
+
+def _sql_zorder() -> str:
+    xs = " + ".join(f"(((l_partkey >> {i}) & 1) << {2 * i})" for i in range(16))
+    ys = " + ".join(
+        f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(({xs}) + ({ys}) AS BIGINT) AS z,
+         CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_partkey AS BIGINT) AS l_partkey,
+         CAST(l_suppkey AS BIGINT) AS l_suppkey
+  FROM lineitem
+)
+SELECT z, l_orderkey, l_partkey, l_suppkey
+FROM m WHERE z >= 1000000 AND z < 1050000
+ORDER BY z, l_orderkey
+"""
+
+
+SQL_ZORDER = _sql_zorder()
+
+
+def q_editdist_pairs(sf_dir: str):
+    """Edit-distance-1 similarity join (FastSS deletion-neighborhood
+    blocking — see ``functions/editdist.py``), ORACLE-CHECKED against
+    DuckDB's built-in ``levenshtein``: every customer-name pair at exactly
+    distance 1. Zero-miss blocking + exact verification, so this is the
+    one approximate-family member whose full output hash-matches a brute
+    SQL self-join."""
+    from goose_parser_ray.functions.editdist import edit1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = edit1_pairs(ds, col="c_name", id_col="c_custkey")
+    return pairs.sort(["id_a", "id_b"])
+
+
+SQL_EDITDIST_PAIRS = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) = 1
+ORDER BY id_a, id_b
+"""
+
+
+_PROFILE_COLS = ["user_id", "event_type", "props"]
+
+
+def q_profile(sf_dir: str):
+    """One-shot data-profiling operator (Deequ shape), ORACLE-CHECKED: per
+    column — row count, null count, EXACT distinct count, lexicographic
+    min/max (all values profiled through their string form, so one output
+    schema covers every input type; integer→string casts format identically
+    in both engines). Stats come from mergeable per-batch partials (3 rows
+    per batch); the distinct count is one bounded shuffle over per-batch-
+    unique (col, v) pairs. Two column-pruned reads of the source — no
+    derived-table re-execution, no driver materialization of values."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from goose_parser_ray.functions.relational import (
+        distinct_rows,
+        pre_aggregated_sum,
+    )
+
+    ds = _read(sf_dir, "events", _PROFILE_COLS)
+
+    def long_form(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            v = pc.cast(t[c], pa.string())
+            cols.append(pa.array([c] * t.num_rows, pa.string()))
+            vals.append(v.combine_chunks() if hasattr(v, "chunks") else v)
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(cols), pa.concat_arrays(vals)],
+            names=["col", "v"],
+        )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        lf = long_form(t)
+        df = lf.to_pandas()
+        g = df.groupby("col", dropna=False)
+        out = pd.DataFrame(
+            {
+                "col": list(g.groups),
+                "n_p": g.size().to_numpy().astype("int64"),
+                "nulls_p": g["v"].apply(lambda s: int(s.isna().sum())).to_numpy(),
+                "min_p": g["v"].min().to_numpy(),
+                "max_p": g["v"].max().to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("nulls_p", alias_name="nulls"),
+            Min("min_p", alias_name="min_v"),
+            Max("max_p", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+
+    def long_nonnull(t: pa.Table) -> pa.Table:
+        lf = long_form(t)
+        return lf.filter(pc.is_valid(lf["v"]))
+
+    long = ds.map_batches(long_nonnull, batch_format="pyarrow")
+    dis = distinct_rows(long, ["col", "v"])
+    nd = (
+        pre_aggregated_sum(dis, ["col"], {}, count_alias="n_distinct")
+        .to_pandas()
+    )
+
+    out = stats.merge(nd, on="col", how="left")
+    out["n"] = out["n"].astype("int64")
+    out["nulls"] = out["nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("col").reset_index(drop=True)[
+        ["col", "n", "nulls", "n_distinct", "min_v", "max_v"]
+    ]
+
+
+SQL_PROFILE = """
+WITH p AS (
+  SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'props', props FROM events
+)
+SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM p GROUP BY col ORDER BY col
+"""
+
+
+def q_tree_rollup(sf_dir: str):
+    """Hierarchy rollup (recursive-closure class), ORACLE-CHECKED against a
+    genuine ``WITH RECURSIVE`` CTE: docs form a decimal tree (parent =
+    id // 10) and every node's subtree size is counted. The distributed
+    plan exploits the bounded depth (≤ ⌈log10(max_id)⌉): each row fans out
+    its ancestor chain ARITHMETICALLY map-side (≤ 8 rows, no joins, no
+    iteration) and one partial-combined count per ancestor finishes it —
+    the recursion is in the oracle, not the engine."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def ancestors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chains = [ids]
+        cur = ids
+        while (cur > 0).any():
+            nxt = cur // 10
+            # a node's chain continues only while the PREVIOUS link was >0;
+            # mark finished chains with -1 and drop them after concat
+            nxt = np.where(cur > 0, nxt, -1)
+            chains.append(nxt)
+            cur = np.where(cur > 0, nxt, np.int64(0))
+        flat = np.concatenate(chains)
+        flat = flat[flat >= 0]
+        return pa.Table.from_pydict({"node": pa.array(flat, pa.int64())})
+
+    fanned = ds.map_batches(ancestors, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        fanned, ["node"], {}, count_alias="subtree"
+    ).sort("node")
+
+
+SQL_TREE_ROLLUP = """
+WITH RECURSIVE a AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION ALL
+  SELECT node, anc // 10 FROM a WHERE anc > 0
+)
+SELECT CAST(anc AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS subtree
+FROM a GROUP BY anc ORDER BY node
+"""

@@ -100,10 +100,27 @@ def _eval_collection(plan: Plan, root, doc_root) -> dict:
 def _eval_grid(plan: Plan, root, doc_root) -> list[dict]:
     rows: list[dict] = []
     seen_ids: set[Any] = set()
+    id_fn = None
+    if plan.id_fn is not None:
+        # G6 callable-id: resolved here (not at compile) so plans survive
+        # pickling to actors — the registry must be populated by a module
+        # import on every worker (see register_id_fn docstring).
+        from goose_parser_ray.rules.plan import ID_FN_REGISTRY
+
+        try:
+            id_fn = ID_FN_REGISTRY[plan.id_fn]
+        except KeyError:
+            raise RuntimeError(
+                f"id function {plan.id_fn!r} not registered in this worker; "
+                f"register_id_fn must run (via module import) before "
+                f"evaluation"
+            ) from None
     for node in select(plan.scope, root):
         row = {c.name: evaluate(c, node, doc_root) for c in plan.children}
         if plan.id_field is not None:
             key = row.get(plan.id_field)
+            if id_fn is not None:
+                key = id_fn(key)
             key = key if isinstance(key, str) else repr(key)
             if key in seen_ids:
                 continue  # G6: first occurrence wins

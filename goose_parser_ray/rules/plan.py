@@ -31,6 +31,27 @@ class RuleError(ValueError):
     pass
 
 
+# Registered grid-id callbacks (T12 registry pattern — SURVEY §2.1 G6 [M]:
+# upstream's grid merge accepts ``id: fn`` alongside ``id: true``; functions
+# don't survive JSON rule specs, so the callable variant is a REGISTERED NAME
+# resolved at compile time, exactly like custom transforms). The callback
+# receives the extracted child value and returns the dedup key ("first
+# occurrence wins" runs on its return value). Upstream signature unverified
+# (reference dir empty) — flagged per SURVEY's own rule.
+ID_FN_REGISTRY: dict[str, object] = {}
+
+
+def register_id_fn(name: str, fn) -> None:
+    """Register a named grid-id callback usable as ``id: "<name>"`` in rule
+    specs. Must be called (e.g. at import time of the user's rules module)
+    on EVERY process that compiles the plan — actors compile in
+    ``__init__`` from the JSON spec, so register in a module your pipeline
+    imports, not interactively."""
+    if not callable(fn):
+        raise RuleError(f"id function {name!r} must be callable")
+    ID_FN_REGISTRY[name] = fn
+
+
 @dataclass(frozen=True)
 class Plan:
     """One compiled rule node. ``kind`` ∈ {simple, collection, grid, cases}."""
@@ -42,7 +63,8 @@ class Plan:
     attr: str | None = None
     separator: str = " "
     is_array: bool = False  # type: 'array' (G1)
-    is_id: bool = False  # id: true on a grid child (G6)
+    is_id: bool = False  # id: true | "<fn>" on a grid child (G6)
+    id_fn: str | None = None  # registered id-callback name (id: "<fn>")
     chain: TransformChain | None = None
     children: tuple["Plan", ...] = ()  # collection/grid members, cases branches
     id_field: str | None = None  # grid: name of the id child, if any
@@ -97,9 +119,7 @@ def compile_rules(rule: dict) -> Plan:
             if scope is None:
                 raise RuleError("grid rule requires a scope")
             children = tuple(compile_rules(c) for c in coll[0])
-            id_field = next(
-                (c.name for c in children if c.is_id and c.name), None
-            )
+            id_child = next((c for c in children if c.is_id and c.name), None)
             _require_names(children, rule)
             return Plan(
                 kind="grid",
@@ -108,7 +128,8 @@ def compile_rules(rule: dict) -> Plan:
                 parent_scope=parent_scope,
                 chain=chain,
                 children=children,
-                id_field=id_field,
+                id_field=id_child.name if id_child else None,
+                id_fn=id_child.id_fn if id_child else None,
                 source=_canon(rule),
             )
         children = tuple(compile_rules(c) for c in coll)
@@ -126,6 +147,24 @@ def compile_rules(rule: dict) -> Plan:
     # simple rule
     if scope is None:
         raise RuleError(f"simple rule requires a scope: {rule}")
+    id_val = rule.get("id")
+    id_fn: str | None = None
+    if id_val not in (None, False, True):
+        # G6 callable-id variant: upstream accepts ``id: fn``; in JSON rule
+        # specs the callable must be a registered NAME (T12 registry
+        # pattern). Any other form is rejected loudly at compile time.
+        if not isinstance(id_val, str):
+            raise RuleError(
+                f"unsupported id form {id_val!r}: expected true or a "
+                f"registered id-function name (see register_id_fn)"
+            )
+        if id_val not in ID_FN_REGISTRY:
+            raise RuleError(
+                f"id function {id_val!r} is not registered; call "
+                f"register_id_fn({id_val!r}, fn) in a module imported by "
+                f"every worker before compiling the plan"
+            )
+        id_fn = id_val
     return Plan(
         kind="simple",
         name=name,
@@ -134,7 +173,8 @@ def compile_rules(rule: dict) -> Plan:
         attr=rule.get("attr"),
         separator=rule.get("separator", " "),
         is_array=rule.get("type") == "array",
-        is_id=bool(rule.get("id")),
+        is_id=bool(id_val),
+        id_fn=id_fn,
         chain=chain,
         source=_canon(rule),
     )

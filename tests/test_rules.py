@@ -103,6 +103,57 @@ def test_grid_without_id_keeps_duplicates():
     assert [r["sku"] for r in ev(rule)] == ["s1", "s2", "s1"]
 
 
+def test_grid_dedup_id_fn():
+    # G6 callable-id variant (SURVEY §2.1 G6 [M]): the dedup key is the
+    # REGISTERED function's return value, so s1/s2 collapse to one row.
+    from goose_parser_ray.rules.plan import ID_FN_REGISTRY, register_id_fn
+
+    register_id_fn("first_char", lambda v: v[:1] if v else v)
+    try:
+        rule = {
+            "scope": ".items li",
+            "collection": [
+                [
+                    {"name": "sku", "scope": ".sku", "id": "first_char"},
+                    {
+                        "name": "price",
+                        "scope": ".price",
+                        "transform": [{"type": "trim"}],
+                    },
+                ]
+            ],
+        }
+        # all skus start with "s" → only the first row survives
+        assert ev(rule) == [{"sku": "s1", "price": "10"}]
+    finally:
+        ID_FN_REGISTRY.pop("first_char", None)
+
+
+def test_grid_id_fn_unregistered_rejected_at_compile():
+    rule = {
+        "scope": ".items li",
+        "collection": [[{"name": "sku", "scope": ".sku", "id": "no_such_fn"}]],
+    }
+    with pytest.raises(RuleError, match="not registered"):
+        compile_rules(rule)
+
+
+def test_grid_id_unsupported_form_rejected():
+    rule = {
+        "scope": ".items li",
+        "collection": [[{"name": "sku", "scope": ".sku", "id": 123}]],
+    }
+    with pytest.raises(RuleError, match="unsupported id form"):
+        compile_rules(rule)
+
+
+def test_register_id_fn_requires_callable():
+    from goose_parser_ray.rules.plan import register_id_fn
+
+    with pytest.raises(RuleError, match="must be callable"):
+        register_id_fn("bad", 42)
+
+
 def test_parent_scope_reroot():
     rule = {
         "scope": ".meta",
