@@ -1611,6 +1611,71 @@ def dedup_incremental(
 # ---------------------------------------------------------------------------
 
 
+def _norm_embeddings_fn(col: str, id_col: str):
+    """Batch fn: (id_col, col list<float>) → unit-normalized float32
+    (vec_id, embedding). Shared by :func:`semdedup` and
+    :func:`semdedup_centroids` so both see the identical normalization."""
+    from goose_parser_ray.functions.similarity import (
+        _list_col_to_matrix,
+        _normalize,
+    )
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        m = _normalize(
+            _list_col_to_matrix(t[col]).astype(np.float64)
+        ).astype(np.float32)
+        if m.size == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32()))}
+            )
+        dim = m.shape[1]
+        flat = pa.array(m.ravel())
+        offs = pa.array(
+            np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32)
+        )
+        return pa.Table.from_pydict(
+            {"vec_id": t[id_col],
+             "embedding": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+    return norm_batch
+
+
+def semdedup_centroids(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    k: int = 16,
+    kmeans_iters: int = 8,
+    seed: int = 0,
+    sample_size: int = 10_000,
+) -> np.ndarray:
+    """Train and return the spherical k-means centroids :func:`semdedup`
+    would use (bounded seeded Bernoulli sample → driver Lloyd loop —
+    the ann_ivf template). Exposed so callers can (a) reuse one quantizer
+    across incremental batches and (b) self-verify a semdedup pass: a
+    second pass over the survivors WITH THE SAME centroids must remove
+    exactly 0 rows (the kept set is an independent set of the
+    within-cluster >threshold similarity graph; star-cap clusters keep
+    their min-id hub, so star edges are covered too)."""
+    from goose_parser_ray.functions.similarity import _kmeans_cosine
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("cannot train centroids on an empty dataset")
+    normed = ds.map_batches(
+        _norm_embeddings_fn(col, id_col), batch_format="pyarrow"
+    )
+    frac = 1.0 if n <= sample_size else min(1.0, 1.2 * sample_size / n)
+    sample_pd = (
+        normed.random_sample(frac, seed=seed).limit(2 * sample_size).to_pandas()
+    )
+    sample = np.array(sample_pd["embedding"].to_list(), dtype=np.float32)
+    return _kmeans_cosine(sample, k, seed, iters=kmeans_iters)
+
+
 def semdedup(
     ds: ray.data.Dataset,
     *,
@@ -1624,6 +1689,7 @@ def semdedup(
     num_partitions: int | None = None,
     num_buckets: int | None = None,
     sample_size: int = 10_000,
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then inside each cluster drop every row
@@ -1654,11 +1720,7 @@ def semdedup(
     degenerate mega-clusters and errs toward under-removal."""
     import ray as _ray
 
-    from goose_parser_ray.functions.similarity import (
-        _kmeans_cosine,
-        _list_col_to_matrix,
-        _normalize,
-    )
+    from goose_parser_ray.functions.similarity import _list_col_to_matrix
 
     n = ds.count()
     if n == 0:
@@ -1666,39 +1728,24 @@ def semdedup(
     if num_buckets is None:
         num_buckets = num_shuffle_buckets(n)
 
-    def norm_batch(t: pa.Table) -> pa.Table:
-        m = _normalize(
-            _list_col_to_matrix(t[col]).astype(np.float64)
-        ).astype(np.float32)
-        if m.size == 0:
-            return pa.Table.from_pydict(
-                {"vec_id": pa.array([], pa.int64()),
-                 "embedding": pa.array([], pa.list_(pa.float32()))}
-            )
-        dim = m.shape[1]
-        flat = pa.array(m.ravel())
-        offs = pa.array(
-            np.arange(0, (len(m) + 1) * dim, dim, dtype=np.int32)
-        )
-        return pa.Table.from_pydict(
-            {"vec_id": t[id_col],
-             "embedding": pa.ListArray.from_arrays(offs, flat)}
-        )
-
     # Lazy — NEVER materialized. Executed twice (once partially for the
     # sample draw, once for the streaming assignment pass); re-running the
     # cheap normalize map beats pinning the whole vector corpus.
-    normed = ds.map_batches(norm_batch, batch_format="pyarrow")
+    normed = ds.map_batches(
+        _norm_embeddings_fn(col, id_col), batch_format="pyarrow"
+    )
 
     # Bounded seeded Bernoulli sample → driver spherical k-means (the
-    # ann_ivf template, similarity.py). 1.2 safety factor keeps the
-    # expected draw above sample_size; the 2× limit is a disaster guard.
-    frac = 1.0 if n <= sample_size else min(1.0, 1.2 * sample_size / n)
-    sample_pd = (
-        normed.random_sample(frac, seed=seed).limit(2 * sample_size).to_pandas()
-    )
-    sample = np.array(sample_pd["embedding"].to_list(), dtype=np.float32)
-    centn = _kmeans_cosine(sample, k, seed, iters=kmeans_iters)
+    # ann_ivf template, similarity.py — see semdedup_centroids). Callers
+    # may pass precomputed unit-norm ``centroids`` to reuse one quantizer
+    # (incremental batches, survivor self-verification).
+    if centroids is None:
+        centn = semdedup_centroids(
+            ds, id_col=id_col, col=col, k=k, kmeans_iters=kmeans_iters,
+            seed=seed, sample_size=sample_size,
+        )
+    else:
+        centn = np.ascontiguousarray(centroids, dtype=np.float32)
     cref = _ray.put(centn)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -149,7 +149,10 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         n = int(lm.group(1))
         data = payload[m.end() : m.end() + n]
         if b"/FlateDecode" in head:
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt/truncated stream bytes
+                raise ValueError(f"bad FlateDecode stream: {e}") from e
         for tj, tj_arr in _TJ_RE.findall(data):
             if tj or not tj_arr:
                 lines.append(_unescape(tj))

@@ -62,6 +62,10 @@ def q_logreg(sf_dir: str):
     w, acc, losses = logreg_fit(
         feats, ["value", "hour"], "y", iters=15
     )
+    # Self-verifying invariants (r3 VERDICT item 5): gradient descent on a
+    # convex loss with this step size must end below where it started, and
+    # the count of round-over-round loss increases is a deterministic
+    # integer (0 for a healthy run) the driver can hash across runs.
     return pd.DataFrame(
         {
             "w_value_e4": [int(round(w[0] * 1e4))],
@@ -69,6 +73,10 @@ def q_logreg(sf_dir: str):
             "bias_e4": [int(round(w[2] * 1e4))],
             "acc_e4": [int(round(acc * 1e4))],
             "final_loss_e4": [int(round(losses[-1] * 1e4))],
+            "loss_decreased": [int(losses[-1] < losses[0])],
+            "n_loss_increases": [
+                int(sum(b > a for a, b in zip(losses, losses[1:])))
+            ],
         }
     )
 
@@ -284,12 +292,20 @@ def q_bpe_merges(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     merges = bpe_train(ds, "text", n_merges=5)
+    counts = np.array([m[2] for m in merges], dtype="int64")
+    # Self-verifying invariant (r3 VERDICT item 5): the winning pair count
+    # is provably non-increasing across BPE rounds — a new pair's count is
+    # bounded by the count of the merge that created it, and every old
+    # pair's count was ≤ this round's max. A 0 here means the distributed
+    # top-1 reduction picked a non-max pair somewhere.
+    nonincreasing = int(bool(np.all(np.diff(counts) <= 0)))
     return pd.DataFrame(
         {
             "rank": np.arange(len(merges), dtype="int64"),
             "left": [m[0] for m in merges],
             "right": [m[1] for m in merges],
-            "pair_count": np.array([m[2] for m in merges], dtype="int64"),
+            "pair_count": counts,
+            "count_nonincreasing": np.full(len(merges), nonincreasing, dtype="int64"),
         }
     )
 

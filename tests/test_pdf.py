@@ -90,3 +90,54 @@ def test_tj_array_operator():
         % (len(content), content)
     )
     assert extract_pdf_text(payload) == ["Hello (kerned)", "plain line"]
+
+
+def test_mutation_fuzz_never_crashes_uncontrolled():
+    """Any single-byte mutation of a valid PDF either still extracts (the
+    mutation hit slack space or string content) or raises ValueError —
+    never another exception type, never a hang (r3 VERDICT item 7,
+    mirroring test_pngmini's mutation fuzz). Targets include the xref
+    table, /Length digits, and compressed stream bytes."""
+    rng = np.random.default_rng(7)
+    good = bytearray(
+        encode_pdf(["mutation fuzz target", "with (escapes) \\ too", "x" * 80])
+    )
+    for _ in range(400):
+        b = bytearray(good)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = extract_pdf_text(bytes(b))
+            assert isinstance(out, list)
+            assert all(isinstance(s, str) for s in out)
+        except ValueError:
+            pass
+    # truncations at every prefix length are equally controlled
+    for cut in range(0, len(good), 11):
+        try:
+            out = extract_pdf_text(bytes(good[:cut]))
+            assert isinstance(out, list)
+        except ValueError:
+            pass
+
+
+def test_length_digit_mutations_controlled():
+    """Directed fuzz on the declared /Length digits (the slice oracle):
+    every single-digit rewrite 0-9 must yield raise-or-correct, since a
+    short slice corrupts the Flate stream and a long slice swallows the
+    next keyword."""
+    import re
+
+    good = encode_pdf(["length digit fuzz", "second"])
+    for m in re.finditer(rb"/Length (\d+)", good):
+        for d in b"0123456789":
+            for off in range(m.start(1), m.end(1)):
+                b = bytearray(good)
+                if b[off] == d:
+                    continue
+                b[off] = d
+                try:
+                    out = extract_pdf_text(bytes(b))
+                    assert isinstance(out, list)
+                except ValueError:
+                    pass
