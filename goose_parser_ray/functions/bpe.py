@@ -144,3 +144,110 @@ def bpe_train(
         ).materialize()
 
     return merges
+
+
+class BpeEncodeActor:
+    """Apply a trained merge table to a text corpus — the tokenizer
+    APPLICATION step (the per-document op a training-data pipeline runs at
+    corpus scale; ``bpe_train`` runs once, this runs over everything).
+
+    Scale shape: the merge list is vocab-bounded and tiny — it ships to
+    each actor ONCE via ``__init__`` (actor-pool ``map_batches``), where it
+    is indexed into a rank dict; per batch, each DISTINCT word is encoded
+    once and memoized in a persistent per-actor cache (natural-language
+    corpora repeat words heavily, so the cache converges to the vocabulary
+    and steady-state batches do dict lookups, not merge loops). Encoding
+    applies merges in learned order, leftmost-first within a word —
+    exactly the training-time semantics, so encoding the training corpus
+    with its own merges reproduces the final training symbol table.
+
+    Emits per-doc integer features: token count, non-space char count, an
+    order-sensitive token checksum (poly hash mod 2^61 — pins the exact
+    token SEQUENCE across runs), and ``roundtrip_ok`` (concatenating each
+    word's tokens must rebuild the word — a hard invariant, 1 everywhere
+    or the encoder is wrong)."""
+
+    _MOD = (1 << 61) - 1
+    _BASE = 1_000_003
+
+    def __init__(self, merges: list[tuple[str, str]], col: str = "text"):
+        self._merges = [(a, b) for a, b, *_ in merges]
+        self._col = col
+        self._cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, word: str) -> list[str]:
+        toks = self._cache.get(word)
+        if toks is not None:
+            return toks
+        syms = list(word)
+        for a, b in self._merges:
+            if len(syms) < 2:
+                break
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        self._cache[word] = syms
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t[self._col].to_pylist()
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        n_chr = np.zeros(len(texts), dtype=np.int64)
+        csum = np.zeros(len(texts), dtype=np.int64)
+        ok = np.ones(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            h = 0
+            for w in (text or "").split(" "):
+                if not w:
+                    continue
+                toks = self._encode_word(w)
+                n_tok[i] += len(toks)
+                n_chr[i] += len(w)
+                if "".join(toks) != w:
+                    ok[i] = 0
+                for tok in toks:
+                    # token id proxy: its own poly hash (stable, no vocab
+                    # table needed); sequence hash chains them in order
+                    th = 0
+                    for ch in tok:
+                        th = (th * self._BASE + ord(ch)) % self._MOD
+                    h = (h * self._BASE + th + 1) % self._MOD
+            csum[i] = h
+        cols = {"doc_id": t["doc_id"]} if "doc_id" in t.column_names else {}
+        cols.update(
+            {
+                "n_tokens": pa.array(n_tok),
+                "n_chars": pa.array(n_chr),
+                "token_checksum": pa.array(csum),
+                "roundtrip_ok": pa.array(ok),
+            }
+        )
+        return pa.Table.from_pydict(cols)
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    *,
+    col: str = "text",
+    concurrency=(2, 8),
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """Corpus → per-doc token stats under a trained merge table (see
+    :class:`BpeEncodeActor`). Pure map — no shuffle; merges ride the actor
+    constructor (broadcast once per actor, never per batch)."""
+    return ds.map_batches(
+        BpeEncodeActor,
+        fn_constructor_args=(list(merges), col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

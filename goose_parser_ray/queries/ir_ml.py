@@ -310,6 +310,24 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION (rows-only: merges come from iterative
+    training): train 5 merges on the corpus, then encode every document
+    with them — the per-doc map a training pipeline runs at corpus scale
+    (``functions/bpe.py:BpeEncodeActor``: merges broadcast once per actor,
+    persistent word→tokens memo, no shuffle). Self-verifying columns:
+    ``roundtrip_ok`` must be 1 on every row (token concatenation rebuilds
+    each word), ``n_tokens ≤ n_chars`` by construction, and
+    ``token_checksum`` pins the exact token sequence across runs."""
+    from goose_parser_ray.functions.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, "text", n_merges=5)
+    return bpe_encode(
+        ds, merges, concurrency=(2, max(2, _pool() // 2))
+    ).sort("doc_id")
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree

@@ -1,10 +1,11 @@
 """Distributed BPE trainer vs a single-process reference implementation."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from goose_parser_ray.functions.bpe import bpe_train
+from goose_parser_ray.functions.bpe import bpe_encode, bpe_train
 
 
 def _reference(texts, n_merges):
@@ -63,3 +64,60 @@ def test_bpe_stops_when_dry(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"text": ["a b c"]}))
     # every word is one symbol long — no adjacent pairs at count ≥ 2
     assert bpe_train(ds, "text", n_merges=4) == []
+
+
+def test_bpe_encode_roundtrip_and_reference(ray_session):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the best hat",
+    ] * 2
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(3)
+    merges = bpe_train(ds, "text", n_merges=4)
+    out = (
+        bpe_encode(ds, merges, concurrency=2, batch_size=2)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert len(out) == len(texts)
+    assert (out["roundtrip_ok"] == 1).all()
+    assert (out["n_tokens"] <= out["n_chars"]).all()
+    # hand-encode with the same merge semantics (learned order,
+    # leftmost-first) and compare token counts exactly
+    def enc(word):
+        syms = list(word)
+        for a, b, _ in merges:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    want = [
+        sum(len(enc(w)) for w in t.split(" ") if w) for t in texts
+    ]
+    assert out["n_tokens"].tolist() == want
+    # merges learned → some word must compress below its char count
+    assert (out["n_tokens"] < out["n_chars"]).any()
+    # determinism: same input, second run → identical checksums
+    out2 = (
+        bpe_encode(ds, merges, concurrency=2, batch_size=3)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert out["token_checksum"].tolist() == out2["token_checksum"].tolist()
+
+
+def test_bpe_encode_empty_and_no_merges(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["", "ab ab"]})
+    ds = ray.data.from_pandas(df)
+    out = bpe_encode(ds, [], concurrency=1).sort("doc_id").to_pandas()
+    # no merges → tokens are single chars
+    assert out["n_tokens"].tolist() == [0, 4]
+    assert out["roundtrip_ok"].tolist() == [1, 1]

@@ -40,8 +40,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     ray.init(
         address="local", num_cpus=8, include_dashboard=False,
@@ -62,6 +68,7 @@ def main() -> int:
         )
 
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,34 +78,72 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
             failures += 1
+            report[name] = {
+                "status": "fail", "mode": "exception", "rows": None,
+                "sec": round(time.monotonic() - t0, 2),
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(got)} rows, {dt:.1f}s")
+            report[name] = {
+                "status": "ok", "mode": "rows_only", "rows": len(got),
+                "sec": round(dt, 2), "err": None,
+            }
             continue
         want = con.sql(oracles[name]).df()
         g, w = canon(got), canon(want)
+        err = None
         if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            err = f"columns {list(g.columns)} != {list(w.columns)}"
+        elif len(g) != len(w):
+            err = f"rows {len(g)} != {len(w)}"
+        else:
+            try:
+                # check_dtype=True mirrors the driver's value-hash
+                # semantics: a DuckDB HUGEINT sum materialized as float64
+                # must NOT silently compare equal to the engine's int64
+                # (round-1 failure mode).
+                pd.testing.assert_frame_equal(g, w, check_dtype=True)
+            except AssertionError as exc:
+                err = f"values differ: {str(exc)[:300]}"
+        if err:
+            print(f"FAIL {name}: {err}")
             failures += 1
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            failures += 1
-            continue
-        try:
-            # check_dtype=True mirrors the driver's value-hash semantics: a
-            # DuckDB HUGEINT sum materialized as float64 must NOT silently
-            # compare equal to the engine's int64 (round-1 failure mode).
-            pd.testing.assert_frame_equal(g, w, check_dtype=True)
-        except AssertionError as exc:
-            print(f"FAIL {name}: values differ: {str(exc)[:300]}")
-            failures += 1
+            report[name] = {
+                "status": "fail", "mode": "oracle", "rows": len(g),
+                "sec": round(dt, 2), "err": err,
+            }
             continue
         print(f"OK   {name}: {len(g)} rows match oracle, {dt:.1f}s")
+        report[name] = {
+            "status": "ok", "mode": "oracle", "rows": len(g),
+            "sec": round(dt, 2), "err": None,
+        }
 
     ray.shutdown()
     print("FAILURES:", failures)
+    if json_path:
+        import json
+
+        n_ok = sum(1 for r in report.values() if r["status"] == "ok")
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_ok": n_ok,
+            "n_fail": failures,
+            "n_oracle": sum(
+                1 for r in report.values() if r["mode"] == "oracle"
+            ),
+            "n_rows_only": sum(
+                1 for r in report.values() if r["mode"] == "rows_only"
+            ),
+            "queries": report,
+        }
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+        print("wrote", json_path)
     return 1 if failures else 0
 
 
