@@ -575,3 +575,256 @@ def pq_encode(
         batch_format="pyarrow",
         concurrency=(min(2, concurrency), concurrency),
     )
+
+
+def _int_list_col_to_matrix(col, m: int) -> np.ndarray:
+    """list<int> column of fixed length ``m`` → (n, m) int64 matrix via the
+    flat values buffer (no Python-object round trip)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, m), dtype=np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat.reshape(n, m)
+
+
+class _AssignEncodeFilter:
+    """Fused IVF-PQ ingest stage (actor: quantizers fetched once per
+    actor): normalize, assign coarse cell, drop cells no query probes,
+    PQ-encode the RESIDUAL (x − centroid[cell]) — emits only
+    (vec_id, cell, codes), i.e. the compressed representation the search
+    stage scores; the raw vector never leaves this stage."""
+
+    def __init__(self, cref, bref, probe_arr, id_col: str, col: str) -> None:
+        self.c: np.ndarray = ray.get(cref)          # (C, dim) unit
+        self.books: np.ndarray = ray.get(bref)      # (m, k, sub)
+        self.probe = probe_arr
+        self.id_col, self.col = id_col, col
+
+    _SCHEMA = pa.schema(
+        [("vec_id", pa.int64()), ("cell", pa.int32()),
+         ("codes", pa.list_(pa.int8()))]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        x = _normalize(_list_col_to_matrix(batch[self.col]))
+        cell = (x @ self.c.T).argmax(axis=1).astype(np.int32)
+        keep = pc.is_in(
+            pa.array(cell, pa.int32()), value_set=self.probe
+        ).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return self._SCHEMA.empty_table()
+        x, cell = x[keep], cell[keep]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
+        resid = x - self.c[cell]
+        m, _, sub = self.books.shape
+        codes = np.empty((len(x), m), dtype=np.int8)
+        for j in range(m):
+            rj = resid[:, j * sub : (j + 1) * sub]
+            cb = self.books[j]
+            d2 = (
+                (rj * rj).sum(axis=1, keepdims=True)
+                - 2.0 * (rj @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+        flat = pa.array(codes.ravel(), pa.int8())
+        offs = pa.array(
+            np.arange(0, (len(x) + 1) * m, m, dtype=np.int32)
+        )
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array(ids.astype(np.int64)),
+             "cell": pa.array(cell, pa.int32()),
+             "codes": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+
+class _ADCTopK:
+    """IVF-PQ search stage (actor): per-query lookup tables built ONCE per
+    actor — sim(q, x) ≈ q·centroid[cell] + Σⱼ LUT[q, j, codeⱼ] (asymmetric
+    distance computation, Jégou et al. 2011, inner-product form). Per
+    batch: two fancy-indexing gathers + a sum over m — no per-row Python.
+    Candidates outside a query's own probed cells are masked to −inf so
+    per-query probe semantics survive the shared union filter."""
+
+    def __init__(self, queries_ref, cref, bref, k: int, nprobe: int) -> None:
+        q = ray.get(queries_ref)
+        self.query_ids = q["ids"]
+        Q = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        c: np.ndarray = ray.get(cref)
+        books: np.ndarray = ray.get(bref)       # (m, pk, sub)
+        m, pk, sub = books.shape
+        self.m = m
+        self.qc = Q @ c.T                        # (n_q, C)
+        # LUT[qi, j, code] = Q_sub[qi, j] · books[j, code]
+        self.lut = np.stack(
+            [Q[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+            axis=1,
+        )                                        # (n_q, m, pk)
+        npb = min(nprobe, c.shape[0])
+        probed = np.argsort(-self.qc, axis=1)[:, :npb]
+        self.mask = np.zeros((Q.shape[0], c.shape[0]), dtype=bool)
+        np.put_along_axis(self.mask, probed, True, axis=1)
+        self.k = k
+
+    _SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("cosine", pa.float64())]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._SCHEMA.empty_table()
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _int_list_col_to_matrix(batch["codes"], self.m)
+        sims = self.qc[:, cell].astype(np.float64)          # (n_q, n)
+        for j in range(self.m):
+            sims += self.lut[:, j, codes[:, j]]
+        sims[~self.mask[:, cell]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi, qid in enumerate(self.query_ids):
+            cand = idx[qi]
+            cand = cand[np.isfinite(sims[qi, cand])]
+            order = cand[np.argsort(-sims[qi, cand], kind="stable")]
+            out["query_id"].extend([qid] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["cosine"].extend(np.round(sims[qi, order], 6).tolist())
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(out["query_id"], pa.int64()),
+             "vec_id": pa.array(out["vec_id"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+
+def ann_ivfpq(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    m: int = 4,
+    pq_k: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency: int = 4,
+    rerank: int = 0,
+) -> ray.data.Dataset:
+    """IVF-PQ ANN (Jégou et al. 2011 — the billion-scale production path
+    FAISS popularized): coarse spherical-k-means cells prune the corpus,
+    residuals are product-quantized to ``m`` bytes/vector, and search
+    scores the CODES via per-query lookup tables (ADC) — the full pipeline
+    a 100 TB embedding store runs, where raw float vectors are too big to
+    keep hot. Both quantizers train on ONE bounded seeded Bernoulli sample
+    (the ann_ivf template); centroids + codebooks broadcast via plasma.
+
+    ``rerank > 0`` adds the standard exact-refinement tail: top-``rerank``
+    ADC candidates per query are re-scored against their raw vectors (one
+    broadcast ``is_in`` filter over the corpus — the candidate id set is
+    n_q × rerank, tiny) and exact cosine picks the final top-k. With
+    rerank ≈ 4k, recall approaches ann_ivf's at a fraction of the scoring
+    bandwidth (codes, not floats).
+
+    Returns (query_id, vec_id, cosine, rank); ``cosine`` is the ADC
+    approximation when ``rerank == 0``, exact when reranked."""
+    n_corpus = ds.count()
+    frac = 1.0 if n_corpus <= sample_size else min(
+        1.0, 1.2 * sample_size / n_corpus
+    )
+    sample_pd = (
+        ds.random_sample(frac, seed=seed).limit(2 * sample_size).to_pandas()
+    )
+    sample = _normalize(
+        np.array(sample_pd[col].to_list(), dtype=np.float32)
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    centroids = _kmeans_cosine(sample, n_centroids, seed)
+    resid = sample - centroids[(sample @ centroids.T).argmax(axis=1)]
+    books = np.stack(
+        [
+            _kmeans_l2(resid[:, j * sub : (j + 1) * sub], pq_k, seed + j)
+            for j in range(m)
+        ]
+    ).astype(np.float32)
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    qsims = q @ centroids.T
+    probe_union = np.unique(
+        np.argsort(-qsims, axis=1)[:, : min(nprobe, centroids.shape[0])]
+    )
+    probe_arr = pa.array(probe_union.astype(np.int32), pa.int32())
+    qref = ray.put({"ids": list(query_ids), "matrix": query_matrix})
+
+    extra = 1 if exclude_self else 0
+    encoded = ds.map_batches(
+        _AssignEncodeFilter,
+        fn_constructor_kwargs={
+            "cref": cref, "bref": bref, "probe_arr": probe_arr,
+            "id_col": id_col, "col": col,
+        },
+        batch_format="pyarrow",
+        concurrency=(max(1, concurrency // 2), max(1, concurrency // 2)),
+    )
+    adc_k = (rerank if rerank else k) + extra
+    partial = encoded.map_batches(
+        _ADCTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "cref": cref, "bref": bref,
+            "k": adc_k, "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=(max(1, concurrency // 2), max(1, concurrency // 2)),
+    )
+    merged = partial.groupby("query_id").map_groups(
+        _merge_topk(adc_k), batch_format="pandas"
+    )
+    merged = merged.map_batches(_pin_schema(_MERGED_SCHEMA), batch_format="pyarrow")
+    if not rerank:
+        if exclude_self:
+            merged = merged.map_batches(
+                lambda t: t.filter(
+                    pa.compute.not_equal(t["query_id"], t["vec_id"])
+                ),
+                batch_format="pyarrow",
+            )
+            merged = merged.groupby("query_id").map_groups(
+                _merge_topk(k), batch_format="pandas"
+            )
+            merged = merged.map_batches(
+                _pin_schema(_MERGED_SCHEMA), batch_format="pyarrow"
+            )
+        return merged
+
+    # exact-refinement tail: candidate ids are tiny (n_q × rerank) —
+    # collect, broadcast, one is_in filter pass, exact brute force on the
+    # surviving sliver.
+    cand_ids = pa.array(
+        sorted({r["vec_id"] for r in merged.take_all()}), pa.int64()
+    )
+    sliver = ds.map_batches(
+        lambda t, _c=cand_ids: t.filter(
+            pa.compute.is_in(t[id_col], value_set=_c)
+        ),
+        batch_format="pyarrow",
+        concurrency=max(1, concurrency // 2),
+    )
+    return ann_bruteforce(
+        sliver, list(query_ids), query_matrix, k,
+        id_col=id_col, col=col, exclude_self=exclude_self,
+        concurrency=max(1, concurrency // 2),
+    )

@@ -831,7 +831,7 @@ def q_ann_recall(sf_dir: str):
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from goose_parser_ray.functions.similarity import ann_ivf
+    from goose_parser_ray.functions.similarity import ann_ivf, ann_ivfpq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     order = pc.array_sort_indices(emb["vec_id"].combine_chunks())[:8]
@@ -857,6 +857,24 @@ def q_ann_recall(sf_dir: str):
             "ivf",
             ann_ivf(
                 ds, qids, qmat, k=k, n_centroids=16, nprobe=6,
+                concurrency=max(2, _pool() // 2),
+            ).to_pandas(),
+        ),
+        (
+            "ivfpq_adc",
+            ann_ivfpq(
+                ds, qids, qmat, k=k, n_centroids=16, nprobe=6,
+                m=16, pq_k=32, concurrency=max(2, _pool() // 2),
+            ).to_pandas(),
+        ),
+        (
+            # exact-refinement tail at the measured knobs (wide per-query
+            # probe — structureless embeddings scatter true neighbors
+            # across cells; see tests/test_recall.py)
+            "ivfpq_rerank",
+            ann_ivfpq(
+                ds, qids, qmat, k=k, n_centroids=16, nprobe=12,
+                m=16, pq_k=32, rerank=20 * k,
                 concurrency=max(2, _pool() // 2),
             ).to_pandas(),
         ),
