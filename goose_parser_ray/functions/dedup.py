@@ -2336,3 +2336,153 @@ def set_similarity_join(
         )
 
     return withs.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (LBFS / Muthitacharoen et al. 2001)
+# ---------------------------------------------------------------------------
+
+
+_CDC_WINDOW = 16
+# fixed odd multipliers for the window polynomial (any odd constants work;
+# fixed => boundaries are a pure function of content)
+_CDC_COEF = (0x9E3779B97F4A7C15 * np.arange(1, _CDC_WINDOW + 1, dtype=np.uint64)) | np.uint64(1)
+
+
+def cdc_boundaries(
+    payload: bytes, *, avg_bits: int = 6, min_size: int = 16, max_size: int = 256
+) -> list[int]:
+    """Content-defined chunk boundaries: cut after byte i when the
+    fingerprint of the trailing ``_CDC_WINDOW`` bytes has its low
+    ``avg_bits`` bits zero (expected chunk ≈ 2^avg_bits bytes), subject to
+    min/max size clamps (the LBFS rule). The fingerprint is a fixed-window
+    polynomial — a pure function of the window content, so a byte edit
+    only moves boundaries inside its own neighborhood (the property that
+    makes CDC dedup survive insertions where fixed-size blocking breaks).
+
+    Vectorized: all window fingerprints come from ONE sliding-window
+    matmul over the byte array (stride tricks, uint64 wraparound); only
+    the min/max clamp walks the (sparse) candidate list in Python."""
+    n = len(payload)
+    if n == 0:
+        return []
+    if n <= min_size:
+        return [n]
+    b = np.frombuffer(payload, dtype=np.uint8)
+    w = _CDC_WINDOW
+    if n < w:
+        return [n]
+    wins = np.lib.stride_tricks.sliding_window_view(b, w).astype(np.uint64)
+    fp = (wins * _CDC_COEF[None, :]).sum(axis=1)  # uint64 wraparound
+    mask = (1 << avg_bits) - 1
+    # candidate cut AFTER byte index i (1-based end) where window ending at
+    # i has low bits zero; window ending at i covers bytes [i-w, i)
+    cand = np.nonzero((fp & np.uint64(mask)) == 0)[0] + w
+    cuts: list[int] = []
+    prev = 0
+    for c in cand.tolist():
+        if c - prev < min_size:
+            continue
+        while c - prev > max_size:
+            prev += max_size
+            cuts.append(prev)
+        if c - prev >= min_size:
+            prev = c
+            cuts.append(c)
+    while n - prev > max_size:
+        prev += max_size
+        cuts.append(prev)
+    if prev < n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_table(
+    t: pa.Table,
+    *,
+    col: str,
+    id_col: str,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> pa.Table:
+    """Batch fn: payload rows → chunk rows (id, offset, length, strong
+    chunk hash). The per-payload loop is inherent to chunking (like the
+    media codecs) and runs inside map_batches tasks; the strong hash
+    (blake2b-64) is what dedup keys on — collision-safe at chunk counts
+    far past 10^12."""
+    import hashlib
+
+    ids_out, off_out, len_out, hash_out = [], [], [], []
+    ids = t[id_col].to_pylist()
+    for rid, payload in zip(ids, t[col].to_pylist()):
+        payload = payload or b""
+        prev = 0
+        for cut in cdc_boundaries(
+            payload, avg_bits=avg_bits, min_size=min_size, max_size=max_size
+        ):
+            chunk = payload[prev:cut]
+            ids_out.append(rid)
+            off_out.append(prev)
+            len_out.append(cut - prev)
+            hash_out.append(
+                int.from_bytes(
+                    hashlib.blake2b(chunk, digest_size=8).digest(), "big"
+                )
+                >> 1  # keep int64-positive
+            )
+            prev = cut
+    return pa.Table.from_pydict(
+        {
+            id_col: pa.array(ids_out),
+            "offset": pa.array(off_out, pa.int64()),
+            "length": pa.array(len_out, pa.int64()),
+            "chunk_hash": pa.array(hash_out, pa.int64()),
+        }
+    )
+
+
+def cdc_dedup_stats(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    id_col: str,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Storage-level dedup accounting over a binary/text payload column:
+    chunk every payload content-defined (map-only), then one
+    hash-partitioned aggregate over chunk hashes computes stored-vs-logical
+    bytes. Returns one row per chunk_hash bucket pre-reduced — callers
+    fold the tiny result. Scale shape: the shuffle moves (hash, length,
+    count) partials — map-side combined per batch, never raw chunks."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        ct = cdc_chunk_table(
+            t, col=col, id_col=id_col, avg_bits=avg_bits,
+            min_size=min_size, max_size=max_size,
+        )
+        # map-side combine: per-batch (hash, length) → n copies
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "chunk_hash": ct["chunk_hash"].to_numpy(zero_copy_only=False),
+                "length": ct["length"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["chunk_hash", "length"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.Table.from_pydict(
+            {
+                "chunk_hash": pa.array(idx["chunk_hash"], pa.int64()),
+                "length": pa.array(idx["length"], pa.int64()),
+                "n": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(chunk_partials, batch_format="pyarrow")
+    return pre_aggregated_sum(partials, keys=["chunk_hash", "length"], sums={"n": "n"})

@@ -365,3 +365,75 @@ def bloom_build(ds, col: str, *, n_bits: int = 1 << 20, n_hashes: int = 4):
     for r in rows:
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_batch(values, width: int, depth: int) -> np.ndarray:
+    """One batch → (depth, width) int64 count matrix. Vectorized: one
+    deterministic salted 64-bit hash pass per row, bincount adds — no
+    per-value Python. Counters are int64 (no saturation at corpus scale)."""
+    import pandas as pd
+
+    counts = np.zeros((depth, width), dtype=np.int64)
+    s = pd.Series(values, dtype=object).astype(str)
+    if s.empty:
+        return counts
+    for row in range(depth):
+        h = pd.util.hash_pandas_object(
+            s + f"#c{row}", index=False
+        ).to_numpy()
+        pos = (h % np.uint64(width)).astype(np.int64)
+        counts[row] += np.bincount(pos, minlength=width)
+    return counts
+
+
+def cms_query(counts: np.ndarray, values, width: int, depth: int) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows — NEVER an
+    underestimate; overestimate ≤ εN (ε = e/width) w.p. 1−(1/e)^depth."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype=object).astype(str)
+    if s.empty:
+        return np.zeros(0, dtype=np.int64)
+    est = np.full(len(s), np.iinfo(np.int64).max, dtype=np.int64)
+    for row in range(depth):
+        h = pd.util.hash_pandas_object(
+            s + f"#c{row}", index=False
+        ).to_numpy()
+        pos = (h % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, counts[row, pos])
+    return est
+
+
+def cms_build(ds, col: str, *, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Distributed build: one (depth×width) int64 partial per batch
+    (map-only over the corpus), map-side sum-coalesce (≤64 partials → 1,
+    addition is associative and exact — the merged sketch is BIT-IDENTICAL
+    to a single-pass build, the mergeability contract), tiny driver fold.
+    Same scale shape as the HLL/bloom builders."""
+    import pyarrow as _pa
+
+    def sk(batch: _pa.Table) -> _pa.Table:
+        return _pa.Table.from_pydict(
+            {"cnt": [cms_batch(batch[col].to_pylist(), width, depth).tobytes()]}
+        )
+
+    def fold(t: _pa.Table) -> _pa.Table:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for b in t["cnt"].to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64)
+        return _pa.Table.from_pydict({"cnt": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(sk, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    acc = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        acc += np.frombuffer(r["cnt"], dtype=np.int64)
+    return acc.reshape(depth, width)

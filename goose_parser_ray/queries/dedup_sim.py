@@ -744,6 +744,79 @@ def q_semdedup(sf_dir: str):
     return semdedup(ds, threshold=0.95, k=8, seed=0)
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Storage-level dedup accounting via content-defined chunking (LBFS,
+    Muthitacharoen et al. 2001 — what crawl stores / incremental snapshot
+    systems run): payloads are chunked at content-defined boundaries
+    (fixed-window polynomial fingerprint, vectorized sliding-window
+    matmul), chunk (hash, length, n) partials are map-side combined and
+    hash-aggregated, and one summary row reports logical vs stored bytes.
+    Rows-only (rolling-hash boundaries aren't SQL-expressible) with hard
+    deterministic invariants: ``len_ok`` (Σ chunk lengths ≡ Σ payload
+    bytes — chunking is a partition of every payload) and a dedup ratio
+    > 1 guaranteed by the deterministically injected shared prefix
+    (every 4th doc carries the same block, so its chunks MUST dedup).
+    All integers; byte-edit locality + bounds are pinned in
+    tests/test_functions.py."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import cdc_dedup_stats
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    _SHARED = (b"shared-snapshot-header " * 16)  # 368B: spans several chunks
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        payloads = [
+            (_SHARED if int(i) % 4 == 0 else b"") + (s or "").encode()
+            for i, s in zip(ids, texts)
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = base.map_batches(to_payload, batch_format="pyarrow")
+    logical = int(
+        ds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"b": [int(pc.sum(pc.binary_length(t["payload"])).as_py() or 0)]}
+            ),
+            batch_format="pyarrow",
+        ).sum("b")
+    )
+    agg = cdc_dedup_stats(ds, col="payload", id_col="doc_id")
+    # distributed final fold: per-batch partials over the (hash,len,n)
+    # aggregate — the driver sees ≤ #blocks tiny rows, never the chunks
+    parts = agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "n_chunks": [int(pc.sum(t["n"]).as_py() or 0)],
+                "n_unique": [len(t)],
+                "logical": [
+                    int(pc.sum(pc.multiply(t["length"], t["n"])).as_py() or 0)
+                ],
+                "stored": [int(pc.sum(t["length"]).as_py() or 0)],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_chunks = int(parts["n_chunks"].sum())
+    n_unique = int(parts["n_unique"].sum())
+    logical_chunked = int(parts["logical"].sum())
+    stored = int(parts["stored"].sum())
+    return pd.DataFrame(
+        {
+            "n_chunks": [n_chunks],
+            "n_unique_chunks": [n_unique],
+            "logical_bytes": [logical_chunked],
+            "stored_bytes": [stored],
+            "dedup_ratio_e4": [int(round(1e4 * logical_chunked / max(stored, 1)))],
+            "len_ok": [int(logical_chunked == logical)],
+        }
+    )
+
+
 def q_semdedup_invariants(sf_dir: str):
     """Quantitative self-verification for ``semdedup`` (r3 VERDICT item 5 —
     turns the rows-only iterative entry into a checked one). Trains the

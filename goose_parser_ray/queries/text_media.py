@@ -500,6 +500,75 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "text", k=20)
 
 
+def q_cms_words(sf_dir: str):
+    """Count-min sketch point frequencies (Cormode & Muthukrishnan 2005 —
+    the classic mergeable counter sketch; completes the sketch family
+    beside HLL, the log-histogram quantile sketch, truncated-counts heavy
+    hitters and bloom). Rows-only (hash positions aren't SQL-expressible)
+    with deterministic self-verifying integers: the sketch is built
+    distributed (one (depth×width) int64 partial per batch, map-side
+    sum-coalesce — merge ≡ whole, bit-identical), the exact top-10 words
+    come from the oracle-checked wordcount path, and per word we emit
+    ``over_ok`` (CMS min-estimate can NEVER undercount — hard invariant,
+    1 on every row) and ``bound_ok`` (est − exact ≤ ⌈(e/width)·N⌉, the
+    paper's w.p. 1−(1/e)^depth guarantee; deterministic under the fixed
+    hash seeds)."""
+    import math
+
+    import pandas as pd
+
+    from goose_parser_ray.functions.sketches import cms_build, cms_query
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    width, depth = 2048, 4
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def to_words(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        flat = pc.list_flatten(
+            words.combine_chunks()
+            if isinstance(words, pa.ChunkedArray)
+            else words
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.Table.from_arrays([flat], names=["word"])
+
+    words_ds = ds.map_batches(to_words, batch_format="pyarrow")
+    sketch = cms_build(words_ds, "word", width=width, depth=depth)
+    n_total = int(sketch[0].sum())  # each row counts every insert once
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["word"].to_pylist(), dtype=object)
+        vc = s.value_counts()
+        return pa.Table.from_pydict(
+            {"word": vc.index.tolist(), "n": vc.to_numpy()}
+        )
+
+    exact = (
+        pre_aggregated_sum(
+            words_ds.map_batches(partial_counts, batch_format="pyarrow"),
+            keys=["word"],
+            sums={"n": "n"},
+        )
+        .sort(["n", "word"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    est = cms_query(sketch, exact["word"].tolist(), width, depth)
+    eps_n = math.ceil(math.e / width * n_total)
+    exact_n = exact["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "word": exact["word"],
+            "exact_n": exact_n,
+            "cms_est": est,
+            "over_ok": (est >= exact_n).astype("int64"),
+            "bound_ok": (est - exact_n <= eps_n).astype("int64"),
+        }
+    )
+
+
 def q_lang_centroids(sf_dir: str):
     """Grouped VECTOR aggregate (the distributed k-means update step —
     what IVF training needs at corpus scale): per-language embedding sums

@@ -86,3 +86,52 @@ def test_bloom_filter_no_false_negatives_and_fpr(ray_session):
     )
     whole = bloom_batch(members, n_bits, n_hashes)
     assert (half == whole).all()
+
+
+def test_cms_never_undercounts_and_merge_is_whole(ray_session):
+    """Count-min invariants under FORCED collisions (width 32 ≪ 500
+    distinct keys): estimates are never below true counts, the merged
+    two-half sketch is bit-identical to the single-pass sketch, and the
+    distributed build equals the local one."""
+    import pandas as pd
+    import ray.data
+
+    from goose_parser_ray.functions.sketches import (
+        cms_batch,
+        cms_build,
+        cms_query,
+    )
+
+    width, depth = 32, 4
+    rng = np.random.RandomState(5)
+    values = [f"k{v}" for v in rng.zipf(1.5, 5000) % 500]
+    truth = pd.Series(values).value_counts()
+
+    whole = cms_batch(values, width, depth)
+    half = cms_batch(values[:2500], width, depth) + cms_batch(
+        values[2500:], width, depth
+    )
+    assert (whole == half).all()
+
+    probe = truth.index[:50].tolist()
+    est = cms_query(whole, probe, width, depth)
+    assert (est >= truth[probe].to_numpy()).all()
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": values})).repartition(8)
+    dist = cms_build(ds, "v", width=width, depth=depth)
+    assert (dist == whole).all()
+
+
+def test_cms_exact_at_wide_width():
+    """With width ≫ distinct keys and depth 4, collisions are absent for
+    the probed keys — estimates equal exact counts (the sf0.01 regime the
+    cms_words query runs in)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.sketches import cms_batch, cms_query
+
+    values = ["a"] * 7 + ["b"] * 3 + ["c"] * 11
+    sk = cms_batch(values, 4096, 4)
+    est = cms_query(sk, ["a", "b", "c"], 4096, 4)
+    assert est.tolist() == [7, 3, 11]
+    assert int(sk[0].sum()) == len(values)
