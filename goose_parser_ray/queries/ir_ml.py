@@ -310,6 +310,82 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText/CCNet-style LEARNED quality gate (rows-only: iterative
+    hashed-feature training has no SQL twin): train a hashed unigram+
+    bigram linear classifier distributed, then score the whole corpus
+    with the broadcast model (``functions/ml.py:hashed_text_logreg`` /
+    ``hashed_text_predict``) — the exact shape of CCNet's fastText
+    language/quality filters. The driver's synthetic texts share ONE
+    vocabulary across langs (lang is unlearnable from text by
+    construction), so the task is data-derived like semdedup_invariants'
+    injection: label = doc_id % 2, and label-1 docs get every 3rd word
+    deterministically suffixed — a real vocabulary-shift signal the
+    trainer must separate (accuracy ≈ 1.0 when the distributed GD loop is
+    correctly wired; ≈ 0.5 majority baseline when it isn't). Emits
+    per-doc (label, pred, score_e6) plus summary invariant columns
+    repeated on every row: ``acc_e4``, ``loss_decreased``,
+    ``n_loss_increases`` (deterministic GD health integers, the q_logreg
+    pattern)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.ml import (
+        hashed_text_logreg,
+        hashed_text_predict,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        y = (ids % 2).astype(np.int64)
+        texts = []
+        for i, s in zip(y, t["text"].to_pylist()):
+            ws = (s or "").split(" ")
+            if i:
+                ws = [
+                    w + "x" if j % 3 == 0 and w else w
+                    for j, w in enumerate(ws)
+                ]
+            texts.append(" ".join(ws))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(texts, pa.string()),
+                "y": pa.array(y),
+            }
+        )
+
+    train = docs.map_batches(label, batch_format="pyarrow")
+    w, acc, losses = hashed_text_logreg(
+        train, "text", "y", n_features=1 << 16, iters=8
+    )
+    scored = hashed_text_predict(
+        train, w, "text", id_col="doc_id", n_features=1 << 16
+    ).to_pandas()
+    labels = (
+        train.select_columns(["doc_id", "y"]).to_pandas()
+    )
+    out = scored.merge(labels, on="doc_id").sort_values("doc_id")
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(),
+            "label": out["y"].to_numpy(dtype="int64"),
+            "pred": out["pred"].to_numpy(dtype="int64"),
+            "score_e6": out["score_e6"].to_numpy(dtype="int64"),
+            "acc_e4": np.full(len(out), int(round(acc * 1e4)), dtype="int64"),
+            "loss_decreased": np.full(
+                len(out), int(losses[-1] < losses[0]), dtype="int64"
+            ),
+            "n_loss_increases": np.full(
+                len(out),
+                int(sum(b > a for a, b in zip(losses, losses[1:]))),
+                dtype="int64",
+            ),
+        }
+    )
+
+
 def q_bpe_encode(sf_dir: str):
     """Tokenizer APPLICATION (rows-only: merges come from iterative
     training): train 5 merges on the corpus, then encode every document

@@ -44,3 +44,67 @@ def test_logreg_matches_numpy_reference(ray_session):
     assert abs(acc - acc_ref) < 1e-9
     assert acc > 0.75  # the data is genuinely learnable
     assert losses[-1] < losses[0]  # and the loop genuinely descends
+
+
+def test_hashed_text_logreg_matches_numpy_reference(ray_session):
+    """Distributed hashed-feature text classifier vs a local numpy
+    re-implementation of the identical full-batch GD (same hashing, same
+    tf normalization): loss history and weights agree to float tolerance,
+    and a linearly separable two-vocabulary corpus trains to accuracy 1."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.ml import (
+        _hash_token_features,
+        hashed_text_logreg,
+        hashed_text_predict,
+    )
+
+    rng = np.random.RandomState(7)
+    va = ["alpha", "beta", "gamma", "delta"]
+    vb = ["omega", "sigma", "kappa", "theta"]
+    texts, ys = [], []
+    for i in range(60):
+        v = va if i % 2 == 0 else vb
+        texts.append(" ".join(rng.choice(v, 12)))
+        ys.append(i % 2)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts, "y": ys}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    F, iters, lr, l2 = 1 << 12, 6, 2.0, 1e-6
+    w, acc, losses = hashed_text_logreg(
+        ds, "text", "y", n_features=F, iters=iters, lr=lr, l2=l2
+    )
+    assert acc == 1.0
+    assert losses[-1] < losses[0]
+
+    # local reference with the same feature hashing
+    di, bk, cnt = _hash_token_features(texts, F)
+    y = np.asarray(ys, dtype=np.float64)
+    inv = 1.0 / np.maximum(cnt, 1)
+    wr = np.zeros(F + 1)
+    ref_losses = []
+    for _ in range(iters):
+        logits = np.bincount(di, weights=wr[bk], minlength=60) * inv + wr[F]
+        p = 1.0 / (1.0 + np.exp(-np.clip(logits, -30, 30)))
+        g = p - y
+        grad = np.bincount(bk, weights=(g * inv)[di], minlength=F)
+        ref_losses.append(
+            float(
+                -(
+                    y * np.log(np.maximum(p, 1e-12))
+                    + (1 - y) * np.log(np.maximum(1 - p, 1e-12))
+                ).mean()
+            )
+        )
+        wr[:F] -= lr * (grad / 60 + l2 * wr[:F])
+        wr[F] -= lr * (g.sum() / 60)
+    assert np.allclose(losses, ref_losses, atol=1e-9)
+    assert np.allclose(w, wr, atol=1e-9)
+
+    scored = (
+        hashed_text_predict(ds, w, "text", id_col="doc_id", n_features=F)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (scored["pred"].to_numpy() == np.array(ys)).all()
