@@ -404,6 +404,44 @@ def q_bpe_encode(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_unigram_vocab(sf_dir: str):
+    """Unigram-LM tokenizer TRAINING (SentencePiece, Kudo 2018 — the
+    other production tokenizer family beside BPE; rows-only: iterative
+    EM). One corpus pass → word-frequency table; seeding, hard-EM rounds
+    and pruning all run vocab-bounded with broadcast piece probabilities
+    (``functions/unigram.py``). Deterministic output: (piece, count,
+    logp_e6) sorted by count desc then piece — hash-stable across runs
+    and block layouts."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.unigram import unigram_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    vocab = unigram_train(ds, "text", vocab_size=48, em_iters=3)
+    return pd.DataFrame(
+        {
+            "piece": [v[0] for v in vocab],
+            "cnt": np.array([v[1] for v in vocab], dtype="int64"),
+            "logp_e6": np.array([v[2] for v in vocab], dtype="int64"),
+        }
+    )
+
+
+def q_unigram_encode(sf_dir: str):
+    """Unigram tokenizer APPLICATION (sibling of q_bpe_encode): Viterbi-
+    segment every document under the trained vocabulary (actor pool,
+    vocab broadcast once, per-actor word→pieces memo, no shuffle).
+    Self-verifying: ``roundtrip_ok`` must be 1 on every row (piece
+    concatenation rebuilds each word) and ``n_pieces ≤ n_chars``."""
+    from goose_parser_ray.functions.unigram import unigram_encode, unigram_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = unigram_train(ds, "text", vocab_size=48, em_iters=3)
+    return unigram_encode(
+        ds, vocab, concurrency=(2, max(2, _pool() // 2))
+    ).sort("doc_id")
+
+
 SQL_LINK_GRAPH = """
 SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS in_degree

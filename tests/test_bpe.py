@@ -121,3 +121,69 @@ def test_bpe_encode_empty_and_no_merges(ray_session):
     # no merges → tokens are single chars
     assert out["n_tokens"].tolist() == [0, 4]
     assert out["roundtrip_ok"].tolist() == [1, 1]
+
+
+def test_unigram_train_and_encode(ray_session):
+    """Unigram-LM tokenizer: frequent whole words become pieces, EM is
+    deterministic across block layouts, Viterbi encoding compresses below
+    chars and reassembles every word exactly."""
+    from goose_parser_ray.functions.unigram import (
+        _viterbi_pieces,
+        unigram_encode,
+        unigram_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the best hat",
+        "internationalization nation",
+    ] * 3
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    v3 = unigram_train(
+        ray.data.from_pandas(df).repartition(3), "text", vocab_size=30
+    )
+    v5 = unigram_train(
+        ray.data.from_pandas(df).repartition(5), "text", vocab_size=30
+    )
+    assert v3 == v5  # layout-invariant
+    pieces = [p for p, _, _ in v3]
+    assert "the" in pieces  # the most frequent word is a whole piece
+    assert len(v3) == 30
+    # every single char of the corpus vocabulary survives (coverage)
+    chars = {c for t in texts for c in t.replace(" ", "")}
+    assert chars <= set(p for p in pieces if len(p) == 1) | {
+        p for p in pieces if len(p) > 1 for p in p
+    } | set("".join(pieces))
+
+    lp = {p: e / 1e6 for p, _, e in v3}
+    assert _viterbi_pieces("the", lp) == ["the"]
+    assert "".join(_viterbi_pieces("internationalization", lp)) == (
+        "internationalization"
+    )
+
+    out = (
+        unigram_encode(
+            ray.data.from_pandas(df).repartition(3), v3, concurrency=2
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert (out["roundtrip_ok"] == 1).all()
+    assert (out["n_pieces"] <= out["n_chars"]).all()
+    assert (out["n_pieces"] < out["n_chars"]).all()  # real compression
+
+
+def test_unigram_empty_and_unseen_chars(ray_session):
+    from goose_parser_ray.functions.unigram import (
+        UnigramEncodeActor,
+        unigram_train,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ["ab ab ba"]}))
+    v = unigram_train(ds, "text", vocab_size=8)
+    assert all(c in {p for p, _, _ in v} for c in "ab")
+    # unseen chars at encode time fall back to per-char pieces
+    t = pa.Table.from_pydict({"doc_id": [0], "text": ["zq ab"]})
+    out = UnigramEncodeActor(v)(t)
+    assert out["roundtrip_ok"].to_pylist() == [1]
