@@ -1201,6 +1201,41 @@ def q_pq_codes(sf_dir: str):
     )
 
 
+def q_sq8_quantize(sf_dir: str):
+    """Scalar 8-bit embedding quantization (FAISS SQ8 shape), ORACLE-
+    CHECKED — the one vector-compression op with an exact SQL twin:
+    per-dim min/max from streamed partials, elementwise double affine
+    code = ROUND((v − mn)/((mx − mn)/255)) with half-away rounding on
+    both engines (no summation-order exposure: per-vec code_sum is an
+    int64 sum of exact integers)."""
+    from goose_parser_ray.functions.similarity import sq8_encode
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sq8_encode(ds).sort("vec_id")
+
+
+SQL_SQ8_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(j)
+), d AS (
+  SELECT j, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY j
+), c AS (
+  SELECT e.vec_id,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE CAST(ROUND((e.v - d.mn) / ((d.mx - d.mn) / 255.0)) AS BIGINT)
+         END AS code
+  FROM e JOIN d USING (j)
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(MIN(code) AS BIGINT) AS code_min,
+       CAST(MAX(code) AS BIGINT) AS code_max,
+       CAST(COUNT(*) AS BIGINT) AS n_dims
+FROM c GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF scale-path ANN (spherical-k-means cells + nprobe + exact rerank
     — rows-only: approximate recall by construction)."""

@@ -244,3 +244,33 @@ def test_ann_ivfpq_adc_on_clustered_data(ray_session):
     ).to_pandas()
     mn, mean = _recalls(exact, rer, qids)
     assert mn == 1.0 and mean == 1.0, (mn, mean)
+
+
+def test_sq8_codes_bounded_and_reconstruction_error(ray_session):
+    """SQ8 invariants: codes ∈ [0,255] per vec (via min/max columns) and
+    the affine reconstruction mn + code·scale is within scale/2 of every
+    element (checked locally with the same min/max the op derives)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.similarity import sq8_encode
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(200, 16).astype(np.float32)
+    X[:, 3] = 1.25  # constant dim → code 0 path
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(X)}
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = sq8_encode(ds).sort("vec_id").to_pandas()
+    assert (out["code_min"] >= 0).all() and (out["code_max"] <= 255).all()
+    assert (out["n_dims"] == 16).all()
+
+    mn = X.astype(np.float64).min(axis=0)
+    mx = X.astype(np.float64).max(axis=0)
+    scale = (mx - mn) / 255.0
+    nc = scale > 0
+    q = np.round((X.astype(np.float64) - mn)[:, nc] / scale[nc])
+    recon = mn[nc] + q * scale[nc]
+    assert np.abs(recon - X.astype(np.float64)[:, nc]).max() <= scale[nc].max() / 2 + 1e-12
+    # code sums from the distributed op equal the local ones
+    assert out["code_sum"].to_numpy().tolist() == q.sum(axis=1).astype(int).tolist()
