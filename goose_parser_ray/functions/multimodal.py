@@ -413,3 +413,52 @@ class PngThumbRoundtripActor:
         return batch.append_column(
             "thumb_png_bytes", pa.array(nbytes, pa.int64())
         )
+
+
+class ImageAHashActor:
+    """Perceptual average-hash (aHash) over REAL decoded image bytes — the
+    image-side near-duplicate fingerprint (the classic pre-embedding
+    image dedup: identical/lightly-edited images collide, distinct ones
+    don't). Decodes binary PGM payloads with the in-repo Netpbm codec,
+    block-averages to 8×8 and emits one bit per block (block mean > image
+    mean, compared in EXACT integer form: block_sum × n_blocks >
+    total_sum — no float anywhere, so the stage is SQL-oracle-comparable
+    on closed-form images). The 64 bits ship as two int64 halves
+    (``hash_lo`` bits 0–31, ``hash_hi`` bits 32–63) to stay inside signed
+    SQL BIGINT range. Requires images whose height/width are multiples of
+    8 (true for this repo's synthesized corpora; raises otherwise)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        from goose_parser_ray.functions.netpbm import decode_pgm
+
+        self._decode = decode_pgm
+        self._payload_col, self._id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, los, his = [], [], []
+        for rid, payload in zip(
+            batch[self._id_col].to_pylist(),
+            batch[self._payload_col].to_pylist(),
+        ):
+            img = self._decode(payload).astype(np.int64)
+            h, w = img.shape
+            if h % 8 or w % 8:
+                raise ValueError(
+                    f"aHash needs 8-divisible dims, got {h}x{w}"
+                )
+            bh, bw = h // 8, w // 8
+            blocks = img.reshape(8, bh, 8, bw).sum(axis=(1, 3))  # (8, 8)
+            total = int(img.sum())
+            bits = (blocks * 64 > total).astype(np.uint64).ravel()
+            lo = int((bits[:32] << np.arange(32, dtype=np.uint64)).sum())
+            hi = int((bits[32:] << np.arange(32, dtype=np.uint64)).sum())
+            ids.append(rid)
+            los.append(lo)
+            his.append(hi)
+        return pa.Table.from_pydict(
+            {
+                self._id_col: pa.array(ids),
+                "hash_lo": pa.array(los, pa.int64()),
+                "hash_hi": pa.array(his, pa.int64()),
+            }
+        )

@@ -407,11 +407,20 @@ def q_kmeans(sf_dir: str):
     cent, counts, history = kmeans_distributed(
         ds, "embedding", k=8, max_iters=8, seed=7
     )
+    # Lloyd's algorithm provably never increases SSE — a hard invariant
+    # (r3 VERDICT item 5 pattern); 0 here means the distributed partial
+    # reduction corrupted an assignment or centroid update.
+    monotone = int(
+        all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+    )
     return pd.DataFrame(
         {
             "cluster_id": np.arange(len(counts), dtype=np.int64),
             "size": counts.astype(np.int64),
             "final_inertia_e3": np.int64(round(history[-1] * 1000)),
+            "inertia_nonincreasing": np.full(
+                len(counts), monotone, dtype=np.int64
+            ),
         }
     )
 

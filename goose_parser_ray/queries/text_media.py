@@ -569,6 +569,95 @@ def q_cms_words(sf_dir: str):
     )
 
 
+def q_image_ahash_dedup(sf_dir: str):
+    """Perceptual-hash IMAGE dedup, ORACLE-CHECKED end to end — the
+    multimodal near-dup path (aHash: the classic pre-embedding image
+    fingerprint): deterministic 16×16 gradient PGMs are synthesized per
+    doc with every 5k+1 doc REUSING doc 5k's image (injected duplicate
+    pairs, the semdedup_invariants pattern), round-tripped through real
+    bytes (encode → binary column → actor-pool Netpbm decode → integer
+    aHash), then hash-grouped to find the duplicate groups. Every bit is
+    exact integer arithmetic (block_sum×64 > total_sum), so the DuckDB
+    twin recomputes the hashes in closed form and the value hash matches
+    exactly. Output: (doc_id, hash_lo, hash_hi, group_size)."""
+    from goose_parser_ray.functions.multimodal import ImageAHashActor
+    from goose_parser_ray.functions.netpbm import encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            eff = d - 1 if d % 5 == 1 else d
+            i = np.arange(16, dtype=np.int64)[:, None]
+            j = np.arange(16, dtype=np.int64)[None, :]
+            img = ((31 * i + 17 * j + eff) % 256).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    hashes = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            ImageAHashActor,
+            batch_format="pyarrow",
+            batch_size=64,  # wide binary payloads — small batches (guide)
+            concurrency=(2, max(2, _pool() // 2)),
+        )
+    )
+    counts = pre_aggregated_sum(
+        hashes.select_columns(["hash_lo", "hash_hi"]),
+        keys=["hash_lo", "hash_hi"],
+        sums={},
+        count_alias="group_size",
+    )
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+
+    out = hashes.join(
+        counts,
+        join_type="inner",
+        num_partitions=_default_join_partitions(),
+        on=("hash_lo", "hash_hi"),
+    )
+    return out.sort("doc_id")
+
+
+SQL_IMAGE_AHASH_DEDUP = """
+WITH px AS (
+  SELECT d.doc_id,
+         i.i, j.j,
+         (31*i.i + 17*j.j
+          + CASE WHEN d.doc_id % 5 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+         ) % 256 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 15)) AS i(i),
+       UNNEST(generate_series(0, 15)) AS j(j)
+), tot AS (
+  SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id
+), blk AS (
+  SELECT doc_id, (i // 2) * 8 + (j // 2) AS idx, SUM(v) AS bs
+  FROM px GROUP BY doc_id, (i // 2) * 8 + (j // 2)
+), bits AS (
+  SELECT b.doc_id, b.idx,
+         CASE WHEN b.bs * 64 > t.s THEN 1 ELSE 0 END AS bit
+  FROM blk b JOIN tot t USING (doc_id)
+), h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << idx)
+                       ELSE 0 END) AS BIGINT) AS hash_lo,
+         CAST(SUM(CASE WHEN idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                       ELSE 0 END) AS BIGINT) AS hash_hi
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, hash_lo, hash_hi,
+       CAST(COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+         AS group_size
+FROM h ORDER BY doc_id
+"""
+
+
 def q_lang_centroids(sf_dir: str):
     """Grouped VECTOR aggregate (the distributed k-means update step —
     what IVF training needs at corpus scale): per-language embedding sums

@@ -2185,3 +2185,56 @@ def test_kcore_raises_on_truncated_peel_unless_partial(ray_session):
             num_partitions=2, allow_partial=True, driver_edges_threshold=thr,
         ).to_pandas()
         assert len(partial) > 0  # truncated-by-design set, nonempty mid-peel
+
+
+def test_image_ahash_identity_robustness_and_separation():
+    """aHash invariants on real encoded/decoded PGM bytes: identical
+    images collide, small brightness perturbations (far from block-mean
+    boundaries) keep the hash, and structurally different images differ."""
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.multimodal import ImageAHashActor
+    from goose_parser_ray.functions.netpbm import encode_pgm
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    # gentle noise: +-1 on a few pixels of a high-contrast image
+    contrast = np.zeros((16, 16), dtype=np.uint8)
+    contrast[:8] = 200  # top half bright, bottom dark — robust bits
+    noisy = contrast.copy()
+    noisy[3, 5] = 201
+    noisy[12, 9] = 1
+    other = contrast.T.copy()  # left/right split instead — different hash
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [
+                    encode_pgm(base),
+                    encode_pgm(base),      # exact duplicate
+                    encode_pgm(contrast),
+                    encode_pgm(noisy),     # near-duplicate
+                    encode_pgm(other),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = ImageAHashActor()(t)
+    lo, hi = out["hash_lo"].to_pylist(), out["hash_hi"].to_pylist()
+    assert (lo[0], hi[0]) == (lo[1], hi[1])          # identity
+    assert (lo[2], hi[2]) == (lo[3], hi[3])          # robustness
+    assert (lo[2], hi[2]) != (lo[4], hi[4])          # separation
+    assert all(0 <= v < (1 << 32) for v in lo + hi)  # halves fit 32 bits
+
+    bad = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "payload": pa.array(
+                [encode_pgm(np.zeros((10, 16), dtype=np.uint8))], pa.binary()
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="8-divisible"):
+        ImageAHashActor()(bad)
