@@ -1462,3 +1462,344 @@ def random_walks(
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def scc_tarjan(un: np.ndarray, vn: np.ndarray) -> "dict[int, int]":
+    """Exact strongly connected components — iterative Tarjan (one DFS
+    pass, no recursion so deep chains can't blow the stack). Ground truth
+    for the distributed coloring tier's parity tests and the driver tier
+    of :func:`scc_distributed` (edge lists under the pair guard are
+    node-bounded, so a single-pass driver algorithm beats log-round
+    distributed peeling there).
+
+    Returns {node: scc_id} with scc_id = min node id in the component
+    (canonicalized after Tarjan's own root assignment, so the labeling is
+    implementation-independent — the property the SQL twin checks)."""
+    nodes = np.unique(np.concatenate([un, vn]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    # CSR adjacency
+    ui = np.fromiter((idx[int(x)] for x in un), np.int64, len(un))
+    vi = np.fromiter((idx[int(x)] for x in vn), np.int64, len(vn))
+    order = np.argsort(ui, kind="stable")
+    ui, vi = ui[order], vi[order]
+    starts = np.searchsorted(ui, np.arange(n + 1))
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    on_stack = np.zeros(n, bool)
+    stack: list[int] = []
+    comp = np.full(n, -1, np.int64)
+    counter = 0
+    for root in range(n):
+        if index[root] >= 0:
+            continue
+        # explicit DFS frames: (node, next-edge cursor)
+        frames = [(root, int(starts[root]))]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while frames:
+            x, cur = frames[-1]
+            if cur < starts[x + 1]:
+                frames[-1] = (x, cur + 1)
+                w = int(vi[cur])
+                if index[w] < 0:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    frames.append((w, int(starts[w])))
+                elif on_stack[w]:
+                    low[x] = min(low[x], index[w])
+            else:
+                frames.pop()
+                if frames:
+                    p = frames[-1][0]
+                    low[p] = min(low[p], low[x])
+                if low[x] == index[x]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = x
+                        if w == x:
+                            break
+    # canonicalize: scc id = min ORIGINAL node id in the component
+    out_nodes = nodes.astype(np.int64)
+    min_per_root: dict[int, int] = {}
+    for i in range(n):
+        r = int(comp[i])
+        m = min_per_root.get(r)
+        if m is None or out_nodes[i] < m:
+            min_per_root[r] = int(out_nodes[i])
+    return {int(out_nodes[i]): min_per_root[int(comp[i])] for i in range(n)}
+
+
+def scc_distributed(
+    edges: "ray.data.Dataset",
+    *,
+    cols: tuple[str, str] = ("u", "v"),
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+    max_peels: int = 30,
+    max_color_rounds: int = 60,
+) -> "ray.data.Dataset":
+    """Strongly connected components, tiered like every iterative graph op
+    here: under ``driver_edges_threshold`` distinct edges the exact
+    single-pass Tarjan runs on the driver (edge lists under the guard are
+    small); past it the Orzan FW-BW *coloring* algorithm runs on
+    Datasets — per peel round (1) forward min-label propagation to
+    fixpoint (per round one hash join edges ⋈ colors + groupby-min, the
+    connected-components machinery but directed), (2) roots = nodes whose
+    color is their own id, (3) backward BFS from the roots along REVERSED
+    edges restricted to same-colored nodes — color(x)=r means r→x, the
+    backward walk adds x→r, so the intersection is exactly SCC(r) — then
+    (4) settled nodes leave the active set and their edges are dropped.
+    Distributed state per round is node-bounded (the color table), never
+    edge-bounded; every aggregate-derived join input is
+    ``compact_for_join``-ed (the Ray 2.49 empty-block hazard). Worst case
+    (a long path DAG) peels one topological layer per round, which is why
+    the driver tier exists and why ``max_peels`` raises instead of
+    returning silently-partial labels (the r2-ADVICE convergence-signal
+    rule).
+
+    Returns Dataset(node, scc) with scc = min node id of the component."""
+    from ray.data.aggregate import Min
+
+    from goose_parser_ray.functions.dedup import (
+        _default_join_partitions,
+        _drop_empty_blocks,
+        filter_out_ids,
+    )
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        pre_aggregated_sum,
+    )
+
+    a, b = cols
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_edges_threshold:
+        epd = edges.to_pandas()
+        lab = scc_tarjan(
+            epd[a].to_numpy(np.int64), epd[b].to_numpy(np.int64)
+        )
+        ks = np.fromiter(lab.keys(), np.int64, len(lab))
+        vs = np.fromiter(lab.values(), np.int64, len(lab))
+        o = np.argsort(ks)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(ks[o], pa.int64()),
+                    "scc": pa.array(vs[o], pa.int64()),
+                }
+            )
+        )
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-n_edges // 100_000))
+        )
+
+    def _nodes_of(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+        return ds.map_batches(
+            lambda t, c=col: pa.Table.from_arrays([t[c]], names=["node"]),
+            batch_format="pyarrow",
+        )
+
+    def _compact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        m = ds.materialize()
+        return compact_for_join(m, num_partitions, m.count()).materialize()
+
+    all_nodes = _compact(
+        pre_aggregated_sum(
+            _nodes_of(edges, a).union(_nodes_of(edges, b)),
+            keys=["node"], sums={}, count_alias="k",
+        ).drop_columns(["k"])
+    )
+    active_edges = edges
+    settled: list["ray.data.Dataset"] = []
+    for _peel in range(max_peels):
+        active_edges = _compact(active_edges)
+        if active_edges.count() == 0:
+            break
+        # (1) forward min-color fixpoint: color(v) = min over ids reaching v
+        colors = _compact(
+            pre_aggregated_sum(
+                _nodes_of(active_edges, a).union(_nodes_of(active_edges, b)),
+                keys=["node"], sums={}, count_alias="k",
+            )
+            .drop_columns(["k"])
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": t["node"], "color": t["node"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        prev = None
+        for _r in range(max_color_rounds):
+            pushed = active_edges.join(
+                colors,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=(a,),
+                right_on=("node",),
+            ).map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": t[b], "color": t["color"]}
+                ),
+                batch_format="pyarrow",
+            )
+            colors = _compact(
+                colors.union(pushed)
+                .groupby("node")
+                .aggregate(Min("color", alias_name="color"))
+            )
+            # pointer-jumping shortcut (sound for min-forward-reaching-id
+            # because reachability is transitive: color(color(v)) reaches
+            # color(v) reaches v): color(v) ← color(color(v)). Same
+            # O(log diameter) round bound as connected components.
+            colors = _compact(
+                colors.join(
+                    colors.map_batches(
+                        lambda t: pa.Table.from_pydict(
+                            {"__jn": t["node"], "__jc": t["color"]}
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("color",),
+                    right_on=("__jn",),
+                ).map_batches(
+                    lambda t: pa.Table.from_pydict(
+                        {"node": t["node"], "color": t["__jc"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            s = colors.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "s": [int(pc.sum(t["color"]).as_py() or 0)],
+                        "n": [t.num_rows],
+                    }
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()
+            cur = (int(s["s"].sum()), int(s["n"].sum()))
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                "scc_distributed: color propagation did not converge in "
+                f"{max_color_rounds} rounds — raise max_color_rounds "
+                "(graph diameter exceeds the cap)"
+            )
+        # (2)+(3) backward BFS from roots restricted to same color.
+        # Frontier rows are (node, color = the root's scc id).
+        frontier = _compact(
+            colors.map_batches(
+                lambda t: t.filter(pc.equal(t["node"], t["color"])),
+                batch_format="pyarrow",
+            )
+        )
+        members = frontier
+        for _r in range(max_color_rounds):
+            if frontier.count() == 0:
+                break
+            # reversed hop: frontier(node=v) → predecessor u, then keep
+            # only u whose own color equals the root color (one more
+            # node-keyed join against the color table)
+            hop = _compact(
+                active_edges.join(
+                    frontier,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=(b,),
+                    right_on=("node",),
+                ).map_batches(
+                    lambda t: pa.Table.from_pydict(
+                        {"node": t[a], "color": t["color"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            if hop.count() == 0:
+                break
+            checked = _compact(
+                hop.join(
+                    colors.map_batches(
+                        lambda t: pa.Table.from_pydict(
+                            {"node": t["node"], "__c2": t["color"]}
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("node",),
+                    right_on=("node",),
+                )
+                .map_batches(
+                    lambda t: pa.Table.from_pydict(
+                        {"node": t["node"], "color": t["color"]}
+                    ).filter(
+                        pc.equal(t["color"], t["__c2"])
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("node")
+                .aggregate(Min("color", alias_name="color"))
+            )
+            fresh = _compact(
+                filter_out_ids(checked, members, "node", drop_col="node")
+            )
+            if fresh.count() == 0:
+                break
+            members = _compact(members.union(fresh))
+            frontier = fresh
+        else:
+            raise RuntimeError(
+                "scc_distributed: backward reachability did not settle in "
+                f"{max_color_rounds} rounds"
+            )
+        settled.append(
+            members.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node": t["node"], "scc": t["color"]}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        # (4) drop settled nodes' edges (both endpoints)
+        done = members.select_columns(["node"]).materialize()
+        active_edges = filter_out_ids(active_edges, done, a, drop_col="node")
+        active_edges = filter_out_ids(active_edges, done, b, drop_col="node")
+    else:
+        raise RuntimeError(
+            "scc_distributed: active graph not exhausted after "
+            f"{max_peels} peel rounds — DAG-like structure; raise "
+            "max_peels or lower driver_edges_threshold"
+        )
+    # nodes whose every edge was dropped with a settled SCC never re-enter
+    # the active graph — they are singleton SCCs of the remainder
+    emitted = settled[0] if settled else None
+    for s_ in settled[1:]:
+        emitted = emitted.union(s_)
+    if emitted is None:
+        leftovers = all_nodes
+    else:
+        emitted = _compact(emitted)
+        leftovers = _compact(
+            filter_out_ids(
+                all_nodes, emitted.select_columns(["node"]).materialize(),
+                "node", drop_col="node",
+            )
+        )
+    singles = leftovers.map_batches(
+        lambda t: pa.Table.from_pydict({"node": t["node"], "scc": t["node"]}),
+        batch_format="pyarrow",
+    )
+    return singles if emitted is None else emitted.union(singles)

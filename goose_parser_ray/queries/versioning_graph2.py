@@ -1395,3 +1395,104 @@ def q_ab_test(sf_dir: str):
         group_b="view",
         n_reps=64,
     )
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components of the directed ORDER PART-CYCLE
+    graph (per order, distinct parts sorted by first linenumber chain
+    u→v with a wrap-around edge closing the cycle — orders sharing parts
+    weld their cycles into larger SCCs), on a 1/32 order slice so the
+    graph fractures. ORACLE-CHECKED against a DuckDB recursive-CTE
+    transitive closure + mutual-reachability min-label (exact SCC
+    semantics, no approximation on either side). Engine side =
+    ``graph.scc_distributed``: exact single-pass Tarjan on the driver
+    under the 5M-edge guard; past it the Orzan FW-BW coloring rounds run
+    on Datasets (tier parity in tests/test_scc.py). Edge build is the
+    bucketed per-order fold (one mergesort + grouped shift per bucket),
+    then a map-side-combined global edge distinct. Output: (scc,
+    n_nodes) component-size table, scc = min part id."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.graph import scc_distributed
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def slice_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(
+                pc.bit_wise_and(t["l_orderkey"], pa.scalar(31, pa.int64())),
+                0,
+            )
+        )
+        t = pa.Table.from_pydict(
+            {"o": t["l_orderkey"], "p": t["l_partkey"], "ln": t["l_linenumber"]}
+        )
+        return _dedup.add_hash_bucket(t, "o", nb, "__sb")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "v": pd.Series([], dtype=np.int64),
+                }
+            )
+        # distinct (o, p) with first linenumber, ordered (ln, p) per order
+        g = (
+            g.groupby(["o", "p"], as_index=False, sort=False)["ln"]
+            .min()
+            .sort_values(["o", "ln", "p"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        nxt = g.groupby("o")["p"].shift(-1)
+        first = g.groupby("o")["p"].transform("first")
+        v = nxt.fillna(first)  # wrap-around edge closes each order's cycle
+        keep = g["p"].to_numpy() != v.to_numpy()
+        e = pd.DataFrame(
+            {
+                "u": g["p"].to_numpy(np.int64)[keep],
+                "v": v.to_numpy(np.int64)[keep],
+            }
+        )
+        return e.drop_duplicates()
+
+    edges = (
+        ds.map_batches(slice_bucket, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(fold, batch_format="pandas")
+    )
+    edges = pre_aggregated_sum(
+        edges, keys=["u", "v"], sums={}, count_alias="k"
+    ).drop_columns(["k"])
+    labels = scc_distributed(edges, cols=("u", "v"))
+    return pre_aggregated_sum(
+        labels.select_columns(["scc"]), keys=["scc"], sums={},
+        count_alias="n_nodes",
+    )
+
+
+SQL_SCC = """
+WITH RECURSIVE
+li AS (SELECT l_orderkey AS o, l_partkey AS p, MIN(l_linenumber) AS ln
+       FROM lineitem WHERE (l_orderkey & 31) = 0 GROUP BY o, p),
+seq AS (SELECT o, p,
+               ROW_NUMBER() OVER (PARTITION BY o ORDER BY ln, p) AS r,
+               COUNT(*) OVER (PARTITION BY o) AS n
+        FROM li),
+edges AS (SELECT DISTINCT a.p AS u, b.p AS v FROM seq a JOIN seq b
+          ON a.o = b.o AND b.r = (a.r % a.n) + 1 AND a.p <> b.p),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+),
+mut AS (SELECT a.src AS x, a.dst AS y FROM reach a JOIN reach b
+        ON a.src = b.dst AND a.dst = b.src),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+lab AS (SELECT node, MIN(y) AS m FROM
+        (SELECT node, node AS y FROM nodes
+         UNION ALL SELECT x, y FROM mut) GROUP BY node)
+SELECT CAST(m AS BIGINT) AS scc, COUNT(*) AS n_nodes FROM lab GROUP BY m
+"""
