@@ -543,3 +543,49 @@ def grouped_hll_distinct(
     return level1.groupby(key_col).map_groups(
         estimate_rows, batch_format="pandas"
     )
+
+
+_WINNOW_POWS = None
+
+
+def winnow_fingerprints_batch(
+    texts, k: int = 8, w: int = 4
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): per text, k-gram codepoint-polynomial hashes
+    h(i)=Σ code(cᵢ₊ⱼ)·31ʲ, then keep positions whose hash equals the min
+    of the CENTERED width-(2w−1) window (clipped at text ends) — the
+    winnowing guarantee (≥1 selection per w consecutive k-grams) with a
+    boundary-alignment-free spec both the numpy and SQL sides state
+    identically. Codepoints via utf-32 reinterpretation and the hash via
+    one sliding-window matmul — no per-character Python. Returns
+    (n_fp, fp_sum) per text: count and sum of the DISTINCT selected
+    hashes (texts shorter than k yield (0, 0); callers drop them to
+    mirror a SQL side whose position table simply has no rows)."""
+    global _WINNOW_POWS
+    if _WINNOW_POWS is None or len(_WINNOW_POWS) != k:
+        _WINNOW_POWS = 31 ** np.arange(k, dtype=np.int64)
+    n_out = np.zeros(len(texts), np.int64)
+    s_out = np.zeros(len(texts), np.int64)
+    big = np.iinfo(np.int64).max
+    for ix, txt in enumerate(texts):
+        if txt is None:
+            continue
+        codes = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+        if len(codes) < k:
+            continue
+        h = (
+            np.lib.stride_tricks.sliding_window_view(codes, k).astype(
+                np.int64
+            )
+            @ _WINNOW_POWS
+        )
+        pad = np.full(w - 1, big, np.int64)
+        hp = np.concatenate([pad, h, pad])
+        mn = np.min(
+            np.lib.stride_tricks.sliding_window_view(hp, 2 * w - 1), axis=1
+        )
+        uniq = np.unique(h[h == mn])
+        n_out[ix] = len(uniq)
+        s_out[ix] = int(uniq.sum())
+    return n_out, s_out

@@ -1446,3 +1446,163 @@ WITH per AS (
 SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
 FROM per GROUP BY c_count
 """
+
+
+def q_theilsen(sf_dir: str):
+    """Theil–Sen robust trend over the 1997 daily-revenue series (median
+    of all pairwise slopes — the classic breakdown-point-29% robust
+    regressor), ORACLE-CHECKED with exact integer arithmetic: slopes are
+    truncated fixed-point e6 values ((Δcents·10⁶) trunc-div Δdays, both
+    sides truncate toward zero — DuckDB ``//`` semantics, mirrored in
+    numpy), the median is the explicit LOWER median (rank (n+1)//2), and
+    the intercept is the lower median of (y·10⁶ − slope_e6·x). The daily
+    aggregate is distributed (map-side-combined groupby on ≤365 keys);
+    the O(days²) pairwise-slope step is a driver numpy broadcast on the
+    DOMAIN-BOUNDED day table (≤66k pairs), never on row-scale data."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+
+    def day_rev(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        t2 = t.filter(keep)
+        day = pc.days_between(
+            pa.scalar(lo), pc.cast(t2["o_orderdate"], pa.timestamp("us"))
+        )
+        return pa.Table.from_pydict(
+            {
+                "x": pc.cast(day, pa.int64()),
+                "y": _cents(t2["o_totalprice"]),
+            }
+        )
+
+    daily = pre_aggregated_sum(
+        ds.map_batches(day_rev, batch_format="pyarrow"),
+        keys=["x"], sums={"y": "y"},
+    ).to_pandas()  # ≤365 rows — domain-bounded by construction
+    x = daily["x"].to_numpy(np.int64)
+    y = daily["y"].to_numpy(np.int64)
+    o = np.argsort(x)
+    x, y = x[o], y[o]
+    i, j = np.triu_indices(len(x), k=1)
+    num = (y[j] - y[i]) * 1_000_000
+    den = x[j] - x[i]  # x strictly increasing → den > 0
+
+    def trunc_div(n_, d_):
+        # mirror DuckDB's // (truncate toward zero; numpy floors)
+        q = np.abs(n_) // d_
+        return np.where(n_ >= 0, q, -q)
+
+    slopes = np.sort(trunc_div(num, den))
+    slope_e6 = int(slopes[(len(slopes) - 1) // 2])  # lower median
+    resid = np.sort(y * 1_000_000 - slope_e6 * x)
+    intercept_e6 = int(resid[(len(resid) - 1) // 2])
+    return pa.Table.from_pydict(
+        {
+            "n_days": pa.array([len(x)], pa.int64()),
+            "n_pairs": pa.array([len(slopes)], pa.int64()),
+            "slope_e6": pa.array([slope_e6], pa.int64()),
+            "intercept_e6": pa.array([intercept_e6], pa.int64()),
+        }
+    )
+
+
+SQL_THEILSEN = """
+WITH daily AS (
+  SELECT DATEDIFF('day', DATE '1997-01-01', o_orderdate) AS x,
+         SUM(CAST(ROUND(100 * o_totalprice) AS BIGINT)) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY 1
+),
+pairs AS (
+  SELECT ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS c
+  FROM pairs
+),
+slope AS (SELECT s AS slope_e6 FROM ranked WHERE rn = (c + 1) // 2),
+resid AS (
+  SELECT d.y * 1000000 - sl.slope_e6 * d.x AS r
+  FROM daily d CROSS JOIN slope sl
+),
+rr AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS c
+  FROM resid
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+       CAST((SELECT slope_e6 FROM slope) AS BIGINT) AS slope_e6,
+       CAST((SELECT r FROM rr WHERE rn = (c + 1) // 2) AS BIGINT)
+         AS intercept_e6
+"""
+
+
+def q_calibration(sf_dir: str):
+    """Classifier-calibration reliability table + exact-integer Brier
+    decomposition over the click/error slice (the AUC query's cohort):
+    score = the cents part of ``value`` as a percent-probability (a
+    deterministic stand-in model — the operator under test is the
+    distributed calibration machinery, not the model), label = click.
+    Ten equal-width bins; per bin n, positives, Σscore and the Brier
+    contribution Σ(score − 100·label)² in e4 units — all int64, one
+    map-side-combined groupby on a 10-key domain. ORACLE-CHECKED."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["click", "error"]),
+        )
+        t2 = t.filter(keep)
+        v100 = pc.cast(
+            pc.round(pc.multiply(t2["value"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        cents = pc.subtract(
+            v100,
+            pc.multiply(
+                pc.divide(v100, pa.scalar(100, pa.int64())),
+                pa.scalar(100, pa.int64()),
+            ),
+        )
+        lab = pc.cast(
+            pc.equal(t2["event_type"], pa.scalar("click")), pa.int64()
+        )
+        err = pc.subtract(cents, pc.multiply(lab, pa.scalar(100, pa.int64())))
+        return pa.Table.from_pydict(
+            {
+                "bin": pc.divide(cents, pa.scalar(10, pa.int64())),
+                "n_pos": lab,
+                "sum_score": cents,
+                "brier_e4": pc.multiply(err, err),
+            }
+        )
+
+    return pre_aggregated_sum(
+        ds.map_batches(parts, batch_format="pyarrow"),
+        keys=["bin"],
+        sums={"n_pos": "n_pos", "sum_score": "sum_score",
+              "brier_e4": "brier_e4"},
+        count_alias="n",
+    )
+
+
+SQL_CALIBRATION = """
+WITH s AS (
+  SELECT CAST(ROUND(100 * value) AS BIGINT) % 100 AS score,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab
+  FROM events WHERE event_type IN ('click', 'error')
+)
+SELECT score // 10 AS bin,
+       CAST(SUM(lab) AS BIGINT) AS n_pos,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(SUM((score - 100 * lab) * (score - 100 * lab)) AS BIGINT)
+         AS brier_e4,
+       COUNT(*) AS n
+FROM s GROUP BY 1
+"""

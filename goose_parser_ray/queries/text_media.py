@@ -1390,3 +1390,61 @@ WITH RECURSIVE a AS (
 SELECT CAST(anc AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS subtree
 FROM a GROUP BY anc ORDER BY node
 """
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing document fingerprints (the MOSS plagiarism-detection
+    selection scheme) over every document, ORACLE-CHECKED: k-gram (k=8)
+    codepoint-polynomial hashes, centered width-7 window minima (w=4 —
+    the winnowing density guarantee), per-doc count + sum of distinct
+    selected hashes. Map-only: one sliding-window matmul + window-min per
+    doc inside ``map_batches`` (textstats.winnow_fingerprints_batch), no
+    shuffle at all — the selection is embarrassingly parallel and the
+    output is one narrow row per doc. Docs shorter than k emit nothing
+    (the SQL position table has no rows for them)."""
+    from goose_parser_ray.functions.textstats import (
+        winnow_fingerprints_batch,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        n, s = winnow_fingerprints_batch(t["text"].to_pylist())
+        keep = n > 0
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "n_fp": pa.array(n[keep], pa.int64()),
+                "fp_sum": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_WINNOW = """
+WITH pos AS (
+  SELECT doc_id, g.i AS i,
+         CAST(ascii(substr(text, g.i    , 1)) AS BIGINT) * 1
+       + CAST(ascii(substr(text, g.i + 1, 1)) AS BIGINT) * 31
+       + CAST(ascii(substr(text, g.i + 2, 1)) AS BIGINT) * 961
+       + CAST(ascii(substr(text, g.i + 3, 1)) AS BIGINT) * 29791
+       + CAST(ascii(substr(text, g.i + 4, 1)) AS BIGINT) * 923521
+       + CAST(ascii(substr(text, g.i + 5, 1)) AS BIGINT) * 28629151
+       + CAST(ascii(substr(text, g.i + 6, 1)) AS BIGINT) * 887503681
+       + CAST(ascii(substr(text, g.i + 7, 1)) AS BIGINT) * 27512614111 AS h
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 7)) AS g(i)
+  WHERE length(text) >= 8
+),
+wm AS (
+  SELECT doc_id, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
+  FROM pos
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_fp,
+       CAST(SUM(DISTINCT h) AS BIGINT) AS fp_sum
+FROM wm WHERE h = mn GROUP BY doc_id
+"""
