@@ -462,3 +462,38 @@ class ImageAHashActor:
                 "hash_hi": pa.array(his, pa.int64()),
             }
         )
+
+
+class GifStatsActor:
+    """REAL palette-image decode stage: binary GIF89a payloads are decoded
+    with the in-repo LZW codec (``gifmini.py`` — variable-width codes,
+    12-bit dictionary resets, sub-block framing) and summarized as EXACT
+    integers: width, height, palette size, the count of DISTINCT palette
+    indices actually used, and the full-raster RGB sum after palette
+    lookup. Summing every palette-mapped pixel makes the oracle compare a
+    proof that LZW reconstructed the index stream bit-exactly. Codec bound
+    once per actor; small batches for wide binary payloads."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.gifmini import decode_gif
+
+        self._decode = decode_gif
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, psizes, used, sums = [], [], [], [], []
+        for p in batch[self.payload_col].to_pylist():
+            w, h, pal, idx = self._decode(p or b"")
+            widths.append(w)
+            heights.append(h)
+            psizes.append(len(pal))
+            used.append(int(np.unique(idx).size))
+            sums.append(int(pal.astype(np.int64)[idx.ravel()].sum()))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        batch = batch.append_column(
+            "palette_size", pa.array(psizes, pa.int64())
+        )
+        batch = batch.append_column("colors_used", pa.array(used, pa.int64()))
+        return batch.append_column("rgb_sum", pa.array(sums, pa.int64()))

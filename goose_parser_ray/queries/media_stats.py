@@ -1840,3 +1840,75 @@ SELECT event_type,
        CAST(SUM(c) * SUM(c * v) AS BIGINT) AS gini_den
 FROM r GROUP BY event_type
 """
+
+
+def q_media_gif(sf_dir: str):
+    """REAL palette-image pipeline, oracle-checked end to end: per doc a
+    deterministic palette (power-of-two sized, 2..256 entries) and index
+    raster are synthesized, encoded through the in-repo GIF89a/LZW codec
+    (variable-width codes, 12-bit dictionary resets, sub-block framing),
+    decoded in an actor pool, and summarized as the full-raster RGB sum
+    after palette lookup plus the count of distinct indices used — so the
+    hash compare against the closed-form DuckDB twin proves the LZW index
+    stream was reconstructed bit-exactly. The palette sibling of
+    q_media_png (upstream: goose-parser media spans carry opaque binary
+    payloads; this is the decode stage run in an actor pool)."""
+    from goose_parser_ray.functions.gifmini import encode_gif
+    from goose_parser_ray.functions.multimodal import GifStatsActor
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 8 + (d & 15)
+            h = 8 + ((d >> 4) & 15)
+            p_n = 1 << (1 + d % 8)  # 2..256, power of two == GCT size
+            pi = np.arange(p_n, dtype=np.int64)
+            pal = np.stack(
+                [
+                    (37 * pi + d) % 256,
+                    (11 * pi + 2 * d) % 256,
+                    (53 * pi + 3 * d + 1) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            idx = ((7 * i + 13 * j + d) % p_n).astype(np.uint8)
+            payloads.append(encode_gif(w, h, pal, idx))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        GifStatsActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+
+
+SQL_MEDIA_GIF = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id & 15) AS width,
+         8 + ((doc_id // 16) & 15) AS height,
+         CAST(POWER(2, 1 + doc_id % 8) AS BIGINT) AS p_n
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height, d.p_n,
+         (7 * a.i + 13 * b.j + d.doc_id) % d.p_n AS p
+  FROM dims d,
+       UNNEST(generate_series(0, d.height - 1)) AS a(i),
+       UNNEST(generate_series(0, d.width - 1)) AS b(j)
+)
+SELECT doc_id, width, height,
+       p_n AS palette_size,
+       CAST(COUNT(DISTINCT p) AS BIGINT) AS colors_used,
+       CAST(SUM((37 * p + doc_id) % 256 + (11 * p + 2 * doc_id) % 256
+                + (53 * p + 3 * doc_id + 1) % 256) AS BIGINT) AS rgb_sum
+FROM pix GROUP BY doc_id, width, height, p_n
+"""
