@@ -2486,3 +2486,176 @@ def cdc_dedup_stats(
 
     partials = ds.map_batches(chunk_partials, batch_format="pyarrow")
     return pre_aggregated_sum(partials, keys=["chunk_hash", "length"], sums={"n": "n"})
+
+
+def winnow_dedup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    idf_cap: int = 32,
+    containment_mult: int = 2,
+    n_rows: int | None = None,
+    fp_per_doc_hint: int = 64,
+    broadcast_guard: int = ENDPOINT_BROADCAST_GUARD,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """MOSS-style near-dup join (Schleimer/Wilkerson/Aiken winnowing): docs
+    are fingerprinted with winnowed k-gram hashes (textstats.winnow_hash_rows
+    — the spec the SQL twin states identically), over-common fingerprints
+    are dropped with an IDF cut (global doc-frequency > ``idf_cap`` — the
+    scheme's standard guard against boilerplate n-grams, and this module's
+    star-cap equivalent: per-fingerprint pair fan-out is bounded by
+    C(idf_cap, 2), never corpus-proportional), and pairs sharing enough
+    rare fingerprints to cover ``1/containment_mult`` of the SMALLER doc's
+    fingerprint set are emitted as (a, b, n_shared, nfp_a, nfp_b).
+
+    Scale shape: ONE data-proportional shuffle (fingerprints bucketed by
+    ``num_shuffle_buckets``-sized hash buckets; a fingerprint's rows land in
+    one bucket, so global doc-frequency is decidable inside the group);
+    the bucket pass emits BOTH pair partials and per-doc fingerprint-count
+    partials in one tagged stream, partial-combined before the small
+    key-domain groupbys. The per-doc count table is broadcast under
+    ``broadcast_guard`` docs and attached with two hash-partitioned
+    ``Dataset.join``s past it (the verify_candidates tier pattern). No
+    whole-dataset materialization on either tier."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        pre_aggregated_sum,
+    )
+    from goose_parser_ray.functions.textstats import winnow_hash_rows
+
+    n = n_rows if n_rows is not None else ds.count()
+    nb = num_shuffle_buckets(max(1, n) * fp_per_doc_hint)
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        ids, hs = winnow_hash_rows(
+            t[text_col].to_pylist(),
+            t[id_col].to_numpy(zero_copy_only=False),
+            k=k,
+            w=w,
+        )
+        b = (_mix64(hs.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "__b": pa.array(b, pa.int64()),
+            }
+        )
+
+    fp = ds.map_batches(fp_batch, batch_format="pyarrow")
+
+    def bucket_emit(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        order = np.lexsort((ids, hs))
+        hs, ids = hs[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        sizes = np.diff(np.r_[starts, len(hs)])
+        kept = sizes <= idf_cap
+        # nfp partials over rows of kept fingerprint groups
+        row_kept = np.repeat(kept, sizes)
+        a_parts = [ids[row_kept]]
+        b_parts = [np.full(int(row_kept.sum()), -1, np.int64)]
+        # pair partials, vectorized one group-size at a time (sizes ≤ cap)
+        for s in range(2, idf_cap + 1):
+            st = starts[kept & (sizes == s)]
+            if not len(st):
+                continue
+            mat = np.sort(ids[st[:, None] + np.arange(s)], axis=1)
+            ia, ib = np.triu_indices(s, 1)
+            a_parts.append(mat[:, ia].ravel())
+            b_parts.append(mat[:, ib].ravel())
+        df = pd.DataFrame(
+            {"a": np.concatenate(a_parts), "b": np.concatenate(b_parts)}
+        )
+        out = df.groupby(["a", "b"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    tagged = fp.groupby("__b").map_groups(bucket_emit, batch_format="pandas")
+
+    shared = pre_aggregated_sum(
+        tagged.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["b"], 0)),
+            batch_format="pyarrow",
+        ),
+        keys=["a", "b"],
+        sums={"cnt": "n_shared"},
+    )
+    nfp = pre_aggregated_sum(
+        tagged.map_batches(
+            lambda t: t.filter(pc.equal(t["b"], -1)).drop_columns(["b"]),
+            batch_format="pyarrow",
+        ),
+        keys=["a"],
+        sums={"cnt": "nfp"},
+    )
+
+    if n <= broadcast_guard:
+        # ONE stateless task stage attaches BOTH endpoint counts from a
+        # single broadcast (id, nfp) table via two pc.index_in takes —
+        # chained fixed-size broadcast-join actor pools would reserve
+        # 2×concurrency CPUs and starve the upstream shuffle tasks on a
+        # small cluster (observed deadlock at num_cpus=4 in the test
+        # fixture), and a task pool needs no reservation at all.
+        nfp_tbl = pa.Table.from_pandas(nfp.to_pandas(), preserve_index=False)
+        nfp_ref = ray.put(
+            (
+                nfp_tbl["a"].combine_chunks(),
+                nfp_tbl["nfp"].combine_chunks(),
+            )
+        )
+
+        def attach_nfp(t: pa.Table) -> pa.Table:
+            ids, cnt = ray.get(nfp_ref)
+            ix_a = pc.index_in(t["a"], value_set=ids)
+            ix_b = pc.index_in(t["b"], value_set=ids)
+            t = t.append_column("nfp_a", pc.take(cnt, ix_a))
+            return t.append_column("nfp_b", pc.take(cnt, ix_b))
+
+        out = shared.map_batches(attach_nfp, batch_format="pyarrow")
+    else:
+        shared = compact_for_join(shared, num_partitions)
+        nfp_j = compact_for_join(nfp, num_partitions)
+        out = shared.join(
+            nfp_j, join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("a",), right_suffix="_ra",
+        )
+        out = out.map_batches(
+            lambda t: t.rename_columns(
+                ["nfp_a" if c == "nfp" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        out = compact_for_join(out, num_partitions).join(
+            nfp_j, join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("a",), right_suffix="_rb",
+        )
+        drop = [c for c in out.columns() if c.endswith("_rb") and c != "nfp_rb"]
+        out = out.map_batches(
+            lambda t: t.rename_columns(
+                ["nfp_b" if c == "nfp" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        if drop:
+            out = out.drop_columns(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.select(["a", "b", "n_shared", "nfp_a", "nfp_b"])
+        m = pc.greater_equal(
+            pc.multiply(
+                t["n_shared"], pa.scalar(containment_mult, pa.int64())
+            ),
+            pc.min_element_wise(t["nfp_a"], t["nfp_b"]),
+        )
+        return t.filter(m)
+
+    return out.map_batches(keep, batch_format="pyarrow")

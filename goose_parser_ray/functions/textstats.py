@@ -589,3 +589,43 @@ def winnow_fingerprints_batch(
         n_out[ix] = len(uniq)
         s_out[ix] = int(uniq.sum())
     return n_out, s_out
+
+
+def winnow_hash_rows(
+    texts, doc_ids, k: int = 8, w: int = 4
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Exploded variant of :func:`winnow_fingerprints_batch`: returns the
+    flat (doc_id, hash) rows of each text's DISTINCT winnowed-fingerprint
+    set — the per-position selection spec is byte-identical to the scalar
+    variant (same k-gram polynomial, same centered clipped window), so the
+    SQL twin's pos/wm CTEs describe both. Feeds the MOSS-style dedup join
+    (pairs sharing rare fingerprints)."""
+    global _WINNOW_POWS
+    if _WINNOW_POWS is None or len(_WINNOW_POWS) != k:
+        _WINNOW_POWS = 31 ** np.arange(k, dtype=np.int64)
+    big = np.iinfo(np.int64).max
+    id_parts: list[np.ndarray] = []
+    h_parts: list[np.ndarray] = []
+    for ix, txt in enumerate(texts):
+        if txt is None:
+            continue
+        codes = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+        if len(codes) < k:
+            continue
+        h = (
+            np.lib.stride_tricks.sliding_window_view(codes, k).astype(
+                np.int64
+            )
+            @ _WINNOW_POWS
+        )
+        pad = np.full(w - 1, big, np.int64)
+        hp = np.concatenate([pad, h, pad])
+        mn = np.min(
+            np.lib.stride_tricks.sliding_window_view(hp, 2 * w - 1), axis=1
+        )
+        uniq = np.unique(h[h == mn])
+        h_parts.append(uniq)
+        id_parts.append(np.full(len(uniq), doc_ids[ix], np.int64))
+    if not h_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(id_parts), np.concatenate(h_parts)

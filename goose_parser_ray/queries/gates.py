@@ -318,3 +318,92 @@ SELECT d.doc_id, d.lang
 FROM documents d LEFT JOIN bad b USING (doc_id)
 WHERE b.doc_id IS NULL
 """
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style document-quality rule gate (Rae et al. 2021 §A1.1 —
+    the MassiveWeb filter heuristics), ORACLE-CHECKED with every signal in
+    exact integers and every ratio threshold stated cross-multiplied so
+    the SQL twin never touches a float: word count bounds [50, 100 000],
+    mean word length in [3, 10] (3·n ≤ Σlen ≤ 10·n), ≥ 2 stop-word hits
+    (the paper's "stop word" requirement), and ≥ 80% alphabetic words
+    (10·n_alpha ≥ 8·n_words). One vectorized RE2 split per batch + flat
+    is_in/bincount per-doc counts — the LangIdActor idiom; no Python row
+    loop. A named, recognizable LLM-curation gate on top of the raw
+    signals quality_score already emits."""
+    STOP10 = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    stopset = pa.array(STOP10, pa.string())
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = pc.fill_null(t["text"], "")
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_words = np.bincount(parent[nonempty], minlength=n)
+        sum_chars = (
+            pc.count_substring_regex(text, pattern=r"\S")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        stop_hit = pc.is_in(flat, value_set=stopset).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parent[stop_hit], minlength=n)
+        alpha_hit = pc.match_substring_regex(
+            flat, pattern=r"^[A-Za-z]+$"
+        ).to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(parent[alpha_hit], minlength=n)
+        keep = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (3 * n_words <= sum_chars)
+            & (sum_chars <= 10 * n_words)
+            & (n_stop >= 2)
+            & (10 * n_alpha >= 8 * n_words)
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "sum_word_chars": pa.array(sum_chars, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "n_alpha_words": pa.array(n_alpha, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_RULES = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+         length(regexp_replace(text, '\s', '', 'g')) AS sum_chars
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(sum_chars AS BIGINT) AS sum_word_chars,
+         CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to',
+                                             'in','is','that','it','for')))
+              AS BIGINT) AS n_stop,
+         CAST(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))
+              AS BIGINT) AS n_alpha_words
+  FROM w
+)
+SELECT doc_id, n_words, sum_word_chars, n_stop, n_alpha_words,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND 3 * n_words <= sum_word_chars
+                  AND sum_word_chars <= 10 * n_words
+                  AND n_stop >= 2
+                  AND 10 * n_alpha_words >= 8 * n_words
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+"""

@@ -1448,3 +1448,63 @@ SELECT doc_id,
        CAST(SUM(DISTINCT h) AS BIGINT) AS fp_sum
 FROM wm WHERE h = mn GROUP BY doc_id
 """
+
+
+def q_winnow_dedup_join(sf_dir: str):
+    """MOSS-style near-dup join over winnowed fingerprints (the dedup
+    companion of q_winnow's per-doc selection), ORACLE-CHECKED: docs are
+    fingerprinted with the winnowing scheme the SQL twin states
+    position-for-position, over-common fingerprints are dropped with an
+    IDF cut (doc-frequency > 32 — MOSS's boilerplate guard, which is also
+    the scale story: per-fingerprint pair fan-out is bounded by C(32,2),
+    never corpus-proportional), and pairs whose shared rare fingerprints
+    cover ≥ half of the smaller doc's fingerprint set are emitted with
+    exact integer evidence columns (n_shared, nfp_a, nfp_b). One
+    data-proportional shuffle; per-doc count table broadcast under the
+    5M-doc guard, hash-partitioned joins past it (tier-parity tested)."""
+    from goose_parser_ray.functions.dedup import winnow_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_dedup_pairs(ds)
+
+
+SQL_WINNOW_DEDUP_JOIN = """
+WITH pos AS (
+  SELECT doc_id, g.i AS i,
+         CAST(ascii(substr(text, g.i    , 1)) AS BIGINT) * 1
+       + CAST(ascii(substr(text, g.i + 1, 1)) AS BIGINT) * 31
+       + CAST(ascii(substr(text, g.i + 2, 1)) AS BIGINT) * 961
+       + CAST(ascii(substr(text, g.i + 3, 1)) AS BIGINT) * 29791
+       + CAST(ascii(substr(text, g.i + 4, 1)) AS BIGINT) * 923521
+       + CAST(ascii(substr(text, g.i + 5, 1)) AS BIGINT) * 28629151
+       + CAST(ascii(substr(text, g.i + 6, 1)) AS BIGINT) * 887503681
+       + CAST(ascii(substr(text, g.i + 7, 1)) AS BIGINT) * 27512614111 AS h
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 7)) AS g(i)
+  WHERE length(text) >= 8
+),
+wm AS (
+  SELECT doc_id, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
+  FROM pos
+),
+fp AS (SELECT DISTINCT doc_id, h FROM wm WHERE h = mn),
+hc AS (SELECT h, COUNT(*) AS cnt FROM fp GROUP BY h),
+rare AS (
+  SELECT f.doc_id, f.h FROM fp f JOIN hc USING (h) WHERE hc.cnt <= 32
+),
+nf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM rare GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.n_shared, na.nfp AS nfp_a, nb.nfp AS nfp_b
+FROM pairs p
+JOIN nf na ON na.doc_id = p.a
+JOIN nf nb ON nb.doc_id = p.b
+WHERE 2 * p.n_shared >= least(na.nfp, nb.nfp)
+"""
