@@ -2105,3 +2105,139 @@ SELECT m AS week, CAST(COUNT(*) AS BIGINT) AS active,
        CAST(10000 * SUM(churned) // COUNT(*) AS BIGINT) AS churn_rate_e4
 FROM flags GROUP BY m
 """
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit over the star schema's five FK edges,
+    ORACLE-CHECKED: per relationship, exact counts of child rows, orphan
+    child rows (FK value absent from the parent), parent rows, and
+    childless parents. Scale shape: per relation, child keys are
+    map-side pre-aggregated to (key, cnt) partials (shuffle payload is
+    DISTINCT keys, never child rows), then ONE full-outer hash join
+    against the parent key column; the per-relation rollup of that join
+    is another map-side partial sum, so the driver assembles exactly five
+    result rows. No row-proportional collect anywhere."""
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    np_join = _default_join_partitions()
+    out = {
+        "relationship": [], "n_child": [], "n_orphan_child": [],
+        "n_parent": [], "n_childless_parent": [],
+    }
+    for name, child, ck, parent, pk in rels:
+        ckeys = _read(sf_dir, child, [ck])
+
+        def cnt_partial(t: pa.Table, _ck=ck) -> pa.Table:
+            import pandas as pd
+            df = pd.DataFrame({"k": t[_ck].to_numpy(zero_copy_only=False)})
+            g = df.groupby("k", as_index=False).size()
+            return pa.Table.from_pydict(
+                {"k": pa.array(g["k"].to_numpy(), pa.int64()),
+                 "cnt": pa.array(g["size"].to_numpy(), pa.int64())}
+            )
+
+        ccnt = pre_aggregated_sum(
+            ckeys.map_batches(cnt_partial, batch_format="pyarrow"),
+            keys=["k"], sums={"cnt": "cnt"},
+        )
+        pkeys = _read(sf_dir, parent, [pk]).map_batches(
+            lambda t, _pk=pk: pa.Table.from_pydict(
+                {"k": pc.cast(t[_pk], pa.int64()),
+                 "one": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = compact_for_join(ccnt, np_join).join(
+            compact_for_join(pkeys, np_join),
+            join_type="full_outer", num_partitions=np_join,
+            on=("k",), right_on=("k",), right_suffix="_p",
+        )
+
+        def roll(t: pa.Table) -> pa.Table:
+            cnt = pc.fill_null(t["cnt"], 0).to_numpy(zero_copy_only=False)
+            par = pc.fill_null(t["one"], 0).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "n_child": [int(cnt.sum())],
+                    "n_orphan_child": [int(cnt[par == 0].sum())],
+                    "n_parent": [int(par.sum())],
+                    "n_childless_parent": [int(((cnt == 0) & (par == 1)).sum())],
+                }
+            )
+
+        # roll emits ONE row per joined block — the driver sums a stream
+        # bounded by block count, never by row count.
+        sums = joined.map_batches(roll, batch_format="pyarrow").to_pandas()
+        out["relationship"].append(name)
+        for c in ("n_child", "n_orphan_child", "n_parent",
+                  "n_childless_parent"):
+            out[c].append(int(sums[c].sum()))
+    return pa.Table.from_pydict(
+        {k: pa.array(v) for k, v in out.items()}
+    )
+
+
+SQL_FK_ORPHANS = """
+WITH rel AS (
+  SELECT 'lineitem->orders' AS relationship,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           AS n_orphan_child,
+         (SELECT COUNT(*) FROM orders) AS n_parent,
+         (SELECT COUNT(*) FROM orders o LEFT JOIN
+            (SELECT DISTINCT l_orderkey FROM lineitem) l
+            ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NULL)
+           AS n_childless_parent
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer c LEFT JOIN
+            (SELECT DISTINCT o_custkey FROM orders) o
+            ON c.c_custkey = o.o_custkey WHERE o.o_custkey IS NULL)
+  UNION ALL
+  SELECT 'customer->nation',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+            ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation n LEFT JOIN
+            (SELECT DISTINCT c_nationkey FROM customer) c
+            ON n.n_nationkey = c.c_nationkey WHERE c.c_nationkey IS NULL)
+  UNION ALL
+  SELECT 'supplier->nation',
+         (SELECT COUNT(*) FROM supplier),
+         (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+            ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation n LEFT JOIN
+            (SELECT DISTINCT s_nationkey FROM supplier) s
+            ON n.n_nationkey = s.s_nationkey WHERE s.s_nationkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+            ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+         (SELECT COUNT(*) FROM part),
+         (SELECT COUNT(*) FROM part p LEFT JOIN
+            (SELECT DISTINCT l_partkey FROM lineitem) l
+            ON p.p_partkey = l.l_partkey WHERE l.l_partkey IS NULL)
+)
+SELECT relationship,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan_child AS BIGINT) AS n_orphan_child,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST(n_childless_parent AS BIGINT) AS n_childless_parent
+FROM rel
+"""

@@ -407,3 +407,94 @@ SELECT doc_id, n_words, sum_word_chars, n_stop, n_alpha_words,
              THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM sig
 """
+
+
+def q_c4_rules(sf_dir: str):
+    """C4-style cleaning rules (Raffel et al. 2020 §2.2, the heuristics
+    behind the C4 corpus), ORACLE-CHECKED with every signal an exact
+    integer: a LINE survives iff it ends in terminal punctuation
+    (``[.!?"']``), has ≥ 5 whitespace words, and does not mention
+    'javascript' (case-folded); a DOC survives iff ≥ 3 lines survive and
+    the raw text contains neither '{' nor 'lorem ipsum'. One vectorized
+    newline split per batch, flat per-line RE2 predicates, bincount
+    rollups — the gopher_rules idiom; no Python row loop."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = pc.fill_null(t["text"], "")
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = np.bincount(parent, minlength=n)
+        term = pc.match_substring_regex(
+            flat, pattern=r"""[.!?"']$"""
+        ).to_numpy(zero_copy_only=False)
+        n_words_line = (
+            pc.count_substring_regex(flat, pattern=r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        no_js = np.logical_not(
+            pc.match_substring_regex(
+                flat, pattern=r"javascript", ignore_case=True
+            ).to_numpy(zero_copy_only=False)
+        )
+        kept_line = term & (n_words_line >= 5) & no_js
+        n_kept = np.bincount(parent[kept_line], minlength=n)
+        n_kept_words = np.bincount(
+            parent[kept_line], weights=n_words_line[kept_line], minlength=n
+        ).astype(np.int64)
+        has_brace = pc.match_substring(text, pattern="{").to_numpy(
+            zero_copy_only=False
+        )
+        has_lorem = pc.match_substring(
+            text, pattern="lorem ipsum", ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+        keep = (n_kept >= 3) & ~has_brace & ~has_lorem
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept_lines": pa.array(n_kept, pa.int64()),
+                "n_kept_words": pa.array(n_kept_words, pa.int64()),
+                "has_brace": pa.array(has_brace.astype(np.int64), pa.int64()),
+                "has_lorem": pa.array(has_lorem.astype(np.int64), pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_C4_RULES = r"""
+WITH ln AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?"'']$')
+             AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                                 w -> w <> '')) >= 5
+             AND NOT regexp_matches(lower(x), 'javascript')) AS kept,
+         CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+         CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+           AS has_lorem
+  FROM ln
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(coalesce(list_sum(list_transform(kept,
+            x -> len(list_filter(regexp_split_to_array(x, '\s+'),
+                                 w -> w <> '')))), 0) AS BIGINT)
+         AS n_kept_words,
+       CAST(has_brace AS BIGINT) AS has_brace,
+       CAST(has_lorem AS BIGINT) AS has_lorem,
+       CAST(CASE WHEN len(kept) >= 3 AND has_brace = 0 AND has_lorem = 0
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+"""

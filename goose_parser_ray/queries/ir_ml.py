@@ -1606,3 +1606,114 @@ SELECT score // 10 AS bin,
        COUNT(*) AS n
 FROM s GROUP BY 1
 """
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN classification (k=5, squared-L2) over the embeddings table,
+    ORACLE-CHECKED BIT-FOR-BIT: vectors are quantized to e6 integers
+    (floor(x·10⁶ + 0.5) — float32→double widening is IEEE-exact, so Ray
+    and DuckDB quantize identically) and distances are exact int64 sums,
+    making the neighbor ranking (dist asc, train_id asc) and the majority
+    vote (count desc, label asc) deterministic on both engines — the
+    integer fixed-point discipline every ML query here follows. Train =
+    even vec_id, test = odd vec_id. Scale shape: the train side
+    (model-sized, label-domain-bounded) is broadcast once via ray.put;
+    test rows stream through one map_batches with an int64 Gram-trick
+    matmul per batch — no shuffle at all; at a train side too big to
+    broadcast this becomes the ann_ivf route (train an index, probe it),
+    which q:ann_ivf already implements."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def quantize(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        return ids, lab, q
+
+    # Train side: bounded (it is the model), collected once and broadcast.
+    def _parity(t: pa.Table, rem: int) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["vec_id"], pa.scalar(1)), rem)
+        )
+
+    train_parts = [
+        quantize(t)
+        for t in emb.map_batches(
+            lambda t: _parity(t, 0), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=4096)
+    ]
+    tr_id = np.concatenate([p[0] for p in train_parts])
+    tr_lab = np.concatenate([p[1] for p in train_parts])
+    tr_q = np.concatenate([p[2] for p in train_parts])
+    order = np.argsort(tr_id, kind="stable")
+    tr_id, tr_lab, tr_q = tr_id[order], tr_lab[order], tr_q[order]
+    tr_sq = (tr_q * tr_q).sum(axis=1)
+    ref = ray.put((tr_id, tr_lab, tr_q, tr_sq))
+    n_labels = 10
+
+    def classify(t: pa.Table) -> pa.Table:
+        ids, true_lab, q = quantize(t)
+        a_id, a_lab, a_q, a_sq = ray.get(ref)
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {"test_id": pa.array([], pa.int64()),
+                 "true_label": pa.array([], pa.int64()),
+                 "pred_label": pa.array([], pa.int64()),
+                 "n_votes": pa.array([], pa.int64())}
+            )
+        d = (q * q).sum(axis=1)[:, None] + a_sq[None, :] - 2 * (q @ a_q.T)
+        # stable argsort: equal distances resolve by train_id ascending
+        nn = np.argsort(d, axis=1, kind="stable")[:, :5]
+        votes = a_lab[nn]
+        counts = np.zeros((len(ids), n_labels), np.int64)
+        for j in range(5):
+            np.add.at(counts, (np.arange(len(ids)), votes[:, j]), 1)
+        pred = counts.argmax(axis=1)  # ties -> smallest label
+        n_votes = counts.max(axis=1)
+        return pa.Table.from_pydict(
+            {"test_id": pa.array(ids, pa.int64()),
+             "true_label": pa.array(true_lab, pa.int64()),
+             "pred_label": pa.array(pred, pa.int64()),
+             "n_votes": pa.array(n_votes, pa.int64())}
+        )
+
+    return emb.map_batches(
+        lambda t: _parity(t, 1), batch_format="pyarrow"
+    ).map_batches(classify, batch_format="pyarrow")
+
+
+SQL_KNN_CLASSIFY = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS q
+  FROM embeddings
+),
+tr AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+te AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+d AS (
+  SELECT te.vec_id AS test_id, te.label AS true_label,
+         tr.vec_id AS train_id, tr.label AS tl,
+         (SELECT SUM((te.q[g.i] - tr.q[g.i]) * (te.q[g.i] - tr.q[g.i]))
+          FROM UNNEST(generate_series(1, 64)) AS g(i)) AS dist
+  FROM te CROSS JOIN tr
+),
+nn AS (
+  SELECT * FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY test_id
+                             ORDER BY dist, train_id) <= 5
+),
+v AS (
+  SELECT test_id, true_label, tl, COUNT(*) AS cnt
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT test_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(tl AS BIGINT) AS pred_label,
+       CAST(cnt AS BIGINT) AS n_votes
+FROM v
+QUALIFY ROW_NUMBER() OVER (PARTITION BY test_id
+                           ORDER BY cnt DESC, tl) = 1
+"""
