@@ -497,3 +497,41 @@ class GifStatsActor:
         )
         batch = batch.append_column("colors_used", pa.array(used, pa.int64()))
         return batch.append_column("rgb_sum", pa.array(sums, pa.int64()))
+
+
+class BmpStatsActor:
+    """REAL BMP decode stage (24-bit BI_RGB via ``bmpmini.py``): binary
+    payloads decoded once per batch inside the actor, summarized as EXACT
+    integers — width, height, full-raster per-channel sums, and the
+    TOP-LEFT pixel's channel values. The corner pixel is the orientation
+    proof: BMP rasters are stored bottom-up in BGR, so an encoder or
+    decoder that mishandles row flipping, channel order, or the 4-byte
+    row padding shifts (r00, g00, b00) or the sums and breaks the oracle
+    hash. Codec bound once per actor; small batches for wide binaries."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.bmpmini import decode_bmp
+
+        self._decode = decode_bmp
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights = [], []
+        sums = [[], [], []]
+        corner = [[], [], []]
+        for p in batch[self.payload_col].to_pylist():
+            img = self._decode(p or b"").astype(np.int64)
+            h, w = img.shape[:2]
+            widths.append(w)
+            heights.append(h)
+            for c in range(3):
+                sums[c].append(int(img[:, :, c].sum()))
+                corner[c].append(int(img[0, 0, c]))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        for name, vals in zip(("r_sum", "g_sum", "b_sum"), sums):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        for name, vals in zip(("r00", "g00", "b00"), corner):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch

@@ -1912,3 +1912,70 @@ SELECT doc_id, width, height,
                 + (53 * p + 3 * doc_id + 1) % 256) AS BIGINT) AS rgb_sum
 FROM pix GROUP BY doc_id, width, height, p_n
 """
+
+
+def q_media_bmp(sf_dir: str):
+    """REAL Windows-BMP pipeline (the bottom-up/BGR/row-padded sibling of
+    q_media_ppm), ORACLE-CHECKED: deterministic RGB gradients — widths
+    chosen NOT divisible by 4 so the row-padding path is always exercised
+    — are encoded to actual 24-bit BI_RGB bytes, decoded back by the
+    in-repo ``bmpmini`` codec in an actor pool, and summarized as exact
+    integers including the top-left pixel (the orientation proof: a
+    row-flip or BGR mix-up breaks the hash). Closed-form SQL twin states
+    every pixel."""
+    from goose_parser_ray.functions.bmpmini import encode_bmp
+    from goose_parser_ray.functions.multimodal import BmpStatsActor
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 9 + (d % 6)
+            h = 7 + (d % 5)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((23 * i + 29 * j + 71 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_bmp(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        BmpStatsActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    ).sort("doc_id")
+
+
+SQL_MEDIA_BMP = """
+WITH dims AS (
+  SELECT doc_id, 9 + (doc_id % 6) AS width, 7 + (doc_id % 5) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height, c.c, i.i, j.j,
+         (23 * i.i + 29 * j.j + 71 * c.c + d.doc_id) % 256 AS val
+  FROM dims d,
+       (SELECT unnest(generate_series(0, 11)) AS i) i,
+       (SELECT unnest(generate_series(0, 14)) AS j) j,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+  WHERE i.i < d.height AND j.j < d.width
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MAX(width) AS BIGINT) AS width,
+       CAST(MAX(height) AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN c = 0 THEN val END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c = 1 THEN val END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c = 2 THEN val END) AS BIGINT) AS b_sum,
+       CAST(MAX(CASE WHEN c = 0 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS r00,
+       CAST(MAX(CASE WHEN c = 1 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS g00,
+       CAST(MAX(CASE WHEN c = 2 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS b00
+FROM pix GROUP BY doc_id ORDER BY doc_id
+"""

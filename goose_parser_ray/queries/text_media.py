@@ -1508,3 +1508,96 @@ JOIN nf na ON na.doc_id = p.a
 JOIN nf nb ON nb.doc_id = p.b
 WHERE 2 * p.n_shared >= least(na.nfp, nb.nfp)
 """
+
+
+def q_robots_rules(sf_dir: str):
+    """robots.txt allow/deny evaluation (RFC 9309 / REP longest-match
+    semantics: the longest matching rule wins, Allow beats Disallow on a
+    length tie, no match means allowed), ORACLE-CHECKED. URLs and the
+    per-domain rule set are synthesized deterministically from doc_id —
+    domain ``site{id%10}.com`` with Disallow /private/, Allow
+    /private/ok/ everywhere plus Disallow /tmp/ on odd domains — so the
+    SQL twin states the same rule table inline and must agree on the
+    winning rule AND the verdict for every URL. Engine shape: the rule
+    set is a compiled constant (broadcast with the plan, bytes not rows);
+    per batch, one vectorized starts_with per rule and a numpy
+    longest-match/allow-break argmax — rule-count-proportional work per
+    row, no shuffle at all."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    # (prefix, allow, parity) — parity None applies to every domain,
+    # 1 only to odd domain ids. Longest match wins; allow wins length ties.
+    RULES = [
+        ("/private/", 0, None),
+        ("/private/ok/", 1, None),
+        ("/tmp/", 0, 1),
+    ]
+
+    def evaluate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dom = ids % 10
+        mod4 = ids % 4
+        seg = np.choose(
+            mod4, ["/public/page", "/private/page", "/private/ok/page",
+                   "/tmp/cache/page"]
+        )
+        path = np.char.add(seg.astype("U32"), ids.astype("U20"))
+        pa_path = pa.array(path)
+        best_score = np.full(len(ids), -1, np.int64)
+        best_rule = np.full(len(ids), "", dtype="U16")
+        best_allow = np.ones(len(ids), np.int64)  # no match -> allowed
+        for prefix, allow, parity in RULES:
+            m = pc.starts_with(pa_path, pattern=prefix).to_numpy(
+                zero_copy_only=False
+            )
+            if parity is not None:
+                m = m & (dom % 2 == parity)
+            score = 2 * len(prefix) + allow
+            upd = m & (score > best_score)
+            best_score[upd] = score
+            best_rule[upd] = prefix
+            best_allow[upd] = allow
+        url = np.char.add(
+            np.char.add("https://site", dom.astype("U4")),
+            np.char.add(".com", path),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(url.tolist(), pa.string()),
+                "matched_rule": pa.array(best_rule.tolist(), pa.string()),
+                "allowed": pa.array(best_allow, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(evaluate, batch_format="pyarrow")
+
+
+SQL_ROBOTS_RULES = """
+WITH u AS (
+  SELECT doc_id, doc_id % 10 AS dom,
+         CASE doc_id % 4
+           WHEN 0 THEN '/public/page'  || doc_id
+           WHEN 1 THEN '/private/page' || doc_id
+           WHEN 2 THEN '/private/ok/page' || doc_id
+           ELSE '/tmp/cache/page' || doc_id END AS path
+  FROM documents
+),
+r(prefix, allow, parity) AS (
+  VALUES ('/private/', 0, NULL), ('/private/ok/', 1, NULL),
+         ('/tmp/', 0, 1)
+),
+m AS (
+  SELECT u.doc_id, u.dom, u.path, r.prefix, r.allow
+  FROM u JOIN r
+    ON starts_with(u.path, r.prefix)
+   AND (r.parity IS NULL OR u.dom % 2 = r.parity)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                             ORDER BY len(r.prefix) DESC, r.allow DESC) = 1
+)
+SELECT u.doc_id,
+       'https://site' || u.dom || '.com' || u.path AS url,
+       coalesce(m.prefix, '') AS matched_rule,
+       CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
+FROM u LEFT JOIN m USING (doc_id)
+"""
