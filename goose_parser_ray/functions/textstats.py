@@ -629,3 +629,40 @@ def winnow_hash_rows(
     if not h_parts:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(id_parts), np.concatenate(h_parts)
+
+
+def hashed_bigram_features(
+    texts, *, n_buckets: int = 10_000, prefix: int = 8
+) -> "tuple[np.ndarray, np.ndarray]":
+    """DSIR-style hashed word-bigram features (Xie et al. 2023,
+    arXiv:2302.03169 §2 — importance resampling over hashed n-gram
+    counts): lowercase, split on non-(letter|digit|_) runs, hash each
+    word's first ``prefix`` codepoints with the 31-polynomial, bucket to
+    ``n_buckets``, and emit one feature id per CONSECUTIVE in-doc word
+    pair. Returns (doc_index, feature_id) flat arrays. The spec is stated
+    so a SQL twin can reproduce it term-for-term: word hash
+    ``Σ code_i·31^(i-1)`` (i = 1..min(len, prefix), exact int64), bucket
+    ``h % n_buckets``, bigram id ``(b1·10007 + b2) % n_buckets``.
+    Vectorized: one RE2 split per batch, fixed-width U{prefix} codepoint
+    matrix × power vector — no Python loop over words."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    arr = _pc.utf8_lower(_pc.fill_null(_pa.array(texts, _pa.string()), ""))
+    words = _pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}_]+")
+    if isinstance(words, _pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = _pc.list_flatten(words)
+    parent = _pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = _pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=f"U{prefix}")
+    parent = parent[keep]
+    toks = toks[keep]
+    if len(toks) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    codes = toks.view("<u4").reshape(len(toks), prefix).astype(np.int64)
+    pows = 31 ** np.arange(prefix, dtype=np.int64)
+    b = (codes @ pows) % n_buckets
+    adj = parent[1:] == parent[:-1]
+    feat = (b[:-1] * 10007 + b[1:]) % n_buckets
+    return parent[1:][adj], feat[adj]

@@ -988,3 +988,114 @@ FROM customer a JOIN customer b
  AND length(a.c_name) = length(b.c_name)
  AND levenshtein(a.c_name, b.c_name) <= 1
 """
+
+
+_SOUNDEX_NAMES = [
+    "robert", "rupert", "smith", "smyth", "smithe", "catherine",
+    "kathryn", "katharine", "allen", "alan", "ellen", "jackson",
+    "jaxon", "tymczak", "pfister", "honeyman",
+]
+
+
+def _soundex_simple(w: str) -> str:
+    """Simplified American Soundex (h/w treated as vowels — the variant
+    both engines state identically): map letters to digits, collapse
+    runs, drop the first collapsed group (it holds the initial), strip
+    zeros, pad to LETTER+3."""
+    table = str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+    )
+    d = w.translate(table)
+    collapsed = [d[0]] if d else []
+    for c in d[1:]:
+        if c != collapsed[-1]:
+            collapsed.append(c)
+    tail = "".join(c for c in collapsed[1:] if c != "0")
+    return (w[0].upper() + tail + "000")[:4]
+
+
+def q_soundex_blocking(sf_dir: str):
+    """Phonetic blocking for entity resolution (American Soundex, the
+    classic ER blocking key — here the simplified h/w-as-vowel variant
+    stated identically on both engines), ORACLE-CHECKED: customers get a
+    deterministic name from a 16-variant list of classic homophones
+    (robert/rupert, smith/smyth/smithe, …), names are Soundex-coded, and
+    each name row carries its block's size in distinct spellings and
+    total customers — the blocking table a matcher would join on. Scale
+    shape: per-name counts are map-side partials over a BOUNDED name
+    domain (the exchange moves ≤16 rows per batch); Soundex runs on the
+    collected 16-row vocabulary, never per customer row."""
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    names = np.array(_SOUNDEX_NAMES)
+
+    def tag(t: pa.Table) -> pa.Table:
+        idx = t["c_custkey"].to_numpy(zero_copy_only=False) % 16
+        return pa.Table.from_pydict(
+            {"name": pa.array(names[idx].tolist(), pa.string()),
+             "one": pa.array(np.ones(len(idx), np.int64))}
+        )
+
+    cnt = pre_aggregated_sum(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        keys=["name"], sums={"one": "n_customers"},
+    ).to_pandas()  # bounded: 16 rows
+    cnt["code"] = [_soundex_simple(w) for w in cnt["name"]]
+    grp = cnt.groupby("code").agg(
+        n_names=("name", "nunique"), block_customers=("n_customers", "sum")
+    )
+    cnt = cnt.join(grp, on="code")
+    cnt["is_blocked"] = (cnt["n_names"] > 1).astype(np.int64)
+    cnt = cnt.sort_values("name").reset_index(drop=True)
+    return pa.Table.from_pydict(
+        {
+            "name": pa.array(cnt["name"], pa.string()),
+            "code": pa.array(cnt["code"], pa.string()),
+            "n_customers": pa.array(cnt["n_customers"], pa.int64()),
+            "n_names": pa.array(cnt["n_names"].astype(np.int64), pa.int64()),
+            "block_customers": pa.array(
+                cnt["block_customers"].astype(np.int64), pa.int64()
+            ),
+            "is_blocked": pa.array(cnt["is_blocked"], pa.int64()),
+        }
+    )
+
+
+SQL_SOUNDEX_BLOCKING = """
+WITH base(idx, name) AS (
+  VALUES (0,'robert'),(1,'rupert'),(2,'smith'),(3,'smyth'),(4,'smithe'),
+         (5,'catherine'),(6,'kathryn'),(7,'katharine'),(8,'allen'),
+         (9,'alan'),(10,'ellen'),(11,'jackson'),(12,'jaxon'),
+         (13,'tymczak'),(14,'pfister'),(15,'honeyman')
+), tagged AS (
+  SELECT b.name, COUNT(*) AS n_customers
+  FROM customer c JOIN base b ON b.idx = c.c_custkey % 16
+  GROUP BY b.name
+), sx AS (
+  SELECT name, n_customers,
+    substr(
+      upper(substr(name,1,1)) ||
+      replace(
+        substr(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            translate(name, 'abcdefghijklmnopqrstuvwxyz',
+                            '01230120022455012623010202'),
+          '0+','0','g'),'1+','1','g'),'2+','2','g'),'3+','3','g'),
+          '4+','4','g'),'5+','5','g'),'6+','6','g'),
+        2),
+      '0','') || '000', 1, 4) AS code
+  FROM tagged
+), grp AS (
+  SELECT code, CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+         CAST(SUM(n_customers) AS BIGINT) AS block_customers
+  FROM sx GROUP BY code
+)
+SELECT s.name, s.code,
+       CAST(s.n_customers AS BIGINT) AS n_customers,
+       g.n_names, g.block_customers,
+       CAST(CASE WHEN g.n_names > 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_blocked
+FROM sx s JOIN grp g USING (code)
+"""

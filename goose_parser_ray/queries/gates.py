@@ -498,3 +498,134 @@ SELECT doc_id, n_lines,
              THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM sig
 """
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR data-selection scores (Xie et al. 2023, arXiv:2302.03169):
+    importance weight of every document under a hashed word-bigram
+    feature model of the TARGET distribution (lang='en' here) vs the RAW
+    distribution (everything else), ORACLE-CHECKED in the e6 fixed-point
+    log discipline (half-away rounding, integer sums — the nb_classify /
+    bm25 parity rules). Scale shape: the feature domain is BOUNDED by
+    construction (10 000 hash buckets), so training is one map-side
+    partial-count pass + a ≤10k-row groupby; the weight table broadcasts
+    once via ray.put and scoring is a second shuffle-free map pass.
+    Exactly the paper's estimator: log p̂_target(f) − log p̂_raw(f) with
+    add-1 smoothing, summed over the doc's bigram counts."""
+    from goose_parser_ray.functions.ml import _round_half_away_e6
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+    from goose_parser_ray.functions.textstats import hashed_bigram_features
+
+    B = 10_000
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        par, feat = hashed_bigram_features(
+            t["text"].to_pylist(), n_buckets=B
+        )
+        is_t = (
+            pc.equal(t["lang"], "en")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w_t = is_t[par]
+        t_cnt = np.bincount(feat, weights=w_t, minlength=B).astype(np.int64)
+        r_cnt = np.bincount(
+            feat, weights=1 - w_t, minlength=B
+        ).astype(np.int64)
+        nz = np.flatnonzero(t_cnt | r_cnt)
+        return pa.Table.from_pydict(
+            {"feat": pa.array(nz, pa.int64()),
+             "t_cnt": pa.array(t_cnt[nz], pa.int64()),
+             "r_cnt": pa.array(r_cnt[nz], pa.int64())}
+        )
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["feat"], sums={"t_cnt": "t_cnt", "r_cnt": "r_cnt"},
+    ).to_pandas()  # bounded: <= B rows by construction
+    t_full = np.zeros(B, np.int64)
+    r_full = np.zeros(B, np.int64)
+    t_full[counts["feat"].to_numpy()] = counts["t_cnt"].to_numpy()
+    r_full[counts["feat"].to_numpy()] = counts["r_cnt"].to_numpy()
+    nt, nr = int(t_full.sum()), int(r_full.sum())
+    w_e6 = _round_half_away_e6(
+        np.log((t_full + 1) / float(nt + B))
+        - np.log((r_full + 1) / float(nr + B))
+    ).astype(np.int64)
+    ref = ray.put(w_e6)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        par, feat = hashed_bigram_features(
+            t["text"].to_pylist(), n_buckets=B
+        )
+        n = t.num_rows
+        n_bigrams = np.bincount(par, minlength=n).astype(np.int64)
+        score_e6 = np.bincount(
+            par, weights=w[feat].astype(np.float64), minlength=n
+        ).astype(np.int64)  # exact: |sum| < 2^53
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "is_target": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+             "n_bigrams": pa.array(n_bigrams, pa.int64()),
+             "score_e6": pa.array(score_e6, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH tok AS (
+  SELECT doc_id, lang, w, ord
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+')) AS w,
+           generate_subscripts(
+             regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), 1) AS ord
+    FROM documents
+  ) WHERE w <> ''
+), hashed AS (
+  SELECT doc_id, lang, ord,
+         (SELECT SUM(unicode(substr(w, g.i, 1))
+                     * CAST(pow(31, g.i - 1) AS BIGINT))
+          FROM UNNEST(generate_series(1, least(len(w), 8))) AS g(i))
+           % 10000 AS b,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM tok
+), bg AS (
+  SELECT a.doc_id, a.lang, (a.b * 10007 + b.b) % 10000 AS feat
+  FROM hashed a JOIN hashed b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), cnt AS (
+  SELECT g.f AS feat,
+         COALESCE(SUM(CASE WHEN bg.lang = 'en' THEN 1 ELSE 0 END), 0) AS t_cnt,
+         COALESCE(SUM(CASE WHEN bg.lang <> 'en' THEN 1 ELSE 0 END), 0) AS r_cnt
+  FROM (SELECT unnest(generate_series(0, 9999)) AS f) g
+  LEFT JOIN bg ON bg.feat = g.f
+  GROUP BY g.f
+), tot AS (
+  SELECT SUM(t_cnt) AS nt, SUM(r_cnt) AS nr FROM cnt
+), wts AS (
+  SELECT feat,
+         CAST(CASE WHEN x >= 0 THEN floor(x + 0.5) ELSE ceil(x - 0.5) END
+              AS BIGINT) AS w_e6
+  FROM (
+    SELECT feat,
+           1e6 * (LN((t_cnt + 1) / CAST(nt + 10000 AS DOUBLE))
+                  - LN((r_cnt + 1) / CAST(nr + 10000 AS DOUBLE))) AS x
+    FROM cnt CROSS JOIN tot
+  )
+), doc_score AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+  FROM bg JOIN wts w ON w.feat = bg.feat
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.score_e6, 0) AS score_e6
+FROM documents d LEFT JOIN doc_score s USING (doc_id)
+"""

@@ -1601,3 +1601,233 @@ SELECT u.doc_id,
        CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
 FROM u LEFT JOIN m USING (doc_id)
 """
+
+
+def q_cidr_lookup(sf_dir: str):
+    """Geo-IP-style CIDR enrichment with RFC-longest-prefix-match
+    semantics, ORACLE-CHECKED: each event gets a deterministic IPv4
+    (Knuth multiplicative hash of user_id, exact integer arithmetic on
+    both engines), looked up against an inline table of OVERLAPPING
+    prefixes (/0 default through /3) where the longest matching prefix
+    wins. Engine shape: the CIDR table is a compiled constant; per batch
+    one vectorized shift-compare per rule and an argmax over prefix
+    lengths — rule-proportional work per row, no shuffle. The same
+    broadcast-rules idiom as robots_rules, on the network layer."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    RULES = [  # (prefix_int, bits, tag) — overlapping by construction
+        (0x00000000, 0, "default"),
+        (0x00000000, 1, "low-half"),
+        (0x80000000, 1, "high-half"),
+        (0x40000000, 2, "mid-block"),
+        (0xC0000000, 3, "c-block"),
+    ]
+
+    def lookup(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (uid * 2654435761) % (1 << 32)
+        best_len = np.full(len(ip), -1, np.int64)
+        best_tag = np.full(len(ip), "", dtype="U12")
+        best_pfx = np.full(len(ip), 0, np.int64)
+        for pfx, bits, tag in RULES:
+            m = (ip >> (32 - bits)) == (pfx >> (32 - bits)) if bits else \
+                np.ones(len(ip), bool)
+            upd = m & (bits > best_len)
+            best_len[upd] = bits
+            best_tag[upd] = tag
+            best_pfx[upd] = pfx
+        dotted = [
+            f"{v >> 24}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+            for v in ip.tolist()
+        ]  # bounded string format; not a compute hot path
+        return pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "ip": pa.array(dotted, pa.string()),
+                "matched_bits": pa.array(best_len, pa.int64()),
+                "tag": pa.array(best_tag.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+SQL_CIDR_LOOKUP = """
+WITH ev AS (
+  SELECT event_id, (user_id * 2654435761) % 4294967296 AS ip
+  FROM events
+),
+r(pfx, bits, div, tag) AS (
+  -- div = 2^(32-bits) as BIGINT: DuckDB's // floors only for integer
+  -- divisors (a DOUBLE divisor makes it plain division)
+  VALUES (0, 0, 4294967296, 'default'), (0, 1, 2147483648, 'low-half'),
+         (2147483648, 1, 2147483648, 'high-half'),
+         (1073741824, 2, 1073741824, 'mid-block'),
+         (3221225472, 3, 536870912, 'c-block')
+),
+m AS (
+  SELECT ev.event_id, ev.ip, r.bits, r.tag
+  FROM ev JOIN r
+    ON (ev.ip // r.div) = (r.pfx // r.div)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ev.event_id
+                             ORDER BY r.bits DESC) = 1
+)
+SELECT event_id,
+       (ip // 16777216) || '.' || ((ip // 65536) % 256) || '.'
+         || ((ip // 256) % 256) || '.' || (ip % 256) AS ip,
+       CAST(bits AS BIGINT) AS matched_bits, tag
+FROM m
+"""
+
+
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization (the text-canonicalization step every
+    multilingual pipeline needs before hashing/dedup), ORACLE-CHECKED
+    against DuckDB's ICU ``nfc_normalize``: per doc a deterministic
+    DECOMPOSED string is synthesized (base letter + U+0301 combining
+    acute — some pairs compose to one codepoint, q́-style pairs stay
+    two), normalized, and compared on the normalized bytes plus exact
+    before/after codepoint counts. Two independent Unicode
+    implementations (CPython's unicodedata vs DuckDB's ICU) must agree
+    on every row — a real conformance check, not a self-twin. (pyarrow
+    16's utf8_normalize does NOT perform canonical composition, so the
+    batch maps CPython's C-implemented normalizer over the column —
+    still one shuffle-free pass.)"""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = np.array([chr(97 + i) for i in range(26)])
+        raw = [
+            "caf" + b + "́ " + b2 + "́x"
+            for b, b2 in zip(
+                base[ids % 26].tolist(), base[(ids * 7 + 3) % 26].tolist()
+            )
+        ]
+        import unicodedata
+
+        arr = pa.array(raw, pa.string())
+        out = pa.array(
+            [unicodedata.normalize("NFC", x) for x in raw], pa.string()
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "nfc": out,
+                "cp_before": pc.cast(pc.utf8_length(arr), pa.int64()),
+                "cp_after": pc.cast(pc.utf8_length(out), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_NFC_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         'caf' || chr(CAST(97 + (doc_id % 26) AS INTEGER)) || chr(769)
+          || ' ' || chr(CAST(97 + ((doc_id * 7 + 3) % 26) AS INTEGER))
+          || chr(769) || 'x' AS s
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(s) AS nfc,
+       CAST(length(s) AS BIGINT) AS cp_before,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS cp_after
+FROM raw
+"""
+
+
+def q_ua_parse(sf_dir: str):
+    """User-agent parsing (the classic log-enrichment stage: browser
+    family, major version, bot flag), ORACLE-CHECKED: deterministic UA
+    strings are synthesized per event from five templates (Chrome,
+    Safari, Firefox, curl, Googlebot) and parsed back with ONE
+    vectorized RE2 extract per field — family via alternation match,
+    version via the first digit run after the family token, bot via
+    case-insensitive substring. The SQL twin parses with the same
+    regexes, so template drift or extraction bugs break the hash.
+    Shuffle-free single map pass."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    TPL = [
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/{v}.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X) Version/{v}.1 Safari/605.1",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:{v}.0) Gecko/20100101 Firefox/{v}.0",
+        "curl/7.{v}.0",
+        "Mozilla/5.0 (compatible; Googlebot/2.{v}; +http://www.google.com/bot.html)",
+    ]
+    FAMS = ["Chrome", "Safari", "Firefox", "curl", "Googlebot"]
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        v = (ids % 40 + 60).astype(np.int64)
+        which = (ids % 5).astype(np.int64)
+        ua = [
+            TPL[w].replace("{v}", str(vv))
+            for w, vv in zip(which.tolist(), v.tolist())
+        ]
+        arr = pa.array(ua, pa.string())
+        fam = np.array(FAMS)[which]
+        # family decided by FIRST match in priority order (Googlebot and
+        # curl before the Mozilla families; Firefox before Safari; Chrome
+        # before Safari — Chrome UAs contain 'Safari' too)
+        fam_extracted = np.full(len(ua), "other", dtype="U12")
+        for name in ("Googlebot", "curl", "Firefox", "Chrome", "Safari"):
+            hit = pc.match_substring(arr, pattern=name).to_numpy(
+                zero_copy_only=False
+            )
+            fam_extracted[(fam_extracted == "other") & hit] = name
+        major = pc.extract_regex(
+            arr,
+            pattern=r"(?:Chrome/|Version/|Firefox/|curl/7\.|Googlebot/2\.)(?P<m>[0-9]+)",
+        )
+        major_v = pc.cast(pc.struct_field(major, "m"), pa.int64())
+        is_bot = pc.cast(
+            pc.match_substring(arr, pattern="bot", ignore_case=True),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_id": t["event_id"],
+                "family": pa.array(fam_extracted.tolist(), pa.string()),
+                "major": major_v,
+                "is_bot": is_bot,
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+SQL_UA_PARSE = """
+WITH ev AS (
+  SELECT event_id, event_id % 5 AS w, event_id % 40 + 60 AS v
+  FROM events
+), ua AS (
+  SELECT event_id,
+    CASE w
+      WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/' || v
+                  || '.0 Safari/537.36'
+      WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X) Version/' || v
+                  || '.1 Safari/605.1'
+      WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || v
+                  || '.0) Gecko/20100101 Firefox/' || v || '.0'
+      WHEN 3 THEN 'curl/7.' || v || '.0'
+      ELSE 'Mozilla/5.0 (compatible; Googlebot/2.' || v
+           || '; +http://www.google.com/bot.html)'
+    END AS s
+  FROM ev
+)
+SELECT event_id,
+       CASE WHEN contains(s, 'Googlebot') THEN 'Googlebot'
+            WHEN contains(s, 'curl') THEN 'curl'
+            WHEN contains(s, 'Firefox') THEN 'Firefox'
+            WHEN contains(s, 'Chrome') THEN 'Chrome'
+            WHEN contains(s, 'Safari') THEN 'Safari'
+            ELSE 'other' END AS family,
+       CAST(regexp_extract(s,
+            '(?:Chrome/|Version/|Firefox/|curl/7\\.|Googlebot/2\\.)([0-9]+)',
+            1) AS BIGINT) AS major,
+       CAST(CASE WHEN regexp_matches(lower(s), 'bot') THEN 1 ELSE 0 END
+            AS BIGINT) AS is_bot
+FROM ua
+"""
