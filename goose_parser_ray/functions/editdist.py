@@ -303,3 +303,153 @@ def jw_pairs_over_domain(
         )
 
     return grid.map_batches(score, batch_format="pyarrow")
+
+
+def lev_capped(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact Levenshtein distance per aligned pair (99 when the
+    length gap alone exceeds 2 — callers threshold at ≤ 2). Full DP rolled
+    across rows: pairs are grouped by (len_a, len_b) so each group runs
+    one (len_a × len_b)-step loop of O(pairs)-wide numpy ops — no
+    per-pair Python DP."""
+    n = len(a)
+    out = np.full(n, 99, np.int64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in a), np.int64, n)
+    lb = np.fromiter((len(s) for s in b), np.int64, n)
+    near = np.abs(la - lb) <= 2
+    for A, B in {(int(x), int(y)) for x, y in zip(la[near], lb[near])}:
+        sel = np.nonzero((la == A) & (lb == B))[0]
+        if A == 0 or B == 0:
+            out[sel] = max(A, B)
+            continue
+        ma = _codepoint_matrix(a[sel], A)
+        mb = _codepoint_matrix(b[sel], B)
+        prev = np.tile(np.arange(B + 1, dtype=np.int64), (len(sel), 1))
+        cur = np.empty_like(prev)
+        for i in range(1, A + 1):
+            cur[:, 0] = i
+            ai = ma[:, i - 1 : i]
+            cost = (ai != mb).astype(np.int64)
+            for j in range(1, B + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost[:, j - 1],
+                )
+            prev, cur = cur, prev
+        out[sel] = prev[:, B]
+    return out
+
+
+def edit2_pairs(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    id_col: str,
+    n_rows: int | None = None,
+    pair_cap: int = _PAIR_CAP,
+) -> ray.data.Dataset:
+    """All (id_a, id_b, dist) with levenshtein ∈ {1, 2}, id_a < id_b —
+    the FastSS theorem at k=2: two strings are within edit distance 2 iff
+    their ≤2-deletion neighborhoods intersect, so blocking on every
+    variant from 0, 1 or 2 deletions has ZERO misses and each candidate
+    is verified with the exact vectorized DP (:func:`lev_capped`).
+
+    Scale: variant fan-out is 1 + L + C(L,2) per row (quadratic in string
+    LENGTH, not corpus size); per-variant groups above ``pair_cap``
+    degrade to a linear star like every pair generator here — dense
+    near-sequential key spaces (this fixture's zero-padded customer
+    names) need the cap raised to stay exact, and the true result itself
+    grows superlinearly on such data (documented skew assumption)."""
+    import pandas as pd
+
+    if n_rows is None:
+        n_rows = ds.count()
+    # variants per row ≈ 1 + L + L(L-1)/2 with L ≈ 18 → ~170
+    nb = num_shuffle_buckets(n_rows * 170)
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        strs = t[col].to_pylist()
+        v_ids: list[int] = []
+        v_str: list[str] = []
+        v_key: list[str] = []
+        for i, s in zip(ids, strs):
+            if s is None:
+                continue
+            seen = {s}
+            L = len(s)
+            for p in range(L):
+                d1 = s[:p] + s[p + 1 :]
+                seen.add(d1)
+                for q in range(p, L - 1):
+                    seen.add(d1[:q] + d1[q + 1 :])
+            for v in seen:
+                v_ids.append(i)
+                v_str.append(s)
+                v_key.append(v)
+        out = pa.Table.from_pydict(
+            {
+                "__vk": pa.array(v_key, pa.string()),
+                "id": pa.array(v_ids, pa.int64()),
+                "s": pa.array(v_str, pa.string()),
+            }
+        )
+        return add_hash_bucket(out, "__vk", nb)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, a_s, b_s = [], [], [], []
+        for _, grp in g.groupby("__vk", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("id").sort_values(
+                "id", kind="mergesort"
+            )
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            ss = grp["s"].to_numpy()
+            if len(grp) > pair_cap:
+                a_ids.append(np.full(len(ids) - 1, ids[0]))
+                b_ids.append(ids[1:])
+                a_s.append(np.full(len(ids) - 1, ss[0], dtype=object))
+                b_s.append(ss[1:])
+            else:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                a_ids.append(ids[iu])
+                b_ids.append(ids[ju])
+                a_s.append(ss[iu])
+                b_s.append(ss[ju])
+        if not a_ids:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_ids).astype("int64"),
+                "id_b": np.concatenate(b_ids).astype("int64"),
+                "sa": np.concatenate(a_s),
+                "sb": np.concatenate(b_s),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+        d = lev_capped(df["sa"].to_numpy(), df["sb"].to_numpy())
+        keep = (d >= 1) & (d <= 2)
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[keep],
+                "id_b": df["id_b"].to_numpy()[keep],
+                "dist": d[keep],
+            }
+        )
+
+    fanned = ds.map_batches(variants, batch_format="pyarrow")
+    pairs = fanned.groupby("__b").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    from goose_parser_ray.functions.relational import distinct_rows
+
+    return distinct_rows(pairs, ["id_a", "id_b", "dist"])

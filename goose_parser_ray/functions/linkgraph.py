@@ -189,3 +189,48 @@ def extract_meta(
         batch_size=512,
         **kwargs,
     )
+
+
+class AnchorTextActor:
+    """Actor-pool stage: synthesize the same page markup as
+    :class:`LinkExtractActor`, DOM-parse it, and emit (dst, anchor) rows
+    where ``anchor`` is the link's RENDERED TEXT read through
+    ``Element.text()`` — the web-curation anchor-text signal (what other
+    pages call a target). Reading text content instead of an attribute
+    exercises the tree builder's character-data path; a tokenizer bug
+    that splits or drops text nodes changes the anchor strings and breaks
+    the closed-form oracle."""
+
+    def __init__(self) -> None:
+        self._sel = compile_selector("a[href]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = _escape_text(batch["text"]).to_pylist()
+        dst: list[int] = []
+        anchor: list[str] = []
+        for doc_id, esc in zip(ids, texts):
+            page = synthesize_page_from_escaped(doc_id, esc)
+            doc = parse_html(page)
+            for el in select(self._sel, doc):
+                href = el.attrs.get("href", "")
+                dst.append(int(href.rsplit("/", 1)[1]))
+                anchor.append(el.text())
+        return pa.Table.from_arrays(
+            [pa.array(dst, pa.int64()), pa.array(anchor, pa.string())],
+            names=["dst", "anchor"],
+        )
+
+
+def synthesize_page_from_escaped(doc_id: int, esc: str) -> str:
+    """LinkExtractActor's page template over already-escaped text (shared
+    so the two link stages can never drift apart)."""
+    n = doc_id % 3 + 1
+    links = "".join(
+        f'<li><a href="/doc/{(doc_id * 7 + k) % LINK_MOD}">ref {k}</a></li>'
+        for k in range(1, n + 1)
+    )
+    return (
+        f"<html><body><h1>doc {doc_id}</h1><p>{esc}</p>"
+        f"<ul>{links}</ul></body></html>"
+    )

@@ -1831,3 +1831,131 @@ SELECT event_id,
             AS BIGINT) AS is_bot
 FROM ua
 """
+
+
+def q_editdist2_pairs(sf_dir: str):
+    """Edit-distance-≤2 similarity join (FastSS at k=2 — ≤2-deletion
+    neighborhoods intersect iff lev ≤ 2; see
+    ``functions/editdist.py:edit2_pairs``), ORACLE-CHECKED against
+    DuckDB's built-in ``levenshtein`` over the full cross join, WITH the
+    exact distance as a compared column. ``pair_cap`` is raised to 512
+    here because zero-padded sequential customer names are a worst-case
+    dense key space (largest variant block 294 at sf0.01) — below the cap
+    blocking is zero-miss and every candidate is DP-verified, so the
+    whole output hash-matches brute force."""
+    from goose_parser_ray.functions.editdist import edit2_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = edit2_pairs(
+        ds, col="c_name", id_col="c_custkey", pair_cap=512
+    )
+    return pairs
+
+
+SQL_EDITDIST2_PAIRS = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+"""
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation per link target (the ranking/labeling
+    signal web curation builds from what OTHER pages call a URL),
+    ORACLE-CHECKED: pages go through the REAL extraction stack —
+    tokenizer → HTML5 tree builder → compiled ``a[href]`` selector — but
+    this stage reads each link's RENDERED TEXT (``Element.text()``, the
+    character-data path) rather than an attribute, then rolls up
+    (dst, anchor) → count with the partial/combiner pattern. The SQL twin
+    states the expected (target, anchor) multiset in closed form, so a
+    text-node split/drop bug in the tree builder breaks the hash."""
+    from goose_parser_ray.functions.linkgraph import AnchorTextActor
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ds.map_batches(
+        AnchorTextActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, max(2, _pool() // 2)),
+    )
+    return pre_aggregated_sum(pairs, ["dst", "anchor"], {},
+                              count_alias="n_links")
+
+
+SQL_ANCHOR_TEXTS = """
+WITH edges AS (
+  SELECT (d.doc_id * 7 + g.k) % 1000 AS dst,
+         'ref ' || g.k AS anchor
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+)
+SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM edges GROUP BY dst, anchor
+"""
+
+
+def q_rendezvous_sharding(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding with a resize
+    movement proof, ORACLE-CHECKED: every doc scores each shard with a
+    shared integer mix (xor then Knuth multiply, mod 2³²) and lands on
+    the argmax — then the SAME scores decide placement at 8 and at 9
+    shards, and the compared ``moved`` column certifies HRW's guarantee
+    that a resize moves ONLY docs whose new shard is the added one
+    (expected 1/9 of the corpus; no doc moves between old shards). This
+    is the partitioning math a 100 TB resumable job relies on when the
+    cluster grows. Shuffle-free map pass; the SQL twin mirrors the mix
+    in HUGEINT then ranks per doc."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    M32 = np.uint64(0xFFFFFFFF)
+
+    def assign(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = np.empty((len(d), 9), np.uint64)
+        for s in range(9):
+            smix = np.uint64((s * 2654435761) % (1 << 32))
+            scores[:, s] = ((d ^ smix) * np.uint64(2654435761)) & M32
+        shard8 = scores[:, :8].argmax(axis=1).astype(np.int64)
+        shard9 = scores.argmax(axis=1).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "shard8": pa.array(shard8, pa.int64()),
+                "shard9": pa.array(shard9, pa.int64()),
+                "moved": pa.array(
+                    (shard8 != shard9).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_RENDEZVOUS_SHARDING = """
+WITH sc AS (
+  SELECT d.doc_id, s.s,
+         CAST((xor(d.doc_id, (s.s * 2654435761) % 4294967296)
+               * CAST(2654435761 AS HUGEINT)) % 4294967296 AS BIGINT)
+           AS score
+  FROM documents d, (SELECT unnest(generate_series(0, 8)) AS s) s
+),
+r8 AS (
+  SELECT doc_id, s AS shard8 FROM sc WHERE s < 8
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, s ASC) = 1
+),
+r9 AS (
+  SELECT doc_id, s AS shard9 FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, s ASC) = 1
+)
+SELECT doc_id, CAST(shard8 AS BIGINT) AS shard8,
+       CAST(shard9 AS BIGINT) AS shard9,
+       CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT)
+         AS moved
+FROM r8 JOIN r9 USING (doc_id)
+"""
