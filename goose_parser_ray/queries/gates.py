@@ -331,10 +331,19 @@ def q_gopher_rules(sf_dir: str):
     is_in/bincount per-doc counts — the LangIdActor idiom; no Python row
     loop. A named, recognizable LLM-curation gate on top of the raw
     signals quality_score already emits."""
-    STOP10 = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-    stopset = pa.array(STOP10, pa.string())
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gopher_signals_batch, batch_format="pyarrow"
+    )
 
-    def gate(t: pa.Table) -> pa.Table:
+
+_GOPHER_STOP10 = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+
+def gopher_signals_batch(t: pa.Table) -> pa.Table:
+    """Shared Gopher-rule signal kernel (see q_gopher_rules; also composed
+    by q_curation_funnel)."""
+    stopset = pa.array(_GOPHER_STOP10, pa.string())
+    if True:
         n = t.num_rows
         text = pc.fill_null(t["text"], "")
         words = pc.split_pattern_regex(text, pattern=r"\s+")
@@ -376,11 +385,6 @@ def q_gopher_rules(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        gate, batch_format="pyarrow"
-    )
-
-
 SQL_GOPHER_RULES = r"""
 WITH w AS (
   SELECT doc_id,
@@ -418,9 +422,15 @@ def q_c4_rules(sf_dir: str):
     the raw text contains neither '{' nor 'lorem ipsum'. One vectorized
     newline split per batch, flat per-line RE2 predicates, bincount
     rollups — the gopher_rules idiom; no Python row loop."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        c4_signals_batch, batch_format="pyarrow"
+    )
 
-    def gate(t: pa.Table) -> pa.Table:
+
+def c4_signals_batch(t: pa.Table) -> pa.Table:
+    """Shared C4-rule signal kernel (see q_c4_rules; also composed by
+    q_curation_funnel)."""
+    if True:
         n = t.num_rows
         text = pc.fill_null(t["text"], "")
         lines = pc.split_pattern(text, pattern="\n")
@@ -466,9 +476,6 @@ def q_c4_rules(sf_dir: str):
             }
         )
 
-    return ds.map_batches(gate, batch_format="pyarrow")
-
-
 SQL_C4_RULES = r"""
 WITH ln AS (
   SELECT doc_id, text, string_split(text, chr(10)) AS lines
@@ -512,12 +519,46 @@ def q_dsir_weights(sf_dir: str):
     once via ray.put and scoring is a second shuffle-free map pass.
     Exactly the paper's estimator: log p̂_target(f) − log p̂_raw(f) with
     add-1 smoothing, summed over the doc's bigram counts."""
+    B = 10_000
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = ray.put(dsir_weights_e6(ds, n_buckets=B))
+
+    def score(t: pa.Table) -> pa.Table:
+        from goose_parser_ray.functions.textstats import (
+            hashed_bigram_features,
+        )
+
+        w = ray.get(ref)
+        par, feat = hashed_bigram_features(
+            t["text"].to_pylist(), n_buckets=B
+        )
+        n = t.num_rows
+        n_bigrams = np.bincount(par, minlength=n).astype(np.int64)
+        score_e6 = np.bincount(
+            par, weights=w[feat].astype(np.float64), minlength=n
+        ).astype(np.int64)  # exact: |sum| < 2^53
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"],
+             "is_target": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+             "n_bigrams": pa.array(n_bigrams, pa.int64()),
+             "score_e6": pa.array(score_e6, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_e6(
+    ds: ray.data.Dataset, *, n_buckets: int = 10_000
+) -> np.ndarray:
+    """Train the DSIR hashed-bigram importance weights (shared by
+    q_dsir_weights and q_curation_funnel): one map-side partial-count
+    pass over the corpus, a <= n_buckets-row groupby, e6 fixed-point
+    log-ratio weights."""
     from goose_parser_ray.functions.ml import _round_half_away_e6
     from goose_parser_ray.functions.relational import pre_aggregated_sum
     from goose_parser_ray.functions.textstats import hashed_bigram_features
 
-    B = 10_000
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    B = n_buckets
 
     def count_partial(t: pa.Table) -> pa.Table:
         par, feat = hashed_bigram_features(
@@ -549,30 +590,10 @@ def q_dsir_weights(sf_dir: str):
     t_full[counts["feat"].to_numpy()] = counts["t_cnt"].to_numpy()
     r_full[counts["feat"].to_numpy()] = counts["r_cnt"].to_numpy()
     nt, nr = int(t_full.sum()), int(r_full.sum())
-    w_e6 = _round_half_away_e6(
+    return _round_half_away_e6(
         np.log((t_full + 1) / float(nt + B))
         - np.log((r_full + 1) / float(nr + B))
     ).astype(np.int64)
-    ref = ray.put(w_e6)
-
-    def score(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        par, feat = hashed_bigram_features(
-            t["text"].to_pylist(), n_buckets=B
-        )
-        n = t.num_rows
-        n_bigrams = np.bincount(par, minlength=n).astype(np.int64)
-        score_e6 = np.bincount(
-            par, weights=w[feat].astype(np.float64), minlength=n
-        ).astype(np.int64)  # exact: |sum| < 2^53
-        return pa.Table.from_pydict(
-            {"doc_id": t["doc_id"],
-             "is_target": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
-             "n_bigrams": pa.array(n_bigrams, pa.int64()),
-             "score_e6": pa.array(score_e6, pa.int64())}
-        )
-
-    return ds.map_batches(score, batch_format="pyarrow")
 
 
 SQL_DSIR_WEIGHTS = r"""
@@ -628,4 +649,176 @@ SELECT d.doc_id,
        COALESCE(s.n_bigrams, 0) AS n_bigrams,
        COALESCE(s.score_e6, 0) AS score_e6
 FROM documents d LEFT JOIN doc_score s USING (doc_id)
+"""
+
+
+def q_curation_funnel(sf_dir: str):
+    """FLAGSHIP curation funnel, ORACLE-CHECKED end to end: the corpus
+    flows through three named web-curation gates IN SEQUENCE — Gopher
+    quality rules (Rae et al. 2021) → robots.txt policy (RFC 9309
+    longest-match on the synthesized URL) → DSIR importance ≥ 0 (Xie et
+    al. 2023) — and the result is the attrition table (stage, n_in,
+    n_kept) every corpus report publishes. (C4's line rules are their own
+    oracle-checked query; this corpus is single-line synthetic text, so
+    that stage would zero the funnel and demonstrate nothing.)
+    Engine shape: DSIR weights train in one bounded pass (broadcast
+    once); then a SINGLE map pass evaluates all four gates per batch and
+    emits one 5-counter partial row per block, so the driver folds a
+    block-bounded stream. The DuckDB twin nests the SAME per-gate SQL
+    used by the individual oracle-checked queries, so the composition is
+    hash-compared, not just row counts."""
+    B = 10_000
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    wref = ray.put(dsir_weights_e6(ds, n_buckets=B))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from goose_parser_ray.functions.textstats import (
+            hashed_bigram_features,
+        )
+
+        g = gopher_signals_batch(t.select(["doc_id", "text"]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mod4 = ids % 4
+        robots_ok = (
+            (mod4 == 0) | (mod4 == 2) | ((mod4 == 3) & ((ids % 10) % 2 == 0))
+        )
+        w = ray.get(wref)
+        par, feat = hashed_bigram_features(
+            t["text"].to_pylist(), n_buckets=B
+        )
+        score_e6 = np.bincount(
+            par, weights=w[feat].astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+        m_g = g["keep"].to_numpy(zero_copy_only=False) == 1
+        m_gr = m_g & robots_ok
+        m_grd = m_gr & (score_e6 >= 0)
+        return pa.Table.from_pydict(
+            {
+                "n": [t.num_rows],
+                "n_g": [int(m_g.sum())],
+                "n_gr": [int(m_gr.sum())],
+                "n_grd": [int(m_grd.sum())],
+            }
+        )
+
+    # one partial row per block — the driver folds a block-bounded stream
+    sums = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    chain = [
+        ("0_input", int(sums["n"]), int(sums["n"])),
+        ("1_gopher", int(sums["n"]), int(sums["n_g"])),
+        ("2_robots", int(sums["n_g"]), int(sums["n_gr"])),
+        ("3_dsir", int(sums["n_gr"]), int(sums["n_grd"])),
+    ]
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array([s for s, _, _ in chain], pa.string()),
+            "n_in": pa.array([a for _, a, _ in chain], pa.int64()),
+            "n_kept": pa.array([k for _, _, k in chain], pa.int64()),
+        }
+    )
+
+
+SQL_CURATION_FUNNEL = r"""
+WITH gw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+         length(regexp_replace(text, '\s', '', 'g')) AS sum_chars
+  FROM documents
+), gsig AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(sum_chars AS BIGINT) AS sum_word_chars,
+         CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to',
+                                             'in','is','that','it','for')))
+              AS BIGINT) AS n_stop,
+         CAST(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))
+              AS BIGINT) AS n_alpha_words
+  FROM gw
+), gopher AS (
+  SELECT doc_id,
+         CASE WHEN n_words >= 50 AND n_words <= 100000
+               AND 3 * n_words <= sum_word_chars
+               AND sum_word_chars <= 10 * n_words
+               AND n_stop >= 2
+               AND 10 * n_alpha_words >= 8 * n_words
+          THEN 1 ELSE 0 END AS keep
+  FROM gsig
+), robots AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2
+                   OR (doc_id % 4 = 3 AND (doc_id % 10) % 2 = 0)
+          THEN 1 ELSE 0 END AS allowed
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, w, ord
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+')) AS w,
+           generate_subscripts(
+             regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), 1) AS ord
+    FROM documents
+  ) WHERE w <> ''
+), hashed AS (
+  SELECT doc_id, lang, ord,
+         (SELECT SUM(unicode(substr(w, g.i, 1))
+                     * CAST(pow(31, g.i - 1) AS BIGINT))
+          FROM UNNEST(generate_series(1, least(len(w), 8))) AS g(i))
+           % 10000 AS b,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM tok
+), bg AS (
+  SELECT a.doc_id, a.lang, (a.b * 10007 + b.b) % 10000 AS feat
+  FROM hashed a JOIN hashed b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), cnt AS (
+  SELECT g.f AS feat,
+         COALESCE(SUM(CASE WHEN bg.lang = 'en' THEN 1 ELSE 0 END), 0) AS t_cnt,
+         COALESCE(SUM(CASE WHEN bg.lang <> 'en' THEN 1 ELSE 0 END), 0) AS r_cnt
+  FROM (SELECT unnest(generate_series(0, 9999)) AS f) g
+  LEFT JOIN bg ON bg.feat = g.f
+  GROUP BY g.f
+), tot AS (
+  SELECT SUM(t_cnt) AS nt, SUM(r_cnt) AS nr FROM cnt
+), wts AS (
+  SELECT feat,
+         CAST(CASE WHEN x >= 0 THEN floor(x + 0.5) ELSE ceil(x - 0.5) END
+              AS BIGINT) AS w_e6
+  FROM (
+    SELECT feat,
+           1e6 * (LN((t_cnt + 1) / CAST(nt + 10000 AS DOUBLE))
+                  - LN((r_cnt + 1) / CAST(nr + 10000 AS DOUBLE))) AS x
+    FROM cnt CROSS JOIN tot
+  )
+), dsir AS (
+  SELECT d.doc_id, COALESCE(s.score_e6, 0) AS score_e6
+  FROM documents d LEFT JOIN (
+    SELECT bg.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+    FROM bg JOIN wts w ON w.feat = bg.feat
+    GROUP BY bg.doc_id
+  ) s USING (doc_id)
+), flags AS (
+  SELECT d.doc_id,
+         g.keep AS m_g,
+         g.keep * r.allowed AS m_gr,
+         g.keep * r.allowed
+           * CASE WHEN ds.score_e6 >= 0 THEN 1 ELSE 0 END AS m_grd
+  FROM documents d
+  JOIN gopher g USING (doc_id)
+  JOIN robots r USING (doc_id)
+  JOIN dsir ds USING (doc_id)
+), f AS (
+  SELECT COUNT(*) AS n, SUM(m_g) AS n_g, SUM(m_gr) AS n_gr,
+         SUM(m_grd) AS n_grd
+  FROM flags
+)
+SELECT * FROM (
+  SELECT '0_input' AS stage, CAST(n AS BIGINT) AS n_in,
+         CAST(n AS BIGINT) AS n_kept FROM f
+  UNION ALL
+  SELECT '1_gopher', CAST(n AS BIGINT), CAST(n_g AS BIGINT) FROM f
+  UNION ALL
+  SELECT '2_robots', CAST(n_g AS BIGINT), CAST(n_gr AS BIGINT) FROM f
+  UNION ALL
+  SELECT '3_dsir', CAST(n_gr AS BIGINT), CAST(n_grd AS BIGINT) FROM f
+)
 """
