@@ -1099,3 +1099,126 @@ SELECT s.name, s.code,
          AS is_blocked
 FROM sx s JOIN grp g USING (code)
 """
+
+
+def q_spatial_join(sf_dir: str):
+    """Spatial radius self-join (all point pairs within L2 distance R),
+    ORACLE-CHECKED with exact integer squared distances: customers get
+    deterministic integer coordinates on a 1000×1000 grid, and every
+    pair with d² ≤ R² (R = 15) is found by GRID-CELL BLOCKING — the
+    standard distributed spatial-join shape: each point lands in its
+    R-sized home cell and ghosts into its four BACKWARD neighbor cells,
+    so every ≤R pair co-occurs in EXACTLY one cell group (same cell →
+    home×home once; adjacent cells → home×ghost in the forward point's
+    cell) and no pair is double-emitted — dedup-free by construction.
+    Per-group work is bounded by local density, never corpus size; the
+    one shuffle moves each point five times regardless of n. Verified
+    per candidate with vectorized integer math; the SQL twin is the
+    brute-force cross join."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_coarse_bucket,
+        num_shuffle_buckets,
+    )
+
+    R, R2 = 15, 225
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    n = ds.count()
+    nb = num_shuffle_buckets(n * 5)
+
+    def fan(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (k * 7919) % 1000
+        y = (k * 104729) % 1000
+        cx, cy = x // R, y // R
+        ids, xs, ys, cxs, cys, home = [], [], [], [], [], []
+        for dx, dy, h in (
+            (0, 0, 1), (-1, 0, 0), (0, -1, 0), (-1, -1, 0), (-1, 1, 0)
+        ):
+            ids.append(k)
+            xs.append(x)
+            ys.append(y)
+            cxs.append(cx + dx)
+            cys.append(cy + dy)
+            home.append(np.full(len(k), h, np.int64))
+        out = pa.Table.from_pydict(
+            {
+                "id": pa.array(np.concatenate(ids)),
+                "x": pa.array(np.concatenate(xs)),
+                "y": pa.array(np.concatenate(ys)),
+                "cx": pa.array(np.concatenate(cxs)),
+                "cy": pa.array(np.concatenate(cys)),
+                "home": pa.array(np.concatenate(home)),
+            }
+        )
+        return add_coarse_bucket(out, ["cx", "cy"], nb)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, grp in g.groupby(["cx", "cy"], sort=False):
+            h = grp[grp["home"] == 1]
+            if not len(h):
+                continue
+            gh = grp[grp["home"] == 0]
+            hx = h["x"].to_numpy()
+            hy = h["y"].to_numpy()
+            hid = h["id"].to_numpy()
+            # home × home, i < j
+            if len(h) > 1:
+                iu, ju = np.triu_indices(len(h), k=1)
+                d2 = (hx[iu] - hx[ju]) ** 2 + (hy[iu] - hy[ju]) ** 2
+                keep = d2 <= R2
+                a, b = hid[iu][keep], hid[ju][keep]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_d.append(d2[keep])
+            # home × ghost (each adjacent pair lands in exactly one cell)
+            if len(gh):
+                gx = gh["x"].to_numpy()
+                gy = gh["y"].to_numpy()
+                gid = gh["id"].to_numpy()
+                d2 = (hx[:, None] - gx[None, :]) ** 2 + (
+                    hy[:, None] - gy[None, :]
+                ) ** 2
+                ia, ib = np.nonzero(d2 <= R2)
+                a, b = hid[ia], gid[ib]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_d.append(d2[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "d2": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype("int64"),
+                "id_b": np.concatenate(out_b).astype("int64"),
+                "d2": np.concatenate(out_d).astype("int64"),
+            }
+        )
+
+    fanned = ds.map_batches(fan, batch_format="pyarrow")
+    return fanned.groupby("__b").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+
+SQL_SPATIAL_JOIN = """
+WITH pt AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % 1000 AS x,
+         (c_custkey * 104729) % 1000 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            AS BIGINT) AS d2
+FROM pt a JOIN pt b
+  ON a.id < b.id
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225
+"""

@@ -1048,3 +1048,105 @@ SELECT user_id,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_e4
 FROM events
 """
+
+
+def q_window_frame_funcs(sf_dir: str):
+    """Window-frame function breadth in one query, ORACLE-CHECKED:
+    per-user event streams (deterministic ts→v_e4 order) computing
+    CUME_DIST (exact rational kept as numerator/denominator integers —
+    no float division to disagree on), NTH_VALUE(2) over the full
+    partition, and FIRST/LAST of a ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW moving frame. Same scale shape as the LAG family: hash-bucketed
+    users (one data-proportional shuffle), vectorized sort + rank
+    arithmetic inside the group — per-group payload is a user's events,
+    never the corpus."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [t["user_id"], t["ts"], _cents(t["value"], 10000)],
+            names=["user_id", "ts", "v_e4"],
+        )
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__db")
+
+    def frames(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "v_e4"], kind="mergesort")
+        out_parts = []
+        for uid, u in g.groupby("user_id", sort=False):
+            v = u["v_e4"].to_numpy()
+            n = len(v)
+            # CUME_DIST over ORDER BY v_e4: (# rows with key <= mine) / n,
+            # kept as exact integers (numerator, denominator)
+            order = np.argsort(v, kind="mergesort")
+            sv = v[order]
+            # for each row value, count of values <= it
+            le = np.searchsorted(sv, v, side="right")
+            # NTH_VALUE(2) over the ts order with full-partition frame
+            # -1 sentinel for 1-row partitions (NULL-free on both sides)
+            nth2 = np.full(n, -1, np.int64)
+            if n >= 2:
+                nth2[:] = v[1]
+            # moving frame ROWS 2 PRECEDING .. CURRENT over ts order
+            first_idx = np.maximum(np.arange(n) - 2, 0)
+            frame_first = v[first_idx]
+            frame_last = v  # current row closes the frame
+            out_parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "ts": u["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                        "v_e4": v,
+                        "cume_num": le.astype("int64"),
+                        "cume_den": np.int64(n),
+                        "nth2_e4": nth2,
+                        "frame_first_e4": frame_first.astype("int64"),
+                        "frame_last_e4": frame_last.astype("int64"),
+                    }
+                )
+            )
+        if not out_parts:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=d)
+                    for c, d in (
+                        ("user_id", "int64"), ("ts", "object"),
+                        ("v_e4", "int64"), ("cume_num", "int64"),
+                        ("cume_den", "int64"), ("nth2_e4", "int64"),
+                        ("frame_first_e4", "int64"),
+                        ("frame_last_e4", "int64"),
+                    )
+                }
+            )
+        return pd.concat(out_parts, ignore_index=True)
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__db").map_groups(frames, batch_format="pandas")
+
+
+SQL_WINDOW_FRAME_FUNCS = """
+WITH d AS (
+  SELECT user_id, ts, CAST(ROUND(10000 * value) AS BIGINT) AS v_e4
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v_e4,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) * CUME_DIST()
+              OVER (PARTITION BY user_id ORDER BY v_e4) AS BIGINT)
+         AS cume_num,
+       COUNT(*) OVER (PARTITION BY user_id) AS cume_den,
+       COALESCE(NTH_VALUE(v_e4, 2) OVER (
+         PARTITION BY user_id ORDER BY ts, v_e4
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1)
+         AS nth2_e4,
+       FIRST_VALUE(v_e4) OVER (
+         PARTITION BY user_id ORDER BY ts, v_e4
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_first_e4,
+       LAST_VALUE(v_e4) OVER (
+         PARTITION BY user_id ORDER BY ts, v_e4
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_last_e4
+FROM d
+"""
