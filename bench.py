@@ -55,6 +55,12 @@ TIMED_QUERIES = [
     "media_png",
     "pair_windows",
     "dq_audit",
+    # additive round-4 keys
+    "curation_funnel",
+    "dsir_weights",
+    "winnow_dedup_join",
+    "spatial_join",
+    "knn_classify",
 ]
 
 
