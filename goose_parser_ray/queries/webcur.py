@@ -1,0 +1,367 @@
+"""Web-curation surface round 2: boilerplate main-content extraction at the
+oracle gate, HTML5 encoding sniffing, sitemap ingestion, crawl frontier.
+
+These four close the crawl-side loop around the existing robots.txt / URL /
+link-graph queries (upstream context: goose-parser consumes pages a browser
+already fetched and decoded — SURVEY.md §2.5; at 100 TB the engine owns
+those fetch-adjacent steps itself). Same synthesized-payload oracle pattern
+as ``q_link_graph``: the page/sitemap/byte-stream is a DETERMINISTIC
+function of document columns, so DuckDB states the expected output in
+closed form while the engine must recover it through the real parsing
+stacks (HTML5 tree builder + boilerplate classifier, prescan byte scanner,
+strict XML parser). Any parser regression breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from goose_parser_ray.functions.relational import pre_aggregated_sum
+from goose_parser_ray.queries._shared import _pool, _read
+
+
+# ---------------------------------------------------------------------------
+# boilerplate main-content extraction (the flagship classifier, oracle-paired)
+# ---------------------------------------------------------------------------
+
+
+class _BoilerplateActor:
+    """Synthesize a furniture-laden page around each document's text, run the
+    REAL readability stack (tokenizer → HTML5 tree builder →
+    ``boilerplate.extract_main_text``), emit the surviving content blocks.
+
+    The nav / ad-div / footer / share-bar blocks are constants; the one
+    varying block is the document text (entity-escaped into the markup). A
+    classifier or parser change that leaks furniture into the output — or
+    drops a content block — changes ``n_blocks``/``main_text`` and breaks
+    the oracle hash."""
+
+    def __init__(self) -> None:
+        # compile-once imports (keeps per-batch work to the parse kernel)
+        from goose_parser_ray.boilerplate import extract_main_text
+        from goose_parser_ray.html.treebuilder import parse_html
+
+        self._parse = parse_html
+        self._extract = extract_main_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from goose_parser_ray.functions.linkgraph import _escape_text
+
+        ids = batch["doc_id"].to_pylist()
+        texts = _escape_text(batch["text"]).to_pylist()
+        n_blocks: list[int] = []
+        main_text: list[str] = []
+        for doc_id, esc in zip(ids, texts):
+            page = (
+                "<html><body>"
+                '<nav class="menu"><a href="/">Home</a><a href="/a">About</a></nav>'
+                '<div class="ads"><a href="/buy">Buy now!!!</a></div>'
+                f"<article><h1>Title {doc_id}</h1><p>{esc}</p></article>"
+                f'<div class="content"><p>Second block {doc_id}</p></div>'
+                "<footer>&#169; site</footer>"
+                "</body></html>"
+            )
+            blocks = self._extract(self._parse(page))
+            n_blocks.append(len(blocks))
+            main_text.append(" | ".join(blocks))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(n_blocks, pa.int64()),
+                pa.array(main_text, pa.string()),
+            ],
+            names=["doc_id", "n_blocks", "main_text"],
+        )
+
+
+def q_boilerplate_main(sf_dir: str):
+    """Main-content extraction (readability/jusText shape), ORACLE-CHECKED.
+
+    The flagship's boilerplate classifier has until now been exercised only
+    through rows-only extraction queries; here its exact block output is
+    value-hashed. Map-only (actor pool, parse kernel per doc — same cost
+    model as the extraction flagship); no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        _BoilerplateActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(_pool(), _pool()),
+    )
+    return out.sort("doc_id")
+
+
+SQL_BOILERPLATE_MAIN = r"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN nt = '' THEN 2 ELSE 3 END AS BIGINT) AS n_blocks,
+       'Title ' || doc_id || ' | '
+         || CASE WHEN nt = '' THEN '' ELSE nt || ' | ' END
+         || 'Second block ' || doc_id AS main_text
+FROM t
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML5 encoding sniffing (BOM + meta prescan)
+# ---------------------------------------------------------------------------
+
+_PAD = b"<p>" + b"pad " * 300 + b"</p>"  # pushes a late meta past the window
+
+
+def _charset_payload(doc_id: int) -> bytes:
+    """Deterministic byte payload per document — eight prescan shapes
+    including comment/attribute/text decoys and an out-of-window meta."""
+    v = doc_id % 8
+    if v == 0:
+        return b"\xef\xbb\xbf<html><head></head><body>hi</body></html>"
+    if v == 1:
+        return b"\xff\xfe" + "<html><body>hi</body></html>".encode("utf-16-le")
+    if v == 2:
+        return b"\xfe\xff" + "<html><body>hi</body></html>".encode("utf-16-be")
+    if v == 3:
+        return (
+            b'<!-- <meta charset="utf-7"> -->'
+            b'<meta charset="ISO-8859-1"><title>x</title>'
+        )
+    if v == 4:
+        return (
+            b'<html><head><meta http-equiv="Content-Type" '
+            b'content="text/html; charset=windows-1250"></head></html>'
+        )
+    if v == 5:
+        return (
+            b'<meta content="text/html; charset=UTF-16BE" '
+            b'http-equiv="content-type">'
+        )
+    if v == 6:
+        return b"<head><meta charset=x-user-defined></head>"
+    return (
+        b'<a href="?charset=utf-8">x</a><p>charset=koi8-r</p>'
+        + _PAD
+        + b'<meta charset="utf-8">'
+    )
+
+
+def q_charset_prescan(sf_dir: str):
+    """HTML5 encoding sniffing (WHATWG §13.2.3.2 BOM + prescan),
+    ORACLE-CHECKED. Eight payload shapes per ``doc_id % 8``: three BOMs, a
+    comment-decoy meta, a content-type pragma, a declared utf-16 (rewritten
+    to utf-8 per spec), an unquoted x-user-defined, and a page whose only
+    real meta sits past the 1024-byte window behind attribute/text decoys.
+    The sniffer must skip comments, parse attributes with the spec's `get
+    an attribute` routine, and honor the window — shortcut regexes fail the
+    decoys. Map-only byte scan; no shuffle."""
+    from goose_parser_ray.functions.charsniff import sniff_encoding
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def sniff(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        enc: list[str] = []
+        src: list[str] = []
+        for i in ids:
+            e, s = sniff_encoding(_charset_payload(i))
+            enc.append(e)
+            src.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(enc, pa.string()),
+                pa.array(src, pa.string()),
+            ],
+            names=["doc_id", "encoding", "source"],
+        )
+
+    return ds.map_batches(sniff, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_CHARSET_PRESCAN = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'utf-8'      WHEN 1 THEN 'utf-16le'
+         WHEN 2 THEN 'utf-16be'   WHEN 3 THEN 'windows-1252'
+         WHEN 4 THEN 'windows-1250' WHEN 5 THEN 'utf-8'
+         WHEN 6 THEN 'windows-1252' ELSE 'windows-1252'
+       END AS encoding,
+       CASE doc_id % 8
+         WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+         WHEN 7 THEN 'default' ELSE 'meta'
+       END AS source
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion (strict XML → frontier candidates)
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_xml(doc_id: int) -> str:
+    n = doc_id % 5 + 1
+    site = doc_id % 10
+    entries = []
+    for k in range(1, n + 1):
+        month = (doc_id + k) % 12 + 1
+        if (doc_id + k) % 7 == 0:
+            path = f"/private/x{k}"
+        else:
+            path = f"/p/{(doc_id * 11 + k) % 500}"
+        entries.append(
+            f"<url><loc>https://site{site}.com{path}</loc>"
+            f"<lastmod>2026-{month:02d}-01</lastmod></url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(entries)
+        + "</urlset>"
+    )
+
+
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap ingestion (sitemaps.org protocol), ORACLE-CHECKED: one XML
+    sitemap per document is parsed with the STRICT mini-XML parser
+    (``functions/xmlmini.py`` — no HTML-style recovery), then filtered the
+    way a frontier builder would: drop entries last modified before June
+    and anything under ``/private/`` (the robots-disallowed prefix from
+    ``q_robots_rules``). Filters read the PARSED ``<loc>``/``<lastmod>``
+    values, so an entity-decoding or nesting bug surfaces as a hash
+    mismatch. Map-only; no shuffle."""
+    from goose_parser_ray.functions.xmlmini import parse_sitemap
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_url: list[str] = []
+        out_mod: list[str] = []
+        for doc_id in t["doc_id"].to_pylist():
+            for ent in parse_sitemap(_sitemap_xml(doc_id)):
+                loc, lastmod = ent["loc"], ent["lastmod"]
+                if int(lastmod[5:7]) < 6:
+                    continue
+                path = loc.split(".com", 1)[1]
+                if path.startswith("/private/"):
+                    continue
+                out_id.append(doc_id)
+                out_url.append(loc)
+                out_mod.append(lastmod)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_url, pa.string()),
+                pa.array(out_mod, pa.string()),
+            ],
+            names=["doc_id", "url", "lastmod"],
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow").sort(
+        ["doc_id", "url"]
+    )
+
+
+SQL_SITEMAP_URLS = """
+WITH e AS (
+  SELECT d.doc_id,
+         (d.doc_id + g.k) % 12 + 1 AS month,
+         ((d.doc_id + g.k) % 7 = 0) AS priv,
+         'https://site' || (d.doc_id % 10) || '.com'
+           || CASE WHEN (d.doc_id + g.k) % 7 = 0 THEN '/private/x' || g.k
+                   ELSE '/p/' || (d.doc_id * 11 + g.k) % 500 END AS url
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 5 + 1)) AS k) g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+       '2026-' || lpad(CAST(month AS VARCHAR), 2, '0') || '-01' AS lastmod
+FROM e
+WHERE month >= 6 AND NOT priv
+ORDER BY doc_id, url
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier (link graph → uncrawled targets, politeness-capped)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier construction, ORACLE-CHECKED: hyperlink targets are
+    recovered through the REAL extraction stack (``extract_links`` — the
+    same tokenizer → tree builder → ``a[href]`` selector path as
+    ``q_link_graph``), restricted to uncrawled pages (synthetic partial
+    crawl: ``dst % 4 == 0``), in-degree-ranked, and politeness-capped at 5
+    per domain (``dst % 10``). The shuffle moves only per-(batch, dst)
+    partials; the per-domain cap is the two-phase top-N (map-side head →
+    per-domain exact rank)."""
+    from goose_parser_ray.functions.linkgraph import extract_links
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = extract_links(ds, concurrency=_pool())
+
+    def uncrawled(t: pa.Table) -> pa.Table:
+        dst = t["dst"]
+        mod4 = pc.subtract(dst, pc.multiply(pc.divide(dst, 4), pa.scalar(4, pa.int64())))
+        return t.filter(pc.equal(mod4, 0))
+
+    edges = edges.map_batches(uncrawled, batch_format="pyarrow")
+    deg = pre_aggregated_sum(edges, ["dst"], {}, count_alias="in_degree")
+
+    def add_domain(t: pa.Table) -> pa.Table:
+        dst = t["dst"]
+        dom = pc.subtract(
+            dst, pc.multiply(pc.divide(dst, 10), pa.scalar(10, pa.int64()))
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(dom, pa.int64()), dst, t["in_degree"]],
+            names=["domain", "dst", "in_degree"],
+        )
+
+    deg = deg.map_batches(add_domain, batch_format="pyarrow")
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["domain", "in_degree", "dst"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("domain", as_index=False).head(5), preserve_index=False
+        )
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["domain", "in_degree", "dst"], ascending=[True, False, True]
+        )
+        out = g.groupby("domain", as_index=False).head(5).copy()
+        out["rnk"] = out.groupby("domain").cumcount() + 1
+        return out.sort_values(["domain", "dst"])
+
+    deg = deg.map_batches(local_top, batch_format="pyarrow")
+    return deg.groupby("domain").map_groups(final_top, batch_format="pandas")
+
+
+SQL_CRAWL_FRONTIER = """
+WITH edges AS (
+  SELECT CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+), deg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM edges WHERE dst % 4 = 0 GROUP BY dst
+), r AS (
+  SELECT CAST(dst % 10 AS BIGINT) AS domain, dst, in_degree,
+         ROW_NUMBER() OVER (PARTITION BY dst % 10
+                            ORDER BY in_degree DESC, dst ASC) AS rnk
+  FROM deg
+)
+SELECT domain, dst, in_degree, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+ORDER BY domain, dst
+"""
