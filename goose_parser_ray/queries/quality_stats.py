@@ -1,0 +1,394 @@
+"""Quality / statistics surface round 4b: Benford digit audit, Flesch
+readability, autocorrelation, compressibility gate, WordPiece encoding.
+
+Same parity discipline as the rest of the surface (package docstring):
+integer fixed-point everywhere, any unavoidable float op mirrored op-for-op
+on both sides, divisions only over non-negative integers (DuckDB ``//``
+truncates toward zero on negatives while Python floors — so negatives never
+meet a division here; the ACF query emits exact numerator/denominator pairs
+instead of dividing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from goose_parser_ray.functions.relational import pre_aggregated_sum
+from goose_parser_ray.queries._shared import _cents, _read
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit over lineitem prices,
+    ORACLE-CHECKED: observed count and e6 share per leading digit next to
+    the Benford expectation ``log10(1 + 1/d)`` (the classic anomaly screen
+    for machine-generated or tampered numeric columns). Map-side 9-row
+    digit partials; the exchange carries one row per (batch, digit); the
+    one float op (log10) is mirrored FLOOR-for-FLOOR in the twin."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"])
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1),
+            pa.int64(),
+        )
+        d = digit.to_numpy(zero_copy_only=False)
+        counts = np.bincount(d, minlength=10)
+        keep = np.nonzero(counts)[0]
+        return pa.Table.from_pydict(
+            {
+                "digit": keep.astype(np.int64),
+                "n_obs": counts[keep].astype(np.int64),
+            }
+        )
+
+    g = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["digit"],
+        sums={"n_obs": "n_obs"},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        digit = t["digit"].to_numpy(zero_copy_only=False)
+        n_obs = t["n_obs"].to_numpy(zero_copy_only=False)
+        tot = int(n_obs.sum())
+        share = (n_obs * 1_000_000) // tot
+        benford = np.array(
+            [math.floor(1_000_000 * math.log10(1 + 1.0 / d)) for d in digit],
+            dtype=np.int64,
+        )
+        order = np.argsort(digit)
+        return pa.Table.from_pydict(
+            {
+                "digit": digit[order],
+                "n_obs": n_obs[order],
+                "share_e6": share[order].astype(np.int64),
+                "benford_e6": benford[order],
+            }
+        )
+
+    # ≤9 rows past the aggregate — the final fold runs in one block
+    return g.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (
+  SELECT CAST(ROUND(100 * l_extendedprice) AS BIGINT) AS cents FROM lineitem
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+), g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+)
+SELECT digit, n_obs,
+       CAST(n_obs * 1000000 // (SELECT SUM(n_obs) FROM g) AS BIGINT) AS share_e6,
+       CAST(FLOOR(1000000 * log10(1 + 1.0 / digit)) AS BIGINT) AS benford_e6
+FROM g ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (readability quality signal)
+# ---------------------------------------------------------------------------
+
+
+def q_flesch_reading(sf_dir: str):
+    """Flesch reading-ease per document, ORACLE-CHECKED at e4 fixed point:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with the
+    standard heuristics (sentences = punctuation runs, syllables = vowel
+    runs incl. y) — the readability member of the quality-signal family
+    next to Gopher/C4. Pure vectorized RE2 counting, map-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        def runs(pat: str) -> np.ndarray:
+            return (
+                pc.count_substring_regex(t["text"], pattern=pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        words = np.maximum(runs(r"\S+"), 1)
+        sents = np.maximum(runs(r"[.!?]+"), 1)
+        syll = np.maximum(runs(r"[aeiouyAEIOUY]+"), 1)
+        flesch_e4 = (
+            2_068_350 - (10_150 * words) // sents - (846_000 * syll) // words
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "words": words,
+                "sentences": sents,
+                "syllables": syll,
+                "flesch_e4": flesch_e4,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_FLESCH_READING = r"""
+WITH s AS (
+  SELECT doc_id,
+    GREATEST(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS words,
+    GREATEST(CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+    GREATEST(CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT), 1) AS syllables
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, words, sentences, syllables,
+       CAST(2068350 - (10150 * words) // sentences
+                    - (846000 * syllables) // words AS BIGINT) AS flesch_e4
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the daily event volume (seasonality screen)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q_acf_daily(sf_dir: str):
+    """Autocorrelation of daily event counts at lags 1–7, ORACLE-CHECKED
+    with EXACT integers: over the zero-filled day spine, emits per lag the
+    centered cross-product numerator ``Σ(n·xₜ−S)(n·xₜ₊ₖ−S)`` and the
+    variance denominator ``Σ(n·xₜ−S)²`` (both scaled by n² — no division,
+    no floats; r_k = num/den for the reader). The weekly-seasonality screen
+    a scheduling pipeline runs before trusting day-of-week mixes. Map-side
+    day partials (day-domain-bounded exchange), final fold in one block."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        uniq, counts = np.unique(day, return_counts=True)
+        return pa.Table.from_pydict(
+            {"day": uniq.astype(np.int64), "x": counts.astype(np.int64)}
+        )
+
+    g = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["day"],
+        sums={"x": "x"},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        d0, d1 = int(day.min()), int(day.max())
+        spine = np.zeros(d1 - d0 + 1, dtype=np.int64)
+        spine[day - d0] = x
+        n = np.int64(len(spine))
+        s = np.int64(spine.sum())
+        cx = n * spine - s  # exact int64: n ≤ spine days, x ≤ events/day
+        den = int((cx * cx).sum())
+        lags = list(range(1, _ACF_MAX_LAG + 1))
+        nums = [int((cx[:-k] * cx[k:]).sum()) for k in lags]
+        return pa.Table.from_pydict(
+            {
+                "lag": np.array(lags, dtype=np.int64),
+                "num": np.array(nums, dtype=np.int64),
+                "den": np.full(len(lags), den, dtype=np.int64),
+            }
+        )
+
+    # day-domain-bounded table → single-block exact fold
+    return g.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ACF_DAILY = """
+WITH c AS (
+  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM c),
+spine AS (
+  SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b))) AS d
+), s AS (
+  SELECT spine.d, COALESCE(c.x, 0) AS x FROM spine LEFT JOIN c ON spine.d = c.d
+), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM s),
+z AS (SELECT d, (SELECT n FROM m) * x - (SELECT sx FROM m) AS cx FROM s)
+SELECT CAST(g.k AS BIGINT) AS lag,
+       CAST(SUM(z1.cx * z2.cx) AS BIGINT) AS num,
+       (SELECT CAST(SUM(cx * cx) AS BIGINT) FROM z) AS den
+FROM (SELECT unnest(generate_series(1, 7)) AS k) g, z z1, z z2
+WHERE z2.d = z1.d + g.k
+GROUP BY g.k ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# compressibility gate (zlib-ratio quality screen) — no SQL twin (zlib)
+# ---------------------------------------------------------------------------
+
+
+def q_zlib_gate(sf_dir: str):
+    """Compression-ratio quality gate (rows-only — DuckDB has no zlib):
+    per-document deflate ratio at fixed level 6; documents compressing too
+    well are template/repetition junk, documents that barely compress are
+    encoded noise — the cheap screen CCNet/RefinedWeb-style pipelines run
+    before any model scoring. Deterministic (fixed level, single library),
+    so the driver's two-run hash check holds; ``crc32`` doubles as a
+    self-verifying payload checksum. Map-only; zlib runs at C speed."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        raw_len: list[int] = []
+        zlen: list[int] = []
+        crc: list[int] = []
+        for s in texts:
+            b = s.encode("utf-8")
+            raw_len.append(len(b))
+            zlen.append(len(zlib.compress(b, 6)))
+            crc.append(zlib.crc32(b))
+        raw = np.array(raw_len, dtype=np.int64)
+        z = np.array(zlen, dtype=np.int64)
+        ratio_e4 = (z * 10_000) // np.maximum(raw, 1)
+        keep = (ratio_e4 >= 2_000) & (ratio_e4 <= 9_000)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_len": raw,
+                "zlib_len": z,
+                "ratio_e4": ratio_e4.astype(np.int64),
+                "crc32": np.array(crc, dtype=np.int64),
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece encoding (BERT tokenizer family), corpus-derived vocab
+# ---------------------------------------------------------------------------
+
+_WP_TOP_WORDS = 30
+
+
+def q_wordpiece_encode(sf_dir: str):
+    """WordPiece encoding with a corpus-derived vocab, ORACLE-CHECKED.
+
+    Vocab = the corpus top-30 words (whole-word tokens; distributed
+    wordcount, (n DESC, word ASC) tie-break) plus every observed char and
+    char-bigram in start and ``##`` forms — the coverage floor that makes
+    greedy longest-match-first segmentation closed-form: an in-vocab word
+    is 1 piece, anything else ``ceil(len/2)`` (bigram steps + odd-tail
+    char), which is exactly what the SQL twin states. The ENGINE runs the
+    real greedy matcher (``functions/wordpiece.py``) — a segmentation bug
+    (wrong ## handling, off-by-one cursor, missed longest match) changes
+    the piece counts and breaks the hash. Vocab build is bounded-domain
+    partials + one small groupby; encode is map-only with the vocab
+    broadcast once in the plan closure."""
+    from goose_parser_ray.functions.wordpiece import build_vocab, encode_word
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(pc.fill_null(t["text"], ""), pattern=r"\s+")
+        )
+        s = pd.Series(words.to_pylist(), dtype=object)
+        vc = s[s != ""].value_counts()
+        return pa.Table.from_pydict(
+            {"word": vc.index.tolist(), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    counts = pre_aggregated_sum(
+        ds.map_batches(word_partial, batch_format="pyarrow"),
+        keys=["word"],
+        sums={"n": "n"},
+    )
+    top = counts.sort(["n", "word"], descending=[True, False]).limit(
+        _WP_TOP_WORDS
+    )
+    top_words = [r["word"] for r in top.take_all()]
+
+    # observed chars/bigrams: bounded-domain (≤ |charset|²) distinct fold
+    def piece_partial(t: pa.Table) -> pa.Table:
+        pieces: set[str] = set()
+        for w in t["word"].to_pylist():
+            pieces.update(w)
+            pieces.update(w[i : i + 2] for i in range(len(w) - 1))
+        return pa.Table.from_pydict({"piece": sorted(pieces)})
+
+    pieces_ds = pre_aggregated_sum(
+        counts.map_batches(piece_partial, batch_format="pyarrow"),
+        keys=["piece"],
+        sums={},
+        count_alias="n",
+    )
+    observed = [r["piece"] for r in pieces_ds.take_all()]
+    chars = {p for p in observed if len(p) == 1}
+    bigrams = {p for p in observed if len(p) == 2}
+    vocab = build_vocab(top_words, chars, bigrams)
+    whole = set(top_words)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n_words: list[int] = []
+        n_whole: list[int] = []
+        n_pieces: list[int] = []
+        for s in texts:
+            words = s.split()
+            np_total = 0
+            nw_whole = 0
+            for w in words:
+                p = encode_word(w, vocab)
+                np_total += len(p)
+                if len(p) == 1 and p[0] in whole:
+                    nw_whole += 1
+            n_words.append(len(words))
+            n_whole.append(nw_whole)
+            n_pieces.append(np_total)
+        out = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_whole": pa.array(n_whole, pa.int64()),
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_words"], 0))
+
+    return ds.map_batches(encode, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_WORDPIECE_ENCODE = r"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents
+), top AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 30
+  )
+), dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CASE WHEN word IN (SELECT word FROM top) THEN 1 ELSE 0 END AS whole,
+         CASE WHEN word IN (SELECT word FROM top)
+              THEN 1 ELSE (length(word) + 1) // 2 END AS np
+  FROM dw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(whole) AS BIGINT) AS n_whole,
+       CAST(SUM(np) AS BIGINT) AS n_pieces
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
