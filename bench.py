@@ -61,6 +61,12 @@ TIMED_QUERIES = [
     "winnow_dedup_join",
     "spatial_join",
     "knn_classify",
+    # additive round-4 session-6 keys (crawl-side + quality/stats batch)
+    "boilerplate_main",
+    "charset_prescan",
+    "media_tiff",
+    "wordpiece_encode",
+    "late_events",
 ]
 
 

@@ -535,3 +535,58 @@ class BmpStatsActor:
         for name, vals in zip(("r00", "g00", "b00"), corner):
             batch = batch.append_column(name, pa.array(vals, pa.int64()))
         return batch
+
+
+class TiffStatsActor:
+    """REAL TIFF decode stage (baseline uncompressed via ``tiffmini.py``):
+    the IFD is walked and multi-strip rasters reassembled per payload, then
+    summarized as EXACT integers — width, height, per-channel sums, the
+    top-left pixel (channel-order/orientation proof) and ``n_strips`` (the
+    reassembly proof: a decoder that reads only the first strip, or
+    mis-sizes strips, changes the sums or raises). Codec bound once per
+    actor; small batches for wide binaries."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.tiffmini import decode_tiff
+
+        self._decode = decode_tiff
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, strips = [], [], []
+        sums = [[], [], []]
+        corner = [[], [], []]
+        for p in batch[self.payload_col].to_pylist():
+            raw = p or b""
+            img = self._decode(raw).astype(np.int64)
+            if img.ndim != 3:
+                raise ValueError("TIFF stats stage expects RGB payloads")
+            h, w = img.shape[:2]
+            widths.append(w)
+            heights.append(h)
+            # count strips straight from the wire (offset table length)
+            import struct as _struct
+
+            endian = "<" if raw[:2] == b"II" else ">"
+            (ifd,) = _struct.unpack_from(endian + "I", raw, 4)
+            (n_entries,) = _struct.unpack_from(endian + "H", raw, ifd)
+            n_strips = 0
+            for i in range(n_entries):
+                tag, _typ, count = _struct.unpack_from(
+                    endian + "HHI", raw, ifd + 2 + 12 * i
+                )
+                if tag == 273:
+                    n_strips = count
+            strips.append(n_strips)
+            for c in range(3):
+                sums[c].append(int(img[:, :, c].sum()))
+                corner[c].append(int(img[0, 0, c]))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("width", pa.array(widths, pa.int64()))
+        batch = batch.append_column("height", pa.array(heights, pa.int64()))
+        batch = batch.append_column("n_strips", pa.array(strips, pa.int64()))
+        for name, vals in zip(("r_sum", "g_sum", "b_sum"), sums):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        for name, vals in zip(("r00", "g00", "b00"), corner):
+            batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        return batch

@@ -1979,3 +1979,73 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS b00
 FROM pix GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_media_tiff(sf_dir: str):
+    """REAL TIFF pipeline (baseline uncompressed, the IFD/strip sibling of
+    q_media_bmp), ORACLE-CHECKED: deterministic RGB gradients are encoded
+    to actual little-endian TIFF bytes with 4-row strips (heights chosen so
+    every image spans ≥2 strips), decoded back by the in-repo ``tiffmini``
+    codec in an actor pool — IFD walk, out-of-line value arrays, strip
+    reassembly — and summarized as exact integers incl. the top-left pixel
+    (orientation/channel-order proof) and ``n_strips`` (reassembly proof).
+    Closed-form SQL twin states every pixel."""
+    from goose_parser_ray.functions.multimodal import TiffStatsActor
+    from goose_parser_ray.functions.tiffmini import encode_tiff
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 6 + (d % 7)
+            h = 5 + (d % 6)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((31 * i + 17 * j + 53 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_tiff(img, rows_per_strip=4))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        TiffStatsActor,
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+        concurrency=(2, max(2, _pool() // 2)),
+    ).sort("doc_id")
+
+
+SQL_MEDIA_TIFF = """
+WITH dims AS (
+  SELECT doc_id, 6 + (doc_id % 7) AS width, 5 + (doc_id % 6) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.doc_id, d.width, d.height, c.c, i.i, j.j,
+         (31 * i.i + 17 * j.j + 53 * c.c + d.doc_id) % 256 AS val
+  FROM dims d,
+       (SELECT unnest(generate_series(0, 10)) AS i) i,
+       (SELECT unnest(generate_series(0, 12)) AS j) j,
+       (SELECT unnest(generate_series(0, 2)) AS c) c
+  WHERE i.i < d.height AND j.j < d.width
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MAX(width) AS BIGINT) AS width,
+       CAST(MAX(height) AS BIGINT) AS height,
+       CAST((MAX(height) + 3) // 4 AS BIGINT) AS n_strips,
+       CAST(SUM(CASE WHEN c = 0 THEN val END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c = 1 THEN val END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c = 2 THEN val END) AS BIGINT) AS b_sum,
+       CAST(MAX(CASE WHEN c = 0 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS r00,
+       CAST(MAX(CASE WHEN c = 1 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS g00,
+       CAST(MAX(CASE WHEN c = 2 AND i = 0 AND j = 0 THEN val END) AS BIGINT)
+         AS b00
+FROM pix
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -392,3 +392,225 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(SUM(np) AS BIGINT) AS n_pieces
 FROM p GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark audit (late-event detection, distributed prefix-max)
+# ---------------------------------------------------------------------------
+
+_LATE_ALLOWED_S = 600  # allowed lateness before an event counts as late
+
+
+def q_late_events(sf_dir: str):
+    """Streaming late-data audit, ORACLE-CHECKED: per event-type stream, the
+    watermark is the running max event time in ARRIVAL order (event_id);
+    an event more than 600 s behind the watermark at its arrival is late —
+    the audit every watermark-based windowing deployment runs before
+    trusting its drop policy. The running max is inherently sequential, so
+    it distributes as the classic two-phase scan: arrival-range buckets →
+    per-(type, bucket) local prefix max + bucket summary (≤ buckets×types
+    tiny rows to the driver) → exclusive per-type running max over bucket
+    summaries → seeded second pass. Exact integer seconds throughout."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import add_hash_bucket, num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    n = ds.count()
+    nb = num_shuffle_buckets(n)
+    mx = int(ds.max("event_id"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        b = eid * nb // (mx + 1)  # contiguous arrival ranges
+        return pa.Table.from_pydict(
+            {
+                "event_id": eid,
+                "event_type": t["event_type"],
+                "sec": sec.astype(np.int64),
+                "__b": b.astype(np.int64),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # phase 1: per (bucket, type) max arrival-time — tiny summary table
+    def summary_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["__b", "event_type"], as_index=False)["sec"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    summaries = (
+        bucketed.map_batches(summary_partial, batch_format="pyarrow")
+        .groupby(["__b", "event_type"])
+        .max("sec")
+        .take_all()
+    )  # ≤ buckets × |types| rows — bounded by design
+    base: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for row in sorted(summaries, key=lambda r: (r["event_type"], r["__b"])):
+        key = (int(row["__b"]), row["event_type"])
+        base[key] = running.get(row["event_type"], -(1 << 62))
+        running[row["event_type"]] = max(
+            running.get(row["event_type"], -(1 << 62)), int(row["max(sec)"])
+        )
+
+    # phase 2: seeded in-bucket arrival scan
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_late": pd.Series([], dtype=np.int64),
+                    "max_lateness_s": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = []
+        for (b, et), sub in g.groupby(["__b", "event_type"], sort=False):
+            sub = sub.sort_values("event_id", kind="mergesort")
+            sec = sub["sec"].to_numpy(np.int64)
+            prev = np.empty_like(sec)
+            prev[0] = base[(int(b), et)]
+            if len(sec) > 1:
+                # exclusive running max, seeded with the prior buckets' max
+                np.maximum.accumulate(sec[:-1], out=prev[1:])
+                prev[1:] = np.maximum(prev[1:], prev[0])
+            lateness = np.maximum(prev - sec, 0)
+            out.append(
+                {
+                    "event_type": et,
+                    "n_events": len(sec),
+                    "n_late": int((lateness > _LATE_ALLOWED_S).sum()),
+                    "max_lateness_s": int(lateness.max()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    per_bucket = bucketed.groupby("__b").map_groups(fold, batch_format="pandas")
+
+    # ≤ buckets × |types| partial rows → single-block final combine
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby("event_type", as_index=False)
+            .agg(
+                n_events=("n_events", "sum"),
+                n_late=("n_late", "sum"),
+                max_lateness_s=("max_lateness_s", "max"),
+            )
+            .sort_values("event_type")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return per_bucket.repartition(1).map_batches(combine, batch_format="pyarrow")
+
+
+SQL_LATE_EVENTS = """
+WITH d AS (
+  SELECT event_type, event_id,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              AS BIGINT) AS sec
+  FROM events
+), w AS (
+  SELECT event_type, sec,
+         MAX(sec) OVER (PARTITION BY event_type ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm - sec > 600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN wm > sec THEN wm - sec ELSE 0 END), 0)
+            AS BIGINT) AS max_lateness_s
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture (multi-source LM data balancing)
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-scaled source sampling (the mT5/XLM-R α=0.5 recipe),
+    ORACLE-CHECKED: per-source budgets ∝ n_s^α flatten the source
+    distribution — big crawl sources get thinned, small curated sources
+    keep everything — then a deterministic Knuth-hash ppm gate admits
+    documents. Source counts are one bounded partial pass; per-source keep
+    rates are computed driver-side in EXACT arbitrary-precision ints (the
+    one float, √n_s, is mirrored FLOOR(SQRT(·)) in the twin); the gate
+    itself is a broadcast-rate pure map — no shuffle anywhere."""
+    import math
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum as _pas
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t["source"].to_pylist(), dtype=object).value_counts()
+        return pa.Table.from_pydict(
+            {"source": vc.index.tolist(), "n_s": vc.to_numpy().astype(np.int64)}
+        )
+
+    counts = _pas(
+        ds.map_batches(src_partial, batch_format="pyarrow"),
+        keys=["source"],
+        sums={"n_s": "n_s"},
+    ).take_all()  # ≤ |sources| rows — bounded domain
+
+    n_by_src = {r["source"]: int(r["n_s"]) for r in counts}
+    tot = sum(n_by_src.values())
+    budget = tot // 2
+    s_by_src = {
+        src: int(math.floor(math.sqrt(n * 1_000_000.0)))
+        for src, n in n_by_src.items()
+    }  # mirrored: FLOOR(SQRT(n_s * 1000000.0))
+    s_sum = sum(s_by_src.values())
+    r_ppm = {
+        src: min(
+            1_000_000, (budget * s_by_src[src] * 1_000_000) // (s_sum * n)
+        )
+        for src, n in n_by_src.items()
+    }  # Python ints — exact at any corpus size
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rates = np.array(
+            [r_ppm[s] for s in t["source"].to_pylist()], dtype=np.int64
+        )
+        hv = (ids * 2654435761) % 4294967296 % 1_000_000
+        keep = hv < rates
+        return pa.Table.from_pydict(
+            {"doc_id": ids[keep], "source": np.array(t["source"].to_pylist(), dtype=object)[keep]}
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_s,
+         CAST(FLOOR(SQRT(n_s * 1000000.0)) AS BIGINT) AS s_s
+  FROM n
+), t AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS tot, CAST(SUM(s_s) AS BIGINT) AS ss FROM s
+), r AS (
+  SELECT source,
+         LEAST(1000000,
+               ((SELECT tot FROM t) // 2) * s_s * 1000000
+                 // ((SELECT ss FROM t) * n_s)) AS r_ppm
+  FROM s
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.r_ppm
+ORDER BY d.doc_id
+"""
