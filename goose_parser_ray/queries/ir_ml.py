@@ -109,10 +109,12 @@ def q_media_ppm(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        PpmChannelStatsActor,
+        # task pool, not actor pool: setup is an import bind — actor
+        # spin-up costs more than it saves (measured on media_png:
+        # stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: PpmChannelStatsActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     ).sort("doc_id")
 
 

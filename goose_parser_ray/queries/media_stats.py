@@ -204,10 +204,12 @@ def q_media_wav(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        WavFeatureActor,
+        # task pool, not actor pool: WavFeatureActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: WavFeatureActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -259,10 +261,12 @@ def q_media_png(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        PngStatsActor,
+        # task pool, not actor pool: setup is an import bind — actor
+        # spin-up costs more than it saves (measured here: stage wall
+        # 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: PngStatsActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -318,10 +322,12 @@ def q_audio_spectrum(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        SpectrumActor,
+        # task pool, not actor pool: SpectrumActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: SpectrumActor()(t),
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -591,10 +597,12 @@ def q_media_pdf(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        PdfTextActor,
+        # task pool, not actor pool: PdfTextActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: PdfTextActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -1883,10 +1891,12 @@ def q_media_gif(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        GifStatsActor,
+        # task pool, not actor pool: GifStatsActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: GifStatsActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -1944,10 +1954,12 @@ def q_media_bmp(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        BmpStatsActor,
+        # task pool, not actor pool: BmpStatsActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: BmpStatsActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     ).sort("doc_id")
 
 
@@ -2011,10 +2023,12 @@ def q_media_tiff(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        TiffStatsActor,
+        # task pool, not actor pool: TiffStatsActor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: TiffStatsActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     ).sort("doc_id")
 
 

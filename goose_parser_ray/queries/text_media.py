@@ -295,10 +295,12 @@ def q_media_pgm(sf_dir: str):
         synth, batch_format="pyarrow"
     )
     return ds.map_batches(
-        PgmThumbnailActor,
+        # task pool, not actor pool: setup is an import bind — actor
+        # spin-up costs more than it saves (measured on media_png:
+        # stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: PgmThumbnailActor()(t),
         batch_format="pyarrow",
         batch_size=64,  # wide binary payloads — small batches (guide)
-        concurrency=(2, max(2, _pool() // 2)),
     )
 
 
@@ -599,10 +601,12 @@ def q_image_ahash_dedup(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id"])
         .map_batches(synth, batch_format="pyarrow")
         .map_batches(
-            ImageAHashActor,
+            # task pool, not actor pool: setup is an import bind — actor
+            # spin-up costs more than it saves (measured on media_png:
+            # stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+            lambda t: ImageAHashActor()(t),
             batch_format="pyarrow",
             batch_size=64,  # wide binary payloads — small batches (guide)
-            concurrency=(2, max(2, _pool() // 2)),
         )
     )
     counts = pre_aggregated_sum(
