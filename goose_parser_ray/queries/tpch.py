@@ -1503,17 +1503,36 @@ def q_waiting_suppliers(sf_dir: str):
         return pa.Table.from_pydict({"l_suppkey": t["supp_sum"]})
 
     culprits = per_order.map_batches(sole, batch_format="pyarrow")
-    counts = pre_aggregated_sum(
-        culprits, keys=["l_suppkey"], sums={}, count_alias="numwait"
-    )
 
-    def attach(t: pa.Table) -> pa.Table:
+    # supplier-domain-bounded counts: map-side partials (≤ |suppliers| rows
+    # per block) + one single-block combine replace a second all-to-all
+    # Aggregate exchange (measured ~3.2s of fixed shuffle cost at sf0.1)
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t["l_suppkey"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.Table.from_pydict(
+            {
+                "l_suppkey": vc.index.to_numpy(np.int64),
+                "numwait": vc.to_numpy(np.int64),
+            }
+        )
+
+    def combine_attach(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().groupby("l_suppkey", as_index=False)["numwait"].sum()
+        t = pa.Table.from_pandas(df, preserve_index=False)
         sk, sn = ray.get(sref)
         idx = pc.index_in(t["l_suppkey"], value_set=sk)
         t = t.append_column("s_name", pc.take(sn, idx))
         return t.filter(pc.is_valid(t["s_name"])).select(["s_name", "numwait"])
 
-    return counts.map_batches(attach, batch_format="pyarrow")
+    return (
+        culprits.map_batches(partial_counts, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine_attach, batch_format="pyarrow")
+    )
 
 
 SQL_WAITING_SUPPLIERS = """

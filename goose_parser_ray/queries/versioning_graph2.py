@@ -335,10 +335,11 @@ def q_nb_classify(sf_dir: str):
         lambda t: is_train(t, False), batch_format="pyarrow"
     )
     return test.map_batches(
-        NBScoreActor,
-        fn_constructor_args=(model_ref,),
+        # task pool, not actor pool: init is a plasma fetch (zero-copy,
+        # shared per node) + a small Index build — 16 actors' spin-up cost
+        # more than every per-task re-init combined (media_png measurement)
+        lambda t, _m=model_ref: NBScoreActor(_m)(t),
         batch_format="pyarrow",
-        concurrency=_pool(),
     )
 
 
