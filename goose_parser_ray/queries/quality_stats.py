@@ -635,3 +635,74 @@ FROM documents d JOIN r USING (source)
 WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.r_ppm
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# geohash encoding (spatial sharding key, base32 sibling of q_zorder)
+# ---------------------------------------------------------------------------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash_encode(sf_dir: str):
+    """Geohash-6 encoding, ORACLE-CHECKED: deterministic per-doc lat/lon
+    (integer hundredths of degrees), 15-bit quantization per axis, the
+    lon-first bit interleave, base32 digits — the standard geo-sharding /
+    prefix-range-scan key (the curved-space sibling of q_zorder, which
+    co-locates by Morton code on a synthetic grid). All-integer on both
+    sides: the twin states the interleave as a generate_series(0,14) bit
+    sum and peels the six 5-bit digits with shifts. Pure vectorized
+    map-only stage; no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lat_q = ((did * 7919) % 18000) * 32768 // 18000
+        lon_q = ((did * 104729) % 36000) * 32768 // 36000
+        z = np.zeros(len(did), dtype=np.int64)
+        for i in range(15):
+            z |= ((lon_q >> i) & 1) << (2 * i + 1)
+            z |= ((lat_q >> i) & 1) << (2 * i)
+        chars = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+        digits = np.stack([(z >> (25 - 5 * k)) & 31 for k in range(6)], axis=1)
+        gh = chars[digits].tobytes().decode()
+        geohash = [gh[6 * i : 6 * i + 6] for i in range(len(did))]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": did,
+                "z30": z,
+                "geohash": pa.array(geohash, pa.string()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_GEOHASH_ENCODE = """
+WITH q AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) * 32768 // 18000 AS lat_q,
+         ((doc_id * 104729) % 36000) * 32768 // 36000 AS lon_q
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         CAST(SUM((((lon_q >> g.i) & 1) << (2 * g.i + 1))
+                + (((lat_q >> g.i) & 1) << (2 * g.i))) AS BIGINT) AS z30
+  FROM q, (SELECT unnest(generate_series(0, 14)) AS i) g
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, z30,
+       substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST((z30 >> 25) & 31 AS INTEGER) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST((z30 >> 20) & 31 AS INTEGER) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST((z30 >> 15) & 31 AS INTEGER) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST((z30 >> 10) & 31 AS INTEGER) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST((z30 >> 5) & 31 AS INTEGER) + 1, 1)
+    || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+              CAST(z30 & 31 AS INTEGER) + 1, 1) AS geohash
+FROM z ORDER BY doc_id
+"""

@@ -99,3 +99,46 @@ def test_zlib_gate_determinism_and_bounds():
     assert ratio_e4 < 2_000  # heavy repetition trips the low gate
     noise = bytes(((i * 2654435761) >> 7) & 0xFF for i in range(800))
     assert len(zlib.compress(noise, 6)) * 10_000 // len(noise) > 9_000
+
+
+def test_geohash_interleave_matches_interval_halving():
+    """The bit-interleave construction (q_geohash_encode) must equal the
+    textbook interval-halving geohash for the same 30-bit precision."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def reference(lat: float, lon: float, bits: int = 30) -> str:
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        out = 0
+        for b in range(bits):
+            if b % 2 == 0:  # even bit (from MSB): longitude
+                mid = (lon_lo + lon_hi) / 2
+                bit = 1 if lon >= mid else 0
+                lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                bit = 1 if lat >= mid else 0
+                lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+            out = (out << 1) | bit
+        return "".join(
+            alphabet[(out >> (bits - 5 * (k + 1))) & 31] for k in range(bits // 5)
+        )
+
+    def interleave(lat_u: int, lon_u: int) -> str:
+        # the query's integer path: hundredth-degree units, 15-bit axes
+        lat_q = lat_u * 32768 // 18000
+        lon_q = lon_u * 32768 // 36000
+        z = 0
+        for i in range(15):
+            z |= ((lon_q >> i) & 1) << (2 * i + 1)
+            z |= ((lat_q >> i) & 1) << (2 * i)
+        return "".join(alphabet[(z >> (25 - 5 * k)) & 31] for k in range(6))
+
+    for doc_id in (0, 1, 7, 123, 4999, 73561):
+        lat_u = (doc_id * 7919) % 18000
+        lon_u = (doc_id * 104729) % 36000
+        got = interleave(lat_u, lon_u)
+        want = reference(lat_u / 100.0 - 90.0, lon_u / 100.0 - 180.0)
+        assert got == want, (doc_id, got, want)
+    # sanity against the canonical example (continuous coords, same algo)
+    assert reference(57.64911, 10.40744).startswith("u4pruy")
