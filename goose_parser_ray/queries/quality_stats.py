@@ -706,3 +706,61 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, z30,
               CAST(z30 & 31 AS INTEGER) + 1, 1) AS geohash
 FROM z ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Avro object-container roundtrip (row-oriented interchange ingest)
+# ---------------------------------------------------------------------------
+
+
+def q_avro_roundtrip(sf_dir: str):
+    """Avro container interchange, ORACLE-CHECKED row-for-row against the
+    source table: the documents table (nullable lang exercised via a
+    deterministic null-out) is written as one REAL Avro object container
+    per block — zigzag varints, deflate blocks, sync markers, the actual
+    wire format via ``sources/avromini.py`` — then read back through the
+    parallel ``read_documents(fmt="avro")`` path. Write and parse are both
+    fully distributed; the file is the parallelism unit (ingest format —
+    convert to parquet before repeated scans)."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.sources.io import read_documents, write_avro_shards
+
+    out = "/tmp/avro_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "source", "type": "string"},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        mod7 = pc.subtract(did, pc.multiply(pc.divide(did, 7), pa.scalar(7, pa.int64())))
+        lang = pc.if_else(pc.equal(mod7, 0), pa.scalar(None, pa.string()), t["lang"])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": did,
+                "source": t["source"],
+                "lang": lang,
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+    write_avro_shards(ds.map_batches(prep, batch_format="pyarrow"), out, schema)
+    return read_documents(out, fmt="avro").sort("doc_id")
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""

@@ -47,6 +47,8 @@ def read_documents(
             fmt = "csv"
         elif low.endswith((".arrow", ".feather", ".ipc")):
             fmt = "arrow"
+        elif low.endswith(".avro"):
+            fmt = "avro"
         elif _lance_available():  # pragma: no cover
             fmt = "lance"
         else:
@@ -84,9 +86,57 @@ def read_documents(
             return pa.concat_tables(tables)
 
         return ds.map_batches(_parse_ipc, batch_format="pyarrow", batch_size=1)
+    if fmt == "avro":
+        # Avro object containers via the in-repo wire codec
+        # (sources/avromini.py). Like JSONL/Arrow-IPC this is an ingest
+        # format — the FILE is the parallelism unit (no row-group pruning;
+        # blocks share one schema header) and pruning happens post-parse.
+        from goose_parser_ray.sources.avromini import decode_avro
+
+        ds = ray.data.read_binary_files(path, **kw)
+
+        def _parse_avro(t: "pa.Table") -> "pa.Table":
+            tables = []
+            for buf in t["bytes"].to_pylist():
+                names, cols = decode_avro(bytes(buf))
+                tbl = pa.table({n: cols[n] for n in names})
+                tables.append(tbl.select(columns) if columns else tbl)
+            return pa.concat_tables(tables)
+
+        return ds.map_batches(_parse_avro, batch_format="pyarrow", batch_size=1)
     if fmt != "parquet":
         raise ValueError(f"unknown documents format: {fmt!r}")
     return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def write_avro_shards(
+    ds: ray.data.Dataset, out_dir: str, schema: dict, codec: str = "deflate"
+) -> None:
+    """Write a Dataset as one Avro object container per block (the
+    resumable-shards discipline: never one giant file). Schema must be the
+    primitive-record subset ``avromini`` supports; field order follows the
+    schema. Runs fully distributed — each block encodes and writes its own
+    shard from the worker, nothing funnels through the driver."""
+    import os as _os
+    import zlib as _zlib
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: "pa.Table") -> "pa.Table":
+        from goose_parser_ray.sources.avromini import encode_avro
+
+        names = [f["name"] for f in schema["fields"]]
+        cols = {n: t[n].to_pylist() for n in names}
+        payload = encode_avro(cols, schema, codec=codec)
+        # shard name from content hash: deterministic, rerun-idempotent
+        tag = _zlib.crc32(payload) & 0xFFFFFFFF
+        path = _os.path.join(out_dir, f"part-{tag:08x}-{t.num_rows}.avro")
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pa.table({"rows": [t.num_rows]})
+
+    # consume for effect; the tiny per-block row counts are the only output
+    ds.map_batches(_write, batch_format="pyarrow").materialize()
 
 
 def read_extracted(path: str) -> ray.data.Dataset:
