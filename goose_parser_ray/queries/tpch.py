@@ -1560,3 +1560,99 @@ JOIN nation ON n_nationkey = s_nationkey
 WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_2'
 GROUP BY s_name
 """
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (completes the 22-query TPC-H sweep): revenue from
+    orders where customer and supplier sit in the SAME nation of one
+    region, for one order-date year. Both dimension chains
+    (region→nation→supplier, region→nation→customer) resolve MAP-SIDE via
+    broadcast key→nationkey lookups pre-filtered to the region, so the one
+    hash join moves only qualifying (orderkey, nationkey, rev) rows; the
+    same-nation constraint is a vectorized post-join equality filter."""
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rk))
+    nk = nat["n_nationkey"].combine_chunks()
+    nn = nat["n_name"].combine_chunks()
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nk))
+    sref = ray.put((sup["s_suppkey"].combine_chunks(), sup["s_nationkey"].combine_chunks()))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nk))
+    cref = ray.put((cust["c_custkey"].combine_chunks(), cust["c_nationkey"].combine_chunks()))
+    nref = ray.put((nk, nn))
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        ck, cn = ray.get(cref)
+        idx = pc.index_in(t["o_custkey"], value_set=ck)
+        t = t.append_column("c_nk", pc.take(cn, idx))
+        t = t.filter(pc.is_valid(t["c_nk"]))
+        return t.select(["o_orderkey", "c_nk"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(sel_orders, batch_format="pyarrow")
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        idx = pc.index_in(t["l_suppkey"], value_set=sk)
+        t = t.append_column("s_nk", pc.take(sn, idx))
+        t = t.filter(pc.is_valid(t["s_nk"]))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.Table.from_pydict(
+            {"l_orderkey": t["l_orderkey"], "s_nk": t["s_nk"], "rev": rev}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(sel_li, batch_format="pyarrow")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nk"], t["c_nk"]))
+        nk_, nn_ = ray.get(nref)
+        idx = pc.index_in(t["s_nk"], value_set=nk_)
+        t = t.append_column("n_name", pc.take(nn_, idx))
+        return t.select(["n_name", "rev"])
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=_dedup._default_join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(local_only, batch_format="pyarrow")
+    return pre_aggregated_sum(
+        joined, keys=["n_name"], sums={"rev": "revenue_c4"}
+    ).sort("revenue_c4", descending=True)
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(100 * l_extendedprice) AS BIGINT)
+                * (100 - CAST(ROUND(100 * l_discount) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_c4 DESC
+"""
