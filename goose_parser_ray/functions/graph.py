@@ -1803,3 +1803,182 @@ def scc_distributed(
         batch_format="pyarrow",
     )
     return singles if emitted is None else emitted.union(singles)
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_driver(u: np.ndarray, v: np.ndarray, rounds: int) -> "pa.Table":
+    """Driver tier: the per-round neighbor-label mode as lexsort + run
+    boundaries (no Python loop over nodes). Inputs are the SYMMETRIZED
+    edge arrays."""
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    labels = nodes.copy()  # init: own id
+    for _ in range(rounds):
+        lab = labels[ui]  # message label along each (u -> v) edge
+        order = np.lexsort((lab, vi))
+        sv, sl = vi[order], lab[order]
+        # run boundaries over (v, label)
+        new_run = np.empty(len(sv), dtype=bool)
+        new_run[0] = True
+        np.not_equal(sv[1:], sv[:-1], out=new_run[1:])
+        new_run[1:] |= sl[1:] != sl[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(sv)))
+        run_v = sv[starts]
+        run_l = sl[starts]
+        # per v: argmax count, tie → smallest label. Within a v group runs
+        # are label-ASC, so a STABLE max-pick keeps the smallest label:
+        # sort runs by (v asc, count desc) with a stable mergesort.
+        o2 = np.argsort(-counts, kind="stable")
+        o3 = np.argsort(run_v[o2], kind="stable")
+        pick = o2[o3]
+        pv, pl = run_v[pick], run_l[pick]
+        first = np.empty(len(pv), dtype=bool)
+        first[0] = True
+        np.not_equal(pv[1:], pv[:-1], out=first[1:])
+        new_labels = labels.copy()
+        new_labels[pv[first]] = pl[first]
+        labels = new_labels
+    return pa.Table.from_pydict(
+        {
+            "node": nodes.astype(np.int64),
+            "label": labels.astype(np.int64),
+        }
+    )
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation communities (Raghavan 2007, made
+    deterministic): labels start as node ids; each round every node takes
+    the most frequent label among its neighbors (undirected — edges are
+    symmetrized), ties broken to the SMALLEST label; exactly ``rounds``
+    rounds (bounded-round discipline, same as the q_pagerank oracle
+    shape — no order-dependent convergence races).
+
+    Tiering matches the rest of the graph family: map-side edge collapse
+    gates a numpy driver tier under ``driver_edges_threshold``; past it
+    each round is one hash join (edges ⋈ labels) + a (v, label) partial
+    count + a v-grouped mode pick."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import _default_join_partitions
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        pre_aggregated_sum,
+    )
+
+    def sym_block(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src], pa.int64()).combine_chunks()
+        b = pc.cast(t[dst], pa.int64()).combine_chunks()
+        tbl = pa.Table.from_pydict(
+            {
+                "u": pa.concat_arrays([a, b]),
+                "v": pa.concat_arrays([b, a]),
+            }
+        )
+        tbl = tbl.filter(pc.not_equal(tbl["u"], tbl["v"]))  # drop self-loops
+        # map-side collapse of duplicate (u, v): parallel edges vote once
+        df = tbl.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sym = edges.map_batches(sym_block, batch_format="pyarrow").materialize()
+    n_partial = sym.count()
+    if n_partial == 0:
+        return sym.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    if n_partial <= driver_edges_threshold:
+        pdf = sym.to_pandas().drop_duplicates()
+        return ray.data.from_arrow(
+            _lpa_driver(
+                pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64), rounds
+            )
+        )
+
+    # join tier: global dedup of (u, v) once, then bounded rounds
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(_default_join_partitions(), -(-n_partial // 100_000))
+        )
+    e = compact_for_join(
+        pre_aggregated_sum(sym, keys=["u", "v"], sums={}, count_alias="w")
+        .drop_columns(["w"])
+        .materialize(),
+        num_partitions,
+    )
+    nodes = compact_for_join(
+        pre_aggregated_sum(
+            e.map_batches(
+                lambda t: pa.Table.from_pydict({"node": t["u"]}),
+                batch_format="pyarrow",
+            ),
+            keys=["node"],
+            sums={},
+            count_alias="k",
+        )
+        .drop_columns(["k"])
+        .materialize(),
+        num_partitions,
+    )
+    labels = nodes.map_batches(
+        lambda t: pa.Table.from_pydict({"u": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def pick_mode(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "label": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["v", "c", "label"], ascending=[True, False, True])
+        top = g.drop_duplicates("v", keep="first")
+        return pd.DataFrame(
+            {
+                "u": top["v"].to_numpy(np.int64),
+                "label": top["label"].to_numpy(np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        msgs = e.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("u",)
+        )
+        counts = pre_aggregated_sum(
+            msgs.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"v": t["v"], "label": t["label"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            keys=["v", "label"],
+            sums={},
+            count_alias="c",
+        )
+        labels = compact_for_join(
+            counts.groupby("v").map_groups(pick_mode, batch_format="pandas")
+            .materialize(),
+            num_partitions,
+        )
+    return labels.map_batches(
+        lambda t: pa.Table.from_pydict({"node": t["u"], "label": t["label"]}),
+        batch_format="pyarrow",
+    )

@@ -1286,3 +1286,52 @@ def q_ann_lsh(sf_dir: str):
         concurrency=max(1, _pool() // 2),
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_communities_lpa(sf_dir: str):
+    """Label-propagation communities (Raghavan 2007 made deterministic),
+    ORACLE-CHECKED over the DOM-extracted link graph: 3 synchronous
+    rounds, neighbor-label mode with smallest-label tie-break, undirected
+    (edges symmetrized, self-loops dropped). The bounded-round discipline
+    makes the twin an exactly-unrolled 3-level CTE — the same oracle shape
+    as q_pagerank — while the engine runs the tiered implementation
+    (numpy lexsort mode under the edge guard; join + (v,label) partial
+    count + v-grouped pick past it)."""
+    from goose_parser_ray.functions.graph import label_propagation
+    from goose_parser_ray.functions.linkgraph import extract_links
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    edges = extract_links(ds, concurrency=_pool())
+    return label_propagation(edges, rounds=3).sort("node")
+
+
+SQL_COMMUNITIES_LPA = """
+WITH e0 AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS src,
+         CAST((d.doc_id * 7 + g.k) % 1000 AS BIGINT) AS dst
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+), sym AS (
+  SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM e0 WHERE src <> dst
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM sym
+), l1 AS (
+  SELECT v AS node, label FROM (
+    SELECT e.v AS v, l.label AS label, COUNT(*) AS c
+    FROM sym e JOIN l0 l ON l.node = e.u GROUP BY e.v, l.label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+), l2 AS (
+  SELECT v AS node, label FROM (
+    SELECT e.v AS v, l.label AS label, COUNT(*) AS c
+    FROM sym e JOIN l1 l ON l.node = e.u GROUP BY e.v, l.label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+), l3 AS (
+  SELECT v AS node, label FROM (
+    SELECT e.v AS v, l.label AS label, COUNT(*) AS c
+    FROM sym e JOIN l2 l ON l.node = e.u GROUP BY e.v, l.label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label ASC) = 1
+)
+SELECT node, label FROM l3 ORDER BY node
+"""
