@@ -243,3 +243,39 @@ def sniff_encoding(payload: bytes, scan_limit: int = 1024) -> tuple[str, str]:
             continue
         pos += 1
     return "windows-1252", "default"
+
+
+def charset_from_content_type(value: str) -> str | None:
+    """Extract the charset parameter from a Content-Type header value
+    (RFC 9110 parameter syntax: ``;``-separated, names case-insensitive,
+    quoted-string values supported). Returns the RESOLVED encoding label
+    or None when absent/unknown."""
+    parts = value.split(";")
+    for p in parts[1:]:
+        if "=" not in p:
+            continue
+        name, _, val = p.partition("=")
+        if name.strip().lower() != "charset":
+            continue
+        val = val.strip()
+        if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+            val = val[1:-1]
+        return resolve_label(val)
+    return None
+
+
+def decide_encoding(
+    content_type: str | None, payload: bytes, scan_limit: int = 1024
+) -> tuple[str, str]:
+    """The COMPLETE encoding decision a fetch pipeline makes (WHATWG
+    encoding sniffing precedence): a byte-order mark wins outright; else
+    the transport-layer charset (Content-Type header) is certain; else
+    the meta prescan; else windows-1252. ``source`` ∈ {"bom", "header",
+    "meta", "default"}."""
+    if payload.startswith((b"\xef\xbb\xbf", b"\xfe\xff", b"\xff\xfe")):
+        return sniff_encoding(payload, scan_limit)  # returns ("…", "bom")
+    if content_type:
+        enc = charset_from_content_type(content_type)
+        if enc is not None:
+            return enc, "header"
+    return sniff_encoding(payload, scan_limit)

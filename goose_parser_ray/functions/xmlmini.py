@@ -225,3 +225,26 @@ def parse_sitemap(doc: str) -> list[dict[str, str]]:
             }
         )
     return out
+
+
+def parse_rss(doc: str) -> list[dict[str, str]]:
+    """Parse an RSS 2.0 feed → [{"title", "link", "pubdate"}, ...] in
+    document order (missing leaves → ""). Raises ``XmlError`` on malformed
+    XML, a non-rss root, or a missing <channel> — feeds are the other
+    machine-generated crawl-discovery format next to sitemaps, same
+    fail-loud posture."""
+    root = parse_xml(doc)
+    if root.tag != "rss":
+        raise XmlError(f"expected <rss> root, got <{root.tag}>")
+    channel = root.first("channel")
+    if channel is None:
+        raise XmlError("<rss> without <channel>")
+    out: list[dict[str, str]] = []
+    for item in channel.find_all("item"):
+        def leaf(tag: str) -> str:
+            el = item.first(tag)
+            return el.text.strip() if el is not None else ""
+        out.append(
+            {"title": leaf("title"), "link": leaf("link"), "pubdate": leaf("pubDate")}
+        )
+    return out

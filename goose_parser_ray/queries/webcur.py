@@ -365,3 +365,152 @@ SELECT domain, dst, in_degree, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 5
 ORDER BY domain, dst
 """
+
+
+# ---------------------------------------------------------------------------
+# RSS feed ingestion (crawl discovery, sibling of sitemap_urls)
+# ---------------------------------------------------------------------------
+
+
+def _rss_xml(doc_id: int) -> str:
+    n = doc_id % 4 + 1
+    site = doc_id % 10
+    items = []
+    for k in range(1, n + 1):
+        title = f"Item {doc_id}-{k}" + (" &amp; more" if k % 2 == 0 else "")
+        day = (doc_id + k) % 28 + 1
+        items.append(
+            f"<item><title>{title}</title>"
+            f"<link>https://site{site}.com/a/{(doc_id * 13 + k) % 700}</link>"
+            f"<pubDate>2026-07-{day:02d}</pubDate></item>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rss version="2.0"><channel><title>feed</title>'
+        + "".join(items)
+        + "</channel></rss>"
+    )
+
+
+def q_feed_parse(sf_dir: str):
+    """RSS 2.0 feed ingestion, ORACLE-CHECKED: one feed per document is
+    parsed with the strict mini-XML parser (``xmlmini.parse_rss``) and
+    filtered to fresh items (parsed pubDate day ≥ 15) — the crawl
+    refresh-discovery sibling of q_sitemap_urls. Titles carry entity
+    escapes on even items, so the decode path is value-hashed. Map-only."""
+    from goose_parser_ray.functions.xmlmini import parse_rss
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_title: list[str] = []
+        out_link: list[str] = []
+        out_day: list[int] = []
+        for doc_id in t["doc_id"].to_pylist():
+            for item in parse_rss(_rss_xml(doc_id)):
+                day = int(item["pubdate"][8:10])
+                if day < 15:
+                    continue
+                out_id.append(doc_id)
+                out_title.append(item["title"])
+                out_link.append(item["link"])
+                out_day.append(day)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "title": pa.array(out_title, pa.string()),
+                "link": pa.array(out_link, pa.string()),
+                "pub_day": pa.array(out_day, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow").sort(
+        ["doc_id", "link"]
+    )
+
+
+SQL_FEED_PARSE = """
+WITH e AS (
+  SELECT d.doc_id, g.k,
+         (d.doc_id + g.k) % 28 + 1 AS day,
+         'Item ' || d.doc_id || '-' || g.k
+           || CASE WHEN g.k % 2 = 0 THEN ' & more' ELSE '' END AS title,
+         'https://site' || (d.doc_id % 10) || '.com/a/'
+           || (d.doc_id * 13 + g.k) % 700 AS link
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 4 + 1)) AS k) g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, title, link,
+       CAST(day AS BIGINT) AS pub_day
+FROM e WHERE day >= 15
+ORDER BY doc_id, link
+"""
+
+
+# ---------------------------------------------------------------------------
+# full encoding decision (BOM > HTTP header > meta prescan > default)
+# ---------------------------------------------------------------------------
+
+
+def q_http_charset(sf_dir: str):
+    """The COMPLETE fetch-side encoding decision, ORACLE-CHECKED: byte-order
+    mark beats the transport layer beats the meta prescan beats the
+    windows-1252 default (WHATWG sniffing precedence), with the
+    Content-Type charset parameter parsed per RFC 9110 (quoted-string
+    values, case-insensitive names, unknown labels skipped). Six
+    (header, payload) shapes per ``doc_id % 6`` cover every precedence
+    edge. Map-only byte scan."""
+    from goose_parser_ray.functions.charsniff import decide_encoding
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def variant(doc_id: int) -> tuple[str | None, bytes]:
+        v = doc_id % 6
+        if v == 0:
+            return "text/html; charset=koi8-r", b"\xef\xbb\xbf<html>x</html>"
+        if v == 1:
+            return "text/html; charset=ISO-8859-2", b'<meta charset="utf-8">'
+        if v == 2:
+            return "text/html", b'<meta charset="windows-1251">'
+        if v == 3:
+            return 'text/html; charset="EUC-KR"', b"<html>x</html>"
+        if v == 4:
+            return "text/html; charset=bogus-enc", b"<meta charset=shift_jis>"
+        return None, b"<html>plain</html>"
+
+    def decide(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        enc: list[str] = []
+        src: list[str] = []
+        for i in ids:
+            ct, body = variant(i)
+            e, s = decide_encoding(ct, body)
+            enc.append(e)
+            src.append(s)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "encoding": pa.array(enc, pa.string()),
+                "source": pa.array(src, pa.string()),
+            }
+        )
+
+    return ds.map_batches(decide, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_HTTP_CHARSET = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'utf-8'        WHEN 1 THEN 'iso-8859-2'
+         WHEN 2 THEN 'windows-1251' WHEN 3 THEN 'euc-kr'
+         WHEN 4 THEN 'shift_jis'    ELSE 'windows-1252'
+       END AS encoding,
+       CASE doc_id % 6
+         WHEN 0 THEN 'bom'    WHEN 1 THEN 'header'
+         WHEN 2 THEN 'meta'   WHEN 3 THEN 'header'
+         WHEN 4 THEN 'meta'   ELSE 'default'
+       END AS source
+FROM documents
+ORDER BY doc_id
+"""

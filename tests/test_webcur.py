@@ -198,3 +198,53 @@ def test_boilerplate_page_scalar_path():
         "some body text <with & brackets> that is plenty long",
         "Second block 7",
     ]
+
+
+def test_parse_rss_structure_and_defaults():
+    from goose_parser_ray.functions.xmlmini import parse_rss
+
+    doc = (
+        '<rss version="2.0"><channel><title>c</title>'
+        "<item><title>A &amp; B</title><link>http://x/1</link>"
+        "<pubDate>2026-07-03</pubDate></item>"
+        "<item><title>t2</title></item>"
+        "</channel></rss>"
+    )
+    assert parse_rss(doc) == [
+        {"title": "A & B", "link": "http://x/1", "pubdate": "2026-07-03"},
+        {"title": "t2", "link": "", "pubdate": ""},
+    ]
+    with pytest.raises(XmlError):
+        parse_rss("<feed></feed>")  # Atom root rejected (strict RSS 2.0)
+    with pytest.raises(XmlError):
+        parse_rss("<rss></rss>")  # channel required
+
+
+def test_decide_encoding_precedence():
+    from goose_parser_ray.functions.charsniff import (
+        charset_from_content_type,
+        decide_encoding,
+    )
+
+    # BOM > header > meta > default
+    assert decide_encoding("text/html; charset=koi8-r", b"\xef\xbb\xbfx") == (
+        "utf-8",
+        "bom",
+    )
+    assert decide_encoding(
+        "text/html; charset=ISO-8859-2", b'<meta charset="utf-8">'
+    ) == ("iso-8859-2", "header")
+    assert decide_encoding("text/html", b'<meta charset="utf-8">') == (
+        "utf-8",
+        "meta",
+    )
+    assert decide_encoding(None, b"x") == ("windows-1252", "default")
+    # unknown header label falls through to the prescan
+    assert decide_encoding("text/html; charset=bogus", b"<meta charset=gbk>") == (
+        "gbk",
+        "meta",
+    )
+    # RFC 9110 parameter parsing: quoted values, case-insensitive names
+    assert charset_from_content_type('text/html; CHARSET="EUC-KR"') == "euc-kr"
+    assert charset_from_content_type("text/html; boundary=x; charset=utf8") == "utf-8"
+    assert charset_from_content_type("text/html") is None
