@@ -293,8 +293,10 @@ def test_read_documents_jsonl_csv_roundtrip(ray_session, tmp_path):
 
     import pytest
 
+    # avro became a REAL format (sources/avromini.py) — the unknown-format
+    # rejection needs a name that stays unknown
     with pytest.raises(ValueError):
-        read_documents(pq_path, fmt="avro")
+        read_documents(pq_path, fmt="xlsx")
 
 
 def test_compact_partitions_preserves_rows_and_resume(corpus, tmp_path):
