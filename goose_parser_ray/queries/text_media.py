@@ -1882,10 +1882,11 @@ def q_anchor_texts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = ds.map_batches(
-        AnchorTextActor,
+        # task pool: the stage's state is one compiled selector — actor
+        # spin-up costs more than it saves (media_png measurement)
+        lambda t: AnchorTextActor()(t),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(2, max(2, _pool() // 2)),
     )
     return pre_aggregated_sum(pairs, ["dst", "anchor"], {},
                               count_alias="n_links")

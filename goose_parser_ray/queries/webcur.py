@@ -85,10 +85,11 @@ def q_boilerplate_main(sf_dir: str):
     model as the extraction flagship); no shuffle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        _BoilerplateActor,
+        # task pool: init is two import binds — actor spin-up costs more
+        # than it saves (media_png measurement)
+        lambda t: _BoilerplateActor()(t),
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(_pool(), _pool()),
     )
     return out.sort("doc_id")
 
