@@ -44,7 +44,9 @@ from goose_parser_ray.queries._shared import _cents, _pool, _read
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(
-        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+        # task pool: init is 2.6 ms of stopword Arrow sets — actor spin-up
+        # costs more than it saves (media_png measurement)
+        lambda t: LangIdActor()(t), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang_pred"])
 
@@ -92,7 +94,7 @@ def q_langid_confusion(sf_dir: str):
     generated stopword classifier, so the whole matrix hash-compares."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     pred = ds.map_batches(
-        LangIdActor, batch_format="pyarrow", concurrency=(2, _pool())
+        lambda t: LangIdActor()(t), batch_format="pyarrow"
     )
     return pre_aggregated_sum(
         pred.map_batches(
@@ -399,7 +401,7 @@ def q_web_pipeline(sf_dir: str):
         batch_format="pyarrow",
     )
     docs = docs.map_batches(
-        LangIdActor, batch_format="pyarrow", concurrency=(_pool(), _pool())
+        lambda t: LangIdActor()(t), batch_format="pyarrow"
     )
 
     def gate(t: pa.Table) -> pa.Table:
