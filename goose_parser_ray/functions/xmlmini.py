@@ -248,3 +248,35 @@ def parse_rss(doc: str) -> list[dict[str, str]]:
             {"title": leaf("title"), "link": leaf("link"), "pubdate": leaf("pubDate")}
         )
     return out
+
+
+def parse_atom(doc: str) -> list[dict[str, str]]:
+    """Parse an Atom 1.0 feed → [{"title", "href", "updated"}, ...] in
+    document order. Unlike RSS the entry link lives in an ATTRIBUTE
+    (``<link href="..."/>``, usually self-closing) — the alternate-rel
+    link wins, else the first link. Raises ``XmlError`` on malformed XML
+    or a non-feed root."""
+    root = parse_xml(doc)
+    if root.tag != "feed":
+        raise XmlError(f"expected <feed> root, got <{root.tag}>")
+    out: list[dict[str, str]] = []
+    for entry in root.find_all("entry"):
+        title = entry.first("title")
+        updated = entry.first("updated")
+        href = ""
+        links = entry.find_all("link")
+        for ln in links:
+            if ln.attrs.get("rel", "alternate") == "alternate":
+                href = ln.attrs.get("href", "")
+                break
+        else:
+            if links:
+                href = links[0].attrs.get("href", "")
+        out.append(
+            {
+                "title": title.text.strip() if title is not None else "",
+                "href": href,
+                "updated": updated.text.strip() if updated is not None else "",
+            }
+        )
+    return out

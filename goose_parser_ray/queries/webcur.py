@@ -515,3 +515,87 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Atom feed ingestion (attribute-carried links, self-closing tags)
+# ---------------------------------------------------------------------------
+
+
+def _atom_xml(doc_id: int) -> str:
+    n = doc_id % 3 + 1
+    site = doc_id % 10
+    entries = []
+    for k in range(1, n + 1):
+        day = (doc_id * 3 + k) % 28 + 1
+        # decoy self-rel link BEFORE the alternate one: rel selection is
+        # value-hashed, a first-link shortcut fails
+        entries.append(
+            f"<entry><title>Post {doc_id}/{k}</title>"
+            f'<link rel="self" href="https://site{site}.com/feed.xml"/>'
+            f'<link rel="alternate" href="https://site{site}.com/p/'
+            f'{(doc_id * 17 + k) % 800}"/>'
+            f"<updated>2026-06-{day:02d}T00:00:00Z</updated></entry>"
+        )
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+        + "".join(entries)
+        + "</feed>"
+    )
+
+
+def q_atom_feed(sf_dir: str):
+    """Atom 1.0 feed ingestion, ORACLE-CHECKED — the attribute-carried-link
+    sibling of q_feed_parse: entry links live in self-closing ``<link
+    rel=... href=...>`` elements with a decoy ``rel="self"`` link first,
+    so attribute parsing AND rel selection are value-hashed (a text-node
+    or first-link shortcut fails the hash). Filters on the PARSED
+    ``updated`` day (≥ 10). Map-only."""
+    from goose_parser_ray.functions.xmlmini import parse_atom
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_title: list[str] = []
+        out_href: list[str] = []
+        out_day: list[int] = []
+        for doc_id in t["doc_id"].to_pylist():
+            for ent in parse_atom(_atom_xml(doc_id)):
+                day = int(ent["updated"][8:10])
+                if day < 10:
+                    continue
+                out_id.append(doc_id)
+                out_title.append(ent["title"])
+                out_href.append(ent["href"])
+                out_day.append(day)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "title": pa.array(out_title, pa.string()),
+                "href": pa.array(out_href, pa.string()),
+                "upd_day": pa.array(out_day, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow").sort(
+        ["doc_id", "href"]
+    )
+
+
+SQL_ATOM_FEED = """
+WITH e AS (
+  SELECT d.doc_id, g.k,
+         (d.doc_id * 3 + g.k) % 28 + 1 AS day,
+         'Post ' || d.doc_id || '/' || g.k AS title,
+         'https://site' || (d.doc_id % 10) || '.com/p/'
+           || (d.doc_id * 17 + g.k) % 800 AS href
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, title, href,
+       CAST(day AS BIGINT) AS upd_day
+FROM e WHERE day >= 10
+ORDER BY doc_id, href
+"""

@@ -248,3 +248,25 @@ def test_decide_encoding_precedence():
     assert charset_from_content_type('text/html; CHARSET="EUC-KR"') == "euc-kr"
     assert charset_from_content_type("text/html; boundary=x; charset=utf8") == "utf-8"
     assert charset_from_content_type("text/html") is None
+
+
+def test_parse_atom_rel_selection_and_self_closing():
+    from goose_parser_ray.functions.xmlmini import parse_atom
+
+    doc = (
+        '<feed><title>f</title>'
+        "<entry><title>a</title>"
+        '<link rel="self" href="http://x/feed"/>'
+        '<link rel="alternate" href="http://x/1"/>'
+        "<updated>2026-06-02T00:00:00Z</updated></entry>"
+        "<entry><title>b</title>"
+        '<link href="http://x/2"/></entry>'  # no rel → alternate by default
+        '<entry><title>c</title><link rel="self" href="http://x/feed"/></entry>'
+        "</feed>"
+    )
+    items = parse_atom(doc)
+    assert items[0]["href"] == "http://x/1"  # alternate beats the self decoy
+    assert items[1] == {"title": "b", "href": "http://x/2", "updated": ""}
+    assert items[2]["href"] == "http://x/feed"  # only link wins as fallback
+    with pytest.raises(XmlError):
+        parse_atom("<rss></rss>")
