@@ -14,11 +14,13 @@ import ray.data
 
 
 class _BroadcastJoiner:
-    """Actor stage for the broadcast join: the small side is fetched from
-    plasma ONCE per actor (``__init__``), held as an Arrow table (zero-copy
-    read — Arrow buffers stay in shared memory, unlike a pickled dict which
+    """Broadcast-join kernel: the small side is fetched from plasma as an
+    Arrow table (zero-copy — the buffers live ONCE per node in shared
+    memory no matter how many tasks bind them, unlike a pickled dict which
     re-materializes per access), and each batch is joined by a vectorized
-    ``pc.index_in`` + ``take`` gather — no per-row Python loop."""
+    ``pc.index_in`` + ``take`` gather — no per-row Python loop. Invoked
+    per task (see broadcast_join) or held by an actor when a caller needs
+    one."""
 
     def __init__(self, small_ref, key: str, how: str) -> None:
         small: pa.Table = ray.get(small_ref)
@@ -45,14 +47,14 @@ def broadcast_join(
     key: str,
     *,
     how: str = "inner",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Join ``ds`` against a small side WITHOUT a shuffle.
 
     ``small`` is either an Arrow table whose FIRST column is the join key, or
     a ``key → {col: value}`` dict (converted once here). It is ``ray.put``
-    once on the driver; each actor in the pool reads it from plasma once in
-    ``__init__`` and serves every batch from that copy.
+    once on the driver; every task reads it from node-local plasma
+    (zero-copy, shared across tasks on a node).
     ``how``: 'inner' drops unmatched rows, 'left' keeps them with nulls."""
     if isinstance(small, dict):
         if not small:
@@ -70,11 +72,16 @@ def broadcast_join(
     elif small.num_rows == 0:
         raise ValueError("broadcast_join: empty small side")
     ref = ray.put(small)
+    # task pool, not actor pool: per-task "init" is a zero-copy plasma get
+    # (the Arrow buffers live once per node in shared memory) plus three
+    # attribute binds — actor spin-up costs more than it saves on short
+    # stages (media_png measurement); ``concurrency`` (optional) caps
+    # concurrent tasks
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_kwargs={"small_ref": ref, "key": key, "how": how},
+        lambda t: _BroadcastJoiner(small_ref=ref, key=key, how=how)(t),
         batch_format="pyarrow",
-        concurrency=(concurrency, concurrency),
+        **kwargs,
     )
 
 
@@ -145,11 +152,21 @@ def pre_aggregated_sum(
     keys: list[str],
     sums: dict[str, str],
     count_alias: str | None = None,
+    bounded_domain: bool = False,
 ) -> ray.data.Dataset:
     """groupby with the partial/combiner pattern: per-batch pandas groupby
     emits one row per key per batch (map_batches, no shuffle), then the small
     partial stream goes through one ``groupby().aggregate(Sum)`` — the
-    all-to-all moves per-key partials, not raw rows."""
+    all-to-all moves per-key partials, not raw rows.
+
+    ``bounded_domain=True`` is the caller's declaration that the key domain
+    is SMALL AND DATA-INDEPENDENT (market segments, languages, digits,
+    calendar days — never ids): the final combine then runs as
+    ``repartition(1)`` + one in-block fold instead of Ray's sort-based
+    aggregate exchange, whose fixed cost (~1–3 s at 32 CPUs) dwarfs the
+    work for a ≤10³-row partial stream. Results are identical (int64 sums
+    are order-independent). Leave False for unbounded keys — a single
+    block must never hold a data-proportional domain."""
     from ray.data.aggregate import Sum
 
     def partial(batch: "pa.Table") -> pa.Table:
@@ -162,6 +179,17 @@ def pre_aggregated_sum(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if bounded_domain:
+        cols = list(sums.values()) + ([count_alias] if count_alias else [])
+
+        def combine(t: "pa.Table") -> pa.Table:
+            df = t.to_pandas()
+            out = df.groupby(keys, as_index=False)[cols].sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow"
+        )
     aggs = [Sum(out, alias_name=out) for out in sums.values()]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))

@@ -62,7 +62,8 @@ def q_agg_by_lang(sf_dir: str):
     """S6: partial-aggregate pattern (combine per batch, tiny shuffle)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     return pre_aggregated_sum(
-        ds, keys=["lang"], sums={"n_chars": "sum_chars"}, count_alias="n_docs"
+        ds, keys=["lang"], sums={"n_chars": "sum_chars"}, count_alias="n_docs",
+        bounded_domain=True,  # |langs| is a constant, not data-proportional
     )
 
 
@@ -101,6 +102,7 @@ def q_join_segment(sf_dir: str):
     return pre_aggregated_sum(
         joined, keys=["segment"], sums={"total_cents": "total_cents"},
         count_alias="n_orders",
+        bounded_domain=True,  # |segments| = 5, a constant
     )
 
 
@@ -258,6 +260,7 @@ def q_pricing_summary(sf_dir: str):
         sums={"qty": "sum_qty", "base_cents": "sum_base_cents",
               "disc_cents": "sum_disc_cents"},
         count_alias="count_order",
+        bounded_domain=True,  # flag×status is a ≤6-cell constant grid
     )
 
 
