@@ -1,0 +1,287 @@
+"""Extraction-tier surface round 3: structured-data scrape (schema.org
+microdata), rel=canonical near-duplicate collapse, and Aho–Corasick
+dictionary matching.
+
+Same synthesized-payload oracle pattern as ``q_link_graph`` /
+``q_boilerplate_main``: each page is a DETERMINISTIC function of document
+columns, so DuckDB states the expected output in closed form while the
+engine must recover it through the real stacks (HTML5 tokenizer → tree
+builder → microdata walker / selector match; multi-pattern automaton).
+Any parser or automaton regression breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from goose_parser_ray.queries._shared import _pool, _read
+
+
+# ---------------------------------------------------------------------------
+# schema.org microdata extraction (itemscope / itemtype / itemprop)
+# ---------------------------------------------------------------------------
+
+
+def _microdata_page(doc_id: int, headline_esc: str, n_chars: int) -> str:
+    """Two items per page — a Product with a NESTED Offer item (exercises
+    the nested-itemscope boundary + itemprop-carried item rows) and an
+    Article whose headline round-trips entity escaping."""
+    price = f"{(doc_id * 37) % 9973}.{doc_id % 100:02d}"
+    avail = "InStock" if doc_id % 2 == 0 else "OutOfStock"
+    return (
+        "<html><body>"
+        '<div itemscope itemtype="https://schema.org/Product">'
+        f'<span itemprop="name">Part {doc_id}</span>'
+        f'<meta itemprop="sku" content="SKU-{doc_id:06d}">'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        f'<meta itemprop="price" content="{price}">'
+        f'<link itemprop="availability" href="https://schema.org/{avail}">'
+        "</div></div>"
+        '<article itemscope itemtype="https://schema.org/Article">'
+        f'<h1 itemprop="headline">{headline_esc}</h1>'
+        f'<span itemprop="wordCount">{n_chars}</span>'
+        "</article></body></html>"
+    )
+
+
+class _MicrodataActor:
+    """Synthesize the page, DOM-parse it, run the microdata walker, emit
+    (doc_id, seq, item_type, prop, value) rows in document order."""
+
+    def __init__(self) -> None:
+        from goose_parser_ray.functions.microdata import extract_microdata
+        from goose_parser_ray.html.treebuilder import parse_html
+
+        self._parse = parse_html
+        self._extract = extract_microdata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from goose_parser_ray.functions.linkgraph import _escape_text
+
+        ids = batch["doc_id"].to_pylist()
+        n_chars = batch["n_chars"].to_pylist()
+        # normalize BEFORE truncation so the DOM whitespace round-trip is
+        # the identity and SQL can state the headline in closed form
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.coalesce(batch["text"], pa.scalar("")), r"\s+", " "
+            )
+        )
+        heads = _escape_text(pc.utf8_slice_codeunits(norm, 0, 24)).to_pylist()
+        out_id: list[int] = []
+        out_seq: list[int] = []
+        out_type: list[str] = []
+        out_prop: list[str] = []
+        out_val: list[str] = []
+        for doc_id, head, nc in zip(ids, heads, n_chars):
+            page = _microdata_page(doc_id, head, nc)
+            for seq, (itype, prop, val) in enumerate(
+                self._extract(self._parse(page))
+            ):
+                out_id.append(doc_id)
+                out_seq.append(seq)
+                out_type.append(itype)
+                out_prop.append(prop)
+                out_val.append(val)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_seq, pa.int64()),
+                pa.array(out_type, pa.string()),
+                pa.array(out_prop, pa.string()),
+                pa.array(out_val, pa.string()),
+            ],
+            names=["doc_id", "seq", "item_type", "prop", "value"],
+        )
+
+
+def q_microdata_extract(sf_dir: str):
+    """Schema.org microdata scrape, ORACLE-CHECKED: 7 rows per document
+    (Product name/sku/offers + nested Offer price/availability + Article
+    headline/wordCount) recovered through the full DOM stack — tokenizer →
+    tree builder → itemscope/itemprop walker with nested-item boundaries —
+    while SQL states every row in closed form. The headline value
+    round-trips entity escaping; ``seq`` pins document order. Map-only
+    (task pool — init is two import binds), zero shuffle."""
+    from goose_parser_ray.queries.extraction2 import _MicrodataActor as _A
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return ds.map_batches(
+        lambda t: _A()(t), batch_format="pyarrow", batch_size=512
+    ).sort(["doc_id", "seq"])
+
+
+SQL_MICRODATA_EXTRACT = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         trim(substr(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')),
+                     1, 24)) AS headline
+  FROM documents
+), rows_per_doc AS (
+  SELECT doc_id, seq,
+    CASE seq
+      WHEN 0 THEN 'https://schema.org/Product'
+      WHEN 1 THEN 'https://schema.org/Product'
+      WHEN 2 THEN 'https://schema.org/Product'
+      WHEN 3 THEN 'https://schema.org/Offer'
+      WHEN 4 THEN 'https://schema.org/Offer'
+      WHEN 5 THEN 'https://schema.org/Article'
+      ELSE 'https://schema.org/Article' END AS item_type,
+    CASE seq
+      WHEN 0 THEN 'name' WHEN 1 THEN 'sku' WHEN 2 THEN 'offers'
+      WHEN 3 THEN 'price' WHEN 4 THEN 'availability'
+      WHEN 5 THEN 'headline' ELSE 'wordCount' END AS prop,
+    CASE seq
+      WHEN 0 THEN 'Part ' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'SKU-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+      WHEN 2 THEN 'https://schema.org/Offer'
+      WHEN 3 THEN CAST((doc_id * 37) % 9973 AS VARCHAR) || '.'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      WHEN 4 THEN 'https://schema.org/'
+                  || CASE WHEN doc_id % 2 = 0 THEN 'InStock' ELSE 'OutOfStock' END
+      WHEN 5 THEN headline
+      ELSE CAST(n_chars AS VARCHAR) END AS value
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS seq) s
+)
+SELECT doc_id, seq, item_type, prop, value
+FROM rows_per_doc
+ORDER BY doc_id, seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical duplicate collapse
+# ---------------------------------------------------------------------------
+
+
+class _CanonicalActor:
+    """Synthesize a <head> with an alternate-rel decoy plus the canonical
+    link, DOM-parse, select ``link[rel=canonical]``, emit (doc_id, url)."""
+
+    def __init__(self) -> None:
+        from goose_parser_ray.css.selector import compile_selector, select
+        from goose_parser_ray.html.treebuilder import parse_html
+
+        self._parse = parse_html
+        self._select = select
+        self._sel = compile_selector('link[rel="canonical"]')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_url: list[str] = []
+        for doc_id in ids:
+            canon = doc_id - doc_id % 3
+            page = (
+                "<html><head>"
+                f'<link rel="alternate" href="https://ex.com/alt/{doc_id}">'
+                f'<link rel="canonical" href="https://ex.com/p/{canon}">'
+                f"</head><body><p>doc {doc_id}</p></body></html>"
+            )
+            doc = self._parse(page)
+            hits = self._select(self._sel, doc)
+            if len(hits) != 1:  # fail loud: selector must hit exactly once
+                raise ValueError(f"canonical selector hit {len(hits)}")
+            out_url.append(hits[0].attrs.get("href", ""))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(out_url, pa.string())],
+            names=["doc_id", "canonical"],
+        )
+
+
+def q_canonical_dedup(sf_dir: str):
+    """rel=canonical near-duplicate collapse, ORACLE-CHECKED: extract the
+    canonical URL through the real DOM stack (a rel=alternate decoy sits
+    before it), then collapse documents by canonical keeping the smallest
+    doc_id and the group size — the URL-level dedup a crawl corpus runs
+    before any content-level near-dup pass. Scale shape: map-only extract,
+    map-side (canonical → min/count) partials per batch, then one
+    aggregate exchange over partials (never raw rows)."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pairs = ds.map_batches(
+        lambda t: _CanonicalActor()(t), batch_format="pyarrow", batch_size=512
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("canonical", as_index=False).agg(
+            keeper=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = pairs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("canonical").aggregate(
+        Min("keeper", alias_name="keeper"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+    return agg.sort("canonical")
+
+
+SQL_CANONICAL_DEDUP = """
+SELECT 'https://ex.com/p/' || CAST(doc_id - doc_id % 3 AS VARCHAR) AS canonical,
+       MIN(doc_id) AS keeper,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY canonical
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aho–Corasick dictionary matching
+# ---------------------------------------------------------------------------
+
+# Every term is BORDER-FREE (no proper prefix that is also a suffix) — the
+# property that makes overlapping counts equal non-overlapping counts, so a
+# replace()-arithmetic SQL twin certifies the automaton exactly. Asserted in
+# tests/test_ops_r4d.py::test_dictionary_terms_border_free.
+MATCH_TERMS = [
+    "table",
+    "scan",
+    "value",
+    "fast",
+    "agg",
+    "merge batch",
+    "spark a",
+    "customer",
+    "join",
+    "filter",
+]
+
+
+def q_multi_pattern_match(sf_dir: str):
+    """Aho–Corasick dictionary matching, ORACLE-CHECKED: per-(doc, term)
+    occurrence counts for a 10-term dictionary in ONE automaton pass per
+    document (the 10^6-term blocklist/taxonomy scale path — per-term scans
+    are O(terms × corpus)). Dictionary broadcast once via ray.put; counts
+    include phrase terms spanning token boundaries. SQL certifies every
+    count through replace()-length arithmetic (terms are border-free, see
+    MATCH_TERMS). Map-only, zero shuffle."""
+    from goose_parser_ray.functions.ahocorasick import multi_pattern_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = multi_pattern_counts(
+        ds, MATCH_TERMS, id_col="doc_id", text_col="text",
+        concurrency=_pool(),
+    )
+    return out.sort(["doc_id", "term"])
+
+
+def _match_values_sql() -> str:
+    return ", ".join(f"('{t}')" for t in MATCH_TERMS)
+
+
+SQL_MULTI_PATTERN_MATCH = f"""
+WITH terms(term) AS (VALUES {_match_values_sql()})
+SELECT d.doc_id, t.term,
+       (length(COALESCE(d.text, ''))
+        - length(replace(COALESCE(d.text, ''), t.term, '')))
+       // length(t.term) AS n_matches
+FROM documents d CROSS JOIN terms t
+WHERE COALESCE(d.text, '') LIKE '%' || t.term || '%'
+ORDER BY d.doc_id, t.term
+"""
