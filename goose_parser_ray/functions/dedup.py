@@ -2659,3 +2659,270 @@ def winnow_dedup_pairs(
         return t.filter(m)
 
     return out.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment join (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_join(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    df_broadcast_guard: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT asymmetric containment self-join: ordered pairs
+    ``(id_a, id_b, cont_e4)`` with ``|G(a) ∩ G(b)| ≥ τ·|G(a)|`` over
+    DISTINCT lowercased word n-gram sets (τ = num/den; a ≠ b) — the
+    quote/inclusion detector Jaccard misses: a short document fully quoted
+    inside a long one has high containment but low Jaccard.
+    ``cont_e4 = 10000·i // la``; all threshold math is integer, so a SQL
+    twin matches exactly. Documents with no n-gram (fewer than ``n``
+    words) emit no gram rows and never pair — on either side.
+
+    Distributed shape (the asymmetric PPJoin prefix variant):
+
+    1. distinct (doc, gram) rows, vectorized (``_word_ngrams_table``);
+       per-doc set sizes and gram document frequencies via map-side
+       partials + one aggregate each.
+    2. CONTAINED-side prefix blocking: per doc, sort grams by the global
+       (df, gram) order and keep the ``la − ⌈τ·la⌉ + 1`` rarest. Prefix
+       theorem (containment form): a pair with i ≥ τ·la that shares none
+       of those prefix grams has at most la − prefix < τ·la grams left to
+       intersect — contradiction, so blocking has ZERO misses. The
+       CONTAINER side indexes ALL its grams (containment puts no length
+       bound on the container, so there is no container-side filter).
+    3. candidates form inside per-gram groups (coalesced into coarse hash
+       buckets) as prefix-row × full-row with a ≠ b; pair dedup is
+       bucketed (``_dedup_pairs``).
+    4. VERIFY: exact intersection counts via two hash-partitioned joins of
+       candidates against the full gram table, then the integer gate
+       ``den·i ≥ num·la``. No broadcast of the corpus, no driver
+       collection anywhere.
+    """
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    num, den = threshold_num, threshold_den
+
+    def distinct_grams(t: pa.Table) -> pa.Table:
+        lowered = t.set_column(
+            t.schema.get_field_index(col),
+            col,
+            pc.utf8_lower(pc.fill_null(t[col], "")),
+        )
+        df = _word_ngrams_table(
+            lowered, text_col=col, id_col=id_col, n=n
+        ).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(df["doc_id"].astype(np.int64)),
+             "gram": pa.array(df["gram"].astype(object), pa.string())}
+        )
+
+    grams = ds.map_batches(
+        distinct_grams, batch_format="pyarrow"
+    ).materialize()  # consumed by df-count, prefix AND verify passes
+    n_gram_rows = grams.count()
+    empty = pa.Table.from_pydict(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "cont_e4": pa.array([], pa.int64())}
+    )
+    if n_gram_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        c = (
+            t.to_pandas().groupby("gram", sort=False).size().rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"gram": pa.array(c["gram"], pa.string()),
+             "n": pa.array(c["n"].astype(np.int64))}
+        )
+
+    dfreq = (
+        grams.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="df"))
+        .materialize()
+    )
+    n_vocab = dfreq.count()
+
+    if n_vocab <= df_broadcast_guard:
+        df_pd = dfreq.to_pandas()
+        df_ref = _ray.put(
+            (pa.array(df_pd["gram"], pa.string()),
+             df_pd["df"].to_numpy(np.int64))
+        )
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            vocab, dfs = _ray.get(df_ref)
+            idx = pc.index_in(t["gram"], value_set=vocab).to_numpy(
+                zero_copy_only=False
+            )
+            return t.append_column("df", pa.array(dfs[idx]))
+
+        with_df = grams.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        with_df = grams.join(
+            dfreq, join_type="inner", num_partitions=num_partitions,
+            on=("gram",),
+        )
+
+    nb = num_shuffle_buckets(n_gram_rows)
+
+    def prefix_emit(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.sort_values(
+            ["doc_id", "df", "gram"], kind="mergesort"
+        )
+        l = frame.groupby("doc_id", sort=False)["gram"].transform("size")
+        rank = frame.groupby("doc_id", sort=False).cumcount()
+        p = l - (num * l + den - 1) // den + 1
+        return frame.loc[rank < p, ["doc_id", "gram"]]
+
+    bucketed = with_df.map_batches(
+        lambda t: add_hash_bucket(t, "doc_id", nb, "__db"),
+        batch_format="pyarrow",
+    )
+    prefixes = bucketed.groupby("__db").map_groups(
+        lambda g: prefix_emit(g.drop(columns="__db")), batch_format="pandas"
+    )
+
+    # per-gram groups: prefix rows (side=1, potential contained doc) ×
+    # full rows (side=0, potential container)
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t["doc_id"],
+                    t["gram"],
+                    pa.array(
+                        np.full(t.num_rows, side, dtype=np.int64)
+                    ),
+                ],
+                names=["doc_id", "gram", "side"],
+            )
+
+        return fn
+
+    both = prefixes.map_batches(tag(1), batch_format="pyarrow").union(
+        grams.map_batches(tag(0), batch_format="pyarrow")
+    )
+    pnb = num_shuffle_buckets(n_gram_rows)
+
+    def pairs_in_gram_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, f in g.groupby("gram", sort=False):
+            pref = f.loc[f["side"] == 1, "doc_id"].to_numpy()
+            full = f.loc[f["side"] == 0, "doc_id"].to_numpy()
+            if len(pref) == 0 or len(full) == 0:
+                continue
+            a = np.repeat(pref, len(full))
+            b = np.tile(full, len(pref))
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    both_bucketed = both.map_batches(
+        lambda t: add_hash_bucket(t, "gram", pnb, "__gb"),
+        batch_format="pyarrow",
+    )
+    cand = both_bucketed.groupby("__gb").map_groups(
+        pairs_in_gram_group, batch_format="pandas"
+    )
+    cand = _dedup_pairs(
+        cand, cols=("id_a", "id_b"), num_buckets=pnb
+    ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # exact intersection counts: two hash joins + grouped count
+    j1 = cand.join(
+        grams, join_type="inner", num_partitions=num_partitions,
+        on=("id_a",), right_on=("doc_id",),
+    )
+    gram_b = grams.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["gram"]], names=["id_b", "gram"]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        gram_b, join_type="inner", num_partitions=num_partitions,
+        on=("id_b", "gram"),
+    )
+
+    def inter_partial(t: pa.Table) -> pa.Table:
+        c = (
+            t.select(["id_a", "id_b"]).to_pandas()
+            .groupby(["id_a", "id_b"], sort=False).size().rename("i")
+            .reset_index()
+        )
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(c["id_a"].astype(np.int64)),
+             "id_b": pa.array(c["id_b"].astype(np.int64)),
+             "i": pa.array(c["i"].astype(np.int64))}
+        )
+
+    inter = pre_aggregated_sum(
+        j2.map_batches(inter_partial, batch_format="pyarrow"),
+        keys=["id_a", "id_b"], sums={"i": "i"},
+    )
+
+    sizes = pre_aggregated_sum(
+        grams.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["doc_id"],
+                 pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                names=["doc_id", "one"],
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["doc_id"], sums={"one": "la"},
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["la"]], names=["id_a", "la"]
+        ),
+        batch_format="pyarrow",
+    )
+    withs = inter.join(
+        sizes, join_type="inner", num_partitions=num_partitions,
+        on=("id_a",),
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = t["la"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = den * i >= num * la
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(
+                t["id_a"].to_numpy(zero_copy_only=False)[keep].astype(
+                    np.int64
+                )
+            ),
+             "id_b": pa.array(
+                t["id_b"].to_numpy(zero_copy_only=False)[keep].astype(
+                    np.int64
+                )
+            ),
+             "cont_e4": pa.array(10000 * i[keep] // la[keep])}
+        )
+
+    return withs.map_batches(gate, batch_format="pyarrow")

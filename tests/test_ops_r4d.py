@@ -131,3 +131,59 @@ def test_dictionary_terms_border_free():
     for t in MATCH_TERMS:
         for k in range(1, len(t)):
             assert t[:k] != t[-k:], f"term {t!r} has border {t[:k]!r}"
+
+
+# ---------------------------------------------------------------------------
+# containment join: brute-force parity (zero-miss prefix blocking)
+# ---------------------------------------------------------------------------
+
+
+def _grams3(text: str) -> set:
+    w = [t for t in text.lower().split() if t]
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _brute_containment(rows, num, den):
+    out = []
+    for a in rows:
+        ga = _grams3(a["text"])
+        if not ga:
+            continue
+        for b in rows:
+            if a["doc_id"] == b["doc_id"]:
+                continue
+            i = len(ga & _grams3(b["text"]))
+            if den * i >= num * len(ga):
+                out.append(
+                    (a["doc_id"], b["doc_id"], 10000 * i // len(ga))
+                )
+    return sorted(out)
+
+
+def test_containment_join_matches_bruteforce(ray_session):
+    import ray.data
+
+    from goose_parser_ray.functions.dedup import containment_join
+
+    rng = np.random.default_rng(11)
+    vocab = list("abcdefgh")
+    rows = []
+    for i in range(30):
+        words = rng.choice(vocab, size=rng.integers(3, 20)).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # guaranteed containment: doc 100 is a fragment of doc 0
+    rows.append({"doc_id": 100, "text": " ".join(rows[0]["text"].split()[:6])})
+    # doc with < 3 words: no grams, must never pair
+    rows.append({"doc_id": 101, "text": "xy zz"})
+    ds = ray.data.from_items(rows)
+    got = containment_join(
+        ds, id_col="doc_id", col="text", n=3,
+        threshold_num=7, threshold_den=10,
+    ).to_pandas()
+    got_t = sorted(
+        (int(r.id_a), int(r.id_b), int(r.cont_e4))
+        for r in got.itertuples()
+    )
+    assert got_t == _brute_containment(rows, 7, 10)
+    assert any(a == 100 and b == 0 for a, b, _ in got_t)
+    assert all(101 not in (a, b) for a, b, _ in got_t)
