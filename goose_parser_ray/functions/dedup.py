@@ -2710,7 +2710,10 @@ def containment_join(
 
     from ray.data.aggregate import Sum
 
-    from goose_parser_ray.functions.relational import pre_aggregated_sum
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        pre_aggregated_sum,
+    )
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
@@ -2776,8 +2779,9 @@ def containment_join(
 
         with_df = grams.map_batches(attach_df, batch_format="pyarrow")
     else:
-        with_df = grams.join(
-            dfreq, join_type="inner", num_partitions=num_partitions,
+        with_df = compact_for_join(grams, num_partitions, n_gram_rows).join(
+            compact_for_join(dfreq, num_partitions, n_vocab),
+            join_type="inner", num_partitions=num_partitions,
             on=("gram",),
         )
 
@@ -2804,10 +2808,14 @@ def containment_join(
     # full rows (side=0, potential container)
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            # Explicit casts: an EMPTY pandas group (map_groups may invoke
+            # the UDF on empty partitions) converts object→null type, and a
+            # null-typed `gram` block unioned with string blocks fails the
+            # downstream hash-shuffle finalize with ArrowInvalid.
             return pa.Table.from_arrays(
                 [
-                    t["doc_id"],
-                    t["gram"],
+                    t["doc_id"].cast(pa.int64()),
+                    t["gram"].cast(pa.string()),
                     pa.array(
                         np.full(t.num_rows, side, dtype=np.int64)
                     ),
@@ -2853,18 +2861,29 @@ def containment_join(
     if cand.count() == 0:
         return ray.data.from_arrow(empty)
 
-    # exact intersection counts: two hash joins + grouped count
-    j1 = cand.join(
-        grams, join_type="inner", num_partitions=num_partitions,
+    # exact intersection counts: two hash joins + grouped count. Every
+    # join input is compacted (`compact_for_join`): cand comes off a
+    # bucketed groupby and j1 off a join, both of which emit zero-column
+    # blocks for empty partitions that poison the next hash join
+    # (ArrowInvalid "No match ... FieldRef" — same failure mode as the
+    # set-similarity join, dedup.py:2150).
+    n_cand = cand.count()
+    j1 = compact_for_join(cand, num_partitions, n_cand).join(
+        compact_for_join(grams, num_partitions, n_gram_rows),
+        join_type="inner", num_partitions=num_partitions,
         on=("id_a",), right_on=("doc_id",),
     )
-    gram_b = grams.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [t["doc_id"], t["gram"]], names=["id_b", "gram"]
-        ),
-        batch_format="pyarrow",
+    gram_b = compact_for_join(
+        grams.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["doc_id"], t["gram"]], names=["id_b", "gram"]
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        num_partitions,
+        n_gram_rows,
     )
-    j2 = j1.join(
+    j2 = compact_for_join(j1.materialize(), num_partitions).join(
         gram_b, join_type="inner", num_partitions=num_partitions,
         on=("id_b", "gram"),
     )
@@ -2902,8 +2921,9 @@ def containment_join(
         ),
         batch_format="pyarrow",
     )
-    withs = inter.join(
-        sizes, join_type="inner", num_partitions=num_partitions,
+    withs = compact_for_join(inter.materialize(), num_partitions).join(
+        compact_for_join(sizes.materialize(), num_partitions),
+        join_type="inner", num_partitions=num_partitions,
         on=("id_a",),
     )
 
