@@ -1497,7 +1497,14 @@ def duplicated_ngram_stats(
 
         nbj = join_num_partitions or num_shuffle_buckets(n_dup)
         pos = ds.map_batches(pos_counts, batch_format="pyarrow")
-        j = pos.join(dup, join_type="inner", num_partitions=nbj, on=("gram",))
+        # dup is aggregate-derived → compact (empty-block hash-join guard);
+        # pos streams off the raw corpus read and stays lazy.
+        from goose_parser_ray.functions.relational import compact_for_join
+
+        j = pos.join(
+            compact_for_join(dup, nbj, n_dup),
+            join_type="inner", num_partitions=nbj, on=("gram",),
+        )
         dupc = pre_aggregated_sum(
             j.map_batches(
                 lambda t: pa.Table.from_pydict(
@@ -2258,9 +2265,14 @@ def set_similarity_join(
         )
 
     # scale path: exact verification via two hash joins + grouped count
-    j1 = cand.join(
-        tokens, join_type="inner", num_partitions=num_partitions,
+    # (safe_join: compacted inputs + compacted intermediates — see
+    # compact_for_join on Ray's empty-block hash-join failure)
+    from goose_parser_ray.functions.relational import safe_join
+
+    j1 = safe_join(
+        cand, tokens, num_partitions=num_partitions,
         on=("id_a",), right_on=("doc_id",),
+        left_rows=n_cand, right_rows=n_tok_rows,
     )
     tok_b = tokens.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -2268,9 +2280,9 @@ def set_similarity_join(
         ),
         batch_format="pyarrow",
     )
-    j2 = j1.join(
-        tok_b, join_type="inner", num_partitions=num_partitions,
-        on=("id_b", "token"),
+    j2 = safe_join(
+        j1, tok_b, num_partitions=num_partitions,
+        on=("id_b", "token"), right_rows=n_tok_rows,
     )
 
     def inter_partial(t: pa.Table) -> pa.Table:
@@ -2315,9 +2327,10 @@ def set_similarity_join(
         ),
         batch_format="pyarrow",
     )
-    withs = inter.join(
-        sa, join_type="inner", num_partitions=num_partitions, on=("id_a",)
-    ).join(sb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+    withs = safe_join(
+        safe_join(inter, sa, num_partitions=num_partitions, on=("id_a",)),
+        sb, num_partitions=num_partitions, on=("id_b",),
+    )
 
     def gate(t: pa.Table) -> pa.Table:
         i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -748,9 +748,14 @@ def triangle_count(
             keys=["node"], sums={"one": alias},
         )
 
+    from goose_parser_ray.functions.relational import (
+        compact_for_join,
+        safe_join,
+    )
+
     # wedges (a<b<c paths) = Σ_b (#edges ending at b) × (#edges starting at b)
-    prod = degrees("v", "l").join(
-        degrees("u", "r"), join_type="inner",
+    prod = safe_join(
+        degrees("v", "l"), degrees("u", "r"),
         num_partitions=num_partitions, on=("node",),
     ).map_batches(
         lambda t: pa.Table.from_pydict(
@@ -773,11 +778,17 @@ def triangle_count(
         lambda t: pa.Table.from_arrays([t["u"], t["v"]], names=["a", "c"]),
         batch_format="pyarrow",
     )
-    tri = (
-        left.join(right, join_type="inner",
-                  num_partitions=num_partitions, on=("b",))
-        .join(closing, join_type="inner",
-              num_partitions=num_partitions, on=("a", "c"))
+    # wedge join stays streaming (never materialized): inputs are compacted
+    # with the known edge count, and the wedge→closing intermediate is
+    # compacted by repartition using the just-computed wedge count — an
+    # exchange, not a driver/object-store pin.
+    wedge_join = compact_for_join(left, num_partitions, n_edges).join(
+        compact_for_join(right, num_partitions, n_edges),
+        join_type="inner", num_partitions=num_partitions, on=("b",),
+    )
+    tri = compact_for_join(wedge_join, num_partitions, max(1, n_wedges)).join(
+        compact_for_join(closing, num_partitions, n_edges),
+        join_type="inner", num_partitions=num_partitions, on=("a", "c"),
     )
     return {"edges": n_edges, "wedges": n_wedges, "triangles": tri.count()}
 
@@ -952,9 +963,12 @@ def kcore_distributed(
     if n_edges == 0:
         return empty
 
+    from goose_parser_ray.functions.relational import safe_join
+
     for _ in range(max_iters):
         good = degrees(e).filter(expr=f"deg >= {int(k)}").materialize()
-        if good.count() == 0:
+        n_good = good.count()
+        if n_good == 0:
             return empty
         keep_u = good.map_batches(
             lambda t: pa.Table.from_arrays([t["node"]], names=["u"]),
@@ -964,13 +978,17 @@ def kcore_distributed(
             lambda t: pa.Table.from_arrays([t["node"]], names=["v"]),
             batch_format="pyarrow",
         )
-        e2 = (
-            e.join(keep_u, join_type="inner",
-                   num_partitions=num_partitions, on=("u",))
-            .join(keep_v, join_type="inner",
-                  num_partitions=num_partitions, on=("v",))
-            .materialize()
-        )
+        # safe_join both halves: good is filter-of-aggregate and e is a
+        # prior-round join output — both can carry the empty blocks Ray's
+        # hash join rejects (see compact_for_join).
+        e2 = safe_join(
+            safe_join(
+                e, keep_u, num_partitions=num_partitions, on=("u",),
+                left_rows=n_edges, right_rows=n_good,
+            ),
+            keep_v, num_partitions=num_partitions, on=("v",),
+            right_rows=n_good,
+        ).materialize()
         n2 = e2.count()
         if n2 == n_edges:
             return good

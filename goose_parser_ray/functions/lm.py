@@ -223,15 +223,25 @@ def bigram_lm_score(
             }
         )
 
+    from goose_parser_ray.functions.relational import compact_for_join
+
+    # cb/cu are aggregate-derived → compact (empty-block hash-join guard);
+    # trip streams off the raw corpus and stays lazy. The intermediate j is
+    # a join output, so compact it too — by repartition, never materialize
+    # (it is corpus-bigram sized).
     trip = ds.map_batches(triples, batch_format="pyarrow")
-    j = trip.join(cb, join_type="inner", num_partitions=nb_join, on=("w1", "w2"))
-    j = j.join(
-        cu.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["w1"], t["cu"]], names=["__pw1", "cu"]
-            ),
-            batch_format="pyarrow",
+    j = trip.join(
+        compact_for_join(cb, nb_join, n_bigram_kinds),
+        join_type="inner", num_partitions=nb_join, on=("w1", "w2"),
+    )
+    cu_m = cu.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["w1"], t["cu"]], names=["__pw1", "cu"]
         ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = compact_for_join(j, nb_join, nb_join).join(
+        compact_for_join(cu_m, nb_join),
         join_type="inner",
         num_partitions=nb_join,
         on=("w1",),

@@ -147,6 +147,45 @@ def compact_for_join(
     return ds.repartition(max(1, min(num_partitions, n)))
 
 
+def safe_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: tuple,
+    num_partitions: int,
+    join_type: str = "inner",
+    right_on: tuple | None = None,
+    left_rows: int | None = None,
+    right_rows: int | None = None,
+) -> ray.data.Dataset:
+    """``Dataset.join`` with both inputs routed through
+    :func:`compact_for_join` — the safe default for any join whose inputs
+    passed through a groupby/aggregate/filter/join (all of which can emit
+    the zero-column empty blocks that crash Ray 2.49's hash join with
+    ``ArrowInvalid: No match ... FieldRef``). When a side's row count is
+    unknown it is materialized first so the count + repartition don't
+    execute its plan twice; pass ``left_rows``/``right_rows`` for inputs
+    that are already materialized with a known count. Join OUTPUTS are
+    themselves poisoned — chain ``safe_join`` calls rather than calling
+    ``.join`` on a ``safe_join`` result."""
+    if left_rows is None:
+        left = left.materialize()
+        left_rows = left.count()
+    if right_rows is None:
+        right = right.materialize()
+        right_rows = right.count()
+    kw = {}
+    if right_on is not None:
+        kw["right_on"] = right_on
+    return compact_for_join(left, num_partitions, left_rows).join(
+        compact_for_join(right, num_partitions, right_rows),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        **kw,
+    )
+
+
 def pre_aggregated_sum(
     ds: ray.data.Dataset,
     keys: list[str],

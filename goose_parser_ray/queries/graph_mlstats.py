@@ -1035,10 +1035,13 @@ def q_pmi_bigrams(sf_dir: str):
         lambda t: pa.Table.from_arrays([t["w1"], t["c"]], names=["w2", "cb"]),
         batch_format="pyarrow",
     )
+    from goose_parser_ray.functions.relational import safe_join
+
     nparts = _dedup._default_join_partitions()
-    joined = floored.join(
-        a, join_type="inner", num_partitions=nparts, on=("w1",)
-    ).join(b, join_type="inner", num_partitions=nparts, on=("w2",))
+    joined = safe_join(
+        safe_join(floored, a, num_partitions=nparts, on=("w1",)),
+        b, num_partitions=nparts, on=("w2",),
+    )
 
     def pmi(t: pa.Table) -> pa.Table:
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -953,9 +953,12 @@ def q_item_cf(sf_dir: str):
         lambda t: pa.Table.from_arrays([t["p"], t["c"]], names=["v", "cv"]),
         batch_format="pyarrow",
     )
-    joined = co.join(
-        cu, join_type="inner", num_partitions=npart, on=("u",)
-    ).join(cv, join_type="inner", num_partitions=npart, on=("v",))
+    from goose_parser_ray.functions.relational import safe_join
+
+    joined = safe_join(
+        safe_join(co, cu, num_partitions=npart, on=("u",)),
+        cv, num_partitions=npart, on=("v",),
+    )
 
     def cosine(t: pa.Table) -> pa.Table:
         co_ = t["co"].to_numpy(zero_copy_only=False).astype(np.float64)
