@@ -10,8 +10,13 @@ runs in an actor pool).
 
 Spec followed from the public GIF89a specification (CompuServe 1990):
 header + logical screen descriptor + global color table + image
-descriptor + LZW-compressed index stream + trailer. No extensions, no
-interlace, no transparency — the pipeline-relevant subset.
+descriptor + LZW-compressed index stream + trailer. No interlace, no
+transparency — the pipeline-relevant subset. The single-frame pair is
+``encode_gif``/``decode_gif``; ``encode_gif_animated``/``decode_gif_frames``
+add the multi-frame GIF89a animation subset (Graphic Control Extension
+per frame with centisecond delays, NETSCAPE2.0 looping application
+extension) — the in-repo "video" container that makes frame-sampling a
+REAL decode stage rather than a stub.
 """
 
 from __future__ import annotations
@@ -327,3 +332,163 @@ def decode_gif(data: bytes):
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("gif: index beyond palette")
     return w, h, palette, idx.reshape(h, w)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    palette: np.ndarray,
+    frames: "list[np.ndarray]",
+    delays_cs: "list[int] | None" = None,
+    loop: int = 0,
+) -> bytes:
+    """GIF89a bytes for an ANIMATION: one global color table, a
+    NETSCAPE2.0 looping application extension, then per frame a Graphic
+    Control Extension (delay in centiseconds) + full-screen image
+    descriptor + LZW index stream. ``frames`` is a list of height×width
+    uint8 index rasters (< len(palette)); ``delays_cs`` defaults to 10 cs
+    per frame. ``loop=0`` means loop forever (the spec's convention)."""
+    palette = np.asarray(palette, np.uint8)
+    p = len(palette)
+    if not 2 <= p <= 256:
+        raise ValueError("gif: palette size must be in [2, 256]")
+    if not frames:
+        raise ValueError("gif: animation needs at least one frame")
+    if delays_cs is None:
+        delays_cs = [10] * len(frames)
+    if len(delays_cs) != len(frames):
+        raise ValueError("gif: delays/frames length mismatch")
+    gct_bits = max(1, _bits_for(p))
+    gct_n = 1 << gct_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((gct_bits - 1) & 7) | (7 << 4))
+    out += b"\x00\x00"
+    gct = np.zeros((gct_n, 3), np.uint8)
+    gct[:p] = palette
+    out += gct.tobytes()
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+    out += struct.pack("<H", int(loop) & 0xFFFF)
+    out += b"\x00"
+    mcs = max(2, gct_bits)
+    for fr, delay in zip(frames, delays_cs):
+        idx = np.asarray(fr, np.uint8).reshape(-1)
+        if idx.size != width * height:
+            raise ValueError("gif: frame index count != width*height")
+        if int(idx.max(initial=0)) >= p:
+            raise ValueError("gif: frame index beyond palette")
+        # Graphic Control Extension: no disposal, no transparency
+        out += b"\x21\xf9\x04\x00"
+        out += struct.pack("<H", int(delay) & 0xFFFF)
+        out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(mcs)
+        payload = lzw_encode(idx, mcs)
+        for i in range(0, len(payload), 255):
+            blk = payload[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"  # sub-block terminator for this frame's image data
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes):
+    """Parse a (possibly animated) GIF89a/87a and return
+    ``(width, height, palette, frames, delays_cs)`` where ``frames`` is a
+    list of height×width uint8 rasters and ``delays_cs`` the per-frame
+    Graphic Control delays (0 when a frame carries no GCE). Full-screen
+    frames only (left=top=0, frame dims == screen dims) — the subset
+    ``encode_gif_animated`` emits. Raises ValueError on any malformed
+    structure (the mutation-fuzz contract: raise-or-correct, never
+    garbage)."""
+    if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("gif: bad signature")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        gct_n = 1 << ((packed & 7) + 1)
+        end = pos + 3 * gct_n
+        if end > len(data):
+            raise ValueError("gif: truncated color table")
+        palette = np.frombuffer(data[pos:end], np.uint8).reshape(-1, 3)
+        pos = end
+    if palette is None:
+        raise ValueError("gif: no global color table")
+    if sw == 0 or sh == 0 or sw * sh > 1 << 26:
+        raise ValueError("gif: bad dimensions")
+    frames: "list[np.ndarray]" = []
+    delays: "list[int]" = []
+    pending_delay = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("gif: missing trailer")
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if pos + 6 > len(data) or data[pos] != 4:
+                    raise ValueError("gif: bad graphic control block")
+                pending_delay = struct.unpack_from("<H", data, pos + 2)[0]
+                pos += 5
+                if data[pos] != 0:
+                    raise ValueError("gif: unterminated graphic control")
+                pos += 1
+            else:  # skip sub-blocks (application/comment/plain-text)
+                while True:
+                    if pos >= len(data):
+                        raise ValueError("gif: truncated extension blocks")
+                    ln = data[pos]
+                    pos += 1 + ln
+                    if ln == 0:
+                        break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{b0:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("gif: truncated image descriptor")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("gif: interlace unsupported")
+        if ipacked & 0x80:
+            raise ValueError("gif: local color table unsupported in frames")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("gif: partial-screen frame unsupported")
+        if pos >= len(data):
+            raise ValueError("gif: missing LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError("gif: bad LZW min code size")
+        chunks = []
+        while True:
+            if pos >= len(data):
+                raise ValueError("gif: truncated sub-blocks")
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(data):
+                raise ValueError("gif: truncated sub-block payload")
+            chunks.append(data[pos : pos + ln])
+            pos += ln
+        idx = lzw_decode(b"".join(chunks), mcs, w * h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("gif: index beyond palette")
+        frames.append(idx.reshape(h, w))
+        delays.append(pending_delay)
+        pending_delay = 0
+    if not frames:
+        raise ValueError("gif: no image block")
+    return sw, sh, palette, frames, delays

@@ -499,6 +499,50 @@ class GifStatsActor:
         return batch.append_column("rgb_sum", pa.array(sums, pa.int64()))
 
 
+class VideoFrameSampleActor:
+    """REAL frame-sampling stage over a multi-frame container: animated
+    GIF89a payloads are decoded frame-by-frame with the in-repo codec
+    (``gifmini.decode_gif_frames`` — per-frame Graphic Control delays,
+    shared global color table, one LZW stream per frame), every
+    ``stride``-th frame is kept (frame 0 always — the thumbnail
+    convention), and each kept frame is summarized as EXACT integers:
+    frame number, GCE delay, count of distinct palette indices used, and
+    the palette-mapped RGB sum. One input row fans out to one row PER
+    SAMPLED FRAME — the stage a video pipeline runs before per-frame
+    feature extraction. Codec bound once per actor; small batches for
+    wide binary payloads."""
+
+    def __init__(self, payload_col: str = "payload", stride: int = 2) -> None:
+        from goose_parser_ray.functions.gifmini import decode_gif_frames
+
+        self._decode = decode_gif_frames
+        self.payload_col = payload_col
+        self.stride = int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_nos, delays, used, sums = [], [], [], [], []
+        ids = batch["doc_id"].to_pylist()
+        for d, p in zip(ids, batch[self.payload_col].to_pylist()):
+            w, h, pal, frames, dl = self._decode(p or b"")
+            pal64 = pal.astype(np.int64)
+            for k in range(0, len(frames), self.stride):
+                idx = frames[k]
+                doc_ids.append(d)
+                frame_nos.append(k)
+                delays.append(int(dl[k]))
+                used.append(int(np.unique(idx).size))
+                sums.append(int(pal64[idx.ravel()].sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_no": pa.array(frame_nos, pa.int64()),
+                "delay_cs": pa.array(delays, pa.int64()),
+                "colors_used": pa.array(used, pa.int64()),
+                "rgb_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
 class BmpStatsActor:
     """REAL BMP decode stage (24-bit BI_RGB via ``bmpmini.py``): binary
     payloads decoded once per batch inside the actor, summarized as EXACT

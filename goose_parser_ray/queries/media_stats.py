@@ -1924,6 +1924,95 @@ FROM pix GROUP BY doc_id, width, height, p_n
 """
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video-frame-sampling pipeline, ORACLE-CHECKED end to end: per
+    doc a deterministic ANIMATED GIF89a (2..6 frames, per-frame Graphic
+    Control delays, NETSCAPE2.0 loop extension, one LZW stream per frame)
+    is synthesized with the in-repo codec, then ``VideoFrameSampleActor``
+    decodes the container frame-by-frame and keeps every 2nd frame
+    (frame 0 always — the thumbnail convention), fanning one input row
+    out to one row per SAMPLED frame with exact-integer summaries
+    (GCE delay, distinct palette indices used, palette-mapped RGB sum).
+    The hash compare against the closed-form DuckDB twin proves every
+    sampled frame's LZW index stream AND its extension-block delay were
+    reconstructed bit-exactly — the multi-frame "video" sibling of
+    q_media_gif (upstream: goose-parser media spans carry opaque binary
+    payloads; frame-sampling is the stage a video pipeline runs before
+    per-frame feature extraction)."""
+    from goose_parser_ray.functions.gifmini import encode_gif_animated
+    from goose_parser_ray.functions.multimodal import VideoFrameSampleActor
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 8 + (d % 9)
+            h = 6 + (d % 7)
+            p_n = 1 << (1 + d % 7)  # 2..128, power of two == GCT size
+            pi = np.arange(p_n, dtype=np.int64)
+            pal = np.stack(
+                [
+                    (37 * pi + d) % 256,
+                    (11 * pi + 2 * d) % 256,
+                    (53 * pi + 3 * d + 1) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            n_frames = 2 + (d % 5)  # 2..6
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            frames = [
+                ((7 * i + 13 * j + 5 * k + d) % p_n).astype(np.uint8)
+                for k in range(n_frames)
+            ]
+            delays = [4 + ((d + 3 * k) % 10) for k in range(n_frames)]
+            payloads.append(encode_gif_animated(w, h, pal, frames, delays))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        # task pool, not actor pool: the actor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: VideoFrameSampleActor(stride=2)(t),
+        batch_format="pyarrow",
+        batch_size=64,  # wide binary payloads — small batches (guide)
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 9) AS width,
+         6 + (doc_id % 7) AS height,
+         CAST(POWER(2, 1 + doc_id % 7) AS BIGINT) AS p_n,
+         2 + (doc_id % 5) AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT d.*, f.k AS frame_no
+  FROM dims d, UNNEST(generate_series(0, d.n_frames - 1)) AS f(k)
+  WHERE f.k % 2 = 0
+),
+pix AS (
+  SELECT fr.doc_id, fr.frame_no,
+         (7 * a.i + 13 * b.j + 5 * fr.frame_no + fr.doc_id) % fr.p_n AS p
+  FROM fr,
+       UNNEST(generate_series(0, fr.height - 1)) AS a(i),
+       UNNEST(generate_series(0, fr.width - 1)) AS b(j)
+)
+SELECT p.doc_id, p.frame_no,
+       4 + ((p.doc_id + 3 * p.frame_no) % 10) AS delay_cs,
+       CAST(COUNT(DISTINCT p.p) AS BIGINT) AS colors_used,
+       CAST(SUM((37 * p.p + p.doc_id) % 256 + (11 * p.p + 2 * p.doc_id) % 256
+                + (53 * p.p + 3 * p.doc_id + 1) % 256) AS BIGINT) AS rgb_sum
+FROM pix p GROUP BY p.doc_id, p.frame_no
+"""
+
+
 def q_media_bmp(sf_dir: str):
     """REAL Windows-BMP pipeline (the bottom-up/BGR/row-padded sibling of
     q_media_ppm), ORACLE-CHECKED: deterministic RGB gradients — widths

@@ -121,3 +121,124 @@ def test_mutation_fuzz_never_crashes_uncontrolled():
             decode_gif(bytes(good[:cut]))
         except ValueError:
             pass
+
+def test_animated_roundtrip_random():
+    from goose_parser_ray.functions.gifmini import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        p = int(rng.integers(2, 257))
+        w = int(rng.integers(1, 32))
+        h = int(rng.integers(1, 32))
+        n = int(rng.integers(1, 8))
+        pal = rng.integers(0, 256, (p, 3)).astype(np.uint8)
+        frames = [
+            rng.integers(0, p, (h, w)).astype(np.uint8) for _ in range(n)
+        ]
+        delays = [int(rng.integers(0, 500)) for _ in range(n)]
+        w2, h2, pal2, fr2, dl2 = decode_gif_frames(
+            encode_gif_animated(w, h, pal, frames, delays)
+        )
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(pal2[:p], pal)
+        assert dl2 == delays
+        assert len(fr2) == n
+        for a, b in zip(frames, fr2):
+            assert np.array_equal(a, b)
+
+
+def test_animated_decoder_reads_single_frame_gif():
+    """decode_gif_frames is a superset parser: a plain single-frame GIF
+    (no extensions at all) parses as a one-frame animation with delay 0."""
+    from goose_parser_ray.functions.gifmini import decode_gif_frames
+
+    pal = np.array([[10, 20, 30], [1, 1, 1]], np.uint8)
+    idx = np.array([[0, 1, 0], [1, 0, 1]], np.uint8)
+    w, h, p2, frames, delays = decode_gif_frames(encode_gif(3, 2, pal, idx))
+    assert (w, h) == (3, 2)
+    assert len(frames) == 1 and delays == [0]
+    assert np.array_equal(frames[0], idx)
+
+
+def test_animated_rejects_malformed():
+    from goose_parser_ray.functions.gifmini import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    f = [np.zeros((2, 3), np.uint8), np.ones((2, 3), np.uint8)]
+    good = encode_gif_animated(3, 2, pal, f, [5, 7])
+    with pytest.raises(ValueError):
+        decode_gif_frames(good[:-1])  # trailer gone
+    with pytest.raises(ValueError):
+        encode_gif_animated(3, 2, pal, [], [])  # no frames
+    with pytest.raises(ValueError):
+        encode_gif_animated(3, 2, pal, f, [5])  # delay/frame mismatch
+    with pytest.raises(ValueError):
+        encode_gif_animated(3, 2, pal, [np.full((2, 3), 2, np.uint8)], [5])
+
+
+def test_animated_mutation_fuzz_controlled():
+    """Same raise-or-valid contract as the single-frame fuzz, over the
+    animation structure (GCE blocks, NETSCAPE extension, per-frame
+    sub-block chains)."""
+    from goose_parser_ray.functions.gifmini import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rng = np.random.default_rng(44)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frames = [
+        rng.integers(0, 16, (7, 9)).astype(np.uint8) for _ in range(3)
+    ]
+    good = bytearray(encode_gif_animated(9, 7, pal, frames, [4, 8, 12]))
+    for trial in range(400):
+        b = bytearray(good)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            w, h, p2, fr2, dl2 = decode_gif_frames(bytes(b))
+            assert len(fr2) == len(dl2) >= 1
+            for f2 in fr2:
+                assert f2.shape == (h, w)
+                assert int(f2.max(initial=0)) < len(p2)
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 3):
+        try:
+            decode_gif_frames(bytes(good[:cut]))
+        except ValueError:
+            pass
+
+
+def test_video_frame_sample_actor():
+    """Stride-2 sampling keeps frames 0 and 2 of a 4-frame clip; each kept
+    row carries the frame's GCE delay and exact palette-mapped sums."""
+    from goose_parser_ray.functions.gifmini import encode_gif_animated
+    from goose_parser_ray.functions.multimodal import VideoFrameSampleActor
+
+    pal = np.array([[10, 20, 30], [1, 1, 1], [0, 0, 200], [5, 5, 5]], np.uint8)
+    frames = [
+        np.array([[0, 1, 2], [2, 1, 0]], np.uint8),
+        np.zeros((2, 3), np.uint8),
+        np.full((2, 3), 3, np.uint8),
+        np.ones((2, 3), np.uint8),
+    ]
+    payload = encode_gif_animated(3, 2, pal, frames, [11, 22, 33, 44])
+    out = VideoFrameSampleActor(stride=2)(
+        pa.Table.from_pydict(
+            {"doc_id": [9], "payload": pa.array([payload], pa.binary())}
+        )
+    )
+    assert out["doc_id"].to_pylist() == [9, 9]
+    assert out["frame_no"].to_pylist() == [0, 2]
+    assert out["delay_cs"].to_pylist() == [11, 33]
+    assert out["colors_used"].to_pylist() == [3, 1]
+    want0 = 2 * (10 + 20 + 30) + 2 * 3 + 2 * 200
+    want2 = 6 * (5 + 5 + 5)
+    assert out["rgb_sum"].to_pylist() == [want0, want2]
