@@ -499,6 +499,49 @@ class GifStatsActor:
         return batch.append_column("rgb_sum", pa.array(sums, pa.int64()))
 
 
+class ImageDHashActor:
+    """Perceptual difference-hash (dHash) over REAL decoded grayscale
+    images: PGM payloads are decoded with the in-repo Netpbm codec, the
+    raster is reduced to an 8-row × 9-column grid of integer block sums
+    (equal-size blocks, so comparing sums ≡ comparing means — exact, no
+    float resize), and each of the 64 bits records whether a grid cell is
+    brighter than its right neighbor. Pixel-level noise that does not flip
+    a block comparison leaves the hash unchanged — the property that makes
+    dHash a NEAR-dup key where a byte hash is only an exact-dup key. The
+    64 bits are returned as two int64 columns (``dhash_hi`` bits 32..63,
+    ``dhash_lo`` bits 0..31) so downstream groupbys and SQL twins stay in
+    signed-BIGINT range. Requires height % 8 == 0 and width % 9 == 0
+    (raises otherwise — resize upstream with ``netpbm.resize_nearest``)."""
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        from goose_parser_ray.functions.netpbm import decode_pgm
+
+        self._decode = decode_pgm
+        self.payload_col = payload_col
+        bj = np.arange(8, dtype=np.int64)[None, :]
+        bi4 = np.arange(4, dtype=np.int64)[:, None]
+        self._w = (np.int64(1) << (8 * bi4 + bj)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        los, his = [], []
+        for p in batch[self.payload_col].to_pylist():
+            img = self._decode(p or b"")
+            h, w = img.shape
+            if h % 8 or w % 9:
+                raise ValueError("dhash: raster dims must be 8k x 9m")
+            sums = (
+                img.astype(np.int64)
+                .reshape(8, h // 8, 9, w // 9)
+                .sum(axis=(1, 3))
+            )
+            bits = (sums[:, :-1] > sums[:, 1:]).astype(np.int64)
+            los.append(int((bits[:4] * self._w).sum()))
+            his.append(int((bits[4:] * self._w).sum()))
+        batch = batch.drop_columns([self.payload_col])
+        batch = batch.append_column("dhash_lo", pa.array(los, pa.int64()))
+        return batch.append_column("dhash_hi", pa.array(his, pa.int64()))
+
+
 class VideoFrameSampleActor:
     """REAL frame-sampling stage over a multi-frame container: animated
     GIF89a payloads are decoded frame-by-frame with the in-repo codec

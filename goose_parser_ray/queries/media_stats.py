@@ -2013,6 +2013,99 @@ FROM pix p GROUP BY p.doc_id, p.frame_no
 """
 
 
+def q_image_dhash_dedup(sf_dir: str):
+    """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
+    to end: every third doc shares a base 32×36 grayscale pattern
+    (d0 = doc_id - doc_id % 3) but each doc's PGM payload is perturbed by
+    a doc-specific ±1 pixel dither — the three payloads are byte-distinct,
+    so an exact byte/content hash keeps all three, yet the dither adds a
+    constant 4 to every 4×4 block sum, so the dHash comparisons (is this
+    block brighter than its right neighbor?) are untouched and the three
+    collapse to ONE perceptual cluster. The pipeline is the image sibling
+    of content near-dup: real PGM encode → ``ImageDHashActor`` decode +
+    64-bit dHash (two int64 halves) → map-side (hash → min/count)
+    partials → one aggregate exchange. Hamming-tolerant variants compose
+    with the existing ``hamming1_join`` over (dhash_hi, dhash_lo). Scale
+    shape: map-only hash, partials before the shuffle, group domain
+    bounded by distinct base patterns (≤ corpus/3)."""
+    from ray.data.aggregate import Min, Sum
+
+    from goose_parser_ray.functions.netpbm import encode_pgm
+    from goose_parser_ray.functions.multimodal import ImageDHashActor
+
+    H, W = 32, 36  # 8×9 grid of 4×4 blocks
+
+    def synth(t: pa.Table) -> pa.Table:
+        i = np.arange(H, dtype=np.int64)[:, None]
+        j = np.arange(W, dtype=np.int64)[None, :]
+        bi = i // 4
+        bj = j // 4
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            d0 = d - d % 3
+            base = (31 * bi + 17 * bj + d0) % 199
+            # dither: exactly 4 hits per 4x4 block for EVERY d (residues
+            # of 2i+3j mod 4 are uniform within a block), so block sums
+            # shift by a constant and no dHash comparison can flip
+            dither = ((2 * i + 3 * j + d) % 4 == 0).astype(np.int64)
+            payloads.append(encode_pgm((base + dither).astype(np.uint8)))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    hashes = ds.map_batches(
+        # task pool, not actor pool: the actor's setup is an import
+        # bind — actor spin-up costs more than it saves (measured
+        # on media_png: stage wall 3.0s -> 1.4s at sf0.1/32 CPUs)
+        lambda t: ImageDHashActor()(t),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(["dhash_hi", "dhash_lo"], as_index=False).agg(
+            first_doc=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = hashes.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["dhash_hi", "dhash_lo"]).aggregate(
+        Min("first_doc", alias_name="first_doc"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+
+SQL_IMAGE_DHASH_DEDUP = """
+WITH g AS (
+  SELECT doc_id, bi.bi, bj.bj,
+         CASE WHEN (31 * bi.bi + 17 * bj.bj + doc_id - doc_id % 3) % 199
+                 > (31 * bi.bi + 17 * (bj.bj + 1) + doc_id - doc_id % 3) % 199
+              THEN 1 ELSE 0 END AS bit
+  FROM documents,
+       UNNEST(generate_series(0, 7)) AS bi(bi),
+       UNNEST(generate_series(0, 7)) AS bj(bj)
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bi < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * bi + bj))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo,
+         CAST(SUM(CASE WHEN bi >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * (bi - 4) + bj))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM g GROUP BY doc_id
+)
+SELECT dhash_hi, dhash_lo,
+       MIN(doc_id) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY dhash_hi, dhash_lo
+"""
+
+
 def q_media_bmp(sf_dir: str):
     """REAL Windows-BMP pipeline (the bottom-up/BGR/row-padded sibling of
     q_media_ppm), ORACLE-CHECKED: deterministic RGB gradients — widths

@@ -2238,3 +2238,69 @@ def test_image_ahash_identity_robustness_and_separation():
     )
     with pytest.raises(ValueError, match="8-divisible"):
         ImageAHashActor()(bad)
+
+
+def test_image_dhash_invariance_and_sensitivity():
+    """dHash over decoded PGM rasters: (1) byte-distinct dithers that
+    shift every block sum by the same constant hash identically — the
+    perceptual-near-dup property; (2) flipping a block-order comparison
+    changes the hash; (3) the two int64 halves reconstruct the reference
+    bit pattern computed independently here."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.netpbm import encode_pgm
+    from goose_parser_ray.functions.multimodal import ImageDHashActor
+
+    H, W = 32, 36
+    i = np.arange(H, dtype=np.int64)[:, None]
+    j = np.arange(W, dtype=np.int64)[None, :]
+    base = (31 * (i // 4) + 17 * (j // 4) + 5) % 199
+
+    def hash_of(img):
+        t = ImageDHashActor()(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [1],
+                    "payload": pa.array(
+                        [encode_pgm(img.astype(np.uint8))], pa.binary()
+                    ),
+                }
+            )
+        )
+        return t["dhash_hi"].to_pylist()[0], t["dhash_lo"].to_pylist()[0]
+
+    h0 = hash_of(base)
+    for d in (0, 1, 2, 3):
+        dither = ((2 * i + 3 * j + d) % 4 == 0).astype(np.int64)
+        assert hash_of(base + dither) == h0  # dither never flips a bit
+    # reference bit pattern from block sums, computed independently
+    sums = base.reshape(8, 4, 9, 4).sum(axis=(1, 3))
+    bits = (sums[:, :-1] > sums[:, 1:]).astype(int)
+    lo = sum(
+        int(bits[bi, bj]) << (8 * bi + bj) for bi in range(4) for bj in range(8)
+    )
+    hi = sum(
+        int(bits[bi, bj]) << (8 * (bi - 4) + bj)
+        for bi in range(4, 8)
+        for bj in range(8)
+    )
+    assert h0 == (hi, lo)
+    # brighten one whole block past its neighbor -> a comparison flips
+    mod = base.copy()
+    mod[0:4, 0:4] = 255
+    assert hash_of(mod) != h0
+    # non-divisible dims rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_of_bad = ImageDHashActor()(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [1],
+                    "payload": pa.array(
+                        [encode_pgm(np.zeros((30, 36), np.uint8))], pa.binary()
+                    ),
+                }
+            )
+        )
