@@ -2013,6 +2013,328 @@ FROM pix p GROUP BY p.doc_id, p.frame_no
 """
 
 
+def q_scene_cuts(sf_dir: str):
+    """Scene-change detection over a REAL multi-frame container,
+    ORACLE-CHECKED: animated GIF89a clips are synthesized so consecutive
+    frames within a scene differ by a +1 index drift (motion) while every
+    second transition jumps the whole raster by +40 (a cut), the in-repo
+    codec decodes each frame, and per transition the SAD (sum of absolute
+    index differences against the previous frame — indices are the
+    luminance proxy; the synthesized palette is monotone) is compared to
+    a per-pixel threshold. One row per transition: (doc_id, frame_no,
+    sad, is_cut). The closed-form DuckDB twin re-states every pixel of
+    both frames, so the hash compare certifies the decoder reconstructed
+    ADJACENT frames consistently — the property frame-sampling alone
+    (q_video_frames) never checks. Scale shape: map-only decode + numpy
+    SAD, no shuffle."""
+    from goose_parser_ray.functions.gifmini import encode_gif_animated
+    from goose_parser_ray.functions.gifmini import decode_gif_frames
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 8 + (d % 9)
+            h = 6 + (d % 7)
+            p_n = 1 << (2 + d % 6)  # 4..128
+            pi = np.arange(p_n, dtype=np.int64)
+            pal = np.stack([(2 * pi) % 256] * 3, axis=1).astype(np.uint8)
+            n_frames = 3 + (d % 4)  # 3..6
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            frames = [
+                ((7 * i + 13 * j + d + 40 * (k // 2) + k % 2) % p_n).astype(
+                    np.uint8
+                )
+                for k in range(n_frames)
+            ]
+            payloads.append(encode_gif_animated(w, h, pal, frames))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def sad_stage(t: pa.Table) -> pa.Table:
+        doc_ids, frame_nos, sads, cuts = [], [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            w, h, pal, frames, _ = decode_gif_frames(p or b"")
+            prev = frames[0].astype(np.int64)
+            for k in range(1, len(frames)):
+                cur = frames[k].astype(np.int64)
+                sad = int(np.abs(cur - prev).sum())
+                doc_ids.append(d)
+                frame_nos.append(k)
+                sads.append(sad)
+                cuts.append(sad > 3 * w * h)  # cut = mean |delta| > 3
+                prev = cur
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_no": pa.array(frame_nos, pa.int64()),
+                "sad": pa.array(sads, pa.int64()),
+                "is_cut": pa.array(cuts, pa.bool_()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        sad_stage, batch_format="pyarrow", batch_size=128
+    )
+
+
+SQL_SCENE_CUTS = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 9) AS width,
+         6 + (doc_id % 7) AS height,
+         CAST(POWER(2, 2 + doc_id % 6) AS BIGINT) AS p_n,
+         3 + (doc_id % 4) AS n_frames
+  FROM documents
+),
+tr AS (
+  SELECT d.*, f.k AS frame_no
+  FROM dims d, UNNEST(generate_series(1, d.n_frames - 1)) AS f(k)
+),
+pix AS (
+  SELECT t.doc_id, t.frame_no, t.width, t.height,
+         ABS(
+           (7 * a.i + 13 * b.j + t.doc_id
+            + 40 * (t.frame_no // 2) + t.frame_no % 2) % t.p_n
+           - (7 * a.i + 13 * b.j + t.doc_id
+              + 40 * ((t.frame_no - 1) // 2) + (t.frame_no - 1) % 2) % t.p_n
+         ) AS ad
+  FROM tr t,
+       UNNEST(generate_series(0, t.height - 1)) AS a(i),
+       UNNEST(generate_series(0, t.width - 1)) AS b(j)
+)
+SELECT doc_id, frame_no,
+       CAST(SUM(ad) AS BIGINT) AS sad,
+       SUM(ad) > 3 * width * height AS is_cut
+FROM pix GROUP BY doc_id, frame_no, width, height
+"""
+
+
+def q_format_sniff(sf_dir: str):
+    """Magic-byte format sniffing + spoof detection over REAL mixed
+    payloads, ORACLE-CHECKED: each doc carries an actual encoded file
+    (doc_id % 6 rotates through the six in-repo codecs — PNG, GIF, PDF,
+    WAV, BMP, PGM) plus a CLAIMED format label that is sometimes wrong
+    ((3*doc_id) % 6 — a crawl's Content-Type/extension header is
+    untrusted). The sniff stage classifies by leading magic bytes only
+    (vectorized slice-compare, never a full decode — the cheap gate a
+    100 TB ingest runs before routing payloads to per-format decode
+    pools), then (claimed, actual) pairs are counted with map-side
+    partials. Mismatched rows are the spoofed ones. The twin re-states
+    both labels closed-form; payload LENGTHS are compression-dependent
+    and deliberately not emitted."""
+    from ray.data.aggregate import Min, Sum
+
+    from goose_parser_ray.functions.bmpmini import encode_bmp
+    from goose_parser_ray.functions.gifmini import encode_gif
+    from goose_parser_ray.functions.netpbm import encode_pgm
+    from goose_parser_ray.functions.pdfmini import encode_pdf
+    from goose_parser_ray.functions.pngmini import encode_png
+    from goose_parser_ray.functions.wav import encode_wav_pcm16
+
+    FORMATS = ["png", "gif", "pdf", "wav", "bmp", "pgm"]
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads, claimed = [], []
+        for d in t["doc_id"].to_pylist():
+            kind = d % 6
+            g = ((np.arange(64, dtype=np.int64).reshape(8, 8) * 3 + d) % 256
+                 ).astype(np.uint8)
+            if kind == 0:
+                p = encode_png(g)
+            elif kind == 1:
+                pal = np.stack([np.arange(4, dtype=np.int64) * 60] * 3,
+                               axis=1).astype(np.uint8)
+                p = encode_gif(8, 8, pal, (g % 4).astype(np.uint8))
+            elif kind == 2:
+                p = encode_pdf([f"doc {d} line one", "line two"])
+            elif kind == 3:
+                s = (((np.arange(256, dtype=np.int64) * 31 + d) % 2048)
+                     - 1024).astype(np.int16)
+                p = encode_wav_pcm16(s)
+            elif kind == 4:
+                p = encode_bmp(np.stack([g] * 3, axis=2))
+            else:
+                p = encode_pgm(g)
+            payloads.append(p)
+            claimed.append(FORMATS[(3 * d) % 6])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "claimed": pa.array(claimed, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def sniff(t: pa.Table) -> pa.Table:
+        ps = t["payload"].to_pylist()
+        head = np.frombuffer(
+            b"".join((p or b"")[:12].ljust(12, b"\x00") for p in ps),
+            np.uint8,
+        ).reshape(-1, 12)
+
+        def has(prefix: bytes, at: int = 0) -> np.ndarray:
+            want = np.frombuffer(prefix, np.uint8)
+            return (head[:, at : at + len(want)] == want).all(axis=1)
+
+        actual = np.select(
+            [
+                has(b"\x89PNG\r\n\x1a\n"),
+                has(b"GIF87a") | has(b"GIF89a"),
+                has(b"%PDF-"),
+                has(b"RIFF") & has(b"WAVE", at=8),
+                has(b"BM"),
+                has(b"P5"),
+            ],
+            FORMATS,
+            default="unknown",
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "claimed": t["claimed"],
+                "actual": pa.array(actual.tolist(), pa.string()),
+            }
+        )
+
+    labeled = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow", batch_size=256)
+        .map_batches(sniff, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(["claimed", "actual"], as_index=False).agg(
+            first_doc=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby(["claimed", "actual"])
+        .aggregate(
+            Min("first_doc", alias_name="first_doc"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+SQL_FORMAT_SNIFF = """
+WITH f(i, name) AS (VALUES (0, 'png'), (1, 'gif'), (2, 'pdf'),
+                           (3, 'wav'), (4, 'bmp'), (5, 'pgm')),
+lab AS (
+  SELECT d.doc_id, fc.name AS claimed, fa.name AS actual
+  FROM documents d
+  JOIN f fc ON fc.i = (3 * d.doc_id) % 6
+  JOIN f fa ON fa.i = d.doc_id % 6
+)
+SELECT claimed, actual,
+       MIN(doc_id) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lab GROUP BY claimed, actual
+"""
+
+
+def q_audio_segments(sf_dir: str):
+    """Silence-split audio segmentation over REAL WAV PCM,
+    ORACLE-CHECKED: per doc an int16 waveform alternates loud bursts
+    (|x| ≥ 200) and near-silence (|x| ≤ 25) in 64-sample blocks with a
+    doc-dependent phase, is encoded to actual RIFF/PCM bytes, decoded by
+    the in-repo codec, and split at the |x| ≥ 100 threshold into
+    contiguous voiced runs (vectorized diff-of-mask + reduceat — no
+    Python loop over samples). One row per segment: start sample, length,
+    peak |x| and the exact |x| sum — the VAD-style pre-segmentation an
+    audio pipeline runs before per-segment feature extraction. The
+    gaps-and-islands DuckDB twin re-states every sample, so the hash
+    compare certifies the PCM byte stream was reconstructed exactly.
+    Scale shape: map-only decode + numpy runs, no shuffle."""
+    from goose_parser_ray.functions.wav import decode_wav_pcm16
+    from goose_parser_ray.functions.wav import encode_wav_pcm16
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 512 + 64 * (d % 4)
+            ts = np.arange(n, dtype=np.int64)
+            loud = ((ts // 64 + d) % 3) != 0
+            x = np.where(
+                loud, (37 * ts + d) % 1000 + 200, ts % 50 - 25
+            ).astype(np.int16)
+            payloads.append(encode_wav_pcm16(x))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def segment(t: pa.Table) -> pa.Table:
+        doc_ids, seg_nos, starts, lengths, peaks, sums = [], [], [], [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            x, _, _ = decode_wav_pcm16(p or b"")
+            ax = np.abs(x.astype(np.int64))
+            mask = (ax >= 100).astype(np.int8)
+            edges = np.flatnonzero(np.diff(np.concatenate(([0], mask, [0]))))
+            run_starts, run_ends = edges[0::2], edges[1::2]
+            if run_starts.size:
+                peak = np.maximum.reduceat(ax, run_starts)
+                csum = np.concatenate(([0], np.cumsum(ax)))
+                asum = csum[run_ends] - csum[run_starts]
+                for s_no in range(run_starts.size):
+                    doc_ids.append(d)
+                    seg_nos.append(s_no)
+                    starts.append(int(run_starts[s_no]))
+                    lengths.append(int(run_ends[s_no] - run_starts[s_no]))
+                    peaks.append(int(peak[s_no]))
+                    sums.append(int(asum[s_no]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "seg_no": pa.array(seg_nos, pa.int64()),
+                "start_sample": pa.array(starts, pa.int64()),
+                "n_samples": pa.array(lengths, pa.int64()),
+                "peak_abs": pa.array(peaks, pa.int64()),
+                "abs_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(segment, batch_format="pyarrow", batch_size=256)
+
+
+SQL_AUDIO_SEGMENTS = """
+WITH s AS (
+  SELECT d.doc_id, ts.t,
+         CASE WHEN ((ts.t // 64 + d.doc_id) % 3) != 0
+              THEN (37 * ts.t + d.doc_id) % 1000 + 200
+              ELSE ts.t % 50 - 25 END AS x
+  FROM documents d,
+       UNNEST(generate_series(0, 511 + 64 * (d.doc_id % 4))) AS ts(t)
+),
+loud AS (
+  SELECT doc_id, t, ABS(x) AS ax,
+         t - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+  FROM s WHERE ABS(x) >= 100
+),
+runs AS (
+  SELECT doc_id, MIN(t) AS start_sample,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(MAX(ax) AS BIGINT) AS peak_abs,
+         CAST(SUM(ax) AS BIGINT) AS abs_sum
+  FROM loud GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_sample) - 1
+         AS seg_no,
+       start_sample, n_samples, peak_abs, abs_sum
+FROM runs
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern

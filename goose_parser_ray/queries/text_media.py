@@ -456,6 +456,93 @@ GROUP BY g.lang_pred
 """
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve, ORACLE-CHECKED: for every
+    distinct token (same tokenizer as lang-ID / top_words) find the FIRST
+    doc that introduces it (min doc_id), bucket first-occurrences into 32
+    FIXED domain-relative checkpoints (first_doc*32 // (max_doc+1) — the
+    checkpoint count never grows with the corpus, unlike a fixed
+    docs-per-bucket width), and emit per checkpoint the count of NEW
+    terms plus the cumulative vocabulary size — the curve dataset
+    curators read to see whether a corpus still contributes novel
+    vocabulary or has saturated (dedup/quality regressions show up as a
+    flattening). Scale shape: one cheap max aggregate, map-side
+    (token → min doc) partials per batch, ONE vocabulary-keyed Min
+    aggregate (wordcount shape), then bucket partials; the cumulative
+    sum runs on the driver over <= 32 rows."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    from goose_parser_ray.functions.textstats import WORD_SPLIT_RE
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_first(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        words = pc.split_pattern_regex(lowered, pattern=WORD_SPLIT_RE)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pd.Series(pc.list_flatten(words).to_pylist(), dtype=object)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"word": flat, "first_doc": docs})
+        df = df[df["word"] != ""]
+        out = df.groupby("word", as_index=False)["first_doc"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(partial_first, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+    )
+
+    max_doc = int(ds.max("doc_id"))
+
+    def floor_bucket(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(fd * 32 // (max_doc + 1))
+        vc = s.value_counts()
+        return pa.Table.from_pydict(
+            {
+                "checkpoint": pa.array(vc.index.to_numpy(np.int64)),
+                "new_terms": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    buckets = (
+        firsts.map_batches(floor_bucket, batch_format="pyarrow")
+        .groupby("checkpoint")
+        .aggregate(Sum("new_terms", alias_name="new_terms"))
+        .sort("checkpoint")
+        .to_pandas()  # checkpoint-bounded: rows = docs/100
+    )
+    buckets["cum_vocab"] = buckets["new_terms"].cumsum().astype(np.int64)
+    buckets["new_terms"] = buckets["new_terms"].astype(np.int64)
+    return pa.Table.from_pandas(buckets, preserve_index=False)
+
+
+SQL_VOCAB_GROWTH = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+')) AS word
+  FROM documents
+),
+firsts AS (
+  SELECT word, MIN(doc_id) AS first_doc
+  FROM w WHERE word != '' GROUP BY word
+),
+buckets AS (
+  SELECT first_doc * 32 // ((SELECT MAX(doc_id) FROM documents) + 1)
+           AS checkpoint,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM firsts GROUP BY 1
+)
+SELECT checkpoint, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY checkpoint) AS BIGINT) AS cum_vocab
+FROM buckets
+"""
+
+
 def q_top_words(sf_dir: str):
     """Exact corpus vocabulary top-k (distributed wordcount): same tokenizer
     as lang-ID (split on non-letter/digit runs, lower-cased), map-side
