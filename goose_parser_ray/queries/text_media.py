@@ -1118,6 +1118,189 @@ ORDER BY doc_id
 """
 
 
+def q_snippets(sf_dir: str):
+    """Search-result snippet generation (best-passage selection),
+    ORACLE-CHECKED: for the query {hash, join, merge} each document's
+    token stream is scanned with a width-8 sliding window, the window
+    with the most query-term hits wins (earliest start on ties — the
+    deterministic tie-break every snippet UI needs), and the snippet
+    text is rebuilt by re-joining exactly that token slice. Vectorized:
+    one membership mask per batch, rolling sums via cumsum difference —
+    no per-token Python. The DuckDB twin recomputes every window with a
+    window-function rolling sum and rebuilds the identical slice with
+    list_slice/array_to_string, so the hash compare certifies window
+    placement AND text reconstruction. Scale shape: map-only, the query
+    set is a plan constant (broadcast-by-closure), no shuffle."""
+    QUERY = {"hash", "join", "merge"}
+    W = 8
+
+    def best_window(t: pa.Table) -> pa.Table:
+        doc_ids, starts, hits, snips = [], [], [], []
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        for d, toks in zip(t["doc_id"].to_pylist(), words.to_pylist()):
+            toks = toks or []
+            m = np.fromiter((w in QUERY for w in toks), np.int64,
+                            count=len(toks))
+            if len(toks) <= W:
+                s, h = 0, int(m.sum())
+                win = toks
+            else:
+                c = np.concatenate(([0], np.cumsum(m)))
+                roll = c[W:] - c[:-W]  # hits in window [s, s+W)
+                s = int(np.argmax(roll))  # first max = earliest start
+                h = int(roll[s])
+                win = toks[s : s + W]
+            doc_ids.append(d)
+            starts.append(s)
+            hits.append(h)
+            snips.append(" ".join(win))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "snippet": pa.array(snips, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        best_window, batch_format="pyarrow"
+    )
+
+
+SQL_SNIPPETS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, ts, u.i,
+         CASE WHEN ts[u.i] IN ('hash', 'join', 'merge')
+              THEN 1 ELSE 0 END AS m
+  FROM toks, UNNEST(generate_series(1, LEN(ts))) AS u(i)
+),
+wins AS (
+  SELECT doc_id, ts, i,
+         SUM(m) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h,
+         LEN(ts) AS n
+  FROM pos
+),
+ranked AS (
+  SELECT doc_id, ts, i, h, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, i ASC) AS rn
+  FROM wins WHERE i <= n - 7 OR n <= 8
+)
+SELECT doc_id,
+       CASE WHEN n <= 8 THEN 0 ELSE i - 1 END AS start_tok,
+       CAST(h AS BIGINT) AS n_hits,
+       CASE WHEN n <= 8 THEN array_to_string(ts, ' ')
+            ELSE array_to_string(list_slice(ts, i, i + 7), ' ') END
+         AS snippet
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_varbyte_postings(sf_dir: str):
+    """Compressed inverted-index blocks (VByte doc-gap coding — the
+    classic Lucene-style index layout), ORACLE-CHECKED end to end: the
+    (term, doc) pairs are blocked by ``doc_id // 128`` (fixed block
+    width, so every group is bounded at ANY corpus size — the full
+    per-term posting list is never assembled anywhere), each block's
+    sorted docs are delta-coded (absolute first doc, then gaps) and
+    encoded through the real ``varbyte`` codec, then DECODED BACK and
+    prefix-summed so the emitted checksum (sum of reconstructed doc_ids)
+    certifies the byte stream round-trips exactly. n_bytes is the true
+    encoded length, which the DuckDB twin states closed-form from the
+    VByte 7-bits-per-byte rule. Scale shape: one-doc-one-row makes
+    per-batch (term, doc) dedup globally exact; data-proportional term
+    buckets; per-group work bounded by the block width."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.varbyte import (
+        decode_varbyte,
+        encode_varbyte,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        docs = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        out = pa.Table.from_arrays(
+            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
+        )
+        df = out.to_pandas().drop_duplicates()
+        return add_hash_bucket(
+            pa.Table.from_pandas(df, preserve_index=False), "term", nb
+        )
+
+    def encode_blocks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["blk"] = g["doc_id"] // 128
+        terms, blks, nds, nbys, cks = [], [], [], [], []
+        for (term, blk), grp in g.groupby(["term", "blk"], sort=False):
+            docs = np.sort(grp["doc_id"].to_numpy(np.int64))
+            deltas = np.concatenate(([docs[0]], np.diff(docs)))
+            payload = encode_varbyte(deltas)
+            rebuilt = np.cumsum(decode_varbyte(payload))
+            terms.append(term)
+            blks.append(int(blk))
+            nds.append(len(docs))
+            nbys.append(len(payload))
+            cks.append(int(rebuilt.sum()))
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "blk": np.asarray(blks, np.int64),
+                "n_docs": np.asarray(nds, np.int64),
+                "n_bytes": np.asarray(nbys, np.int64),
+                "checksum": np.asarray(cks, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(encode_blocks, batch_format="pandas")
+    )
+
+
+SQL_VARBYTE_POSTINGS = """
+WITH w AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+b AS (
+  SELECT term, doc_id, doc_id // 128 AS blk,
+         MIN(doc_id) OVER (PARTITION BY term, doc_id // 128) AS first_doc
+  FROM w
+)
+SELECT term, blk,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN first_doc < 128 THEN 1
+                 WHEN first_doc < 16384 THEN 2
+                 WHEN first_doc < 2097152 THEN 3
+                 WHEN first_doc < 268435456 THEN 4
+                 ELSE 5 END
+            + COUNT(*) - 1 AS BIGINT) AS n_bytes,
+       CAST(SUM(doc_id) AS BIGINT) AS checksum
+FROM b GROUP BY term, blk, first_doc
+"""
+
+
 def q_postings(sf_dir: str):
     """Capped inverted-index build (IR surface), ORACLE-CHECKED: for every
     term, its document frequency and the 5 smallest doc_ids that contain it

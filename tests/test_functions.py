@@ -2304,3 +2304,49 @@ def test_image_dhash_invariance_and_sensitivity():
                 }
             )
         )
+
+
+def test_varbyte_roundtrip_lengths_and_fuzz():
+    """VByte codec: roundtrip over adversarial value ranges, the
+    closed-form length rule, and the raise-or-correct contract on
+    truncated/mutated streams."""
+    import numpy as np
+    import pytest as _pytest
+
+    from goose_parser_ray.functions.varbyte import (
+        decode_varbyte,
+        encode_varbyte,
+        varbyte_len,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(0, 200))
+        mag = int(rng.integers(1, 62))
+        vals = rng.integers(0, 1 << mag, n).astype(np.int64)
+        payload = encode_varbyte(vals)
+        assert len(payload) == varbyte_len(vals)
+        assert np.array_equal(decode_varbyte(payload), vals)
+    # boundary values: 7-bit group edges
+    edges = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152, (1 << 62) - 1]
+    payload = encode_varbyte(edges)
+    assert np.array_equal(decode_varbyte(payload), np.asarray(edges))
+    assert len(encode_varbyte([0])) == 1
+    assert len(encode_varbyte([127])) == 1
+    assert len(encode_varbyte([128])) == 2
+    with _pytest.raises(ValueError):
+        encode_varbyte([-1])
+    # truncation: chopping the last (terminator) byte must raise
+    with _pytest.raises(ValueError):
+        decode_varbyte(encode_varbyte([300])[:-1])
+    # clearing a terminator bit merges values -> either decodes to some
+    # valid shorter list or raises; never crashes uncontrolled
+    good = bytearray(encode_varbyte([5, 1000, 77]))
+    for pos in range(len(good)):
+        b = bytearray(good)
+        b[pos] ^= 0x80
+        try:
+            out = decode_varbyte(bytes(b))
+            assert (out >= 0).all()
+        except ValueError:
+            pass
