@@ -2000,3 +2000,105 @@ def label_propagation(
         lambda t: pa.Table.from_pydict({"node": t["u"], "label": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def resolve_redirects(
+    state: "ray.data.Dataset",
+    n_nodes: "int | None" = None,
+    *,
+    hop_cap: int = 16,
+    driver_nodes_threshold: int = 5_000_000,
+    num_partitions: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Resolve a FUNCTIONAL graph (every node has at most one out-edge —
+    an HTTP 301 map, an alias table, a symlink forest) by pointer
+    doubling: ``state`` carries one row per node with columns
+    ``u`` (node), ``cur`` (where it lands so far), ``hops`` (path length
+    so far) and ``done`` (cur is terminal), as built by the caller from
+    the raw edge map. Composing the partial-path relation with itself
+    doubles the known horizon each round, so a ``hop_cap`` needs only
+    ceil(log2(hop_cap)) rounds; rows still not done at the cap are
+    cycle-trapped or over-long and stay ``done=False``. Terminal rows
+    absorb (composing with a done row keeps final/hops fixed).
+
+    Tiered like the other iterative graph ops (the r2-VERDICT gated
+    pattern): at or under ``driver_nodes_threshold`` the node-bounded
+    state is pulled to the driver and doubled as vectorized numpy
+    gathers (zero shuffles); past the guard each round is ONE hash join
+    on the landing key via safe_join, with per-round materialization of
+    the node-bounded state (the pagerank convention — without it each
+    round's three consumers re-execute the whole prior lineage)."""
+    import math
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import safe_join
+
+    rounds = max(1, math.ceil(math.log2(hop_cap)))
+    if n_nodes is None:
+        n_nodes = state.count()
+    if n_nodes <= driver_nodes_threshold:
+        df = state.to_pandas()  # node-bounded under the guard
+        u = df["u"].to_numpy(np.int64)
+        cur = df["cur"].to_numpy(np.int64).copy()
+        hops = df["hops"].to_numpy(np.int64).copy()
+        done = df["done"].to_numpy(bool).copy()
+        order = np.argsort(u, kind="stable")
+        su = u[order]
+
+        def pos(x: np.ndarray) -> np.ndarray:
+            p = np.searchsorted(su, x)
+            if (p >= len(su)).any() or (su[np.minimum(p, len(su) - 1)] != x).any():
+                raise ValueError("resolve_redirects: dangling target")
+            return order[p]
+
+        for _ in range(rounds):
+            nd = ~done
+            if not nd.any():
+                break
+            f = pos(cur[nd])
+            curf, hopsf, donef = cur[f], hops[f], done[f]
+            cur[nd] = curf
+            hops[nd] = hops[nd] + hopsf
+            done[nd] = donef
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "cur": pa.array(cur, pa.int64()),
+                    "hops": pa.array(hops, pa.int64()),
+                    "done": pa.array(done, pa.bool_()),
+                }
+            )
+        )
+
+    nparts = num_partitions or max(2, num_shuffle_buckets(n_nodes) // 4)
+    state = state.materialize()
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["r_u", "r_cur", "r_hops", "r_done"])
+
+    def compose(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "u": t["u"],
+                "cur": t["r_cur"],
+                "hops": pa.array(
+                    t["hops"].to_numpy(zero_copy_only=False)
+                    + t["r_hops"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "done": t["r_done"],
+            }
+        )
+
+    for _ in range(rounds):
+        done_rows = state.filter(expr="done == True")
+        todo = state.filter(expr="done == False")
+        right = state.map_batches(as_right, batch_format="pyarrow")
+        j = safe_join(
+            todo, right, on=("cur",), right_on=("r_u",), num_partitions=nparts
+        )
+        state = done_rows.union(
+            j.map_batches(compose, batch_format="pyarrow")
+        ).materialize()
+    return state

@@ -599,3 +599,102 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, title, href,
 FROM e WHERE day >= 10
 ORDER BY doc_id, href
 """
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (distributed pointer doubling over a 301 map)
+# ---------------------------------------------------------------------------
+
+
+def q_redirect_resolve(sf_dir: str):
+    """HTTP-redirect chain resolution by DISTRIBUTED POINTER DOUBLING,
+    ORACLE-CHECKED: each URL's single 301 target is a data row (u -> t),
+    and resolution composes the partial-path relation with itself --
+    after round r every row knows where it lands 2^r hops out, so the
+    16-hop cap needs FOUR rounds, not sixteen. Fixture chains: most URLs
+    step down to the previous id until a multiple of 8 (terminal); ids
+    ending 98/99 per hundred form a 2-cycle, and the ids above them
+    drain INTO the cycle -- so the output contains resolved rows
+    (status ok, true hop count, final target) and cycle-trapped rows
+    (status unresolved, -1s), and the recursive-CTE twin certifies
+    both. The heavy lifting is ``functions.graph.resolve_redirects``,
+    tiered like the other iterative graph ops: vectorized driver
+    doubling under the 5M-node guard, one safe_join per round on the
+    landing key past it (state stays one node-bounded row per URL --
+    never pairs; parity across tiers is pytest-enforced)."""
+    import numpy as np
+
+    from goose_parser_ray.functions.graph import resolve_redirects
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def init(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is98 = d % 100 == 98
+        is99 = d % 100 == 99
+        chain = (d % 8 != 0) & ~is98 & ~is99
+        nxt = np.where(is98, d + 1, np.where(is99 | chain, d - 1, d))
+        done = ~(is98 | is99 | chain)
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(d, pa.int64()),
+                "cur": pa.array(nxt, pa.int64()),
+                "hops": pa.array(np.where(done, 0, 1), pa.int64()),
+                "done": pa.array(done, pa.bool_()),
+            }
+        )
+
+    state = resolve_redirects(
+        ds.map_batches(init, batch_format="pyarrow"), n
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        done = t["done"].to_numpy(zero_copy_only=False)
+        cur = t["cur"].to_numpy(zero_copy_only=False)
+        hops = t["hops"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["u"],
+                "status": pa.array(
+                    np.where(done, "ok", "unresolved").tolist(), pa.string()
+                ),
+                "final_doc": pa.array(np.where(done, cur, -1), pa.int64()),
+                "n_hops": pa.array(np.where(done, hops, -1), pa.int64()),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE chase(u, cur, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT u,
+         CASE WHEN cur % 100 = 98 THEN cur + 1
+              WHEN cur % 100 = 99 THEN cur - 1
+              ELSE cur - 1 END,
+         hops + 1
+  FROM chase
+  WHERE hops < 16
+    AND (cur % 100 IN (98, 99) OR cur % 8 != 0)
+),
+last AS (
+  SELECT u, cur, hops,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY hops DESC) AS rn
+  FROM chase
+)
+SELECT u AS doc_id,
+       CASE WHEN cur % 100 NOT IN (98, 99) AND cur % 8 = 0
+            THEN 'ok' ELSE 'unresolved' END AS status,
+       CASE WHEN cur % 100 NOT IN (98, 99) AND cur % 8 = 0
+            THEN cur ELSE -1 END AS final_doc,
+       CAST(CASE WHEN cur % 100 NOT IN (98, 99) AND cur % 8 = 0
+                 THEN hops ELSE -1 END AS BIGINT) AS n_hops
+FROM last WHERE rn = 1
+"""

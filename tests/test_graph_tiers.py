@@ -151,3 +151,72 @@ def test_random_walks_tier_parity(ray_session, seed):
         nodes = g["node"].tolist()
         for a, b in zip(nodes, nodes[1:]):
             assert (a, b) in eset
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_resolve_redirects_tier_parity(ray_session, seed):
+    """Functional-graph pointer doubling: driver tier and join tier agree
+    row-for-row on a random single-out-edge graph with chains, terminals
+    and cycles; resolved hop counts equal the true chase distance."""
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.graph import resolve_redirects
+
+    rng = np.random.RandomState(seed)
+    n = 60
+    u = np.arange(n, dtype=np.int64)
+    # each node points at a random node (possibly forming cycles);
+    # ~1/4 of nodes are terminals
+    nxt = rng.randint(0, n, n).astype(np.int64)
+    terminal = rng.rand(n) < 0.25
+    state = pa.Table.from_pydict(
+        {
+            "u": u,
+            "cur": np.where(terminal, u, nxt),
+            "hops": np.where(terminal, 0, 1).astype(np.int64),
+            "done": terminal,
+        }
+    )
+    outs = []
+    for thr in (5_000_000, 0):
+        got = (
+            resolve_redirects(ray.data.from_arrow(state), n,
+                              driver_nodes_threshold=thr)
+            .to_pandas()
+            .sort_values("u")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # reference chase with the same 16-hop cap
+    got = outs[0]
+    for i in range(n):
+        cur, hops = i, 0
+        for _ in range(16):
+            if terminal[cur]:
+                break
+            cur = int(nxt[cur])
+            hops += 1
+        row = got[got["u"] == i].iloc[0]
+        if terminal[cur]:
+            assert bool(row["done"]) and row["cur"] == cur
+            assert row["hops"] == hops
+        else:
+            assert not bool(row["done"])
+
+
+def test_resolve_redirects_dangling_target_raises(ray_session):
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.graph import resolve_redirects
+
+    state = pa.Table.from_pydict(
+        {
+            "u": np.array([0, 1], np.int64),
+            "cur": np.array([1, 99], np.int64),  # 99 not a node
+            "hops": np.array([1, 1], np.int64),
+            "done": np.array([False, False]),
+        }
+    )
+    with pytest.raises(ValueError):
+        resolve_redirects(ray.data.from_arrow(state), 2)
