@@ -2428,6 +2428,112 @@ FROM h GROUP BY dhash_hi, dhash_lo
 """
 
 
+def q_image_neardup(sf_dir: str):
+    """Hamming-TOLERANT perceptual image pairing, ORACLE-CHECKED — the
+    composition q_image_dhash_dedup points at: consecutive doc pairs
+    (2k, 2k+1) share a base block pattern but the odd doc's top-left
+    block is nudged past its right neighbor, flipping EXACTLY ONE of the
+    64 dHash comparisons, so exact-hash grouping misses every planted
+    pair and only a distance-1 match finds them. Pipeline: real PGM
+    encode → ``ImageDHashActor`` decode+hash → 64-char bitstring →
+    ``hamming1_pairs`` (split-block blocking: Hamming ≤ 1 strings agree
+    exactly on one half — zero misses, no all-pairs scan). The twin
+    recomputes every bit closed-form and self-joins on
+    bit_count(xor) ≤ 1, so it also certifies the ORGANIC distance-0
+    collisions (base patterns repeat every 97 groups). Scale shape:
+    map-only hash, the pair search inherits hamming1_pairs' bounded
+    blocked-compare slabs."""
+    from goose_parser_ray.functions.dedup import hamming1_pairs
+    from goose_parser_ray.functions.netpbm import encode_pgm
+    from goose_parser_ray.functions.multimodal import ImageDHashActor
+
+    H, W = 32, 36
+
+    def synth(t: pa.Table) -> pa.Table:
+        bi = np.arange(8, dtype=np.int64)[:, None]
+        bj = np.arange(9, dtype=np.int64)[None, :]
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            k = d // 2
+            grid = (23 * bi + 41 * bj + k) % 97 + 50
+            if d % 2 == 1:
+                right = grid[0, 1]
+                grid = grid.copy()
+                grid[0, 0] = right - 1 if grid[0, 0] > right else right + 1
+            img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
+            payloads.append(encode_pgm(img.astype(np.uint8)))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    hashes = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            lambda t: ImageDHashActor()(t),
+            batch_format="pyarrow",
+            batch_size=128,
+        )
+    )
+
+    def bitstring(t: pa.Table) -> pa.Table:
+        hi = t["dhash_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t["dhash_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shifts = np.arange(32, dtype=np.int64)
+        bits = np.ascontiguousarray(
+            np.concatenate(
+                [(hi[:, None] >> shifts) & 1, (lo[:, None] >> shifts) & 1],
+                axis=1,
+            ).astype(np.uint8)
+            + ord("0")
+        )
+        s = [b.decode() for b in bits.view("S64").ravel()]
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "bits": pa.array(s, pa.string())}
+        )
+
+    keyed = hashes.map_batches(bitstring, batch_format="pyarrow")
+    return hamming1_pairs(keyed, col="bits", id_col="doc_id")
+
+
+SQL_IMAGE_NEARDUP = """
+WITH cells AS (
+  SELECT d.doc_id, bi.bi, bj.bj,
+         CASE WHEN d.doc_id % 2 = 1 AND bi.bi = 0 AND bj.bj = 0 THEN
+           CASE WHEN (d.doc_id // 2) % 97 + 50
+                   > (41 + d.doc_id // 2) % 97 + 50
+                THEN (41 + d.doc_id // 2) % 97 + 49
+                ELSE (41 + d.doc_id // 2) % 97 + 51 END
+         ELSE (23 * bi.bi + 41 * bj.bj + d.doc_id // 2) % 97 + 50
+         END AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 7)) AS bi(bi),
+       UNNEST(generate_series(0, 8)) AS bj(bj)
+),
+bits AS (
+  SELECT c1.doc_id, c1.bi, c1.bj,
+         CASE WHEN c1.v > c2.v THEN 1 ELSE 0 END AS bit
+  FROM cells c1
+  JOIN cells c2 ON c1.doc_id = c2.doc_id AND c1.bi = c2.bi
+               AND c2.bj = c1.bj + 1
+  WHERE c1.bj < 8
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN bi < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * bi + bj))
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN bi >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * (bi - 4) + bj))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 1
+"""
+
+
 def q_media_bmp(sf_dir: str):
     """REAL Windows-BMP pipeline (the bottom-up/BGR/row-padded sibling of
     q_media_ppm), ORACLE-CHECKED: deterministic RGB gradients — widths
