@@ -2959,3 +2959,53 @@ def containment_join(
         )
 
     return withs.map_batches(gate, batch_format="pyarrow")
+
+
+class OneBitMinHashActor(MinHashActor):
+    """1-bit minwise hashing (the b=1 case of b-bit minhash, Li & König,
+    WWW 2010): keep only the LOWEST BIT of each of the ``num_perm``
+    minhash values and pack the whole signature into ONE int64 — a 64×
+    signature-store compression over full 64-bit minima, which is what
+    makes petabyte-scale signature retention and shipping practical. For
+    two docs with Jaccard J the per-bit collision probability is
+    (1+J)/2, so from the observed matching-bit fraction C of two packed
+    words the estimator is J ≈ 2C − 1 (see ``onebit_jaccard_est``). The
+    signature pipeline (shingles, permutations, batch kernel) is
+    inherited unchanged from :class:`MinHashActor`; only the emission
+    differs. Docs shorter than the shingle width are dropped, as there."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        if self.num_perm > 64:
+            raise ValueError("onebit pack: num_perm must be <= 64")
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        keep, sigs = self._batch_signatures(batch[self.col].to_pylist())
+        bits = (sigs.astype(np.uint64) & np.uint64(1))
+        packed = np.zeros(len(bits), dtype=np.uint64)
+        for p in range(self.num_perm):  # num_perm is a constant, not data
+            packed |= bits[:, p] << np.uint64(p)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[keep].tolist(), pa.int64()),
+                "packed": pa.array(packed.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def onebit_jaccard_est(
+    packed_a: np.ndarray, packed_b: np.ndarray, num_perm: int = 64
+) -> np.ndarray:
+    """Vectorized Jaccard estimate from 1-bit packed signatures:
+    C = matching-bit fraction, J_est = max(0, 2C − 1). float64 output in
+    [0, 1]."""
+    x = packed_a.astype(np.uint64) ^ packed_b.astype(np.uint64)
+    # popcount via the 0x3333/0x5555 SWAR ladder (numpy has no popcount)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    diff = ((x * h01) >> np.uint64(56)).astype(np.int64)
+    c = 1.0 - diff / float(num_perm)
+    return np.maximum(0.0, 2.0 * c - 1.0)

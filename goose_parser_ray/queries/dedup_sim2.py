@@ -235,3 +235,118 @@ WITH q AS (
 SELECT query_id, vec_id, "rank" FROM r WHERE "rank" <= 5
 ORDER BY query_id, "rank"
 """
+
+
+# ---------------------------------------------------------------------------
+# 1-bit minhash accuracy surface
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_1bit(sf_dir: str):
+    """1-bit minwise hashing accuracy surface (b-bit minhash, the 64×
+    signature-compression scale technique): for every (10k, 10k+1) doc
+    pair the packed ONE-WORD signature estimate (J ≈ 2C − 1 from the
+    matching-bit fraction) is laid next to the EXACT word-3-gram Jaccard
+    computed from full shingle-hash sets, with the e6-scaled absolute
+    error per pair. Rows-only by nature (the estimate depends on the
+    engine's hash family — no SQL twin can restate it), but fully
+    deterministic across runs (fixed permutation seed), and the
+    estimator's error bound is pytest-enforced
+    (test_recall::test_onebit_minhash_estimator_accuracy). Scale shape:
+    signatures and shingle sets are built in ONE vectorized flat pass
+    per batch (no per-doc numpy), pairs collapse via a bounded
+    two-row-group map_groups."""
+    from goose_parser_ray.functions.dedup import (
+        OneBitMinHashActor,
+        onebit_jaccard_est,
+    )
+
+    actor = OneBitMinHashActor()
+
+    def sigs_and_shingles(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = np.asarray(t["doc_id"].to_pylist())
+        keep, sigs = actor._batch_signatures(texts)
+        bits = sigs.astype(np.uint64) & np.uint64(1)
+        packed = np.zeros(len(bits), dtype=np.uint64)
+        for p in range(actor.num_perm):
+            packed |= bits[:, p] << np.uint64(p)
+        # flat shingle-hash pass (same kernel the signatures used)
+        word_lists = [(x or "").lower().split() for x in texts]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        flat: list = []
+        for w, k in zip(word_lists, keep):
+            if k:
+                flat.extend(w)
+        wh = pd.util.hash_pandas_object(
+            pd.Series(flat, dtype=object), index=False
+        ).to_numpy()
+        sh_all = actor._shingle_hashes(wh, actor.shingle)
+        kept_lens = lens[keep]
+        ends = np.cumsum(kept_lens)
+        valid = np.ones(len(flat), dtype=bool)
+        for e in ends:
+            valid[max(0, e - (actor.shingle - 1)) : e] = False
+        starts = np.concatenate(([0], ends[:-1]))
+        shingle_lists = [
+            np.unique(sh_all[s:e][valid[s:e]]).tolist()
+            for s, e in zip(starts, ends)
+        ]
+        kept_ids = ids[keep]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(kept_ids.tolist(), pa.int64()),
+                "pair": pa.array((kept_ids // 10).tolist(), pa.int64()),
+                "packed": pa.array(packed.view(np.int64), pa.int64()),
+                "shingles": pa.array(
+                    shingle_lists, pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        mod10 = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)
+        )
+        return t.filter(pc.less_equal(mod10, 1))
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pair_filter, batch_format="pyarrow")
+        .map_batches(sigs_and_shingles, batch_format="pyarrow")
+    )
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        if len(g) != 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "est_e6": pd.Series([], dtype=np.int64),
+                    "exact_e6": pd.Series([], dtype=np.int64),
+                    "err_e6": pd.Series([], dtype=np.int64),
+                }
+            )
+        a, b = g.iloc[0], g.iloc[1]
+        sa = np.asarray(a["shingles"], np.int64)
+        sb = np.asarray(b["shingles"], np.int64)
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        exact = inter / union if union else 0.0
+        est = float(
+            onebit_jaccard_est(
+                np.array([a["packed"]]), np.array([b["packed"]])
+            )[0]
+        )
+        return pd.DataFrame(
+            {
+                "id_a": [int(a["doc_id"])],
+                "id_b": [int(b["doc_id"])],
+                "est_e6": [int(round(est * 1e6))],
+                "exact_e6": [int(round(exact * 1e6))],
+                "err_e6": [int(abs(round(est * 1e6) - round(exact * 1e6)))],
+            }
+        )
+
+    return ds.groupby("pair").map_groups(per_pair, batch_format="pandas")

@@ -274,3 +274,58 @@ def test_sq8_codes_bounded_and_reconstruction_error(ray_session):
     assert np.abs(recon - X.astype(np.float64)[:, nc]).max() <= scale[nc].max() / 2 + 1e-12
     # code sums from the distributed op equal the local ones
     assert out["code_sum"].to_numpy().tolist() == q.sum(axis=1).astype(int).tolist()
+
+
+def test_onebit_minhash_estimator_accuracy(ray_session):
+    """1-bit minhash: on pairs spanning the Jaccard range the J = 2C - 1
+    estimator tracks exact shingle Jaccard within the binomial error of
+    64 one-bit samples (std ~0.11 near J=0.5): mean abs error under 0.10
+    across 60 pairs, max under 0.45; identical docs estimate exactly 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.dedup import (
+        MinHashActor,
+        OneBitMinHashActor,
+        onebit_jaccard_est,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(600)]
+    base_words = [vocab[i] for i in rng.randint(0, 600, 120)]
+    texts, exacts = [], []
+    ref = MinHashActor()
+    for trial in range(60):
+        words = list(base_words)
+        n_swap = int(rng.randint(0, 100))
+        for _ in range(n_swap):
+            words[rng.randint(0, len(words))] = vocab[rng.randint(0, 600)]
+        texts.append((" ".join(base_words), " ".join(words)))
+
+    def shingle_set(text):
+        import pandas as pd
+
+        words = text.lower().split()
+        wh = pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False
+        ).to_numpy()
+        sh = ref._shingle_hashes(wh, ref.shingle)[: len(words) - ref.shingle + 1]
+        return set(sh.tolist())
+
+    actor = OneBitMinHashActor()
+    errs = []
+    for a, b in texts:
+        t = pa.Table.from_pydict({"doc_id": [0, 1], "text": [a, b]})
+        out = actor(t)
+        p = out["packed"].to_numpy()
+        est = float(onebit_jaccard_est(p[:1], p[1:])[0])
+        sa, sb = shingle_set(a), shingle_set(b)
+        exact = len(sa & sb) / len(sa | sb)
+        errs.append(abs(est - exact))
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.10
+    assert errs.max() < 0.45
+    # identical docs: every bit collides, estimate is exactly 1
+    t = pa.Table.from_pydict({"doc_id": [0, 1], "text": [texts[0][0]] * 2})
+    p = actor(t)["packed"].to_numpy()
+    assert float(onebit_jaccard_est(p[:1], p[1:])[0]) == 1.0
