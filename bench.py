@@ -67,6 +67,18 @@ TIMED_QUERIES = [
     "media_tiff",
     "wordpiece_encode",
     "late_events",
+    # additive round-4 session-7/8 keys (media temporal/perceptual + IR
+    # compression + graph resolution batch)
+    "video_frames",
+    "scene_cuts",
+    "image_dhash_dedup",
+    "image_neardup",
+    "format_sniff",
+    "audio_segments",
+    "varbyte_postings",
+    "snippets",
+    "redirect_resolve",
+    "vocab_growth",
 ]
 
 
