@@ -1500,3 +1500,102 @@ lab AS (SELECT node, MIN(y) AS m FROM
          UNION ALL SELECT x, y FROM mut) GROUP BY node)
 SELECT CAST(m AS BIGINT) AS scc, COUNT(*) AS n_nodes FROM lab GROUP BY m
 """
+
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum training order, ORACLE-CHECKED: docs are banded by a
+    quality proxy (token count, 4 domain-relative bands — shortest to
+    longest, the easy-to-hard schedule) and given ONE global contiguous
+    position 1..N that walks the bands in order while visiting each
+    band's members in a deterministic hash-shuffled order (Knuth
+    multiplicative hash of doc_id, doc_id tiebreak) — the exact ordering
+    a curriculum dataloader consumes, reproducible across runs and
+    resumable from any position. Distributed as the zipWithIndex shape
+    (q_row_number_global): pass 1 streams bounded per-(band, hash-range)
+    counts to driver prefix offsets over the plasma-broadcast table;
+    pass 2 shuffles rows to their range group and numbers inside it as
+    offset + local rank. No single-node sort owner; group payload stays
+    ~rows/B at any corpus size (hash key is uniform by construction)."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    KNUTH = 2654435761
+    HMOD = 1 << 31
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    nbh = num_shuffle_buckets(n, target=1_000_000)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        q = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (d * KNUTH) % HMOD
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d),
+                "q": pa.array(q),
+                "h": pa.array(h),
+            }
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    max_q = int(feats.max("q"))
+
+    def add_range(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        band = q * 4 // (max_q + 1)
+        rng = band * nbh + h // -(-HMOD // nbh)  # ceil-div width
+        out = t.append_column("band", pa.array(band.astype(np.int64)))
+        return out.append_column("__rng", pa.array(rng.astype(np.int64)))
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    ranged = feats.map_batches(add_range, batch_format="pyarrow")
+    counts = (
+        pre_aggregated_sum(
+            ranged.select_columns(["__rng"]),
+            keys=["__rng"],
+            sums={},
+            count_alias="c",
+        )
+        .to_pandas()
+        .sort_values("__rng")
+    )
+    offsets = np.zeros(4 * nbh, dtype=np.int64)
+    offsets[counts["__rng"].to_numpy()] = counts["c"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def number_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        g["pos"] = off[int(g["__rng"].iloc[0])] + np.arange(
+            1, len(g) + 1, dtype=np.int64
+        )
+        return g[["doc_id", "band", "pos"]]
+
+    return ranged.groupby("__rng").map_groups(
+        number_range, batch_format="pandas"
+    )
+
+
+SQL_CURRICULUM_ORDER = """
+WITH f AS (
+  SELECT doc_id,
+         LEN(string_split(text, ' ')) AS q,
+         (doc_id * 2654435761) % 2147483648 AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, h,
+         q * 4 // ((SELECT MAX(q) FROM f) + 1) AS band
+  FROM f
+)
+SELECT doc_id, band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS BIGINT) AS pos
+FROM b
+"""

@@ -1150,3 +1150,87 @@ SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v_e4,
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_last_e4
 FROM d
 """
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage (the span-coalescing primitive
+    behind redaction-span merging, session stitching and
+    machine-utilization rollups), ORACLE-CHECKED with pure-integer
+    arithmetic: each event opens an interval [ts, ts + (event_id % 50 +
+    10) s) in epoch microseconds, overlapping-or-touching intervals per
+    user are merged by the gaps-and-islands running-max rule
+    (start ≤ max end seen so far joins the island), and the output per
+    user is the raw interval count, the merged-island count and the
+    exact covered microseconds. Same scale shape as sessionize: users
+    coalesce into data-proportional hash buckets (one shuffle group per
+    BUCKET, never per user), one vectorized pandas pass per bucket."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return _dedup.add_hash_bucket(t, "user_id", nb, "__sb")
+
+    def coverage_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["s"] = g["ts"].astype("int64")  # us since epoch
+        g["e"] = g["s"] + (g["event_id"] % 50 + 10) * 1_000_000
+        g = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+        cm = g.groupby("user_id")["e"].cummax()
+        prev = cm.groupby(g["user_id"].to_numpy()).shift()
+        new_island = prev.isna() | (g["s"] > prev)
+        isl_id = new_island.cumsum()
+        isl = g.groupby(isl_id).agg(
+            user_id=("user_id", "first"), s=("s", "min"), e=("e", "max")
+        )
+        isl["span"] = isl["e"] - isl["s"]
+        out = isl.groupby("user_id", as_index=False).agg(
+            n_merged=("span", "size"), covered_us=("span", "sum")
+        )
+        raw = g.groupby("user_id").size().rename("n_intervals")
+        out = out.merge(raw, on="user_id")
+        return out[["user_id", "n_intervals", "n_merged", "covered_us"]]
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds.groupby("__sb").map_groups(
+        coverage_bucket, batch_format="pandas"
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 50 + 10) * 1000000 AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+),
+merged AS (
+  SELECT user_id, isl, MAX(e) - MIN(s) AS span
+  FROM islands GROUP BY user_id, isl
+)
+SELECT m.user_id,
+       CAST(c.n_intervals AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(m.span) AS BIGINT) AS covered_us
+FROM merged m
+JOIN (SELECT user_id, COUNT(*) AS n_intervals FROM iv GROUP BY user_id) c
+  ON c.user_id = m.user_id
+GROUP BY m.user_id, c.n_intervals
+"""
