@@ -2236,3 +2236,228 @@ SELECT doc_id, CAST(shard8 AS BIGINT) AS shard8,
          AS moved
 FROM r8 JOIN r9 USING (doc_id)
 """
+
+
+def q_homoglyph_domains(sf_dir: str):
+    """Homoglyph (IDN-spoofing) domain detection via Unicode confusable
+    skeletons, ORACLE-CHECKED: every 7th doc registers a lookalike of an
+    existing domain with one Latin letter swapped for its Cyrillic twin
+    (i→U+0456, e→U+0435, o→U+043E — visually identical, byte-distinct),
+    the skeleton map folds confusables back to ASCII (chained vectorized
+    replace_substring — the UTS #39 skeleton idea over a bounded table),
+    and grouping by skeleton surfaces every spoof cluster: skeletons
+    carrying MORE THAN ONE raw variant are the attacks. Two-level
+    aggregate: map-side (skeleton, raw) partial counts, one exchange
+    over distinct variants, then a skeleton-bounded rollup. The twin
+    re-states the synthesis and the same replace chain."""
+    from ray.data.aggregate import Min, Sum
+
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    CONF = [("і", "i"), ("е", "e"), ("о", "o")]
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ["site" + str(x % 400) + ".com" for x in d]
+        out = []
+        for x, b in zip(d, base):
+            if x % 7 == 3:
+                which = CONF[x % 3]
+                # 'i' appears in "site", 'e' in "site", 'o' in ".com"
+                out.append(b.replace(which[1], which[0], 1))
+            else:
+                out.append(b)
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "domain": pa.array(out, pa.string())}
+        )
+
+    def skeletonize(t: pa.Table) -> pa.Table:
+        s = t["domain"]
+        for bad, good in CONF:
+            s = pc.replace_substring(s, pattern=bad, replacement=good)
+        return t.append_column("skeleton", s)
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(skeletonize, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(["skeleton", "domain"], as_index=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    variants = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["skeleton", "domain"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc", alias_name="first_doc"),
+        )
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("skeleton", as_index=False).agg(
+            n_variants=("domain", "nunique"),
+            n_docs=("n_docs", "sum"),
+            first_doc=("first_doc", "min"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rolled = (
+        variants.map_batches(rollup, batch_format="pyarrow")
+        .groupby("skeleton")
+        .aggregate(
+            Sum("n_variants", alias_name="n_variants"),
+            Sum("n_docs", alias_name="n_docs"),
+            Min("first_doc", alias_name="first_doc"),
+        )
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        nv = t["n_variants"].to_numpy(zero_copy_only=False)
+        return t.append_column("spoofed", pa.array(nv > 1, pa.bool_()))
+
+    return rolled.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_HOMOGLYPH_DOMAINS = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 AND doc_id % 3 = 0
+              THEN 'sіte' || (doc_id % 400) || '.com'
+              WHEN doc_id % 7 = 3 AND doc_id % 3 = 1
+              THEN 'sitе' || (doc_id % 400) || '.com'
+              WHEN doc_id % 7 = 3 AND doc_id % 3 = 2
+              THEN 'site' || (doc_id % 400) || '.cоm'
+              ELSE 'site' || (doc_id % 400) || '.com' END AS domain
+  FROM documents
+),
+sk AS (
+  SELECT doc_id, domain,
+         replace(replace(replace(domain, 'і', 'i'),
+                         'е', 'e'),
+                 'о', 'o') AS skeleton
+  FROM raw
+)
+SELECT skeleton,
+       CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       COUNT(DISTINCT domain) > 1 AS spoofed
+FROM sk GROUP BY skeleton
+"""
+
+
+def q_index_merge(sf_dir: str):
+    """LSM-style inverted-index SEGMENT MERGE with tombstones,
+    ORACLE-CHECKED: a base segment (docs with id % 4 != 3), a delta
+    segment adding the rest, and tombstones deleting every doc with
+    id % 8 == 1 are merged into fresh VByte posting blocks — the
+    compaction a log-structured index runs continuously, where the delta
+    OVERRIDES the base (a tombstone wins over any add for the same
+    (term, doc)). All three inputs flow as one tagged (term, doc, op)
+    stream; blocks stay bounded by the doc_id // 128 width; per-group
+    resolution is a vectorized keep = add AND NOT deleted mask; the
+    surviving docs re-encode through the real varbyte codec with the
+    decode-back prefix-sum checksum, so the twin (same filtered doc set,
+    closed-form byte lengths) certifies the merged bytes exactly."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_hash_bucket,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.varbyte import (
+        decode_varbyte,
+        encode_varbyte,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = num_shuffle_buckets(ds.count())
+
+    def tagged_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        docs = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        df = pa.Table.from_arrays(
+            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
+        ).to_pandas().drop_duplicates()
+        # every (term, doc) is an add (base segment for id%4!=3, delta
+        # segment for id%4==3 — same rows either way); tombstones ride
+        # the same stream as op=1 rows for deleted docs
+        d = df["doc_id"].to_numpy(np.int64)
+        df["op"] = 0
+        dels = df[d % 8 == 1].copy()
+        dels["op"] = 1
+        out = pd.concat([df, dels], ignore_index=True)
+        return add_hash_bucket(
+            pa.Table.from_pandas(out, preserve_index=False), "term", nb
+        )
+
+    def merge_blocks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["blk"] = g["doc_id"] // 128
+        terms, blks, nds, nbys, cks = [], [], [], [], []
+        for (term, blk), grp in g.groupby(["term", "blk"], sort=False):
+            deleted = set(
+                grp.loc[grp["op"] == 1, "doc_id"].to_numpy(np.int64)
+            )
+            adds = grp.loc[grp["op"] == 0, "doc_id"].to_numpy(np.int64)
+            docs = np.sort(np.unique(adds[~np.isin(adds, list(deleted))]))
+            if docs.size == 0:
+                continue
+            deltas = np.concatenate(([docs[0]], np.diff(docs)))
+            payload = encode_varbyte(deltas)
+            rebuilt = np.cumsum(decode_varbyte(payload))
+            terms.append(term)
+            blks.append(int(blk))
+            nds.append(docs.size)
+            nbys.append(len(payload))
+            cks.append(int(rebuilt.sum()))
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "blk": np.asarray(blks, np.int64),
+                "n_docs": np.asarray(nds, np.int64),
+                "n_bytes": np.asarray(nbys, np.int64),
+                "checksum": np.asarray(cks, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tagged_pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_blocks, batch_format="pandas")
+    )
+
+
+SQL_INDEX_MERGE = """
+WITH w AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
+  WHERE t.term <> '' AND d.doc_id % 8 != 1
+),
+b AS (
+  SELECT term, doc_id, doc_id // 128 AS blk,
+         MIN(doc_id) OVER (PARTITION BY term, doc_id // 128) AS first_doc
+  FROM w
+)
+SELECT term, blk,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN first_doc < 128 THEN 1
+                 WHEN first_doc < 16384 THEN 2
+                 WHEN first_doc < 2097152 THEN 3
+                 WHEN first_doc < 268435456 THEN 4
+                 ELSE 5 END
+            + COUNT(*) - 1 AS BIGINT) AS n_bytes,
+       CAST(SUM(doc_id) AS BIGINT) AS checksum
+FROM b GROUP BY term, blk, first_doc
+"""
