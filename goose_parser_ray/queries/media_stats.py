@@ -2335,6 +2335,85 @@ FROM runs
 """
 
 
+def q_pdf_pages(sf_dir: str):
+    """MULTI-page PDF page fan-out, ORACLE-CHECKED — the document
+    sibling of q_video_frames: each doc's first 24 words paginate into
+    up to three REAL PDF pages (one /Page object + one FlateDecode
+    content stream per page, /Kids array fixing page order), and
+    ``extract_pdf_pages`` walks the object graph back — sequential
+    object walk with stream SKIPPING by declared /Length, so compressed
+    bytes can never fake an object header — emitting one row per page
+    with its line count and reconstructed text. The closed-form twin
+    re-slices the same words per page, so the hash compare certifies
+    page ORDER (Kids), per-page stream isolation, and Tj text recovery.
+    Scale shape: map-only, small batches for wide binaries."""
+    from goose_parser_ray.functions.pdfmini import (
+        encode_pdf_pages,
+        extract_pdf_pages,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for txt in t["text"].to_pylist():
+            words = (txt or "").split(" ")[:24]
+            pages = [words[i : i + 8] for i in range(0, len(words), 8)] or [[]]
+            payloads.append(
+                encode_pdf_pages(
+                    [
+                        [" ".join(pw[i : i + 4]) for i in range(0, len(pw), 4)]
+                        for pw in pages
+                    ]
+                )
+            )
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def per_page(t: pa.Table) -> pa.Table:
+        doc_ids, page_nos, n_lines, texts = [], [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            for pno, lines in enumerate(extract_pdf_pages(p or b"")):
+                doc_ids.append(d)
+                page_nos.append(pno)
+                n_lines.append(len(lines))
+                texts.append(" ".join(lines))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "page_no": pa.array(page_nos, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "page_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        per_page, batch_format="pyarrow", batch_size=64
+    )
+
+
+SQL_PDF_PAGES = """
+WITH w AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS w24
+  FROM documents
+),
+p AS (
+  SELECT doc_id, w24, g.p
+  FROM w,
+       UNNEST(generate_series(
+         0, CAST(CEIL(LEN(w24) / 8.0) AS BIGINT) - 1)) AS g(p)
+)
+SELECT doc_id, p AS page_no,
+       CAST(CEIL(LEAST(LEN(w24) - p * 8, 8) / 4.0) AS BIGINT) AS n_lines,
+       array_to_string(
+         list_slice(w24, p * 8 + 1, LEAST(p * 8 + 8, LEN(w24))), ' ')
+         AS page_text
+FROM p
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern

@@ -141,3 +141,78 @@ def test_length_digit_mutations_controlled():
                     assert isinstance(out, list)
                 except ValueError:
                     pass
+
+
+def test_multipage_roundtrip_and_order():
+    """encode_pdf_pages/extract_pdf_pages: pages come back in /Kids order
+    with per-page isolation (a line never leaks across pages), including
+    escapes, empty pages and single-page documents."""
+    import pytest
+
+    from goose_parser_ray.functions.pdfmini import (
+        encode_pdf_pages,
+        extract_pdf_pages,
+    )
+
+    cases = [
+        [["one a", "one b"], ["two (x)"], ["three \\ y", "tail"]],
+        [["solo"]],
+        [[], ["after empty"]],
+        [["esc \n tab \t"], ["oct \x07"]],
+    ]
+    for pages in cases:
+        assert extract_pdf_pages(encode_pdf_pages(pages)) == pages
+    with pytest.raises(ValueError):
+        encode_pdf_pages([])
+    with pytest.raises(ValueError):
+        extract_pdf_pages(b"not a pdf")
+
+
+def test_multipage_object_walk_skips_stream_bytes():
+    """A compressed stream whose bytes happen to contain the ASCII
+    sequence '7 0 obj' must not fake a phantom object: the walk skips
+    streams by declared /Length. zlib output is adversarially chosen by
+    compressing text that contains the sequence uncompressed-ish."""
+    from goose_parser_ray.functions.pdfmini import (
+        encode_pdf_pages,
+        extract_pdf_pages,
+    )
+
+    # line content that, raw, contains object-header-looking bytes; with
+    # compress=False the stream bytes literally contain "7 0 obj"
+    pages = [["decoy 7 0 obj endobj stream"], ["clean"]]
+    payload = encode_pdf_pages(pages, compress=False)
+    assert b"7 0 obj" in payload
+    assert extract_pdf_pages(payload) == pages
+
+
+def test_multipage_mutation_fuzz_controlled():
+    """Single-byte mutations and truncations of a multi-page PDF either
+    raise ValueError or extract SOME well-formed page list."""
+    import numpy as np
+
+    from goose_parser_ray.functions.pdfmini import (
+        encode_pdf_pages,
+        extract_pdf_pages,
+    )
+
+    rng = np.random.default_rng(11)
+    good = bytearray(
+        encode_pdf_pages([["alpha beta", "gamma"], ["delta"], ["eps z"]])
+    )
+    for trial in range(400):
+        b = bytearray(good)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = extract_pdf_pages(bytes(b))
+            assert isinstance(out, list)
+            for page in out:
+                assert all(isinstance(x, str) for x in page)
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 7):
+        try:
+            extract_pdf_pages(bytes(good[:cut]))
+        except ValueError:
+            pass
