@@ -2243,3 +2243,49 @@ SELECT relationship,
        CAST(n_childless_parent AS BIGINT) AS n_childless_parent
 FROM rel
 """
+
+
+def q_integrity_audit(sf_dir: str):
+    """Bit-rot / integrity verification pass, ORACLE-CHECKED: every doc's
+    payload carries the CRC32 computed at WRITE time; afterwards every
+    23rd-ish payload (doc_id % 23 == 5) suffers a single flipped byte —
+    the silent-corruption model a petabyte store audits for. The verify
+    stage recomputes zlib.crc32 over the actual bytes and compares; a
+    single-byte flip always changes CRC32, so the flag is deterministic.
+    The twin states the expected verdict closed-form from the planted
+    corruption rule, so the hash compare certifies the auditor found
+    EXACTLY the corrupted rows (no false alarms, no misses). Scale
+    shape: map-only, CRC at C speed per row, no shuffle."""
+    import zlib
+
+    def audit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        oks, sizes = [], []
+        for d, txt in zip(ids, t["text"].to_pylist()):
+            payload = (txt or "").encode("utf-8")
+            stored = zlib.crc32(payload)
+            if d % 23 == 5 and payload:
+                payload = (
+                    bytes([payload[0] ^ 0xFF]) + payload[1:]
+                )  # post-write corruption
+            oks.append(zlib.crc32(payload) == stored)
+            sizes.append(len(payload))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "crc_ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        audit, batch_format="pyarrow"
+    )
+
+
+SQL_INTEGRITY_AUDIT = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       NOT (doc_id % 23 = 5 AND strlen(text) > 0) AS crc_ok
+FROM documents
+"""

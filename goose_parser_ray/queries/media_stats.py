@@ -2414,6 +2414,78 @@ FROM p
 """
 
 
+def q_audio_downsample(sf_dir: str):
+    """Integer audio decimation (the 16 kHz → 4 kHz front-end resample),
+    ORACLE-CHECKED: the same RIFF/PCM waveforms as q_audio_segments are
+    decoded and decimated ×4 with a box filter kept as EXACT block SUMS
+    (no division, no float — the sum is the mean times a constant, so
+    downstream energy math is unchanged and the twin is closed-form).
+    Emitted per doc: input/output sample counts and a position-weighted
+    checksum Σ (i+1)·out_i that certifies every output sample AND its
+    order. Scale shape: map-only decode + one reshape-sum, no shuffle."""
+    from goose_parser_ray.functions.wav import decode_wav_pcm16
+    from goose_parser_ray.functions.wav import encode_wav_pcm16
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 512 + 64 * (d % 4)
+            ts = np.arange(n, dtype=np.int64)
+            loud = ((ts // 64 + d) % 3) != 0
+            x = np.where(
+                loud, (37 * ts + d) % 1000 + 200, ts % 50 - 25
+            ).astype(np.int16)
+            payloads.append(encode_wav_pcm16(x))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def decimate(t: pa.Table) -> pa.Table:
+        n_ins, n_outs, cks = [], [], []
+        for p in t["payload"].to_pylist():
+            x, _, _ = decode_wav_pcm16(p or b"")
+            xi = x.astype(np.int64)
+            out = xi.reshape(-1, 4).sum(axis=1)
+            w = np.arange(1, out.size + 1, dtype=np.int64)
+            n_ins.append(xi.size)
+            n_outs.append(out.size)
+            cks.append(int((w * out).sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_in": pa.array(n_ins, pa.int64()),
+                "n_out": pa.array(n_outs, pa.int64()),
+                "checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(decimate, batch_format="pyarrow", batch_size=256)
+
+
+SQL_AUDIO_DOWNSAMPLE = """
+WITH s AS (
+  SELECT d.doc_id, ts.t,
+         CASE WHEN ((ts.t // 64 + d.doc_id) % 3) != 0
+              THEN (37 * ts.t + d.doc_id) % 1000 + 200
+              ELSE ts.t % 50 - 25 END AS x
+  FROM documents d,
+       UNNEST(generate_series(0, 511 + 64 * (d.doc_id % 4))) AS ts(t)
+),
+blocks AS (
+  SELECT doc_id, t // 4 AS i, SUM(x) AS v
+  FROM s GROUP BY doc_id, t // 4
+)
+SELECT doc_id,
+       CAST(4 * COUNT(*) AS BIGINT) AS n_in,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS checksum
+FROM blocks GROUP BY doc_id
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
