@@ -764,3 +764,111 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
 """
+
+
+def q_interpolate_daily(sf_dir: str):
+    """LINEAR-interpolation gap fill over the daily grid (the sibling of
+    q_gapfill's zero-fill — for quantities where a missing day means
+    "not measured", not "zero"), ORACLE-CHECKED with exact integers:
+    per-type daily cent sums are densified to every day in the type's
+    [min, max] span, and interior missing days get the linear
+    interpolation between the surrounding measured days kept as a
+    NUM/DEN pair (num = v_prev·(d_next−d_prev) + (v_next−v_prev)·(d−d_prev),
+    den = d_next−d_prev) — no division, no floats, endpoints always
+    measured so no extrapolation branch exists. Scale shape: map-side
+    day partials (type×day-bounded exchange), then one map_groups per
+    type over its day span (span-bounded, never event-bounded)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        v = np.round(
+            100 * t["value"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "day": day, "v": v}
+        )
+        # withhold every 5th day from the measurements (sensor-outage
+        # model) so the fixture actually exercises interpolation
+        df = df[df["day"] % 5 != 2]
+        out = df.groupby(["event_type", "day"], as_index=False)["v"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = pre_aggregated_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sums={"v": "v"},
+    )
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        days = g["day"].to_numpy(np.int64)
+        vals = g["v"].to_numpy(np.int64)
+        grid = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+        pos = np.searchsorted(days, grid, side="right") - 1
+        measured = days[pos] == grid
+        pd_, pv = days[pos], vals[pos]
+        nxt = np.minimum(pos + 1, len(days) - 1)
+        nd, nv = days[nxt], vals[nxt]
+        num = np.where(
+            measured, pv, pv * (nd - pd_) + (nv - pv) * (grid - pd_)
+        )
+        den = np.where(measured, 1, nd - pd_)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": grid,
+                "val_num": num,
+                "val_den": den,
+                "interpolated": ~measured,
+            }
+        )
+
+    return agg.groupby("event_type").map_groups(
+        densify, batch_format="pandas"
+    )
+
+
+SQL_INTERPOLATE_DAILY = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(100 * value) AS BIGINT) AS v
+  FROM events
+),
+agg AS (SELECT event_type, day, SUM(v) AS v FROM d
+        WHERE day % 5 != 2 GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+         FROM agg GROUP BY 1),
+grid AS (
+  SELECT s.event_type, g.day
+  FROM span s, UNNEST(generate_series(s.lo, s.hi)) AS g(day)
+),
+j AS (
+  SELECT g.event_type, g.day, a.v,
+         last_value(a.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(a.day IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS UNBOUNDED PRECEDING) AS pd,
+         first_value(a.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(a.day IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid g
+  LEFT JOIN agg a ON a.event_type = g.event_type AND a.day = g.day
+)
+SELECT event_type, day,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv * (nd - pd) + (nv - pv) * (day - pd) END
+            AS BIGINT) AS val_num,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE nd - pd END
+            AS BIGINT) AS val_den,
+       v IS NULL AS interpolated
+FROM j
+"""
