@@ -499,6 +499,23 @@ class GifStatsActor:
         return batch.append_column("rgb_sum", pa.array(sums, pa.int64()))
 
 
+def dhash_from_raster(img: "np.ndarray") -> "tuple[int, int]":
+    """64-bit difference hash of a grayscale raster as (hi, lo) int64
+    halves — the shared kernel behind :class:`ImageDHashActor` and the
+    video frame-fingerprint path. Equal-size 8×9 block SUMS (compare-sum
+    ≡ compare-mean, exact), bit = cell brighter than right neighbor.
+    Requires height % 8 == 0 and width % 9 == 0."""
+    h, w = img.shape
+    if h % 8 or w % 9:
+        raise ValueError("dhash: raster dims must be 8k x 9m")
+    sums = img.astype(np.int64).reshape(8, h // 8, 9, w // 9).sum(axis=(1, 3))
+    bits = (sums[:, :-1] > sums[:, 1:]).astype(np.int64)
+    bj = np.arange(8, dtype=np.int64)[None, :]
+    bi4 = np.arange(4, dtype=np.int64)[:, None]
+    wgt = (np.int64(1) << (8 * bi4 + bj)).astype(np.int64)
+    return int((bits[4:] * wgt).sum()), int((bits[:4] * wgt).sum())
+
+
 class ImageDHashActor:
     """Perceptual difference-hash (dHash) over REAL decoded grayscale
     images: PGM payloads are decoded with the in-repo Netpbm codec, the
@@ -518,25 +535,13 @@ class ImageDHashActor:
 
         self._decode = decode_pgm
         self.payload_col = payload_col
-        bj = np.arange(8, dtype=np.int64)[None, :]
-        bi4 = np.arange(4, dtype=np.int64)[:, None]
-        self._w = (np.int64(1) << (8 * bi4 + bj)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         los, his = [], []
         for p in batch[self.payload_col].to_pylist():
-            img = self._decode(p or b"")
-            h, w = img.shape
-            if h % 8 or w % 9:
-                raise ValueError("dhash: raster dims must be 8k x 9m")
-            sums = (
-                img.astype(np.int64)
-                .reshape(8, h // 8, 9, w // 9)
-                .sum(axis=(1, 3))
-            )
-            bits = (sums[:, :-1] > sums[:, 1:]).astype(np.int64)
-            los.append(int((bits[:4] * self._w).sum()))
-            his.append(int((bits[4:] * self._w).sum()))
+            hi, lo = dhash_from_raster(self._decode(p or b""))
+            his.append(hi)
+            los.append(lo)
         batch = batch.drop_columns([self.payload_col])
         batch = batch.append_column("dhash_lo", pa.array(los, pa.int64()))
         return batch.append_column("dhash_hi", pa.array(his, pa.int64()))

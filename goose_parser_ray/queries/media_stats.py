@@ -2486,6 +2486,159 @@ FROM blocks GROUP BY doc_id
 """
 
 
+def q_video_neardup(sf_dir: str):
+    """VIDEO near-duplicate detection by frame-fingerprint overlap — the
+    flagship composition of the media-temporal family, ORACLE-CHECKED:
+    every group of four docs shares the same clip CONTENT (seed =
+    doc_id - doc_id % 4) but each doc's animated-GIF bytes differ (a
+    per-doc dither shifts every 4×4 block sum by the same constant) and
+    the clips differ in LENGTH (3..5 frames by doc_id % 3), so byte
+    hashing finds nothing while per-frame dHashing after real decode
+    finds everything: decode → per-frame difference hash (shared
+    ``dhash_from_raster`` kernel) → distinct (doc, hash) → pairs of
+    videos sharing ≥ 2 frame fingerprints with the shared-frame count.
+    The twin recomputes every frame's 64 bits closed-form (dither
+    cancels in block sums) and self-joins on hash equality, certifying
+    pair identification AND overlap counts — including the organic
+    cross-group collisions from the pattern's period 97. Scale shape:
+    map-only decode+hash, pairs form inside data-proportional
+    hash-keyed buckets, never all-pairs."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import (
+        add_coarse_bucket,
+        num_shuffle_buckets,
+    )
+    from goose_parser_ray.functions.gifmini import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+    from goose_parser_ray.functions.multimodal import dhash_from_raster
+
+    H, W = 32, 36
+
+    def synth(t: pa.Table) -> pa.Table:
+        bi = np.arange(8, dtype=np.int64)[:, None]
+        bj = np.arange(9, dtype=np.int64)[None, :]
+        i = np.arange(H, dtype=np.int64)[:, None]
+        j = np.arange(W, dtype=np.int64)[None, :]
+        pal = np.stack([np.arange(256, dtype=np.int64) % 256] * 3, axis=1
+                       ).astype(np.uint8)
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            seed = d - d % 4
+            n_frames = 3 + d % 3
+            dither = ((2 * i + 3 * j + d) % 4 == 0).astype(np.int64)
+            frames = []
+            for k in range(n_frames):
+                grid = (23 * bi + 41 * bj + 17 * k + seed) % 97 + 50
+                img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
+                frames.append((img + dither).astype(np.uint8))
+            payloads.append(encode_gif_animated(W, H, pal, frames))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def frame_hashes(t: pa.Table) -> pa.Table:
+        doc_ids, his, los = [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            _, _, _, frames, _ = decode_gif_frames(p or b"")
+            seen = set()
+            for fr in frames:
+                hi, lo = dhash_from_raster(fr)
+                if (hi, lo) not in seen:  # distinct (doc, hash)
+                    seen.add((hi, lo))
+                    doc_ids.append(d)
+                    his.append(hi)
+                    los.append(lo)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "hi": pa.array(his, pa.int64()),
+                "lo": pa.array(los, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    nb = num_shuffle_buckets(ds.count() * 4)
+    hashes = (
+        ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
+        .map_batches(frame_hashes, batch_format="pyarrow", batch_size=64)
+        .map_batches(
+            lambda t: add_coarse_bucket(t, ["hi", "lo"], nb),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, f in g.groupby(["hi", "lo"], sort=False):
+            ids = np.sort(f["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        out = df.groupby(["id_a", "id_b"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    pairs = hashes.groupby("__b").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    agg = pre_aggregated_sum(pairs, keys=["id_a", "id_b"], sums={"n": "n"})
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(n >= 2))
+        return t.rename_columns(["id_a", "id_b", "n_shared"])
+
+    return agg.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_VIDEO_NEARDUP = """
+WITH fr AS (
+  SELECT d.doc_id, d.doc_id - d.doc_id % 4 AS seed, f.k
+  FROM documents d,
+       UNNEST(generate_series(0, 2 + d.doc_id % 3)) AS f(k)
+),
+bits AS (
+  SELECT fr.doc_id, fr.k, bi.bi, bj.bj,
+         CASE WHEN (23 * bi.bi + 41 * bj.bj + 17 * fr.k + fr.seed) % 97
+                 > (23 * bi.bi + 41 * (bj.bj + 1) + 17 * fr.k + fr.seed) % 97
+              THEN 1 ELSE 0 END AS bit
+  FROM fr,
+       UNNEST(generate_series(0, 7)) AS bi(bi),
+       UNNEST(generate_series(0, 7)) AS bj(bj)
+),
+h AS (
+  SELECT DISTINCT doc_id,
+         CAST(SUM(CASE WHEN bi < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * bi + bj))
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN bi >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << (8 * (bi - 4) + bj))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id, k
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.hi = b.hi AND a.lo = b.lo
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
