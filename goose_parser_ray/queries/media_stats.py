@@ -2639,6 +2639,240 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_rgb_to_luma(sf_dir: str):
+    """RGB → luma conversion (integer BT.601: Y = (77R + 150G + 29B) >> 8,
+    the JPEG/vision-preprocessing grayscale step), ORACLE-CHECKED over
+    REAL image bytes: deterministic RGB gradients are encoded to actual
+    binary PPM (P6), decoded by the in-repo Netpbm codec, converted with
+    the fixed-point kernel (no floats — the >> 8 IS the spec), and
+    summarized as exact integers (luma sum, min, max) so the twin
+    certifies every converted pixel. Scale shape: map-only decode +
+    vectorized integer dot, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_ppm, encode_ppm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 9 + (d % 6)
+            h = 7 + (d % 5)
+            i = np.arange(h, dtype=np.int64)[:, None, None]
+            j = np.arange(w, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            img = ((19 * i + 31 * j + 83 * c + d) % 256).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def luma(t: pa.Table) -> pa.Table:
+        sums, mins, maxs = [], [], []
+        for p in t["payload"].to_pylist():
+            img = decode_ppm(p or b"").astype(np.int64)
+            y = (77 * img[:, :, 0] + 150 * img[:, :, 1] + 29 * img[:, :, 2]
+                 ) >> 8
+            sums.append(int(y.sum()))
+            mins.append(int(y.min()))
+            maxs.append(int(y.max()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "luma_sum": pa.array(sums, pa.int64()),
+                "luma_min": pa.array(mins, pa.int64()),
+                "luma_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(luma, batch_format="pyarrow", batch_size=256)
+
+
+SQL_RGB_TO_LUMA = """
+WITH pix AS (
+  SELECT d.doc_id,
+         (77 * ((19 * a.i + 31 * b.j + d.doc_id) % 256)
+          + 150 * ((19 * a.i + 31 * b.j + 83 + d.doc_id) % 256)
+          + 29 * ((19 * a.i + 31 * b.j + 166 + d.doc_id) % 256)) // 256 AS y
+  FROM documents d,
+       UNNEST(generate_series(0, 6 + (d.doc_id % 5))) AS a(i),
+       UNNEST(generate_series(0, 8 + (d.doc_id % 6))) AS b(j)
+)
+SELECT doc_id,
+       CAST(SUM(y) AS BIGINT) AS luma_sum,
+       CAST(MIN(y) AS BIGINT) AS luma_min,
+       CAST(MAX(y) AS BIGINT) AS luma_max
+FROM pix GROUP BY doc_id
+"""
+
+
+def q_audio_mixdown(sf_dir: str):
+    """Stereo → mono mixdown over REAL 2-channel RIFF/PCM bytes,
+    ORACLE-CHECKED: per doc an interleaved stereo waveform (distinct L/R
+    formulas) is encoded with channels=2, decoded by the in-repo codec,
+    de-interleaved, and mixed as EXACT SUMS L+R (no /2, no float — the
+    sum is the mean times two, so downstream energy math is unchanged);
+    emitted per doc: frame count and the position-weighted mono checksum
+    Σ (i+1)·(L_i+R_i) certifying every frame of BOTH channels and the
+    interleave order. Scale shape: map-only, no shuffle."""
+    from goose_parser_ray.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 256 + 32 * (d % 4)  # frames
+            ts = np.arange(n, dtype=np.int64)
+            left = (53 * ts + d) % 2000 - 1000
+            right = (29 * ts + 2 * d) % 1500 - 750
+            inter = np.empty(2 * n, dtype=np.int16)
+            inter[0::2] = left.astype(np.int16)
+            inter[1::2] = right.astype(np.int16)
+            payloads.append(encode_wav_pcm16(inter, channels=2))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def mixdown(t: pa.Table) -> pa.Table:
+        frames_out, cks = [], []
+        for p in t["payload"].to_pylist():
+            x, _, ch = decode_wav_pcm16(p or b"")
+            if ch != 2:
+                raise ValueError("mixdown: expected stereo payload")
+            xi = x.astype(np.int64)
+            mono = xi[0::2] + xi[1::2]
+            w = np.arange(1, mono.size + 1, dtype=np.int64)
+            frames_out.append(mono.size)
+            cks.append(int((w * mono).sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_frames": pa.array(frames_out, pa.int64()),
+                "checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(mixdown, batch_format="pyarrow", batch_size=256)
+
+
+SQL_AUDIO_MIXDOWN = """
+WITH s AS (
+  SELECT d.doc_id, ts.t,
+         (53 * ts.t + d.doc_id) % 2000 - 1000
+           + (29 * ts.t + 2 * d.doc_id) % 1500 - 750 AS mono
+  FROM documents d,
+       UNNEST(generate_series(0, 255 + 32 * (d.doc_id % 4))) AS ts(t)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM((t + 1) * mono) AS BIGINT) AS checksum
+FROM s GROUP BY doc_id
+"""
+
+
+def q_hist_equalize(sf_dir: str):
+    """Histogram EQUALIZATION (the classic contrast-normalization
+    preprocessing step, in the OpenCV integer formulation
+    out = (cdf(v) − cdf_min) · 255 // (n − cdf_min)), ORACLE-CHECKED
+    over REAL image bytes: deterministic low-contrast grayscale PGMs are
+    decoded by the in-repo codec, equalized with a vectorized
+    bincount→cumsum→lookup (no floats — integer floor division IS the
+    spec), and summarized as exact integers (equalized sum, min, max,
+    distinct levels). The twin rebuilds the per-image CDF with a window
+    cumsum and maps every pixel through it, so the hash compare
+    certifies the whole transform pixel-exactly. Scale shape: map-only
+    decode + O(pixels + 256) per image, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 12 + (d % 5)
+            h = 10 + (d % 7)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            # low-contrast band [60, 60+40): equalization must stretch it
+            img = (60 + (7 * i + 11 * j + d) % 40).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def equalize(t: pa.Table) -> pa.Table:
+        sums, mins, maxs, lvls = [], [], [], []
+        for p in t["payload"].to_pylist():
+            img = decode_pgm(p or b"").astype(np.int64)
+            n = img.size
+            hist = np.bincount(img.ravel(), minlength=256)
+            cdf = np.cumsum(hist)
+            cdf_min = int(cdf[np.nonzero(hist)[0][0]])
+            lut = (cdf - cdf_min) * 255 // (n - cdf_min)
+            out = lut[img]
+            sums.append(int(out.sum()))
+            mins.append(int(out.min()))
+            maxs.append(int(out.max()))
+            lvls.append(int(np.unique(out).size))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "eq_sum": pa.array(sums, pa.int64()),
+                "eq_min": pa.array(mins, pa.int64()),
+                "eq_max": pa.array(maxs, pa.int64()),
+                "eq_levels": pa.array(lvls, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(equalize, batch_format="pyarrow", batch_size=256)
+
+
+SQL_HIST_EQUALIZE = """
+WITH pix AS (
+  SELECT d.doc_id,
+         60 + (7 * a.i + 11 * b.j + d.doc_id) % 40 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 9 + (d.doc_id % 7))) AS a(i),
+       UNNEST(generate_series(0, 11 + (d.doc_id % 5))) AS b(j)
+),
+hist AS (
+  SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pix GROUP BY doc_id, v
+),
+cdf AS (
+  SELECT doc_id, v, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n
+  FROM hist
+),
+firsts AS (
+  SELECT doc_id, MIN(v) AS v0 FROM hist GROUP BY doc_id
+),
+lut AS (
+  SELECT c.doc_id, c.v,
+         (c.c - f0.c0) * 255 // (c.n - f0.c0) AS outv,
+         c.cnt
+  FROM cdf c
+  JOIN (SELECT c2.doc_id, c2.c AS c0
+        FROM cdf c2 JOIN firsts f ON f.doc_id = c2.doc_id AND f.v0 = c2.v)
+       f0 ON f0.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(outv * cnt) AS BIGINT) AS eq_sum,
+       CAST(MIN(outv) AS BIGINT) AS eq_min,
+       CAST(MAX(outv) AS BIGINT) AS eq_max,
+       CAST(COUNT(DISTINCT outv) AS BIGINT) AS eq_levels
+FROM lut GROUP BY doc_id
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
