@@ -872,3 +872,66 @@ SELECT event_type, day,
        v IS NULL AS interpolated
 FROM j
 """
+
+
+def q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord-style container interchange, ORACLE-CHECKED row-for-row:
+    each document serializes to a `doc_id\\ttext` payload, the corpus is
+    written as masked-CRC32C length-prefixed shards (the de-facto
+    training-data wire format; one container per block, fully
+    distributed via ``sources/io.py:write_record_shards``), then read
+    back through the parallel ``read_record_shards`` path — BOTH CRCs of
+    every record re-verified during decode — and re-parsed into
+    (doc_id, n_chars). The twin restates the source table, so the hash
+    compare certifies the full write→frame→verify→parse loop. The
+    crc32c table itself is locked by RFC 3720 check vectors in pytest.
+    Ingest format: the file is the parallelism unit."""
+    import hashlib
+    import shutil
+
+    from goose_parser_ray.sources.io import (
+        read_record_shards,
+        write_record_shards,
+    )
+
+    out = "/tmp/tfrec_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        payloads = [
+            (f"{d}\t{txt or ''}").encode("utf-8")
+            for d, txt in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist()
+            )
+        ]
+        return pa.Table.from_pydict(
+            {"payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    write_record_shards(ds.map_batches(prep, batch_format="pyarrow"), out)
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, chars = [], []
+        for p in t["payload"].to_pylist():
+            s = p.decode("utf-8")
+            tab = s.index("\t")
+            ids.append(int(s[:tab]))
+            chars.append(len(s) - tab - 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return read_record_shards(out).map_batches(
+        parse, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+SQL_TFRECORD_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""

@@ -217,3 +217,48 @@ def read_evolving(path: str, target_schema: "pa.Schema") -> ray.data.Dataset:
     compatible types are cast per fragment at the read — no post-hoc
     per-batch fixup stage, no driver-side schema sniffing loop."""
     return ray.data.read_parquet(path, schema=target_schema)
+
+
+def write_record_shards(
+    ds: ray.data.Dataset, out_dir: str, payload_col: str = "payload"
+) -> None:
+    """Write a binary column as TFRecord-style shards (one container per
+    block — the resumable-shards discipline; masked-CRC32C framing via
+    ``recordio``). Fully distributed: each block encodes and writes its
+    own shard from the worker, nothing funnels through the driver."""
+    import os as _os
+    import zlib as _zlib
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def _write(t: "pa.Table") -> "pa.Table":
+        from goose_parser_ray.sources.recordio import encode_records
+
+        payload = encode_records(
+            [p or b"" for p in t[payload_col].to_pylist()]
+        )
+        tag = _zlib.crc32(payload) & 0xFFFFFFFF
+        path = _os.path.join(out_dir, f"part-{tag:08x}-{t.num_rows}.rec")
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pa.table({"rows": [t.num_rows]})
+
+    ds.map_batches(_write, batch_format="pyarrow").materialize()
+
+
+def read_record_shards(path: str) -> ray.data.Dataset:
+    """Read TFRecord-style shards back as a one-binary-column Dataset
+    (``payload``). The FILE is the parallelism unit; both CRCs of every
+    record are verified during decode (bit-rot raises, never silently
+    yields a corrupt example)."""
+    files = ray.data.read_binary_files(path)
+
+    def _decode(t: "pa.Table") -> "pa.Table":
+        from goose_parser_ray.sources.recordio import decode_records
+
+        out = []
+        for blob in t["bytes"].to_pylist():
+            out.extend(decode_records(blob))
+        return pa.table({"payload": pa.array(out, pa.binary())})
+
+    return files.map_batches(_decode, batch_format="pyarrow")

@@ -2350,3 +2350,54 @@ def test_varbyte_roundtrip_lengths_and_fuzz():
             assert (out >= 0).all()
         except ValueError:
             pass
+
+
+def test_recordio_crc32c_vectors_and_corruption():
+    """TFRecord-style container: crc32c locked by the RFC 3720 check
+    vectors (zlib.crc32 would fail both — wrong polynomial), roundtrip
+    over adversarial payloads, and loud failure on any flipped byte or
+    truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from goose_parser_ray.sources.recordio import (
+        crc32c,
+        decode_records,
+        encode_records,
+    )
+
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+    import zlib
+
+    assert zlib.crc32(b"123456789") != crc32c(b"123456789")
+    rng = np.random.default_rng(13)
+    recs = [
+        bytes(rng.integers(0, 256, int(rng.integers(0, 300))).astype("u1"))
+        for _ in range(30)
+    ] + [b""]
+    blob = encode_records(recs)
+    assert decode_records(blob) == recs
+    # every single-byte flip must raise (both CRCs cover every byte,
+    # and a corrupted length desynchronizes into a failing header)
+    raised = 0
+    for pos in range(0, len(blob), 7):
+        b = bytearray(blob)
+        b[pos] ^= 0x01
+        with _pytest.raises(ValueError):
+            decode_records(bytes(b))
+        raised += 1
+    assert raised > 0
+    # truncation raises — except at exact record boundaries, where the
+    # prefix is a legitimately shorter stream (decodes to fewer records)
+    bounds = {0: 0}
+    off = 0
+    for k, r in enumerate(recs, start=1):
+        off += 12 + len(r) + 4
+        bounds[off] = k
+    for cut in range(1, len(blob), 97):
+        if cut in bounds:
+            assert decode_records(blob[:cut]) == recs[: bounds[cut]]
+            continue
+        with _pytest.raises(ValueError):
+            decode_records(blob[:cut])
