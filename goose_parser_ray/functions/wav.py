@@ -50,6 +50,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int, int]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if tag != 1 or bits != 16:
@@ -59,4 +61,6 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("WAV data chunk has odd byte length")
     return np.frombuffer(data, dtype="<i2"), int(sample_rate), int(channels)

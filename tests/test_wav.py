@@ -108,3 +108,36 @@ def test_codec_fuzz_roundtrip_vs_stdlib():
                 w.readframes(w.getnframes()), dtype="<i2"
             )
         assert np.array_equal(x, frames)
+
+
+def test_mutation_fuzz_never_crashes_uncontrolled():
+    """Single-byte mutations and truncations of a valid RIFF/PCM payload
+    either decode to SOME well-formed (samples, rate, channels) triple
+    (RIFF has no checksum, so silent value changes are allowed) or raise
+    ValueError — never another exception type, never a hang. The same
+    contract every other in-repo codec fuzz locks in."""
+    import numpy as np
+
+    from goose_parser_ray.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(21)
+    x = (rng.integers(-3000, 3000, 400)).astype(np.int16)
+    good = bytearray(encode_wav_pcm16(x, sample_rate=8000, channels=2))
+    for trial in range(400):
+        b = bytearray(good)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            s, rate, ch = decode_wav_pcm16(bytes(b))
+            assert s.dtype == np.int16
+            assert rate >= 0 and ch >= 0
+        except ValueError:
+            pass
+    for cut in range(0, len(good), 9):
+        try:
+            decode_wav_pcm16(bytes(good[:cut]))
+        except ValueError:
+            pass
