@@ -2401,3 +2401,41 @@ def test_recordio_crc32c_vectors_and_corruption():
             continue
         with _pytest.raises(ValueError):
             decode_records(blob[:cut])
+
+
+def test_netpbm_mutation_fuzz_controlled():
+    """Netpbm P5/P6 decoders under the raise-or-valid contract: any
+    single-byte mutation or truncation either raises ValueError or
+    yields a well-formed raster (no checksum in the format, so silent
+    value changes are allowed)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from goose_parser_ray.functions.netpbm import (
+        decode_pgm,
+        decode_ppm,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 256, (11, 9)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (7, 8, 3)).astype(np.uint8)
+    for good, dec, ndim in (
+        (bytearray(encode_pgm(gray)), decode_pgm, 2),
+        (bytearray(encode_ppm(rgb)), decode_ppm, 3),
+    ):
+        for trial in range(300):
+            b = bytearray(good)
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = dec(bytes(b))
+                assert out.dtype == np.uint8 and out.ndim == ndim
+            except ValueError:
+                pass
+        for cut in range(0, len(good), 5):
+            try:
+                dec(bytes(good[:cut]))
+            except ValueError:
+                pass
