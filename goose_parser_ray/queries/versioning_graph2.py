@@ -1599,3 +1599,106 @@ SELECT doc_id, band,
        CAST(ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS BIGINT) AS pos
 FROM b
 """
+
+
+def q_pps_sample(sf_dir: str):
+    """Systematic PPS sampling (probability proportional to size — the
+    survey-sampling workhorse for weighted corpus draws), ORACLE-CHECKED
+    with exact integers: documents are walked in doc_id order with their
+    character counts as weights, and every crossing of a step-S boundary
+    in the cumulative weight selects the crossing doc (a doc heavier
+    than S is selected multiple times — emitted as ``times_selected``).
+    Deterministic offset-0 variant (a production draw would add a seeded
+    start < S; the arithmetic is identical). Distribution is the
+    zipWithIndex shape: bounded per-range weight sums → driver prefix
+    offsets over the plasma-broadcast table → per-range local cumsum +
+    offset, so the GLOBAL prefix sum is exact with no single-node scan
+    owner. Twin: one window cumsum and the same floor-division crossing
+    rule."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.dedup import num_shuffle_buckets
+    from goose_parser_ray.functions.relational import pre_aggregated_sum
+
+    N_SAMPLES = 64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    nb = num_shuffle_buckets(n, target=1_000_000)
+    lo_hi = ds.aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Max("doc_id")
+    )
+    lo, hi = int(lo_hi["min(doc_id)"]), int(lo_hi["max(doc_id)"])
+    width = max(1, (hi - lo) // nb + 1)
+
+    def featurize(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.utf8_length(pc.fill_null(t["text"], "")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = np.minimum(nb - 1, (d - lo) // width).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(d),
+                "w": pa.array(w),
+                "__rng": pa.array(rng),
+            }
+        )
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow")
+    range_sums = (
+        pre_aggregated_sum(
+            feats.select_columns(["__rng", "w"]),
+            keys=["__rng"],
+            sums={"w": "w"},
+        )
+        .to_pandas()
+        .sort_values("__rng")
+    )
+    totals = np.zeros(nb, dtype=np.int64)
+    totals[range_sums["__rng"].to_numpy()] = range_sums["w"].to_numpy()
+    step = max(1, int(totals.sum()) // N_SAMPLES)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def select_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        w = g["w"].to_numpy(np.int64)
+        after = off[int(g["__rng"].iloc[0])] + np.cumsum(w)
+        before = after - w
+        sel = after // step - before // step
+        keep = sel > 0
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                "times_selected": sel[keep],
+            }
+        )
+
+    return feats.groupby("__rng").map_groups(
+        select_range, batch_format="pandas"
+    )
+
+
+SQL_PPS_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after
+  FROM w
+),
+s AS (
+  SELECT doc_id, w, cum_after, cum_after - w AS cum_before,
+         GREATEST(1, (SELECT SUM(w) FROM w) // 64) AS step
+  FROM c
+)
+SELECT doc_id,
+       CAST(cum_after // step - cum_before // step AS BIGINT)
+         AS times_selected
+FROM s
+WHERE cum_after // step - cum_before // step > 0
+"""
