@@ -2873,6 +2873,121 @@ FROM lut GROUP BY doc_id
 """
 
 
+def q_otsu_threshold(sf_dir: str):
+    """Otsu binarization threshold (the OCR/document-scan segmentation
+    step), ORACLE-CHECKED with EXACT arithmetic end to end: bimodal
+    grayscale PGMs (a dark band and a bright band mixed per pixel) are
+    decoded by the in-repo codec and the threshold maximizing
+    between-class variance is found over the present gray levels. The
+    objective (S·W0 − S0·N)² / (W0·(N−W0)) is a fraction; to keep the
+    argmax float-free BOTH sides evaluate the quotient
+    num·10¹⁸ // den — Python big ints here, HUGEINT in the DuckDB twin —
+    with the smallest-threshold tie-break, so threshold, foreground
+    count AND the scaled objective value hash-match exactly. Scale
+    shape: map-only decode + a ≤256-level loop per image (constant
+    work, the codec-loop class), no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    SCALE = 10**18
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 12 + (d % 5)
+            h = 10 + (d % 7)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            dark = 30 + (5 * i + 7 * j + d) % 25
+            bright = 170 + (3 * i + 11 * j + d) % 30
+            fg = (2 * i + 3 * j + d) % 5 < 2  # ~40% bright pixels
+            img = np.where(fg, bright, dark).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def otsu(t: pa.Table) -> pa.Table:
+        ts_, fgs, qs = [], [], []
+        for p in t["payload"].to_pylist():
+            img = decode_pgm(p or b"").astype(np.int64)
+            n = int(img.size)
+            s_tot = int(img.sum())
+            vals, cnts = np.unique(img.ravel(), return_counts=True)
+            best = (-1, -1, -1)  # (q, -t) ordering via explicit compare
+            w0 = s0 = 0
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                w0 += c
+                s0 += v * c
+                if w0 == n:
+                    break  # class1 empty — not a valid threshold
+                num = (s_tot * w0 - s0 * n) ** 2
+                den = w0 * (n - w0)
+                q = num * SCALE // den
+                if q > best[0]:
+                    best = (q, v, n - w0)
+            ts_.append(best[1])
+            fgs.append(best[2])
+            qs.append(best[0])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "otsu_t": pa.array(ts_, pa.int64()),
+                "n_fg": pa.array(fgs, pa.int64()),
+                "score_q": pa.array([str(q) for q in qs], pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(otsu, batch_format="pyarrow", batch_size=256)
+
+
+SQL_OTSU_THRESHOLD = """
+WITH pix AS (
+  SELECT d.doc_id,
+         CASE WHEN (2 * a.i + 3 * b.j + d.doc_id) % 5 < 2
+              THEN 170 + (3 * a.i + 11 * b.j + d.doc_id) % 30
+              ELSE 30 + (5 * a.i + 7 * b.j + d.doc_id) % 25 END AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 9 + (d.doc_id % 7))) AS a(i),
+       UNNEST(generate_series(0, 11 + (d.doc_id % 5))) AS b(j)
+),
+hist AS (
+  SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pix GROUP BY doc_id, v
+),
+cum AS (
+  SELECT doc_id, v,
+         SUM(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS w0,
+         SUM(v * cnt) OVER (PARTITION BY doc_id ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS s0,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n,
+         SUM(v * cnt) OVER (PARTITION BY doc_id) AS s
+  FROM hist
+),
+scored AS (
+  SELECT doc_id, v, n - w0 AS n_fg,
+         CAST(CAST(s * w0 - s0 * n AS HUGEINT)
+              * CAST(s * w0 - s0 * n AS HUGEINT)
+              * CAST(1000000000000000000 AS HUGEINT)
+              // CAST(w0 * (n - w0) AS HUGEINT) AS HUGEINT) AS q
+  FROM cum WHERE w0 < n
+),
+ranked AS (
+  SELECT doc_id, v, n_fg, q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY q DESC, v ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(v AS BIGINT) AS otsu_t,
+       CAST(n_fg AS BIGINT) AS n_fg,
+       CAST(q AS VARCHAR) AS score_q
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
