@@ -2988,6 +2988,111 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_image_blobs(sf_dir: str):
+    """Connected-component BLOB labeling on binary masks (the OCR /
+    document-layout step after binarization), ORACLE-CHECKED: masks with
+    1..4 disjoint rectangles (deterministic placement with ≥3 px
+    separation) are encoded as real PGM bytes, decoded, and labeled by a
+    REAL runs-based two-pass union-find (row runs → union 8-connected
+    overlaps between consecutive rows — the standard scan-line CCL, no
+    per-pixel Python), emitting blob count, largest blob area and total
+    foreground. The twin states the planted rectangle geometry closed
+    form, so a labeling bug that merges or splits ANY blob breaks the
+    hash. Scale shape: map-only decode + per-image bounded labeling, no
+    shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            img = np.zeros((32, 40), np.uint8)
+            k = 1 + d % 4
+            for r in range(k):
+                x0 = 2 + 9 * r
+                y0 = 3 + 6 * r
+                wr = 3 + (d + r) % 4
+                hr = 2 + (d + 2 * r) % 3
+                img[y0 : y0 + hr, x0 : x0 + wr] = 255
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def label(t: pa.Table) -> pa.Table:
+        nb, ma, tf = [], [], []
+        for p in t["payload"].to_pylist():
+            img = decode_pgm(p or b"") > 0
+            # runs-based two-pass CCL with union-find over row runs
+            parent: "dict[int, int]" = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            def union(a: int, b: int) -> None:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+            run_id = 0
+            prev_runs: "list[tuple[int, int, int]]" = []  # (s, e, id)
+            sizes: "dict[int, int]" = {}
+            for row in img:
+                edges = np.flatnonzero(
+                    np.diff(np.concatenate(([0], row.view(np.int8), [0])))
+                )
+                cur = []
+                for s, e in zip(edges[0::2], edges[1::2]):
+                    rid = run_id
+                    run_id += 1
+                    parent[rid] = rid
+                    sizes[rid] = int(e - s)
+                    # 8-connectivity: overlap with one-pixel tolerance
+                    for ps, pe, pid in prev_runs:
+                        if s <= pe and ps <= e:  # diagonal touch included
+                            union(rid, pid)
+                    cur.append((int(s) - 1, int(e) + 1, rid))
+                prev_runs = cur
+            blob_sizes: "dict[int, int]" = {}
+            for rid, sz in sizes.items():
+                root = find(rid)
+                blob_sizes[root] = blob_sizes.get(root, 0) + sz
+            nb.append(len(blob_sizes))
+            ma.append(max(blob_sizes.values()) if blob_sizes else 0)
+            tf.append(sum(blob_sizes.values()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_blobs": pa.array(nb, pa.int64()),
+                "max_area": pa.array(ma, pa.int64()),
+                "total_fg": pa.array(tf, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=256)
+
+
+SQL_IMAGE_BLOBS = """
+WITH rects AS (
+  SELECT d.doc_id,
+         (3 + (d.doc_id + r.r) % 4) * (2 + (d.doc_id + 2 * r.r) % 3)
+           AS area
+  FROM documents d,
+       UNNEST(generate_series(0, d.doc_id % 4)) AS r(r)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(MAX(area) AS BIGINT) AS max_area,
+       CAST(SUM(area) AS BIGINT) AS total_fg
+FROM rects GROUP BY doc_id
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
