@@ -3093,6 +3093,89 @@ FROM rects GROUP BY doc_id
 """
 
 
+def q_sobel_energy(sf_dir: str):
+    """Sobel edge energy (the canonical gradient feature extraction),
+    ORACLE-CHECKED with exact integers: textured grayscale PGMs are
+    decoded by the in-repo codec and convolved with the integer Sobel
+    pair (Gx = [[-1,0,1],[-2,0,2],[-1,0,1]], Gy its transpose) over the
+    INTERIOR pixels (no border-policy ambiguity), summarizing per doc
+    the L1 gradient magnitude sum |Gx|+|Gy| and its maximum — the
+    blur/sharpness signal an image-quality gate thresholds on. The
+    convolution is pure slice arithmetic (vectorized, no Python pixel
+    loop); the twin re-states every neighbor from the pixel formula
+    closed-form. Scale shape: map-only, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w = 12 + (d % 5)
+            h = 10 + (d % 7)
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            img = (60 + (7 * i + 11 * j + d) % 40).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def sobel(t: pa.Table) -> pa.Table:
+        sums, maxs = [], []
+        for p in t["payload"].to_pylist():
+            a = decode_pgm(p or b"").astype(np.int64)
+            gx = (
+                (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+                - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+            )
+            gy = (
+                (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+                - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+            )
+            mag = np.abs(gx) + np.abs(gy)
+            sums.append(int(mag.sum()))
+            maxs.append(int(mag.max()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "edge_sum": pa.array(sums, pa.int64()),
+                "edge_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(sobel, batch_format="pyarrow", batch_size=256)
+
+
+SQL_SOBEL_ENERGY = """
+WITH g AS (
+  SELECT d.doc_id, a.i, b.j,
+         (60 + (7 * (a.i - 1) + 11 * (b.j + 1) + d.doc_id) % 40)
+           + 2 * (60 + (7 * a.i + 11 * (b.j + 1) + d.doc_id) % 40)
+           + (60 + (7 * (a.i + 1) + 11 * (b.j + 1) + d.doc_id) % 40)
+           - (60 + (7 * (a.i - 1) + 11 * (b.j - 1) + d.doc_id) % 40)
+           - 2 * (60 + (7 * a.i + 11 * (b.j - 1) + d.doc_id) % 40)
+           - (60 + (7 * (a.i + 1) + 11 * (b.j - 1) + d.doc_id) % 40)
+           AS gx,
+         (60 + (7 * (a.i + 1) + 11 * (b.j - 1) + d.doc_id) % 40)
+           + 2 * (60 + (7 * (a.i + 1) + 11 * b.j + d.doc_id) % 40)
+           + (60 + (7 * (a.i + 1) + 11 * (b.j + 1) + d.doc_id) % 40)
+           - (60 + (7 * (a.i - 1) + 11 * (b.j - 1) + d.doc_id) % 40)
+           - 2 * (60 + (7 * (a.i - 1) + 11 * b.j + d.doc_id) % 40)
+           - (60 + (7 * (a.i - 1) + 11 * (b.j + 1) + d.doc_id) % 40)
+           AS gy
+  FROM documents d,
+       UNNEST(generate_series(1, 8 + (d.doc_id % 7))) AS a(i),
+       UNNEST(generate_series(1, 10 + (d.doc_id % 5))) AS b(j)
+)
+SELECT doc_id,
+       CAST(SUM(ABS(gx) + ABS(gy)) AS BIGINT) AS edge_sum,
+       CAST(MAX(ABS(gx) + ABS(gy)) AS BIGINT) AS edge_max
+FROM g GROUP BY doc_id
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
