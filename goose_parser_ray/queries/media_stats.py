@@ -3176,6 +3176,105 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_template_match(sf_dir: str):
+    """Exact TEMPLATE MATCHING (integer SSD over all offsets — the
+    logo/watermark localization primitive), ORACLE-CHECKED with a
+    planted ground truth: each doc's 24×28 texture carries a bilinear
+    i·j term (so no two offsets look alike), a 6×7 template is cropped
+    at a doc-dependent location, BOTH are round-tripped through real PGM
+    bytes, and the matcher scans every offset computing the exact sum of
+    squared differences with a (smallest dy, then dx) tie-break — the
+    planted offset scores SSD 0 and must be recovered. The twin
+    re-states the full offset×pixel SSD surface closed-form, so a
+    matcher that is off by one pixel ANYWHERE breaks the hash. Scale
+    shape: map-only decode + a bounded offset loop with vectorized
+    window diffs (constant per image), no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    H, W, TH, TW = 24, 28, 6, 7
+
+    def synth(t: pa.Table) -> pa.Table:
+        imgs, tmpls = [], []
+        for d in t["doc_id"].to_pylist():
+            i = np.arange(H, dtype=np.int64)[:, None]
+            j = np.arange(W, dtype=np.int64)[None, :]
+            img = ((13 * i + 17 * j + i * j + d) % 251).astype(np.uint8)
+            y0 = 3 + d % 9
+            x0 = 4 + d % 11
+            imgs.append(encode_pgm(img))
+            tmpls.append(encode_pgm(img[y0 : y0 + TH, x0 : x0 + TW]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "image": pa.array(imgs, pa.binary()),
+                "template": pa.array(tmpls, pa.binary()),
+            }
+        )
+
+    def match(t: pa.Table) -> pa.Table:
+        dys, dxs, ssds = [], [], []
+        for ip, tp in zip(t["image"].to_pylist(), t["template"].to_pylist()):
+            img = decode_pgm(ip or b"").astype(np.int64)
+            tmpl = decode_pgm(tp or b"").astype(np.int64)
+            best = None
+            for dy in range(H - TH + 1):
+                win = img[dy : dy + TH]
+                for dx in range(W - TW + 1):
+                    ssd = int(
+                        ((win[:, dx : dx + TW] - tmpl) ** 2).sum()
+                    )
+                    if best is None or ssd < best[0]:
+                        best = (ssd, dy, dx)
+            dys.append(best[1])
+            dxs.append(best[2])
+            ssds.append(best[0])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "best_dy": pa.array(dys, pa.int64()),
+                "best_dx": pa.array(dxs, pa.int64()),
+                "ssd_min": pa.array(ssds, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=128
+    )
+    return ds.map_batches(match, batch_format="pyarrow", batch_size=128)
+
+
+SQL_TEMPLATE_MATCH = """
+WITH surf AS (
+  SELECT d.doc_id, o.dy, o.dx,
+         SUM(POWER(
+           (13 * (o.dy + p.ti) + 17 * (o.dx + p.tj)
+              + (o.dy + p.ti) * (o.dx + p.tj) + d.doc_id) % 251
+           - (13 * (3 + d.doc_id % 9 + p.ti)
+              + 17 * (4 + d.doc_id % 11 + p.tj)
+              + (3 + d.doc_id % 9 + p.ti) * (4 + d.doc_id % 11 + p.tj)
+              + d.doc_id) % 251, 2)) AS ssd
+  FROM documents d,
+       (SELECT a.dy, b.dx
+        FROM UNNEST(generate_series(0, 18)) AS a(dy),
+             UNNEST(generate_series(0, 21)) AS b(dx)) o,
+       (SELECT a.ti, b.tj
+        FROM UNNEST(generate_series(0, 5)) AS a(ti),
+             UNNEST(generate_series(0, 6)) AS b(tj)) p
+  GROUP BY d.doc_id, o.dy, o.dx
+),
+ranked AS (
+  SELECT doc_id, dy, dx, ssd,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ssd ASC, dy ASC, dx ASC) AS rn
+  FROM surf
+)
+SELECT doc_id, CAST(dy AS BIGINT) AS best_dy,
+       CAST(dx AS BIGINT) AS best_dx,
+       CAST(ssd AS BIGINT) AS ssd_min
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
