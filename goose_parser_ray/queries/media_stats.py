@@ -3275,6 +3275,94 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_integral_image(sf_dir: str):
+    """Summed-area table (integral image — the O(1) box-sum primitive
+    behind Viola–Jones features and fast box blurs), ORACLE-CHECKED:
+    decoded PGMs build a 2-D prefix-sum table once, then five
+    doc-dependent rectangular windows are answered by the 4-corner
+    identity SAT[y1,x1] − SAT[y0-1,x1] − SAT[y1,x0-1] + SAT[y0-1,x0-1];
+    the twin computes the same window sums by brute-force pixel
+    summation, so any corner-index error in the SAT lookup breaks the
+    hash. One row per (doc, window). Scale shape: map-only, constant
+    per image, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    H, W = 20, 24
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            i = np.arange(H, dtype=np.int64)[:, None]
+            j = np.arange(W, dtype=np.int64)[None, :]
+            img = ((11 * i + 23 * j + d) % 256).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def windows_for(d: int):
+        out = []
+        for q in range(5):
+            y0 = (3 * d + 5 * q) % (H - 4)
+            x0 = (7 * d + 11 * q) % (W - 5)
+            y1 = y0 + 2 + (d + q) % 3
+            x1 = x0 + 3 + (d + 2 * q) % 2
+            out.append((q, y0, x0, y1, x1))
+        return out
+
+    def sat_query(t: pa.Table) -> pa.Table:
+        doc_ids, q_nos, sums = [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            img = decode_pgm(p or b"").astype(np.int64)
+            sat = np.zeros((H + 1, W + 1), np.int64)
+            sat[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
+            for q, y0, x0, y1, x1 in windows_for(d):
+                s = int(
+                    sat[y1 + 1, x1 + 1]
+                    - sat[y0, x1 + 1]
+                    - sat[y1 + 1, x0]
+                    + sat[y0, x0]
+                )
+                doc_ids.append(d)
+                q_nos.append(q)
+                sums.append(s)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "q_no": pa.array(q_nos, pa.int64()),
+                "window_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(sat_query, batch_format="pyarrow", batch_size=256)
+
+
+SQL_INTEGRAL_IMAGE = """
+WITH wins AS (
+  SELECT d.doc_id, q.q,
+         (3 * d.doc_id + 5 * q.q) % 16 AS y0,
+         (7 * d.doc_id + 11 * q.q) % 19 AS x0,
+         (3 * d.doc_id + 5 * q.q) % 16 + 2 + (d.doc_id + q.q) % 3 AS y1,
+         (7 * d.doc_id + 11 * q.q) % 19 + 3 + (d.doc_id + 2 * q.q) % 2
+           AS x1
+  FROM documents d, UNNEST(generate_series(0, 4)) AS q(q)
+),
+px AS (
+  SELECT w.doc_id, w.q,
+         (11 * a.i + 23 * b.j + w.doc_id) % 256 AS v
+  FROM wins w,
+       UNNEST(generate_series(w.y0, w.y1)) AS a(i),
+       UNNEST(generate_series(w.x0, w.x1)) AS b(j)
+)
+SELECT doc_id, CAST(q AS BIGINT) AS q_no,
+       CAST(SUM(v) AS BIGINT) AS window_sum
+FROM px GROUP BY doc_id, q
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
