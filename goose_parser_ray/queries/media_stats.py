@@ -3363,6 +3363,90 @@ FROM px GROUP BY doc_id, q
 """
 
 
+def q_image_pyramid(sf_dir: str):
+    """Multi-resolution image PYRAMID (the mipmap/coarse-to-fine
+    preprocessing structure), ORACLE-CHECKED: 32×32 decoded rasters are
+    reduced through 3 levels of 2× box downsampling kept as EXACT block
+    SUMS (level L cell = sum of its 4^L source pixels — no division, no
+    float), each level summarized by its cell count, total (invariant
+    across levels — the conservation check is part of the hash) and a
+    position-weighted checksum certifying every cell and its layout.
+    One row per (doc, level). Scale shape: map-only decode + reshape
+    sums, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    N = 32
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            i = np.arange(N, dtype=np.int64)[:, None]
+            j = np.arange(N, dtype=np.int64)[None, :]
+            img = ((29 * i + 37 * j + d) % 256).astype(np.uint8)
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def pyramid(t: pa.Table) -> pa.Table:
+        doc_ids, levels, cells, totals, cks = [], [], [], [], []
+        for d, p in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            a = decode_pgm(p or b"").astype(np.int64)
+            for lvl in range(1, 4):
+                n = N >> lvl
+                a = a.reshape(n, 2, n, 2).sum(axis=(1, 3))
+                w = (
+                    np.arange(1, n * n + 1, dtype=np.int64).reshape(n, n)
+                )
+                doc_ids.append(d)
+                levels.append(lvl)
+                cells.append(n * n)
+                totals.append(int(a.sum()))
+                cks.append(int((w * a).sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "level": pa.array(levels, pa.int64()),
+                "n_cells": pa.array(cells, pa.int64()),
+                "total": pa.array(totals, pa.int64()),
+                "checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(pyramid, batch_format="pyarrow", batch_size=256)
+
+
+SQL_IMAGE_PYRAMID = """
+WITH px AS (
+  SELECT d.doc_id, a.i, b.j,
+         (29 * a.i + 37 * b.j + d.doc_id) % 256 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 31)) AS a(i),
+       UNNEST(generate_series(0, 31)) AS b(j)
+),
+lv AS (
+  SELECT p.doc_id, l.lvl,
+         p.i // CAST(POWER(2, l.lvl) AS BIGINT) AS ci,
+         p.j // CAST(POWER(2, l.lvl) AS BIGINT) AS cj,
+         p.v,
+         CAST(32 / POWER(2, l.lvl) AS BIGINT) AS n
+  FROM px p, UNNEST(generate_series(1, 3)) AS l(lvl)
+),
+cellsums AS (
+  SELECT doc_id, lvl, n, ci, cj, SUM(v) AS s
+  FROM lv GROUP BY doc_id, lvl, n, ci, cj
+)
+SELECT doc_id, CAST(lvl AS BIGINT) AS level,
+       CAST(n * n AS BIGINT) AS n_cells,
+       CAST(SUM(s) AS BIGINT) AS total,
+       CAST(SUM((ci * n + cj + 1) * s) AS BIGINT) AS checksum
+FROM cellsums GROUP BY doc_id, lvl, n
+"""
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image near-dup via difference-hash, ORACLE-CHECKED end
     to end: every third doc shares a base 32×36 grayscale pattern
