@@ -2072,9 +2072,17 @@ def resolve_redirects(
         )
 
     nparts = num_partitions or max(2, num_shuffle_buckets(n_nodes) // 4)
-    state = state.materialize()
+    # normalize column ORDER once: compose() emits (u, cur, hops, done)
+    # and union-ing blocks with mismatched layouts poisons the next join.
+    state = state.map_batches(
+        lambda t: t.select(["u", "cur", "hops", "done"]),
+        batch_format="pyarrow",
+    ).materialize()
 
     def as_right(t: pa.Table) -> pa.Table:
+        # select by NAME first — callers may carry extra columns or a
+        # different order; positional rename alone would mislabel them.
+        t = t.select(["u", "cur", "hops", "done"])
         return t.rename_columns(["r_u", "r_cur", "r_hops", "r_done"])
 
     def compose(t: pa.Table) -> pa.Table:
@@ -2092,12 +2100,26 @@ def resolve_redirects(
         )
 
     for _ in range(rounds):
-        done_rows = state.filter(expr="done == True")
-        todo = state.filter(expr="done == False")
+        done_rows = state.filter(expr="done == True").materialize()
+        todo = state.filter(expr="done == False").materialize()
+        n_todo = todo.count()
+        if n_todo == 0:
+            break  # fully resolved — and an empty join side is poisoned
         right = state.map_batches(as_right, batch_format="pyarrow")
         j = safe_join(
-            todo, right, on=("cur",), right_on=("r_u",), num_partitions=nparts
-        )
+            todo,
+            right,
+            on=("cur",),
+            right_on=("r_u",),
+            num_partitions=nparts,
+            left_rows=n_todo,
+        ).materialize()
+        # u is unique, so each todo row matches AT MOST one right row; an
+        # inner-join shrinkage means some cur points outside the node set
+        # — the same malformed input the driver tier rejects. Raise here
+        # so the tiers agree instead of silently dropping rows.
+        if done_rows.count() + j.count() != n_nodes:
+            raise ValueError("resolve_redirects: dangling target")
         state = done_rows.union(
             j.map_batches(compose, batch_format="pyarrow")
         ).materialize()

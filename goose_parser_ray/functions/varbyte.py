@@ -47,7 +47,14 @@ def decode_varbyte(data: bytes) -> np.ndarray:
     shift = 0
     for b in data:
         if b & 0x80:
-            vals.append(cur | ((b & 0x7F) << shift))
+            v = cur | ((b & 0x7F) << shift)
+            # shift==63 on the terminator passes the continuation guard
+            # below but the payload bits can still push v past int64 —
+            # reject here so the contract stays raise-ValueError, not a
+            # numpy OverflowError at asarray time.
+            if v > 0x7FFFFFFFFFFFFFFF:
+                raise ValueError("varbyte: value overflows 64 bits")
+            vals.append(v)
             cur = 0
             shift = 0
         else:

@@ -2988,6 +2988,57 @@ FROM ranked WHERE rn = 1
 """
 
 
+def ccl_blob_stats(img) -> "tuple[int, int, int]":
+    """Runs-based two-pass 8-connected component labeling over a boolean
+    mask; returns (n_blobs, max_area, total_foreground). Union-find over
+    row runs — the standard scan-line CCL, no per-pixel Python."""
+    parent: "dict[int, int]" = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    run_id = 0
+    prev_runs: "list[tuple[int, int, int]]" = []  # raw half-open (s, e, id)
+    sizes: "dict[int, int]" = {}
+    for row in img:
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([0], row.view(np.int8), [0])))
+        )
+        cur = []
+        for s, e in zip(edges[0::2], edges[1::2]):
+            rid = run_id
+            run_id += 1
+            parent[rid] = rid
+            sizes[rid] = int(e - s)
+            # 8-connectivity against RAW half-open prev-row runs:
+            # cur cols [s, e-1], prev cols [ps, pe-1]; diagonal touch
+            # iff s <= (pe-1)+1 and ps <= (e-1)+1, i.e. s<=pe, ps<=e.
+            # (Storing expanded bounds AND comparing with <= double-counted
+            # the tolerance, wrongly unioning runs across a 2-column gap.)
+            for ps, pe, pid in prev_runs:
+                if s <= pe and ps <= e:
+                    union(rid, pid)
+            cur.append((int(s), int(e), rid))
+        prev_runs = cur
+    blob_sizes: "dict[int, int]" = {}
+    for rid, sz in sizes.items():
+        root = find(rid)
+        blob_sizes[root] = blob_sizes.get(root, 0) + sz
+    return (
+        len(blob_sizes),
+        max(blob_sizes.values()) if blob_sizes else 0,
+        sum(blob_sizes.values()),
+    )
+
+
 def q_image_blobs(sf_dir: str):
     """Connected-component BLOB labeling on binary masks (the OCR /
     document-layout step after binarization), ORACLE-CHECKED: masks with
@@ -3021,47 +3072,10 @@ def q_image_blobs(sf_dir: str):
     def label(t: pa.Table) -> pa.Table:
         nb, ma, tf = [], [], []
         for p in t["payload"].to_pylist():
-            img = decode_pgm(p or b"") > 0
-            # runs-based two-pass CCL with union-find over row runs
-            parent: "dict[int, int]" = {}
-
-            def find(x: int) -> int:
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            def union(a: int, b: int) -> None:
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-
-            run_id = 0
-            prev_runs: "list[tuple[int, int, int]]" = []  # (s, e, id)
-            sizes: "dict[int, int]" = {}
-            for row in img:
-                edges = np.flatnonzero(
-                    np.diff(np.concatenate(([0], row.view(np.int8), [0])))
-                )
-                cur = []
-                for s, e in zip(edges[0::2], edges[1::2]):
-                    rid = run_id
-                    run_id += 1
-                    parent[rid] = rid
-                    sizes[rid] = int(e - s)
-                    # 8-connectivity: overlap with one-pixel tolerance
-                    for ps, pe, pid in prev_runs:
-                        if s <= pe and ps <= e:  # diagonal touch included
-                            union(rid, pid)
-                    cur.append((int(s) - 1, int(e) + 1, rid))
-                prev_runs = cur
-            blob_sizes: "dict[int, int]" = {}
-            for rid, sz in sizes.items():
-                root = find(rid)
-                blob_sizes[root] = blob_sizes.get(root, 0) + sz
-            nb.append(len(blob_sizes))
-            ma.append(max(blob_sizes.values()) if blob_sizes else 0)
-            tf.append(sum(blob_sizes.values()))
+            b, a, f = ccl_blob_stats(decode_pgm(p or b"") > 0)
+            nb.append(b)
+            ma.append(a)
+            tf.append(f)
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],

@@ -722,13 +722,14 @@ def q_avro_roundtrip(sf_dir: str):
     parallel ``read_documents(fmt="avro")`` path. Write and parse are both
     fully distributed; the file is the parallelism unit (ingest format —
     convert to parquet before repeated scans)."""
-    import hashlib
     import shutil
+    import tempfile
 
     from goose_parser_ray.sources.io import read_documents, write_avro_shards
 
-    out = "/tmp/avro_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    shutil.rmtree(out, ignore_errors=True)
+    # per-run unique dir: two concurrent runs against the same sf_dir must
+    # not race on a shared path (one rmtree-ing while the other reads).
+    out = tempfile.mkdtemp(prefix="avro_roundtrip_")
     schema = {
         "type": "record",
         "name": "doc",
@@ -755,7 +756,11 @@ def q_avro_roundtrip(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
     write_avro_shards(ds.map_batches(prep, batch_format="pyarrow"), out, schema)
-    return read_documents(out, fmt="avro").sort("doc_id")
+    # materialize the few-ints-per-row parse output, then drop the temp
+    # shards — the lazy read must not outlive the per-run directory.
+    result = read_documents(out, fmt="avro").sort("doc_id").materialize()
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 SQL_AVRO_ROUNDTRIP = """
@@ -886,16 +891,17 @@ def q_tfrecord_roundtrip(sf_dir: str):
     compare certifies the full write→frame→verify→parse loop. The
     crc32c table itself is locked by RFC 3720 check vectors in pytest.
     Ingest format: the file is the parallelism unit."""
-    import hashlib
     import shutil
+    import tempfile
 
     from goose_parser_ray.sources.io import (
         read_record_shards,
         write_record_shards,
     )
 
-    out = "/tmp/tfrec_roundtrip_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    shutil.rmtree(out, ignore_errors=True)
+    # per-run unique dir: two concurrent runs against the same sf_dir must
+    # not race on a shared path (one rmtree-ing while the other reads).
+    out = tempfile.mkdtemp(prefix="tfrec_roundtrip_")
 
     def prep(t: pa.Table) -> pa.Table:
         payloads = [
@@ -925,9 +931,16 @@ def q_tfrecord_roundtrip(sf_dir: str):
             }
         )
 
-    return read_record_shards(out).map_batches(
-        parse, batch_format="pyarrow"
-    ).sort("doc_id")
+    # materialize the (doc_id, n_chars) parse output, then drop the temp
+    # shards — the lazy read must not outlive the per-run directory.
+    result = (
+        read_record_shards(out)
+        .map_batches(parse, batch_format="pyarrow")
+        .sort("doc_id")
+        .materialize()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 SQL_TFRECORD_ROUNDTRIP = """

@@ -123,14 +123,21 @@ def write_avro_shards(
     _os.makedirs(out_dir, exist_ok=True)
 
     def _write(t: "pa.Table") -> "pa.Table":
+        import uuid as _uuid
+
         from goose_parser_ray.sources.avromini import encode_avro
 
         names = [f["name"] for f in schema["fields"]]
         cols = {n: t[n].to_pylist() for n in names}
         payload = encode_avro(cols, schema, codec=codec)
-        # shard name from content hash: deterministic, rerun-idempotent
+        # crc tag = integrity hint only; the uuid component guarantees
+        # uniqueness — two blocks with identical content (duplicate rows)
+        # or a birthday crc32 collision must NOT overwrite each other.
         tag = _zlib.crc32(payload) & 0xFFFFFFFF
-        path = _os.path.join(out_dir, f"part-{tag:08x}-{t.num_rows}.avro")
+        uniq = _uuid.uuid4().hex[:12]
+        path = _os.path.join(
+            out_dir, f"part-{uniq}-{tag:08x}-{t.num_rows}.avro"
+        )
         with open(path, "wb") as f:
             f.write(payload)
         return pa.table({"rows": [t.num_rows]})
@@ -232,13 +239,21 @@ def write_record_shards(
     _os.makedirs(out_dir, exist_ok=True)
 
     def _write(t: "pa.Table") -> "pa.Table":
+        import uuid as _uuid
+
         from goose_parser_ray.sources.recordio import encode_records
 
         payload = encode_records(
             [p or b"" for p in t[payload_col].to_pylist()]
         )
+        # crc tag = integrity hint only; uuid guarantees uniqueness so
+        # duplicate-content blocks (or crc32 birthday collisions) cannot
+        # silently overwrite each other and drop rows at read time.
         tag = _zlib.crc32(payload) & 0xFFFFFFFF
-        path = _os.path.join(out_dir, f"part-{tag:08x}-{t.num_rows}.rec")
+        uniq = _uuid.uuid4().hex[:12]
+        path = _os.path.join(
+            out_dir, f"part-{uniq}-{tag:08x}-{t.num_rows}.rec"
+        )
         with open(path, "wb") as f:
             f.write(payload)
         return pa.table({"rows": [t.num_rows]})

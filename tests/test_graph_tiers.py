@@ -220,3 +220,53 @@ def test_resolve_redirects_dangling_target_raises(ray_session):
     )
     with pytest.raises(ValueError):
         resolve_redirects(ray.data.from_arrow(state), 2)
+
+
+def test_resolve_redirects_dangling_raises_join_tier(ray_session):
+    """r5: the join tier must reject dangling targets like the driver
+    tier does (LEFT join + null check), not silently drop the rows."""
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.graph import resolve_redirects
+
+    state = pa.Table.from_pydict(
+        {
+            "u": np.array([0, 1], np.int64),
+            "cur": np.array([1, 99], np.int64),  # 99 not a node
+            "hops": np.array([1, 1], np.int64),
+            "done": np.array([False, False]),
+        }
+    )
+    with pytest.raises(ValueError):
+        resolve_redirects(
+            ray.data.from_arrow(state), 2, driver_nodes_threshold=0
+        ).materialize()
+
+
+def test_resolve_redirects_join_tier_column_order(ray_session):
+    """r5: as_right selects by NAME — a state table whose columns arrive
+    in a different order must still resolve correctly."""
+    import pyarrow as pa
+
+    from goose_parser_ray.functions.graph import resolve_redirects
+
+    # chain 0 -> 1 -> 2(terminal), columns deliberately shuffled
+    state = pa.Table.from_pydict(
+        {
+            "done": np.array([False, False, True]),
+            "hops": np.array([1, 1, 0], np.int64),
+            "cur": np.array([1, 2, 2], np.int64),
+            "u": np.array([0, 1, 2], np.int64),
+        }
+    ).select(["done", "hops", "cur", "u"])
+    got = (
+        resolve_redirects(
+            ray.data.from_arrow(state), 3, driver_nodes_threshold=0
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert got["cur"].tolist() == [2, 2, 2]
+    assert got["hops"].tolist() == [2, 1, 0]
+    assert got["done"].all()
