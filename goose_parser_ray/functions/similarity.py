@@ -361,6 +361,7 @@ def kmeans_distributed(
     tol: float = 1e-4,
     seed: int = 0,
     init_sample_size: int = 2048,
+    pin: bool = True,
 ):
     """Full distributed Lloyd k-means (Euclidean) over an embedding column
     — the iterative-algorithm pattern the one-step ``q_lang_centroids``
@@ -373,14 +374,20 @@ def kmeans_distributed(
     per-round network cost is (batches × k×d) floats. Init points come
     from a seeded Bernoulli sample (unbiased on sorted/clustered layouts —
     same rule as ann_ivf's trainer). Empty clusters keep their previous
-    centroid. Returns ``(centroids, counts, inertia_history)``."""
+    centroid. Returns ``(centroids, counts, inertia_history)``.
+
+    ``pin`` (default True) materializes the input once so the per-round
+    re-scan replays pinned blocks instead of the upstream lineage
+    (max_iters+2 replays otherwise). Pass ``pin=False`` when the corpus is
+    too large to hold in the object store: every Lloyd round then lazily
+    re-executes the upstream read — slower per round, zero pinned bytes
+    (the write_parquet-checkpoint-then-read-back pattern gives the best of
+    both when a stage boundary is available)."""
     import ray as _ray
 
-    # One materialize: the loop re-scans ds once per Lloyd round (plus the
-    # count and init sample below) — pin the blocks in the object store so
-    # a transformed upstream lineage (filter/normalize/...) runs ONCE, not
-    # max_iters+2 times. Blocks stay distributed; nothing lands driver-side.
-    ds = ds.materialize()
+    # Count + init sample run BEFORE the pin so both pin modes draw the
+    # SAME seeded Bernoulli sample: random_sample's per-block seeding
+    # depends on block layout, and materialize() changes it.
     n_corpus = ds.count()
     if n_corpus == 0:
         raise ValueError(
@@ -390,8 +397,32 @@ def kmeans_distributed(
     frac = 1.0 if n_corpus <= init_sample_size else min(
         1.0, 1.2 * init_sample_size / n_corpus
     )
+    # content-hash Bernoulli sample: ray.data.random_sample's per-task
+    # seeding depends on block layout/scheduling and is NOT reproducible
+    # across executions, so pin=True and pin=False would draw different
+    # init points. Hashing the vector BYTES is layout-independent and
+    # fully vectorized (one multiply-sum per row).
+    thresh = np.uint64(int(frac * 2**32))
+    hseed = np.uint64(2654435761 * (seed * 2 + 1) & 0xFFFFFFFF)
+
+    def _det_sample(t: pa.Table) -> pa.Table:
+        m = _list_col_to_matrix(t[col])
+        if m.shape[0] == 0:
+            return t.slice(0, 0)
+        u = np.ascontiguousarray(m, np.float32).view(np.uint32)
+        mult = (
+            np.arange(1, u.shape[1] + 1, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        ) * hseed
+        h = (u.astype(np.uint64) * mult[None, :]).sum(1)
+        h = (h ^ (h >> np.uint64(16))) * np.uint64(2654435761)
+        keep = (h & np.uint64(0xFFFFFFFF)) < thresh
+        return t.filter(pa.array(keep))
+
     sample_pd = (
-        ds.random_sample(frac, seed=seed).limit(2 * init_sample_size).to_pandas()
+        ds.map_batches(_det_sample, batch_format="pyarrow")
+        .limit(2 * init_sample_size)
+        .to_pandas()
     )
     sample = np.array(sample_pd[col].to_list(), dtype=np.float32)
     if len(sample) == 0:
@@ -401,6 +432,15 @@ def kmeans_distributed(
             ds.limit(init_sample_size).to_pandas()[col].to_list(),
             dtype=np.float32,
         )
+    if pin:
+        # the loop re-scans ds once per Lloyd round — pin the blocks in
+        # the object store so a transformed upstream lineage
+        # (filter/normalize/...) runs ONCE, not max_iters times. Blocks
+        # stay distributed; nothing lands driver-side.
+        ds = ds.materialize()
+    # canonicalize sample ROW ORDER (blocks arrive in completion order,
+    # which varies run to run) so rng.choice picks the same init points.
+    sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.RandomState(seed)
     kk = min(k, len(sample))
     cent = sample[rng.choice(len(sample), size=kk, replace=False)].astype(
@@ -445,6 +485,10 @@ def kmeans_distributed(
             )
 
         rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        # deterministic float64 reduction: partial rows arrive in block
+        # completion order, which varies run to run — sort by content so
+        # the addition order (and its round-off) is reproducible.
+        rows.sort(key=lambda r: (r["sums"], r["cnt"]))
         tot = np.zeros((kk, dim), np.float64)
         cnt = np.zeros(kk, np.int64)
         sse = 0.0

@@ -393,19 +393,22 @@ FROM o f JOIN o l ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = l.n
 """
 
 
-def q_kmeans(sf_dir: str):
+def q_kmeans(sf_dir: str, pin: bool = True):
     """Distributed Lloyd k-means run to convergence over the embeddings
     table (rows-only: iterative, not SQL-expressible). One streaming pass
     per round, per-batch (sum, count, SSE) partials, centroids broadcast —
     the corpus never leaves the cluster. Output: per-cluster sizes plus
-    the final inertia, deterministic under the fixed seed."""
+    the final inertia, deterministic under the fixed seed. ``pin=False``
+    trades per-round lazy re-scans for zero object-store pinning (both
+    modes parity-tested — init sampling and partial reduction are
+    content-deterministic, independent of block layout)."""
     import pandas as pd
 
     from goose_parser_ray.functions.similarity import kmeans_distributed
 
     ds = _read(sf_dir, "embeddings", ["embedding"])
     cent, counts, history = kmeans_distributed(
-        ds, "embedding", k=8, max_iters=8, seed=7
+        ds, "embedding", k=8, max_iters=8, seed=7, pin=pin
     )
     # Lloyd's algorithm provably never increases SSE — a hard invariant
     # (r3 VERDICT item 5 pattern); 0 here means the distributed partial

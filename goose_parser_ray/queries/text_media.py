@@ -327,29 +327,46 @@ FROM pix GROUP BY doc_id, width, height
 """
 
 
-def q_data_pipeline(sf_dir: str):
+def q_data_pipeline(sf_dir: str, checkpoint_dir: "str | None" = None):
     """Composite LLM-training-data pipeline — the ops composed the way a
     real corpus run chains them: quality gate → exact dedup → MinHash
     near-dup removal (distributed verify) → per-doc token stats. Each stage
     is the scale-shaped implementation benchmarked elsewhere; this query
-    proves they compose (stage boundaries stay lazy Datasets, one
-    materialization at the tiny candidate-pair set only)."""
+    proves they compose. The deduped stage output is consumed three times
+    downstream (candidates, verify join, final filter), so it is
+    CHECKPOINTED to partitioned parquet and read back — shards on disk
+    instead of a corpus-proportional object-store pin, and a crashed run
+    re-enters at the checkpoint: an existing ``_SUCCESS``-marked
+    ``checkpoint_dir`` skips the gate+dedup recompute entirely (the
+    ``pipelines/extraction.py`` manifest discipline applied to a query
+    stage boundary)."""
+    import os
+    import shutil
+    import tempfile
+
     from goose_parser_ray.functions.textstats import add_quality_score
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)).drop_columns(
-            ["quality"]
-        ),
-        batch_format="pyarrow",
-    )
-    ds = exact_dedup(ds, col="text", id_col="doc_id")
-    # stage boundary: the deduped set is consumed three times downstream
-    # (candidates, verify join, final filter) — pin it once instead of
-    # re-executing the upstream per consumer. A production run would
-    # write_parquet here (resumable stage output) and read back.
-    ds = ds.materialize()
+    if checkpoint_dir is None:
+        # per-run unique (no cross-run /tmp race); pass an explicit dir to
+        # get cross-run resume semantics.
+        checkpoint_dir = tempfile.mkdtemp(prefix="data_pipeline_ckpt_")
+        os.rmdir(checkpoint_dir)  # write_parquet recreates it
+    ok = os.path.join(checkpoint_dir, "_SUCCESS")
+    if not os.path.exists(ok):
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["quality"], 0.5)
+            ).drop_columns(["quality"]),
+            batch_format="pyarrow",
+        )
+        ds = exact_dedup(ds, col="text", id_col="doc_id")
+        ds.write_parquet(checkpoint_dir)
+        with open(ok, "w"):
+            pass  # atomic-enough commit marker: written only after the data
+    ds = ray.data.read_parquet(checkpoint_dir, file_extensions=["parquet"])
     kept = minhash_dedup_keep(
         ds,
         jaccard_threshold=0.8,

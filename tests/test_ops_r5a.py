@@ -97,3 +97,85 @@ class TestVarbyteOverflow:
 
         with pytest.raises(ValueError):
             decode_varbyte(bytes([0x01, 0x02]))  # no terminator byte
+
+
+# ------------------------------------------------- data_pipeline resume
+
+
+class TestDataPipelineCheckpoint:
+    """r5 VERDICT item 1: the deduped stage output is checkpointed to
+    parquet (not pinned in the object store); a run that dies between the
+    checkpoint and the tail resumes from the _SUCCESS-marked directory
+    without recomputing the gate+dedup head."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _run(self, ckpt):
+        from goose_parser_ray.queries.text_media import q_data_pipeline
+
+        return (
+            q_data_pipeline(self.SF, checkpoint_dir=ckpt)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_resume_reuses_checkpoint(self, ray_session, tmp_path):
+        import os
+
+        ckpt = str(tmp_path / "ckpt")
+        a = self._run(ckpt)
+        assert os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+        files = sorted(os.listdir(ckpt))
+        mtimes = {
+            f: os.path.getmtime(os.path.join(ckpt, f)) for f in files
+        }
+        # second run = the "resumed" run after a kill between checkpoint
+        # and tail: identical output, checkpoint files untouched
+        b = self._run(ckpt)
+        assert sorted(os.listdir(ckpt)) == files
+        assert {
+            f: os.path.getmtime(os.path.join(ckpt, f)) for f in files
+        } == mtimes
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_torn_checkpoint_recomputes(self, ray_session, tmp_path):
+        import os
+
+        ckpt = str(tmp_path / "ckpt2")
+        a = self._run(ckpt)
+        # a crash BEFORE the _SUCCESS marker: data files present but no
+        # commit marker -> the next run must rebuild, then agree
+        os.remove(os.path.join(ckpt, "_SUCCESS"))
+        b = self._run(ckpt)
+        assert os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------- kmeans pin modes
+
+
+def test_kmeans_pin_parity(ray_session):
+    """r5 VERDICT item 2: pin=True (object-store pin) and pin=False (lazy
+    per-round re-scan) must produce identical centroids, counts, and
+    inertia history — same seed, same input."""
+    import ray
+
+    from goose_parser_ray.functions.similarity import kmeans_distributed
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
+    )
+    outs = []
+    for pin in (True, False):
+        cent, counts, hist = kmeans_distributed(
+            ds, "embedding", k=4, max_iters=4, seed=11, pin=pin
+        )
+        outs.append((cent, counts, hist))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=0)
+    assert outs[0][1].tolist() == outs[1][1].tolist()
+    assert outs[0][2] == outs[1][2]
