@@ -307,6 +307,12 @@ def logreg_fit(
         )
 
     mdf = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    # deterministic float64 reduction: partial rows arrive in block
+    # completion order — sort by content so round-off is reproducible
+    # (the e4/e6 fixed-point invariant columns downstream hash these).
+    mdf = mdf.sort_values(
+        by=["n", "s"], key=lambda c: c.astype(str), kind="mergesort"
+    ).reset_index(drop=True)
     n = float(mdf["n"].sum())
     if n == 0:
         raise ValueError("empty training set")
@@ -345,6 +351,10 @@ def logreg_fit(
             )
 
         pdf = ds.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
+        pdf = pdf.sort_values(
+            by=["loss", "hits", "g"], key=lambda c: c.astype(str),
+            kind="mergesort",
+        ).reset_index(drop=True)
         g = np.add.reduce([np.asarray(v) for v in pdf["g"]]) / n
         g[:-1] += l2 * w[:-1]
         losses.append(float(pdf["loss"].sum()) / n)
@@ -500,6 +510,9 @@ def hashed_text_logreg(
             .map_batches(fold, batch_format="pyarrow", batch_size=16)
             .take_all()
         )
+        # deterministic driver reduce: folded rows arrive in completion
+        # order — sort by content so the float64 addition order is fixed.
+        rows.sort(key=lambda r: (r["loss"], r["n"], r["grad"]))
         grad = np.zeros(F, dtype=np.float64)
         gb = loss = 0.0
         n = correct = 0

@@ -416,6 +416,14 @@ def q_kmeans(sf_dir: str, pin: bool = True):
     monotone = int(
         all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
     )
+    # position-weighted checksum of the FULL inertia history in e6 fixed
+    # point (r5 item 3): pins every Lloyd round's SSE in order — the init
+    # sample, assignment pass, and partial reduction are all
+    # content-deterministic, so this must be hash-stable across runs.
+    hist_ck = np.int64(
+        sum((i + 1) * int(round(h * 1e6)) for i, h in enumerate(history))
+        % (1 << 61)
+    )
     return pd.DataFrame(
         {
             "cluster_id": np.arange(len(counts), dtype=np.int64),
@@ -423,6 +431,9 @@ def q_kmeans(sf_dir: str, pin: bool = True):
             "final_inertia_e3": np.int64(round(history[-1] * 1000)),
             "inertia_nonincreasing": np.full(
                 len(counts), monotone, dtype=np.int64
+            ),
+            "inertia_history_e6_checksum": np.full(
+                len(counts), hist_ck, dtype=np.int64
             ),
         }
     )

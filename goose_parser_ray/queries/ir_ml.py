@@ -77,6 +77,19 @@ def q_logreg(sf_dir: str):
             "n_loss_increases": [
                 int(sum(b > a for a, b in zip(losses, losses[1:])))
             ],
+            # position-weighted checksum of the FULL loss trace in e6
+            # fixed point — pins every round's loss in order, so any
+            # nondeterminism in the distributed partial reduction (or a
+            # regression in the update rule) breaks the sweep hash.
+            "loss_trace_e6_checksum": [
+                int(
+                    sum(
+                        (i + 1) * int(round(l * 1e6))
+                        for i, l in enumerate(losses)
+                    )
+                    % (1 << 61)
+                )
+            ],
         }
     )
 
@@ -301,6 +314,22 @@ def q_bpe_merges(sf_dir: str):
     # pair's count was ≤ this round's max. A 0 here means the distributed
     # top-1 reduction picked a non-max pair somewhere.
     nonincreasing = int(bool(np.all(np.diff(counts) <= 0)))
+    # position-weighted checksum of the FULL merge table (r5 item 3):
+    # pins rank order, both merge halves, and every count — any change in
+    # the distributed top-1 tie-break or pair accounting breaks the hash.
+    import zlib
+
+    table_ck = int(
+        sum(
+            (i + 1)
+            * (
+                zlib.crc32(f"{m[0]}\x00{m[1]}".encode("utf-8"))
+                + 1000003 * m[2]
+            )
+            for i, m in enumerate(merges)
+        )
+        % (1 << 61)
+    )
     return pd.DataFrame(
         {
             "rank": np.arange(len(merges), dtype="int64"),
@@ -308,6 +337,7 @@ def q_bpe_merges(sf_dir: str):
             "right": [m[1] for m in merges],
             "pair_count": counts,
             "count_nonincreasing": np.full(len(merges), nonincreasing, dtype="int64"),
+            "merge_table_checksum": np.full(len(merges), table_ck, dtype="int64"),
         }
     )
 
@@ -382,6 +412,20 @@ def q_quality_classifier(sf_dir: str):
             "n_loss_increases": np.full(
                 len(out),
                 int(sum(b > a for a, b in zip(losses, losses[1:]))),
+                dtype="int64",
+            ),
+            # e3 fixed-point position-weighted trace checksum: coarse
+            # enough to absorb fold-order round-off (~1e-12), tight
+            # enough that any real change to the GD loop breaks it.
+            "loss_trace_e3_checksum": np.full(
+                len(out),
+                int(
+                    sum(
+                        (i + 1) * int(round(l * 1e3))
+                        for i, l in enumerate(losses)
+                    )
+                    % (1 << 61)
+                ),
                 dtype="int64",
             ),
         }

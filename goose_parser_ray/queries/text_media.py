@@ -666,6 +666,14 @@ def q_cms_words(sf_dir: str):
     est = cms_query(sketch, exact["word"].tolist(), width, depth)
     eps_n = math.ceil(math.e / width * n_total)
     exact_n = exact["n"].to_numpy(dtype=np.int64)
+    # position-weighted checksum over ALL depth×width int64 registers
+    # (r5 item 3): the sketch build is pure integer addition (merge ≡
+    # whole), so this pins the exact register state — any change to the
+    # hash seeds, the partial layout, or the merge breaks the sweep hash.
+    flat = sketch.ravel().astype(object)  # object -> Python ints, no wrap
+    reg_ck = int(
+        (flat * (np.arange(flat.size, dtype=object) + 1)).sum() % (1 << 61)
+    )
     return pd.DataFrame(
         {
             "word": exact["word"],
@@ -673,6 +681,7 @@ def q_cms_words(sf_dir: str):
             "cms_est": est,
             "over_ok": (est >= exact_n).astype("int64"),
             "bound_ok": (est - exact_n <= eps_n).astype("int64"),
+            "register_checksum": np.full(len(exact_n), reg_ck, dtype="int64"),
         }
     )
 
