@@ -285,3 +285,145 @@ FROM documents d CROSS JOIN terms t
 WHERE COALESCE(d.text, '') LIKE '%' || t.term || '%'
 ORDER BY d.doc_id, t.term
 """
+
+
+# ---------------------------------------------------------------------------
+# G1-G4 rule-tree evaluator at the oracle gate (r5 VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def q_rules_oracle(sf_dir: str):
+    """The goose rule-tree evaluator itself (simple + attr + array + GRID
+    + collection + transform chain) driven through the DRIVER'S oracle
+    gate, hash-checked — the conformance fixtures prove G1-G4 semantics
+    against the reference's cases; this proves them through the full
+    distributed pipeline with a closed-form SQL twin.
+
+    Pages are synthesized deterministically from doc_id alone: a title
+    needing trim, a table with 1+d%3 rows of (K<d*31+r>, <(d+r)%7>) cells
+    keyed by class selectors (the GRID path — collection-of-collections
+    over 'table tr'), a 1+d%2-item UL (array rule + trim), and nav
+    anchors '/p/<(d*13+j)%500>' (attr extraction). The evaluator must
+    recover the exact ordered span sequence through tokenizer → HTML5
+    tree builder → compiled CSS selectors → rule tree → transform chains
+    → flatten; the twin restates every span (seq, kind, text) from the
+    formulas, so a wrong order, a dropped grid cell, or an untrimmed
+    value breaks the hash. Scale shape: map-only synth + actor-pool
+    extract, regroup bounded per doc (reference: goose-parser
+    parser.parse rule semantics, README 'Parser.parse' /
+    test/parser.test.js grid+collection cases)."""
+    from goose_parser_ray.functions import dedup as _dedup
+    from goose_parser_ray.pipelines import build_extraction_pipeline
+    from goose_parser_ray.spans import DOCUMENTS_SCHEMA, make_span
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, spans = [], []
+        for d in t["doc_id"].to_pylist():
+            R = 1 + d % 3
+            L = 1 + d % 2
+            rows = "".join(
+                f'<tr><td class="k">K{d * 31 + r}</td>'
+                f'<td class="v">{(d + r) % 7}</td></tr>'
+                for r in range(R)
+            )
+            lis = "".join(
+                f"<li>  tag-{(d * 7 + k) % 100} </li>"
+                for k in range(1, L + 1)
+            )
+            links = "".join(
+                f'<a href="/p/{(d * 13 + j) % 500}">x</a>'
+                for j in range(d % 2 + 1)
+            )
+            html = (
+                f"<body><nav>{links}</nav><article><h1>  Item {d} </h1>"
+                f"<table>{rows}</table><ul>{lis}</ul></article></body>"
+            )
+            ids.append(f"doc-{d:08d}")
+            spans.append([make_span("html", html, "", 0)])
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "spans": spans}, schema=DOCUMENTS_SCHEMA
+        )
+
+    rules = {
+        "collection": [
+            {
+                "name": "title",
+                "scope": "article h1",
+                "transform": [{"type": "trim"}],
+            },
+            {
+                "name": "rows",
+                "scope": "table tr",
+                "collection": [
+                    [
+                        {"name": "k", "scope": "td.k"},
+                        {"name": "v", "scope": "td.v"},
+                    ]
+                ],
+            },
+            {
+                "name": "tags",
+                "scope": "ul li",
+                "type": "array",
+                "transform": [{"type": "trim"}],
+            },
+            {"name": "links", "scope": "nav a", "attr": "href", "type": "array"},
+        ]
+    }
+    src = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    out = build_extraction_pipeline(
+        src,
+        rules,
+        num_partitions=_dedup._default_join_partitions(),
+        salt_threshold=None,
+        concurrency=_pool(),
+        batch_size=32,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.Table.from_arrays(
+            [
+                pc.take(t["doc_id"].combine_chunks(), parent),
+                pc.cast(pc.struct_field(flat, "offset"), pa.int64()),
+                pc.struct_field(flat, "kind"),
+                pc.struct_field(flat, "text"),
+            ],
+            names=["doc_id", "seq", "kind", "text"],
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_RULES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS R, 1 + doc_id % 2 AS L FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS seq, 'Item ' || doc_id AS text FROM d
+  UNION ALL
+  SELECT d.doc_id, 1 + 2 * r.r + c.c AS seq,
+         CASE WHEN c.c = 0 THEN 'K' || (d.doc_id * 31 + r.r)
+              ELSE CAST((d.doc_id + r.r) % 7 AS VARCHAR) END AS text
+  FROM d,
+       UNNEST(generate_series(0, d.R - 1)) AS r(r),
+       UNNEST(generate_series(0, 1)) AS c(c)
+  UNION ALL
+  SELECT d.doc_id, 2 * d.R + k.k AS seq,
+         'tag-' || ((d.doc_id * 7 + k.k) % 100) AS text
+  FROM d, UNNEST(generate_series(1, d.L)) AS k(k)
+  UNION ALL
+  SELECT d.doc_id, 2 * d.R + d.L + 1 + j.j AS seq,
+         '/p/' || ((d.doc_id * 13 + j.j) % 500) AS text
+  FROM d, UNNEST(generate_series(0, d.doc_id % 2)) AS j(j)
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+       CAST(seq AS BIGINT) AS seq,
+       'text' AS kind,
+       text
+FROM spans
+"""
