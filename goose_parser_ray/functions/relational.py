@@ -249,19 +249,20 @@ def weighted_sample(
     scores ARE the weighted sample. Map-side local top-k per batch (only k
     rows per block survive), tiny global merge — no full-data shuffle.
     Deterministic for a given (seed, ids, weights): reruns and resumes
-    produce the identical sample."""
+    produce the identical sample. The uniform comes from the Knuth
+    multiplicative hash on the integer id (seed-salted) — cross-engine
+    exact integer arithmetic, so a SQL oracle can restate the draw
+    (``(id*(2654435761+2*seed)) % 2^32``, then ``(h+0.5)/2^32``)."""
     import numpy as np
-    import pandas as pd
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("__sk", pa.array([], pa.float64()))
-        ids = t[id_col].to_pandas()
-        h = pd.util.hash_pandas_object(
-            ids.astype(str) + f"#{seed}", index=False
-        ).to_numpy()
-        # 53-bit mantissa slice → exact uniform in (0, 1)
-        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mult = np.int64(2654435761 + 2 * seed)
+        h = (ids * mult) & np.int64(0xFFFFFFFF)
+        # exact uniform in (0, 1): (h + 0.5) / 2^32, exact in float64
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         w = np.maximum(w, 1e-12)
         score = np.power(u, 1.0 / w)

@@ -439,13 +439,21 @@ def kmeans_distributed(
         # stay distributed; nothing lands driver-side.
         ds = ds.materialize()
     # canonicalize sample ROW ORDER (blocks arrive in completion order,
-    # which varies run to run) so rng.choice picks the same init points.
+    # which varies run to run), then farthest-point (k-center) init: fully
+    # deterministic given the sample CONTENT, and spread-out seeds recover
+    # well-separated clusters where a random draw can collapse two.
     sample = sample[np.lexsort(sample.T[::-1])]
     rng = np.random.RandomState(seed)
     kk = min(k, len(sample))
-    cent = sample[rng.choice(len(sample), size=kk, replace=False)].astype(
-        np.float64
-    )
+    s64 = sample.astype(np.float64)
+    first = int(rng.randint(len(sample)))
+    chosen = [first]
+    d2min = ((s64 - s64[first]) ** 2).sum(1)
+    for _ in range(1, kk):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((s64 - s64[nxt]) ** 2).sum(1))
+    cent = s64[chosen].copy()
     dim = cent.shape[1]
 
     counts = np.zeros(kk, dtype=np.int64)

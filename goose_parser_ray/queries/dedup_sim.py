@@ -117,10 +117,28 @@ def q_dedup_precision(sf_dir: str):
 
 
 def q_sample_random(sf_dir: str):
-    """S7: seeded reservoir-free sampling (rows-only — RNG not
-    oracle-matchable; determinism across runs comes from the seed)."""
+    """S7: seeded uniform 10% sampling, ORACLE-CHECKED (r5: converted
+    from rows-only): the Bernoulli draw is the Knuth multiplicative hash
+    on doc_id — cross-engine exact int64 arithmetic, so SQL restates the
+    exact sample membership. Block-layout independent (unlike
+    ``Dataset.random_sample``, whose per-task seeding is not reproducible
+    across executions — the kmeans init lesson), map-only, no shuffle."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return ds.random_sample(0.1, seed=42)
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(t["doc_id"], pa.scalar(2654435761, pa.int64())),
+            pa.scalar(4294967295, pa.int64()),
+        )
+        return t.filter(pc.less(h, pa.scalar(429496729, pa.int64())))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_SAMPLE_RANDOM = """
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+"""
 
 
 def q_dedup_embedding(sf_dir: str):

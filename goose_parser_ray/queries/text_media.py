@@ -41,6 +41,7 @@ from goose_parser_ray.queries._shared import _cents, _pool, _read
 # ---------------------------------------------------------------------------
 
 
+
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(
@@ -176,6 +177,11 @@ def q_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
 
 
 # ---------------------------------------------------------------------------
@@ -383,8 +389,6 @@ def q_data_pipeline(sf_dir: str, checkpoint_dir: "str | None" = None):
         )
 
     return kept.map_batches(stats, batch_format="pyarrow")
-
-
 
 
 def q_web_pipeline(sf_dir: str):
@@ -845,6 +849,11 @@ FROM u GROUP BY lang, dim
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# flagship extraction (rows-only: DOM semantics are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
 def q_extract_spans(sf_dir: str):
     """documents → interleaved span wrap → extraction pipeline → flattened
     span rows (doc_id, seq, kind, text, media_ref)."""
@@ -873,6 +882,11 @@ def q_extract_spans(sf_dir: str):
         )
 
     return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 # ---------------------------------------------------------------------------
@@ -1018,403 +1032,6 @@ ORDER BY domain, doc_id
 """
 
 
-def q_sorted_neighborhood(sf_dir: str):
-    """Sorted-neighborhood blocking (merge/purge), ORACLE-CHECKED: every
-    document pair within rank distance 2 in global (substr(text,1,12),
-    doc_id) order. The order-based candidate generator alongside the
-    hash-based ones (MinHash/SimHash/Hamming-1/AllPairs). Distributed as
-    range-bucketed global dense rank + overlap pair windows — see
-    ``functions/blocking.py``; no all-pairs, no driver materialization."""
-    from goose_parser_ray.functions.blocking import sorted_neighborhood_pairs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n = ds.count()
-
-    def add_key(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [t["doc_id"], pc.utf8_slice_codeunits(t["text"], 0, 12)],
-            names=["doc_id", "k"],
-        )
-
-    keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    pairs = sorted_neighborhood_pairs(
-        keyed, key_col="k", id_col="doc_id", window=2, n_rows=n
-    )
-    return pairs.sort(["id_a", "id_b"])
-
-
-SQL_SORTED_NEIGHBORHOOD = """
-WITH r AS (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY substr(text, 1, 12), doc_id) AS rn
-  FROM documents
-)
-SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
-FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
-ORDER BY id_a, id_b
-"""
-
-
-def q_token_budget(sf_dir: str):
-    """Per-language budget fill (training-mixture shape), ORACLE-CHECKED:
-    each language contributes documents in cross-engine-exact Knuth-hash
-    order until its running character total would exceed 12 000. This is
-    the budgeted variant of mixture resampling — deterministic membership
-    (stable under re-runs/repartition), exact cumulative gate. Five langs →
-    exact per-group scan; at high key cardinality the same plan runs as the
-    two-pass bucketed prefix-sum scan (``functions/packing.py``)."""
-    import pandas as pd
-
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-
-    def add_h(t: pa.Table) -> pa.Table:
-        h = pc.bit_wise_and(
-            pc.multiply(t["doc_id"], pa.scalar(2654435761, pa.int64())),
-            pa.scalar(4294967295, pa.int64()),
-        )
-        return t.append_column("hv", pc.cast(h, pa.int64()))
-
-    def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
-        g["cum_chars"] = g["n_chars"].cumsum().astype("int64")
-        g = g[g["cum_chars"] <= 12_000]
-        return g[["doc_id", "lang", "n_chars", "cum_chars"]]
-
-    ds = ds.map_batches(add_h, batch_format="pyarrow")
-    return (
-        ds.groupby("lang")
-        .map_groups(fill, batch_format="pandas")
-        .sort(["lang", "cum_chars"])
-    )
-
-
-SQL_TOKEN_BUDGET = """
-WITH h AS (
-  SELECT doc_id, lang, n_chars,
-         (doc_id * 2654435761) % 4294967296 AS hv
-  FROM documents
-), c AS (
-  SELECT doc_id, lang, n_chars,
-         SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM h
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-       CAST(n_chars AS BIGINT) AS n_chars, CAST(cum AS BIGINT) AS cum_chars
-FROM c WHERE cum <= 12000
-ORDER BY lang, cum_chars
-"""
-
-
-def q_kwic(sf_dir: str):
-    """Keyword-in-context concordance (the corpus-search surface),
-    ORACLE-CHECKED: first occurrence of ``data`` per document with ≤16
-    chars of context each side, plus its position. One vectorized RE2
-    pass — leftmost-match semantics are identical in Arrow and DuckDB, so
-    the context windows hash-match exactly. Map-only at any scale."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def kwic(t: pa.Table) -> pa.Table:
-        pos = pc.find_substring(t["text"], "data")
-        m = pc.extract_regex(
-            t["text"], r"(?P<l>.{0,16})data(?P<r>.{0,16})"
-        )
-        out = pa.Table.from_arrays(
-            [
-                t["doc_id"],
-                pc.cast(pc.add(pos, 1), pa.int64()),  # 1-based like strpos
-                pc.struct_field(m, "l"),
-                pc.struct_field(m, "r"),
-            ],
-            names=["doc_id", "pos", "left_ctx", "right_ctx"],
-        )
-        return out.filter(pc.greater(out["pos"], 0))
-
-    return ds.map_batches(kwic, batch_format="pyarrow").sort("doc_id")
-
-
-SQL_KWIC = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(strpos(text, 'data') AS BIGINT) AS pos,
-       regexp_extract(text, '(.{0,16})data(.{0,16})', 1) AS left_ctx,
-       regexp_extract(text, '(.{0,16})data(.{0,16})', 2) AS right_ctx
-FROM documents
-WHERE strpos(text, 'data') > 0
-ORDER BY doc_id
-"""
-
-
-def q_snippets(sf_dir: str):
-    """Search-result snippet generation (best-passage selection),
-    ORACLE-CHECKED: for the query {hash, join, merge} each document's
-    token stream is scanned with a width-8 sliding window, the window
-    with the most query-term hits wins (earliest start on ties — the
-    deterministic tie-break every snippet UI needs), and the snippet
-    text is rebuilt by re-joining exactly that token slice. Vectorized:
-    one membership mask per batch, rolling sums via cumsum difference —
-    no per-token Python. The DuckDB twin recomputes every window with a
-    window-function rolling sum and rebuilds the identical slice with
-    list_slice/array_to_string, so the hash compare certifies window
-    placement AND text reconstruction. Scale shape: map-only, the query
-    set is a plan constant (broadcast-by-closure), no shuffle."""
-    QUERY = {"hash", "join", "merge"}
-    W = 8
-
-    def best_window(t: pa.Table) -> pa.Table:
-        doc_ids, starts, hits, snips = [], [], [], []
-        words = pc.split_pattern(t["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        for d, toks in zip(t["doc_id"].to_pylist(), words.to_pylist()):
-            toks = toks or []
-            m = np.fromiter((w in QUERY for w in toks), np.int64,
-                            count=len(toks))
-            if len(toks) <= W:
-                s, h = 0, int(m.sum())
-                win = toks
-            else:
-                c = np.concatenate(([0], np.cumsum(m)))
-                roll = c[W:] - c[:-W]  # hits in window [s, s+W)
-                s = int(np.argmax(roll))  # first max = earliest start
-                h = int(roll[s])
-                win = toks[s : s + W]
-            doc_ids.append(d)
-            starts.append(s)
-            hits.append(h)
-            snips.append(" ".join(win))
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "start_tok": pa.array(starts, pa.int64()),
-                "n_hits": pa.array(hits, pa.int64()),
-                "snippet": pa.array(snips, pa.string()),
-            }
-        )
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        best_window, batch_format="pyarrow"
-    )
-
-
-SQL_SNIPPETS = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-),
-pos AS (
-  SELECT doc_id, ts, u.i,
-         CASE WHEN ts[u.i] IN ('hash', 'join', 'merge')
-              THEN 1 ELSE 0 END AS m
-  FROM toks, UNNEST(generate_series(1, LEN(ts))) AS u(i)
-),
-wins AS (
-  SELECT doc_id, ts, i,
-         SUM(m) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h,
-         LEN(ts) AS n
-  FROM pos
-),
-ranked AS (
-  SELECT doc_id, ts, i, h, n,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY h DESC, i ASC) AS rn
-  FROM wins WHERE i <= n - 7 OR n <= 8
-)
-SELECT doc_id,
-       CASE WHEN n <= 8 THEN 0 ELSE i - 1 END AS start_tok,
-       CAST(h AS BIGINT) AS n_hits,
-       CASE WHEN n <= 8 THEN array_to_string(ts, ' ')
-            ELSE array_to_string(list_slice(ts, i, i + 7), ' ') END
-         AS snippet
-FROM ranked WHERE rn = 1
-"""
-
-
-def q_varbyte_postings(sf_dir: str):
-    """Compressed inverted-index blocks (VByte doc-gap coding — the
-    classic Lucene-style index layout), ORACLE-CHECKED end to end: the
-    (term, doc) pairs are blocked by ``doc_id // 128`` (fixed block
-    width, so every group is bounded at ANY corpus size — the full
-    per-term posting list is never assembled anywhere), each block's
-    sorted docs are delta-coded (absolute first doc, then gaps) and
-    encoded through the real ``varbyte`` codec, then DECODED BACK and
-    prefix-summed so the emitted checksum (sum of reconstructed doc_ids)
-    certifies the byte stream round-trips exactly. n_bytes is the true
-    encoded length, which the DuckDB twin states closed-form from the
-    VByte 7-bits-per-byte rule. Scale shape: one-doc-one-row makes
-    per-batch (term, doc) dedup globally exact; data-proportional term
-    buckets; per-group work bounded by the block width."""
-    import pandas as pd
-
-    from goose_parser_ray.functions.dedup import (
-        add_hash_bucket,
-        num_shuffle_buckets,
-    )
-    from goose_parser_ray.functions.varbyte import (
-        decode_varbyte,
-        encode_varbyte,
-    )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    nb = num_shuffle_buckets(ds.count())
-
-    def pairs(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        parent = pc.list_parent_indices(words)
-        flat = pc.list_flatten(words)
-        docs = pc.take(t["doc_id"].combine_chunks(), parent)
-        keep = pc.not_equal(flat, "")
-        out = pa.Table.from_arrays(
-            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
-        )
-        df = out.to_pandas().drop_duplicates()
-        return add_hash_bucket(
-            pa.Table.from_pandas(df, preserve_index=False), "term", nb
-        )
-
-    def encode_blocks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["blk"] = g["doc_id"] // 128
-        terms, blks, nds, nbys, cks = [], [], [], [], []
-        for (term, blk), grp in g.groupby(["term", "blk"], sort=False):
-            docs = np.sort(grp["doc_id"].to_numpy(np.int64))
-            deltas = np.concatenate(([docs[0]], np.diff(docs)))
-            payload = encode_varbyte(deltas)
-            rebuilt = np.cumsum(decode_varbyte(payload))
-            terms.append(term)
-            blks.append(int(blk))
-            nds.append(len(docs))
-            nbys.append(len(payload))
-            cks.append(int(rebuilt.sum()))
-        return pd.DataFrame(
-            {
-                "term": terms,
-                "blk": np.asarray(blks, np.int64),
-                "n_docs": np.asarray(nds, np.int64),
-                "n_bytes": np.asarray(nbys, np.int64),
-                "checksum": np.asarray(cks, np.int64),
-            }
-        )
-
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(encode_blocks, batch_format="pandas")
-    )
-
-
-SQL_VARBYTE_POSTINGS = """
-WITH w AS (
-  SELECT DISTINCT t.term, d.doc_id
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
-  WHERE t.term <> ''
-),
-b AS (
-  SELECT term, doc_id, doc_id // 128 AS blk,
-         MIN(doc_id) OVER (PARTITION BY term, doc_id // 128) AS first_doc
-  FROM w
-)
-SELECT term, blk,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(CASE WHEN first_doc < 128 THEN 1
-                 WHEN first_doc < 16384 THEN 2
-                 WHEN first_doc < 2097152 THEN 3
-                 WHEN first_doc < 268435456 THEN 4
-                 ELSE 5 END
-            + COUNT(*) - 1 AS BIGINT) AS n_bytes,
-       CAST(SUM(doc_id) AS BIGINT) AS checksum
-FROM b GROUP BY term, blk, first_doc
-"""
-
-
-def q_postings(sf_dir: str):
-    """Capped inverted-index build (IR surface), ORACLE-CHECKED: for every
-    term, its document frequency and the 5 smallest doc_ids that contain it
-    (comma-joined). The cap is the scale contract — per-term payload is
-    bounded at any corpus size, and the partials are mergeable (local df
-    count + local 5-smallest per batch → bucketed merge keeps the 5
-    smallest of the union). One doc is one row, so per-batch (term, doc)
-    dedup is globally exact. Term buckets are data-proportional."""
-    import pandas as pd
-
-    from goose_parser_ray.functions.dedup import (
-        add_hash_bucket,
-        num_shuffle_buckets,
-    )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    nb = num_shuffle_buckets(ds.count())
-
-    def partial(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        parent = pc.list_parent_indices(words)
-        flat = pc.list_flatten(words)
-        docs = pc.take(t["doc_id"].combine_chunks(), parent)
-        keep = pc.not_equal(flat, "")
-        df = pa.Table.from_arrays(
-            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
-        ).to_pandas()
-        df = df.drop_duplicates()
-        df = df.sort_values(["term", "doc_id"], kind="mergesort")
-        g = df.groupby("term", sort=False)
-        out = g.agg(
-            df_p=("doc_id", "size"),
-            post_p=(
-                "doc_id",
-                lambda s: ",".join(map(str, s.head(5))),
-            ),
-        ).reset_index()
-        return add_hash_bucket(
-            pa.Table.from_pandas(out, preserve_index=False), "term", nb
-        )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        dfsum = g.groupby("term", sort=False)["df_p"].sum()
-        ex = g[["term", "post_p"]].copy()
-        ex["post_p"] = ex["post_p"].str.split(",")
-        ex = ex.explode("post_p")
-        ex["post_p"] = ex["post_p"].astype("int64")
-        ex = ex.sort_values(["term", "post_p"], kind="mergesort")
-        top = ex.groupby("term", sort=False).head(5)
-        posts = top.groupby("term", sort=False)["post_p"].agg(
-            lambda s: ",".join(map(str, s))
-        )
-        out = pd.DataFrame(
-            {
-                "term": dfsum.index,
-                "df": dfsum.to_numpy().astype("int64"),
-                "top_postings": posts.reindex(dfsum.index).to_numpy(),
-            }
-        )
-        return out
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    return (
-        parts.groupby("__b")
-        .map_groups(merge, batch_format="pandas")
-        .sort("term")
-    )
-
-
-SQL_POSTINGS = """
-WITH w AS (
-  SELECT DISTINCT t.term, d.doc_id
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
-  WHERE t.term <> ''
-), r AS (
-  SELECT term, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
-         COUNT(*) OVER (PARTITION BY term) AS df
-  FROM w
-)
-SELECT term, CAST(MAX(df) AS BIGINT) AS df,
-       string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
-                  ',' ORDER BY doc_id) AS top_postings
-FROM r GROUP BY term ORDER BY term
-"""
-
-
 def q_event_throttle(sf_dir: str):
     """Streaming throttle/debounce dedup, ORACLE-CHECKED: an event survives
     iff the previous event of the same (user, type) — by raw arrival, kept
@@ -1470,64 +1087,6 @@ FROM o
 WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND
 ORDER BY event_id
 """
-
-
-def q_zorder(sf_dir: str):
-    """Z-order (Morton) clustering key + multi-dimensional range query,
-    ORACLE-CHECKED: interleave the low 16 bits of (l_partkey, l_suppkey)
-    into a 32-bit z-value — the layout key that makes BOTH dimensions
-    range-prunable from one sorted/clustered write (sort by z → parquet
-    row-group min/max stats serve part-key and supp-key predicates at
-    once). The query returns one z-range slice; the engine side is a pure
-    vectorized map (numpy bit-spreading), the oracle states the interleave
-    as 32 shift-mask terms. The production layout path is
-    ``ds.sort("z").write_parquet(...)`` on the same key."""
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-
-    def add_z(t: pa.Table) -> pa.Table:
-        def spread(col):  # 16-bit → even-bit positions of 32
-            n = col.to_numpy(zero_copy_only=False).astype(np.uint32)
-            n &= np.uint32(0xFFFF)
-            n = (n | n << np.uint32(8)) & np.uint32(0x00FF00FF)
-            n = (n | n << np.uint32(4)) & np.uint32(0x0F0F0F0F)
-            n = (n | n << np.uint32(2)) & np.uint32(0x33333333)
-            n = (n | n << np.uint32(1)) & np.uint32(0x55555555)
-            return n
-
-        z = spread(t["l_partkey"]) | (spread(t["l_suppkey"]) << np.uint32(1))
-        t = t.append_column("z", pa.array(z.astype(np.int64)))
-        mask = pc.and_(
-            pc.greater_equal(t["z"], 1_000_000), pc.less(t["z"], 1_050_000)
-        )
-        return t.filter(mask)
-
-    return (
-        ds.map_batches(add_z, batch_format="pyarrow")
-        .select_columns(["z", "l_orderkey", "l_partkey", "l_suppkey"])
-        .sort(["z", "l_orderkey"])
-    )
-
-
-def _sql_zorder() -> str:
-    xs = " + ".join(f"(((l_partkey >> {i}) & 1) << {2 * i})" for i in range(16))
-    ys = " + ".join(
-        f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})" for i in range(16)
-    )
-    return f"""
-WITH m AS (
-  SELECT CAST(({xs}) + ({ys}) AS BIGINT) AS z,
-         CAST(l_orderkey AS BIGINT) AS l_orderkey,
-         CAST(l_partkey AS BIGINT) AS l_partkey,
-         CAST(l_suppkey AS BIGINT) AS l_suppkey
-  FROM lineitem
-)
-SELECT z, l_orderkey, l_partkey, l_suppkey
-FROM m WHERE z >= 1000000 AND z < 1050000
-ORDER BY z, l_orderkey
-"""
-
-
-SQL_ZORDER = _sql_zorder()
 
 
 def q_editdist_pairs(sf_dir: str):
@@ -1694,796 +1253,135 @@ FROM a GROUP BY anc ORDER BY node
 """
 
 
-def q_winnow(sf_dir: str):
-    """Winnowing document fingerprints (the MOSS plagiarism-detection
-    selection scheme) over every document, ORACLE-CHECKED: k-gram (k=8)
-    codepoint-polynomial hashes, centered width-7 window minima (w=4 —
-    the winnowing density guarantee), per-doc count + sum of distinct
-    selected hashes. Map-only: one sliding-window matmul + window-min per
-    doc inside ``map_batches`` (textstats.winnow_fingerprints_batch), no
-    shuffle at all — the selection is embarrassingly parallel and the
-    output is one narrow row per doc. Docs shorter than k emit nothing
-    (the SQL position table has no rows for them)."""
-    from goose_parser_ray.functions.textstats import (
-        winnow_fingerprints_batch,
-    )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fp(t: pa.Table) -> pa.Table:
-        n, s = winnow_fingerprints_batch(t["text"].to_pylist())
-        keep = n > 0
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
-                "n_fp": pa.array(n[keep], pa.int64()),
-                "fp_sum": pa.array(s[keep], pa.int64()),
-            }
-        )
-
-    return ds.map_batches(fp, batch_format="pyarrow")
-
-
-SQL_WINNOW = """
-WITH pos AS (
-  SELECT doc_id, g.i AS i,
-         CAST(ascii(substr(text, g.i    , 1)) AS BIGINT) * 1
-       + CAST(ascii(substr(text, g.i + 1, 1)) AS BIGINT) * 31
-       + CAST(ascii(substr(text, g.i + 2, 1)) AS BIGINT) * 961
-       + CAST(ascii(substr(text, g.i + 3, 1)) AS BIGINT) * 29791
-       + CAST(ascii(substr(text, g.i + 4, 1)) AS BIGINT) * 923521
-       + CAST(ascii(substr(text, g.i + 5, 1)) AS BIGINT) * 28629151
-       + CAST(ascii(substr(text, g.i + 6, 1)) AS BIGINT) * 887503681
-       + CAST(ascii(substr(text, g.i + 7, 1)) AS BIGINT) * 27512614111 AS h
-  FROM documents,
-       UNNEST(generate_series(1, length(text) - 7)) AS g(i)
-  WHERE length(text) >= 8
-),
-wm AS (
-  SELECT doc_id, h,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
-  FROM pos
+# --- re-exports: blocks moved to family modules (r5 item 6 split); the
+# package __init__ and tests import these names from here unchanged.
+from goose_parser_ray.queries.webnorm import (  # noqa: E402,F401
+    q_robots_rules, SQL_ROBOTS_RULES, q_cidr_lookup, SQL_CIDR_LOOKUP,
+    q_nfc_normalize, SQL_NFC_NORMALIZE, q_ua_parse, SQL_UA_PARSE,
+    q_editdist2_pairs, SQL_EDITDIST2_PAIRS, q_anchor_texts,
+    SQL_ANCHOR_TEXTS, q_rendezvous_sharding, SQL_RENDEZVOUS_SHARDING,
+    q_homoglyph_domains, SQL_HOMOGLYPH_DOMAINS, q_index_merge,
+    SQL_INDEX_MERGE,
 )
-SELECT doc_id,
-       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_fp,
-       CAST(SUM(DISTINCT h) AS BIGINT) AS fp_sum
-FROM wm WHERE h = mn GROUP BY doc_id
-"""
-
-
-def q_winnow_dedup_join(sf_dir: str):
-    """MOSS-style near-dup join over winnowed fingerprints (the dedup
-    companion of q_winnow's per-doc selection), ORACLE-CHECKED: docs are
-    fingerprinted with the winnowing scheme the SQL twin states
-    position-for-position, over-common fingerprints are dropped with an
-    IDF cut (doc-frequency > 32 — MOSS's boilerplate guard, which is also
-    the scale story: per-fingerprint pair fan-out is bounded by C(32,2),
-    never corpus-proportional), and pairs whose shared rare fingerprints
-    cover ≥ half of the smaller doc's fingerprint set are emitted with
-    exact integer evidence columns (n_shared, nfp_a, nfp_b). One
-    data-proportional shuffle; per-doc count table broadcast under the
-    5M-doc guard, hash-partitioned joins past it (tier-parity tested)."""
-    from goose_parser_ray.functions.dedup import winnow_dedup_pairs
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return winnow_dedup_pairs(ds)
-
-
-SQL_WINNOW_DEDUP_JOIN = """
-WITH pos AS (
-  SELECT doc_id, g.i AS i,
-         CAST(ascii(substr(text, g.i    , 1)) AS BIGINT) * 1
-       + CAST(ascii(substr(text, g.i + 1, 1)) AS BIGINT) * 31
-       + CAST(ascii(substr(text, g.i + 2, 1)) AS BIGINT) * 961
-       + CAST(ascii(substr(text, g.i + 3, 1)) AS BIGINT) * 29791
-       + CAST(ascii(substr(text, g.i + 4, 1)) AS BIGINT) * 923521
-       + CAST(ascii(substr(text, g.i + 5, 1)) AS BIGINT) * 28629151
-       + CAST(ascii(substr(text, g.i + 6, 1)) AS BIGINT) * 887503681
-       + CAST(ascii(substr(text, g.i + 7, 1)) AS BIGINT) * 27512614111 AS h
-  FROM documents,
-       UNNEST(generate_series(1, length(text) - 7)) AS g(i)
-  WHERE length(text) >= 8
-),
-wm AS (
-  SELECT doc_id, h,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
-  FROM pos
-),
-fp AS (SELECT DISTINCT doc_id, h FROM wm WHERE h = mn),
-hc AS (SELECT h, COUNT(*) AS cnt FROM fp GROUP BY h),
-rare AS (
-  SELECT f.doc_id, f.h FROM fp f JOIN hc USING (h) WHERE hc.cnt <= 32
-),
-nf AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM rare GROUP BY doc_id
-),
-pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+from goose_parser_ray.queries.indexing import (  # noqa: E402,F401
+    q_kwic, SQL_KWIC, q_snippets, SQL_SNIPPETS, q_varbyte_postings,
+    SQL_VARBYTE_POSTINGS, q_postings, SQL_POSTINGS, q_winnow, SQL_WINNOW,
+    q_winnow_dedup_join, SQL_WINNOW_DEDUP_JOIN, q_token_budget,
+    SQL_TOKEN_BUDGET, q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD,
+    q_zorder, SQL_ZORDER, _sql_zorder,
 )
-SELECT p.a, p.b, p.n_shared, na.nfp AS nfp_a, nb.nfp AS nfp_b
-FROM pairs p
-JOIN nf na ON na.doc_id = p.a
-JOIN nf nb ON nb.doc_id = p.b
-WHERE 2 * p.n_shared >= least(na.nfp, nb.nfp)
-"""
 
 
-def q_robots_rules(sf_dir: str):
-    """robots.txt allow/deny evaluation (RFC 9309 / REP longest-match
-    semantics: the longest matching rule wins, Allow beats Disallow on a
-    length tie, no match means allowed), ORACLE-CHECKED. URLs and the
-    per-domain rule set are synthesized deterministically from doc_id —
-    domain ``site{id%10}.com`` with Disallow /private/, Allow
-    /private/ok/ everywhere plus Disallow /tmp/ on odd domains — so the
-    SQL twin states the same rule table inline and must agree on the
-    winning rule AND the verdict for every URL. Engine shape: the rule
-    set is a compiled constant (broadcast with the plan, bytes not rows);
-    per batch, one vectorized starts_with per rule and a numpy
-    longest-match/allow-break argmax — rule-count-proportional work per
-    row, no shuffle at all."""
-    ds = _read(sf_dir, "documents", ["doc_id"])
+# ---------------------------------------------------------------------------
+# oracle twins for the extraction flagships (r5: rows-only -> hash-checked)
+# ---------------------------------------------------------------------------
 
-    # (prefix, allow, parity) — parity None applies to every domain,
-    # 1 only to odd domain ids. Longest match wins; allow wins length ties.
-    RULES = [
-        ("/private/", 0, None),
-        ("/private/ok/", 1, None),
-        ("/tmp/", 0, 1),
-    ]
-
-    def evaluate(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        dom = ids % 10
-        mod4 = ids % 4
-        seg = np.choose(
-            mod4, ["/public/page", "/private/page", "/private/ok/page",
-                   "/tmp/cache/page"]
-        )
-        path = np.char.add(seg.astype("U32"), ids.astype("U20"))
-        pa_path = pa.array(path)
-        best_score = np.full(len(ids), -1, np.int64)
-        best_rule = np.full(len(ids), "", dtype="U16")
-        best_allow = np.ones(len(ids), np.int64)  # no match -> allowed
-        for prefix, allow, parity in RULES:
-            m = pc.starts_with(pa_path, pattern=prefix).to_numpy(
-                zero_copy_only=False
-            )
-            if parity is not None:
-                m = m & (dom % 2 == parity)
-            score = 2 * len(prefix) + allow
-            upd = m & (score > best_score)
-            best_score[upd] = score
-            best_rule[upd] = prefix
-            best_allow[upd] = allow
-        url = np.char.add(
-            np.char.add("https://site", dom.astype("U4")),
-            np.char.add(".com", path),
-        )
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"],
-                "url": pa.array(url.tolist(), pa.string()),
-                "matched_rule": pa.array(best_rule.tolist(), pa.string()),
-                "allowed": pa.array(best_allow, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(evaluate, batch_format="pyarrow")
-
-
-SQL_ROBOTS_RULES = """
-WITH u AS (
-  SELECT doc_id, doc_id % 10 AS dom,
-         CASE doc_id % 4
-           WHEN 0 THEN '/public/page'  || doc_id
-           WHEN 1 THEN '/private/page' || doc_id
-           WHEN 2 THEN '/private/ok/page' || doc_id
-           ELSE '/tmp/cache/page' || doc_id END AS path
+# Shared closed form of ``sources/corpus.py:wrap_flat_documents`` +
+# ``_paragraphs``: the greedy 200-char word-accumulation split is restated
+# as a recursive CTE over per-word prefix sums (break = first word whose
+# cumulative (len+1) since the last break reaches 200), paragraphs as
+# ordered string_agg windows between breaks. P = paragraph count per doc.
+_SQL_WRAP_CTE = r"""
+WITH RECURSIVE wl AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(COALESCE(text,''), '\s+'),
+                     x -> x <> '') AS ws
   FROM documents
 ),
-r(prefix, allow, parity) AS (
-  VALUES ('/private/', 0, NULL), ('/private/ok/', 1, NULL),
-         ('/tmp/', 0, 1)
+w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM wl
 ),
-m AS (
-  SELECT u.doc_id, u.dom, u.path, r.prefix, r.allow
-  FROM u JOIN r
-    ON starts_with(u.path, r.prefix)
-   AND (r.parity IS NULL OR u.dom % 2 = r.parity)
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY u.doc_id
-                             ORDER BY len(r.prefix) DESC, r.allow DESC) = 1
-)
-SELECT u.doc_id,
-       'https://site' || u.dom || '.com' || u.path AS url,
-       coalesce(m.prefix, '') AS matched_rule,
-       CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
-FROM u LEFT JOIN m USING (doc_id)
-"""
-
-
-def q_cidr_lookup(sf_dir: str):
-    """Geo-IP-style CIDR enrichment with RFC-longest-prefix-match
-    semantics, ORACLE-CHECKED: each event gets a deterministic IPv4
-    (Knuth multiplicative hash of user_id, exact integer arithmetic on
-    both engines), looked up against an inline table of OVERLAPPING
-    prefixes (/0 default through /3) where the longest matching prefix
-    wins. Engine shape: the CIDR table is a compiled constant; per batch
-    one vectorized shift-compare per rule and an argmax over prefix
-    lengths — rule-proportional work per row, no shuffle. The same
-    broadcast-rules idiom as robots_rules, on the network layer."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id"])
-
-    RULES = [  # (prefix_int, bits, tag) — overlapping by construction
-        (0x00000000, 0, "default"),
-        (0x00000000, 1, "low-half"),
-        (0x80000000, 1, "high-half"),
-        (0x40000000, 2, "mid-block"),
-        (0xC0000000, 3, "c-block"),
-    ]
-
-    def lookup(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ip = (uid * 2654435761) % (1 << 32)
-        best_len = np.full(len(ip), -1, np.int64)
-        best_tag = np.full(len(ip), "", dtype="U12")
-        best_pfx = np.full(len(ip), 0, np.int64)
-        for pfx, bits, tag in RULES:
-            m = (ip >> (32 - bits)) == (pfx >> (32 - bits)) if bits else \
-                np.ones(len(ip), bool)
-            upd = m & (bits > best_len)
-            best_len[upd] = bits
-            best_tag[upd] = tag
-            best_pfx[upd] = pfx
-        dotted = [
-            f"{v >> 24}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
-            for v in ip.tolist()
-        ]  # bounded string format; not a compute hot path
-        return pa.Table.from_pydict(
-            {
-                "event_id": t["event_id"],
-                "ip": pa.array(dotted, pa.string()),
-                "matched_bits": pa.array(best_len, pa.int64()),
-                "tag": pa.array(best_tag.tolist(), pa.string()),
-            }
-        )
-
-    return ds.map_batches(lookup, batch_format="pyarrow")
-
-
-SQL_CIDR_LOOKUP = """
-WITH ev AS (
-  SELECT event_id, (user_id * 2654435761) % 4294967296 AS ip
-  FROM events
+p AS (
+  SELECT doc_id, i, word,
+         CAST(SUM(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i) AS BIGINT) AS s
+  FROM w
 ),
-r(pfx, bits, div, tag) AS (
-  -- div = 2^(32-bits) as BIGINT: DuckDB's // floors only for integer
-  -- divisors (a DOUBLE divisor makes it plain division)
-  VALUES (0, 0, 4294967296, 'default'), (0, 1, 2147483648, 'low-half'),
-         (2147483648, 1, 2147483648, 'high-half'),
-         (1073741824, 2, 1073741824, 'mid-block'),
-         (3221225472, 3, 536870912, 'c-block')
-),
-m AS (
-  SELECT ev.event_id, ev.ip, r.bits, r.tag
-  FROM ev JOIN r
-    ON (ev.ip // r.div) = (r.pfx // r.div)
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY ev.event_id
-                             ORDER BY r.bits DESC) = 1
-)
-SELECT event_id,
-       (ip // 16777216) || '.' || ((ip // 65536) % 256) || '.'
-         || ((ip // 256) % 256) || '.' || (ip % 256) AS ip,
-       CAST(bits AS BIGINT) AS matched_bits, tag
-FROM m
-"""
-
-
-def q_nfc_normalize(sf_dir: str):
-    """Unicode NFC normalization (the text-canonicalization step every
-    multilingual pipeline needs before hashing/dedup), ORACLE-CHECKED
-    against DuckDB's ICU ``nfc_normalize``: per doc a deterministic
-    DECOMPOSED string is synthesized (base letter + U+0301 combining
-    acute — some pairs compose to one codepoint, q́-style pairs stay
-    two), normalized, and compared on the normalized bytes plus exact
-    before/after codepoint counts. Two independent Unicode
-    implementations (CPython's unicodedata vs DuckDB's ICU) must agree
-    on every row — a real conformance check, not a self-twin. (pyarrow
-    16's utf8_normalize does NOT perform canonical composition, so the
-    batch maps CPython's C-implemented normalizer over the column —
-    still one shuffle-free pass.)"""
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def norm(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        base = np.array([chr(97 + i) for i in range(26)])
-        raw = [
-            "caf" + b + "́ " + b2 + "́x"
-            for b, b2 in zip(
-                base[ids % 26].tolist(), base[(ids * 7 + 3) % 26].tolist()
-            )
-        ]
-        import unicodedata
-
-        arr = pa.array(raw, pa.string())
-        out = pa.array(
-            [unicodedata.normalize("NFC", x) for x in raw], pa.string()
-        )
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"],
-                "nfc": out,
-                "cp_before": pc.cast(pc.utf8_length(arr), pa.int64()),
-                "cp_after": pc.cast(pc.utf8_length(out), pa.int64()),
-            }
-        )
-
-    return ds.map_batches(norm, batch_format="pyarrow")
-
-
-SQL_NFC_NORMALIZE = """
-WITH raw AS (
-  SELECT doc_id,
-         'caf' || chr(CAST(97 + (doc_id % 26) AS INTEGER)) || chr(769)
-          || ' ' || chr(CAST(97 + ((doc_id * 7 + 3) % 26) AS INTEGER))
-          || chr(769) || 'x' AS s
-  FROM documents
-)
-SELECT doc_id, nfc_normalize(s) AS nfc,
-       CAST(length(s) AS BIGINT) AS cp_before,
-       CAST(length(nfc_normalize(s)) AS BIGINT) AS cp_after
-FROM raw
-"""
-
-
-def q_ua_parse(sf_dir: str):
-    """User-agent parsing (the classic log-enrichment stage: browser
-    family, major version, bot flag), ORACLE-CHECKED: deterministic UA
-    strings are synthesized per event from five templates (Chrome,
-    Safari, Firefox, curl, Googlebot) and parsed back with ONE
-    vectorized RE2 extract per field — family via alternation match,
-    version via the first digit run after the family token, bot via
-    case-insensitive substring. The SQL twin parses with the same
-    regexes, so template drift or extraction bugs break the hash.
-    Shuffle-free single map pass."""
-    ds = _read(sf_dir, "events", ["event_id"])
-
-    TPL = [
-        "Mozilla/5.0 (Windows NT 10.0) Chrome/{v}.0 Safari/537.36",
-        "Mozilla/5.0 (Macintosh; Intel Mac OS X) Version/{v}.1 Safari/605.1",
-        "Mozilla/5.0 (X11; Linux x86_64; rv:{v}.0) Gecko/20100101 Firefox/{v}.0",
-        "curl/7.{v}.0",
-        "Mozilla/5.0 (compatible; Googlebot/2.{v}; +http://www.google.com/bot.html)",
-    ]
-    FAMS = ["Chrome", "Safari", "Firefox", "curl", "Googlebot"]
-
-    def parse(t: pa.Table) -> pa.Table:
-        ids = t["event_id"].to_numpy(zero_copy_only=False)
-        v = (ids % 40 + 60).astype(np.int64)
-        which = (ids % 5).astype(np.int64)
-        ua = [
-            TPL[w].replace("{v}", str(vv))
-            for w, vv in zip(which.tolist(), v.tolist())
-        ]
-        arr = pa.array(ua, pa.string())
-        fam = np.array(FAMS)[which]
-        # family decided by FIRST match in priority order (Googlebot and
-        # curl before the Mozilla families; Firefox before Safari; Chrome
-        # before Safari — Chrome UAs contain 'Safari' too)
-        fam_extracted = np.full(len(ua), "other", dtype="U12")
-        for name in ("Googlebot", "curl", "Firefox", "Chrome", "Safari"):
-            hit = pc.match_substring(arr, pattern=name).to_numpy(
-                zero_copy_only=False
-            )
-            fam_extracted[(fam_extracted == "other") & hit] = name
-        major = pc.extract_regex(
-            arr,
-            pattern=r"(?:Chrome/|Version/|Firefox/|curl/7\.|Googlebot/2\.)(?P<m>[0-9]+)",
-        )
-        major_v = pc.cast(pc.struct_field(major, "m"), pa.int64())
-        is_bot = pc.cast(
-            pc.match_substring(arr, pattern="bot", ignore_case=True),
-            pa.int64(),
-        )
-        return pa.Table.from_pydict(
-            {
-                "event_id": t["event_id"],
-                "family": pa.array(fam_extracted.tolist(), pa.string()),
-                "major": major_v,
-                "is_bot": is_bot,
-            }
-        )
-
-    return ds.map_batches(parse, batch_format="pyarrow")
-
-
-SQL_UA_PARSE = """
-WITH ev AS (
-  SELECT event_id, event_id % 5 AS w, event_id % 40 + 60 AS v
-  FROM events
-), ua AS (
-  SELECT event_id,
-    CASE w
-      WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/' || v
-                  || '.0 Safari/537.36'
-      WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X) Version/' || v
-                  || '.1 Safari/605.1'
-      WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || v
-                  || '.0) Gecko/20100101 Firefox/' || v || '.0'
-      WHEN 3 THEN 'curl/7.' || v || '.0'
-      ELSE 'Mozilla/5.0 (compatible; Googlebot/2.' || v
-           || '; +http://www.google.com/bot.html)'
-    END AS s
-  FROM ev
-)
-SELECT event_id,
-       CASE WHEN contains(s, 'Googlebot') THEN 'Googlebot'
-            WHEN contains(s, 'curl') THEN 'curl'
-            WHEN contains(s, 'Firefox') THEN 'Firefox'
-            WHEN contains(s, 'Chrome') THEN 'Chrome'
-            WHEN contains(s, 'Safari') THEN 'Safari'
-            ELSE 'other' END AS family,
-       CAST(regexp_extract(s,
-            '(?:Chrome/|Version/|Firefox/|curl/7\\.|Googlebot/2\\.)([0-9]+)',
-            1) AS BIGINT) AS major,
-       CAST(CASE WHEN regexp_matches(lower(s), 'bot') THEN 1 ELSE 0 END
-            AS BIGINT) AS is_bot
-FROM ua
-"""
-
-
-def q_editdist2_pairs(sf_dir: str):
-    """Edit-distance-≤2 similarity join (FastSS at k=2 — ≤2-deletion
-    neighborhoods intersect iff lev ≤ 2; see
-    ``functions/editdist.py:edit2_pairs``), ORACLE-CHECKED against
-    DuckDB's built-in ``levenshtein`` over the full cross join, WITH the
-    exact distance as a compared column. ``pair_cap`` is raised to 512
-    here because zero-padded sequential customer names are a worst-case
-    dense key space (largest variant block 294 at sf0.01) — below the cap
-    blocking is zero-miss and every candidate is DP-verified, so the
-    whole output hash-matches brute force."""
-    from goose_parser_ray.functions.editdist import edit2_pairs
-
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    pairs = edit2_pairs(
-        ds, col="c_name", id_col="c_custkey", pair_cap=512
-    )
-    return pairs
-
-
-SQL_EDITDIST2_PAIRS = """
-SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
-       CAST(b.c_custkey AS BIGINT) AS id_b,
-       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a
-JOIN customer b
-  ON a.c_custkey < b.c_custkey
- AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
-"""
-
-
-def q_anchor_texts(sf_dir: str):
-    """Anchor-text aggregation per link target (the ranking/labeling
-    signal web curation builds from what OTHER pages call a URL),
-    ORACLE-CHECKED: pages go through the REAL extraction stack —
-    tokenizer → HTML5 tree builder → compiled ``a[href]`` selector — but
-    this stage reads each link's RENDERED TEXT (``Element.text()``, the
-    character-data path) rather than an attribute, then rolls up
-    (dst, anchor) → count with the partial/combiner pattern. The SQL twin
-    states the expected (target, anchor) multiset in closed form, so a
-    text-node split/drop bug in the tree builder breaks the hash."""
-    from goose_parser_ray.functions.linkgraph import AnchorTextActor
-    from goose_parser_ray.functions.relational import pre_aggregated_sum
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ds.map_batches(
-        # task pool: the stage's state is one compiled selector — actor
-        # spin-up costs more than it saves (media_png measurement)
-        lambda t: AnchorTextActor()(t),
-        batch_format="pyarrow",
-        batch_size=512,
-    )
-    return pre_aggregated_sum(pairs, ["dst", "anchor"], {},
-                              count_alias="n_links")
-
-
-SQL_ANCHOR_TEXTS = """
-WITH edges AS (
-  SELECT (d.doc_id * 7 + g.k) % 1000 AS dst,
-         'ref ' || g.k AS anchor
-  FROM documents d,
-       LATERAL (SELECT unnest(generate_series(1, d.doc_id % 3 + 1)) AS k) g
-)
-SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_links
-FROM edges GROUP BY dst, anchor
-"""
-
-
-def q_rendezvous_sharding(sf_dir: str):
-    """Rendezvous (highest-random-weight) sharding with a resize
-    movement proof, ORACLE-CHECKED: every doc scores each shard with a
-    shared integer mix (xor then Knuth multiply, mod 2³²) and lands on
-    the argmax — then the SAME scores decide placement at 8 and at 9
-    shards, and the compared ``moved`` column certifies HRW's guarantee
-    that a resize moves ONLY docs whose new shard is the added one
-    (expected 1/9 of the corpus; no doc moves between old shards). This
-    is the partitioning math a 100 TB resumable job relies on when the
-    cluster grows. Shuffle-free map pass; the SQL twin mirrors the mix
-    in HUGEINT then ranks per doc."""
-    ds = _read(sf_dir, "documents", ["doc_id"])
-    M32 = np.uint64(0xFFFFFFFF)
-
-    def assign(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scores = np.empty((len(d), 9), np.uint64)
-        for s in range(9):
-            smix = np.uint64((s * 2654435761) % (1 << 32))
-            scores[:, s] = ((d ^ smix) * np.uint64(2654435761)) & M32
-        shard8 = scores[:, :8].argmax(axis=1).astype(np.int64)
-        shard9 = scores.argmax(axis=1).astype(np.int64)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"],
-                "shard8": pa.array(shard8, pa.int64()),
-                "shard9": pa.array(shard9, pa.int64()),
-                "moved": pa.array(
-                    (shard8 != shard9).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow")
-
-
-SQL_RENDEZVOUS_SHARDING = """
-WITH sc AS (
-  SELECT d.doc_id, s.s,
-         CAST((xor(d.doc_id, (s.s * 2654435761) % 4294967296)
-               * CAST(2654435761 AS HUGEINT)) % 4294967296 AS BIGINT)
-           AS score
-  FROM documents d, (SELECT unnest(generate_series(0, 8)) AS s) s
-),
-r8 AS (
-  SELECT doc_id, s AS shard8 FROM sc WHERE s < 8
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                             ORDER BY score DESC, s ASC) = 1
-),
-r9 AS (
-  SELECT doc_id, s AS shard9 FROM sc
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                             ORDER BY score DESC, s ASC) = 1
-)
-SELECT doc_id, CAST(shard8 AS BIGINT) AS shard8,
-       CAST(shard9 AS BIGINT) AS shard9,
-       CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT)
-         AS moved
-FROM r8 JOIN r9 USING (doc_id)
-"""
-
-
-def q_homoglyph_domains(sf_dir: str):
-    """Homoglyph (IDN-spoofing) domain detection via Unicode confusable
-    skeletons, ORACLE-CHECKED: every 7th doc registers a lookalike of an
-    existing domain with one Latin letter swapped for its Cyrillic twin
-    (i→U+0456, e→U+0435, o→U+043E — visually identical, byte-distinct),
-    the skeleton map folds confusables back to ASCII (chained vectorized
-    replace_substring — the UTS #39 skeleton idea over a bounded table),
-    and grouping by skeleton surfaces every spoof cluster: skeletons
-    carrying MORE THAN ONE raw variant are the attacks. Two-level
-    aggregate: map-side (skeleton, raw) partial counts, one exchange
-    over distinct variants, then a skeleton-bounded rollup. The twin
-    re-states the synthesis and the same replace chain."""
-    from ray.data.aggregate import Min, Sum
-
-    from goose_parser_ray.functions.relational import pre_aggregated_sum
-
-    CONF = [("і", "i"), ("е", "e"), ("о", "o")]
-
-    def synth(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        base = ["site" + str(x % 400) + ".com" for x in d]
-        out = []
-        for x, b in zip(d, base):
-            if x % 7 == 3:
-                which = CONF[x % 3]
-                # 'i' appears in "site", 'e' in "site", 'o' in ".com"
-                out.append(b.replace(which[1], which[0], 1))
-            else:
-                out.append(b)
-        return pa.Table.from_pydict(
-            {"doc_id": t["doc_id"], "domain": pa.array(out, pa.string())}
-        )
-
-    def skeletonize(t: pa.Table) -> pa.Table:
-        s = t["domain"]
-        for bad, good in CONF:
-            s = pc.replace_substring(s, pattern=bad, replacement=good)
-        return t.append_column("skeleton", s)
-
-    ds = (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(synth, batch_format="pyarrow")
-        .map_batches(skeletonize, batch_format="pyarrow")
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = df.groupby(["skeleton", "domain"], as_index=False).agg(
-            n_docs=("doc_id", "size"), first_doc=("doc_id", "min")
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    variants = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["skeleton", "domain"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Min("first_doc", alias_name="first_doc"),
-        )
-    )
-
-    def rollup(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = df.groupby("skeleton", as_index=False).agg(
-            n_variants=("domain", "nunique"),
-            n_docs=("n_docs", "sum"),
-            first_doc=("first_doc", "min"),
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    rolled = (
-        variants.map_batches(rollup, batch_format="pyarrow")
-        .groupby("skeleton")
-        .aggregate(
-            Sum("n_variants", alias_name="n_variants"),
-            Sum("n_docs", alias_name="n_docs"),
-            Min("first_doc", alias_name="first_doc"),
-        )
-    )
-
-    def flag(t: pa.Table) -> pa.Table:
-        nv = t["n_variants"].to_numpy(zero_copy_only=False)
-        return t.append_column("spoofed", pa.array(nv > 1, pa.bool_()))
-
-    return rolled.map_batches(flag, batch_format="pyarrow")
-
-
-SQL_HOMOGLYPH_DOMAINS = """
-WITH raw AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 3 AND doc_id % 3 = 0
-              THEN 'sіte' || (doc_id % 400) || '.com'
-              WHEN doc_id % 7 = 3 AND doc_id % 3 = 1
-              THEN 'sitе' || (doc_id % 400) || '.com'
-              WHEN doc_id % 7 = 3 AND doc_id % 3 = 2
-              THEN 'site' || (doc_id % 400) || '.cоm'
-              ELSE 'site' || (doc_id % 400) || '.com' END AS domain
-  FROM documents
-),
-sk AS (
-  SELECT doc_id, domain,
-         replace(replace(replace(domain, 'і', 'i'),
-                         'е', 'e'),
-                 'о', 'o') AS skeleton
-  FROM raw
-)
-SELECT skeleton,
-       CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_variants,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       MIN(doc_id) AS first_doc,
-       COUNT(DISTINCT domain) > 1 AS spoofed
-FROM sk GROUP BY skeleton
-"""
-
-
-def q_index_merge(sf_dir: str):
-    """LSM-style inverted-index SEGMENT MERGE with tombstones,
-    ORACLE-CHECKED: a base segment (docs with id % 4 != 3), a delta
-    segment adding the rest, and tombstones deleting every doc with
-    id % 8 == 1 are merged into fresh VByte posting blocks — the
-    compaction a log-structured index runs continuously, where the delta
-    OVERRIDES the base (a tombstone wins over any add for the same
-    (term, doc)). All three inputs flow as one tagged (term, doc, op)
-    stream; blocks stay bounded by the doc_id // 128 width; per-group
-    resolution is a vectorized keep = add AND NOT deleted mask; the
-    surviving docs re-encode through the real varbyte codec with the
-    decode-back prefix-sum checksum, so the twin (same filtered doc set,
-    closed-form byte lengths) certifies the merged bytes exactly."""
-    import pandas as pd
-
-    from goose_parser_ray.functions.dedup import (
-        add_hash_bucket,
-        num_shuffle_buckets,
-    )
-    from goose_parser_ray.functions.varbyte import (
-        decode_varbyte,
-        encode_varbyte,
-    )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    nb = num_shuffle_buckets(ds.count())
-
-    def tagged_pairs(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        parent = pc.list_parent_indices(words)
-        flat = pc.list_flatten(words)
-        docs = pc.take(t["doc_id"].combine_chunks(), parent)
-        keep = pc.not_equal(flat, "")
-        df = pa.Table.from_arrays(
-            [flat.filter(keep), docs.filter(keep)], names=["term", "doc_id"]
-        ).to_pandas().drop_duplicates()
-        # every (term, doc) is an add (base segment for id%4!=3, delta
-        # segment for id%4==3 — same rows either way); tombstones ride
-        # the same stream as op=1 rows for deleted docs
-        d = df["doc_id"].to_numpy(np.int64)
-        df["op"] = 0
-        dels = df[d % 8 == 1].copy()
-        dels["op"] = 1
-        out = pd.concat([df, dels], ignore_index=True)
-        return add_hash_bucket(
-            pa.Table.from_pandas(out, preserve_index=False), "term", nb
-        )
-
-    def merge_blocks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["blk"] = g["doc_id"] // 128
-        terms, blks, nds, nbys, cks = [], [], [], [], []
-        for (term, blk), grp in g.groupby(["term", "blk"], sort=False):
-            deleted = set(
-                grp.loc[grp["op"] == 1, "doc_id"].to_numpy(np.int64)
-            )
-            adds = grp.loc[grp["op"] == 0, "doc_id"].to_numpy(np.int64)
-            docs = np.sort(np.unique(adds[~np.isin(adds, list(deleted))]))
-            if docs.size == 0:
-                continue
-            deltas = np.concatenate(([docs[0]], np.diff(docs)))
-            payload = encode_varbyte(deltas)
-            rebuilt = np.cumsum(decode_varbyte(payload))
-            terms.append(term)
-            blks.append(int(blk))
-            nds.append(docs.size)
-            nbys.append(len(payload))
-            cks.append(int(rebuilt.sum()))
-        return pd.DataFrame(
-            {
-                "term": terms,
-                "blk": np.asarray(blks, np.int64),
-                "n_docs": np.asarray(nds, np.int64),
-                "n_bytes": np.asarray(nbys, np.int64),
-                "checksum": np.asarray(cks, np.int64),
-            }
-        )
-
-    return (
-        ds.map_batches(tagged_pairs, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(merge_blocks, batch_format="pandas")
-    )
-
-
-SQL_INDEX_MERGE = """
-WITH w AS (
-  SELECT DISTINCT t.term, d.doc_id
-  FROM documents d,
-       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS term) t
-  WHERE t.term <> '' AND d.doc_id % 8 != 1
+n AS (
+  SELECT d.doc_id, COALESCE(MAX(p.i), 0) AS nw, COALESCE(MAX(p.s), 0) AS st
+  FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id GROUP BY d.doc_id
 ),
 b AS (
-  SELECT term, doc_id, doc_id // 128 AS blk,
-         MIN(doc_id) OVER (PARTITION BY term, doc_id // 128) AS first_doc
-  FROM w
+  SELECT doc_id, 0 AS para, 0 AS end_i, 0 AS end_s, nw, st FROM n
+  UNION ALL
+  SELECT b.doc_id, b.para + 1,
+         COALESCE((SELECT MIN(p.i) FROM p
+                   WHERE p.doc_id = b.doc_id AND p.s - b.end_s >= 200), b.nw),
+         COALESCE((SELECT MIN(p.s) FROM p
+                   WHERE p.doc_id = b.doc_id AND p.s - b.end_s >= 200), b.st),
+         b.nw, b.st
+  FROM b WHERE b.end_i < b.nw
+),
+paras AS (
+  SELECT bb.doc_id, bb.para,
+         (SELECT string_agg(p.word, ' ' ORDER BY p.i) FROM p
+          WHERE p.doc_id = bb.doc_id
+            AND p.i > bb.lag_e AND p.i <= bb.end_i) AS ptext
+  FROM (SELECT doc_id, para, end_i,
+               LAG(end_i, 1, 0) OVER (
+                   PARTITION BY doc_id ORDER BY para) AS lag_e
+        FROM b) bb
+  WHERE bb.para >= 1
+),
+np AS (SELECT doc_id, MAX(para) AS P FROM b GROUP BY doc_id),
+titles AS (
+  SELECT doc_id,
+         CASE WHEN source IS NULL OR source = '' THEN 'untitled'
+              ELSE source END AS title
+  FROM documents
+),
+did AS (
+  SELECT doc_id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sid
+  FROM documents
 )
-SELECT term, blk,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(CASE WHEN first_doc < 128 THEN 1
-                 WHEN first_doc < 16384 THEN 2
-                 WHEN first_doc < 2097152 THEN 3
-                 WHEN first_doc < 268435456 THEN 4
-                 ELSE 5 END
-            + COUNT(*) - 1 AS BIGINT) AS n_bytes,
-       CAST(SUM(doc_id) AS BIGINT) AS checksum
-FROM b GROUP BY term, blk, first_doc
+"""
+
+SQL_EXTRACT_SPANS = _SQL_WRAP_CTE + """
+, spans AS (
+  SELECT t.doc_id, 0 AS seq, 'text' AS kind, t.title AS text, '' AS media_ref
+  FROM titles t
+  UNION ALL
+  SELECT doc_id, para, 'text', ptext, '' FROM paras
+  UNION ALL
+  SELECT np.doc_id, np.P + 1, 'image', 'figure ' || d.sid,
+         'blob://' || d.sid || '/img'
+  FROM np JOIN did d ON d.doc_id = np.doc_id WHERE np.doc_id % 3 = 0
+  UNION ALL
+  SELECT np.doc_id, np.P + 1 + (CASE WHEN np.doc_id % 3 = 0 THEN 1 ELSE 0 END),
+         'pdf', '', 'blob://' || d.sid || '/pdf'
+  FROM np JOIN did d ON d.doc_id = np.doc_id WHERE np.doc_id % 7 = 0
+)
+SELECT d.sid AS doc_id, CAST(s.seq AS INTEGER) AS seq, s.kind, s.text,
+       s.media_ref
+FROM spans s JOIN did d ON d.doc_id = s.doc_id
+"""
+
+SQL_EXTRACT_RULES = _SQL_WRAP_CTE + """
+, spans AS (
+  -- rule order: title, paras[], sections grid (head, first_para),
+  -- nav_links[], then the non-html input spans pass through
+  SELECT t.doc_id, 0 AS seq, t.title AS text FROM titles t
+  UNION ALL
+  SELECT doc_id, para, ptext FROM paras
+  UNION ALL
+  SELECT t.doc_id, np.P + 1, t.title
+  FROM titles t JOIN np ON np.doc_id = t.doc_id
+  UNION ALL
+  SELECT pr.doc_id, np.P + 2, pr.ptext
+  FROM paras pr JOIN np ON np.doc_id = pr.doc_id WHERE pr.para = 1
+  UNION ALL
+  SELECT np.doc_id, np.P + 2 + l.j, CASE l.j WHEN 1 THEN '/home'
+         WHEN 2 THEN '/news' ELSE '/about' END
+  FROM np, UNNEST(generate_series(1, 3)) AS l(j)
+  UNION ALL
+  SELECT np.doc_id, np.P + 6, 'figure ' || d.sid
+  FROM np JOIN did d ON d.doc_id = np.doc_id WHERE np.doc_id % 3 = 0
+  UNION ALL
+  SELECT np.doc_id, np.P + 6 + (CASE WHEN np.doc_id % 3 = 0 THEN 1 ELSE 0 END),
+         ''
+  FROM np WHERE np.doc_id % 7 = 0
+)
+SELECT d.sid AS doc_id, CAST(s.seq AS INTEGER) AS seq, s.text
+FROM spans s JOIN did d ON d.doc_id = s.doc_id
 """

@@ -884,11 +884,13 @@ FROM events GROUP BY 1, 2
 
 
 def q_sample_weighted(sf_dir: str):
-    """Weighted sampling without replacement (A-ES): 50 documents drawn with
-    probability ∝ n_chars — map-side local top-k of the u^(1/w) scores,
-    tiny merge; deterministic under the fixed seed (rows-only: the score
-    hash has no SQL twin; exact parity vs a driver-side reference is
-    pinned in tests)."""
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    ORACLE-CHECKED (r5: converted from rows-only): 50 documents drawn
+    with probability ∝ n_chars — map-side local top-k of the u^(1/w)
+    scores, tiny merge. The uniform u is the Knuth multiplicative hash
+    (exact int64 both engines, then an exact float64 (h+0.5)/2^32), so
+    the SQL twin recomputes the identical scores and top-k membership.
+    Exact parity vs a driver-side reference is also pinned in tests."""
     from goose_parser_ray.functions.relational import weighted_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -896,6 +898,18 @@ def q_sample_weighted(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
     )
+
+
+SQL_SAMPLE_WEIGHTED = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         POWER((((doc_id * (2654435761 + 2 * 42)) % 4294967296) + 0.5)
+                 / 4294967296.0,
+               1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1e-12)) AS sk
+  FROM documents
+)
+SELECT doc_id, n_chars FROM s ORDER BY sk DESC, doc_id LIMIT 50
+"""
 
 
 def q_sample_stratified(sf_dir: str):

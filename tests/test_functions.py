@@ -964,10 +964,10 @@ def test_weighted_sample_matches_driver_reference(ray_session):
     got = weighted_sample(ds, 25, id_col="id", weight_col="w", seed=5)
     got_ids = sorted(got.to_pandas()["id"].tolist())
 
-    h = pd.util.hash_pandas_object(
-        df["id"].astype(str) + "#5", index=False
-    ).to_numpy()
-    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+    h = (df["id"].to_numpy(np.int64) * np.int64(2654435761 + 2 * 5)) & np.int64(
+        0xFFFFFFFF
+    )
+    u = (h.astype(np.float64) + 0.5) / float(1 << 32)
     score = np.power(u, 1.0 / np.maximum(df["w"].to_numpy(np.float64), 1e-12))
     want_ids = sorted(df["id"].to_numpy()[np.argsort(-score)[:25]].tolist())
     assert got_ids == want_ids
