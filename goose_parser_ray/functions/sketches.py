@@ -52,6 +52,16 @@ def merge(sketches: list[np.ndarray]) -> np.ndarray:
     return out
 
 
+def quantile_bin(counts: np.ndarray, q: float) -> int:
+    """Index of the bin holding the ceil(q*n)-th value (exact integer —
+    the ulp-free half of the estimate an oracle can compare exactly)."""
+    n = int(counts.sum())
+    if n == 0:
+        return -1
+    target = max(1, int(np.ceil(q * n)))
+    return int(np.searchsorted(np.cumsum(counts), target))
+
+
 def quantile(
     counts: np.ndarray,
     q: float,
@@ -62,12 +72,9 @@ def quantile(
     ceil(q*n)-th value (discrete-quantile convention, matching
     queries.q_quantiles / DuckDB quantile_disc up to bin resolution)."""
     nbins = len(counts) - 2
-    n = int(counts.sum())
-    if n == 0:
+    if int(counts.sum()) == 0:
         return float("nan")
-    target = max(1, int(np.ceil(q * n)))
-    cum = np.cumsum(counts)
-    b = int(np.searchsorted(cum, target))
+    b = quantile_bin(counts, q)
     if b == 0:
         return lo
     if b == nbins + 1:
@@ -85,7 +92,8 @@ def sketch_quantiles(
     lo: float = DEFAULT_LO,
     hi: float = DEFAULT_HI,
     nbins: int = DEFAULT_BINS,
-) -> dict[float, float]:
+    return_bins: bool = False,
+):
     """Distributed quantile estimation: one sketch row per batch (map-only),
     tiny driver merge — no shuffle touches the data."""
 
@@ -108,7 +116,10 @@ def sketch_quantiles(
         .take_all()
     )
     merged = merge([np.frombuffer(r["counts"], dtype=np.int64) for r in rows])
-    return {q: quantile(merged, q, lo, hi) for q in qs}
+    est = {q: quantile(merged, q, lo, hi) for q in qs}
+    if return_bins:
+        return est, {q: quantile_bin(merged, q) for q in qs}
+    return est
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +237,7 @@ def grouped_sketch_quantiles(
     lo: float = DEFAULT_LO,
     hi: float = DEFAULT_HI,
     nbins: int = DEFAULT_BINS,
+    return_bins: bool = False,
 ):
     """PER-GROUP quantile estimation at unbounded group count — the 10^12-row
     path for ``queries.q_quantiles``: each batch emits SPARSE (key, bin,
@@ -278,6 +290,8 @@ def grouped_sketch_quantiles(
             target = max(1, int(np.ceil(q * n)))
             b = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
             row[f"q{int(q * 100)}"] = bin_value(b)
+            if return_bins:
+                row[f"q{int(q * 100)}_bin"] = b
         out_rows.append(row)
     return pd.DataFrame(out_rows)
 

@@ -678,10 +678,17 @@ def q_pca_project(sf_dir: str):
 
 
 def q_ridge_fit(sf_dir: str):
-    """Closed-form ridge regression (rows-only; pytest checks parity vs
-    numpy normal equations): value ~ one-hot(event_type), ONE streaming
-    Gram-partial pass, driver solves the (d+1)² system. Output is the
-    bounded coefficient table."""
+    """Closed-form ridge regression, ORACLE-CHECKED (r5: converted from
+    rows-only): value ~ one-hot(event_type), ONE streaming Gram-partial
+    pass, driver solves the (d+1)² system. The label is integer CENTS, so
+    every Gram entry is an integer-valued float64 (one-hot counts +
+    exact cents sums < 2^53) — the partial reduction is order-independent
+    and both engines start the solve from IDENTICAL numbers. The twin
+    solves the same bordered-diagonal system in closed form (Schur
+    complement on the bias row: β = (S − Σ nₜsₜ/(nₜ+λ)) / (N − Σ nₜ²/(nₜ+λ)),
+    wₜ = (sₜ − nₜβ)/(nₜ+λ)) — verified ≤ 3e-11 from LAPACK, far inside
+    the e4 fixed point. Output in dollar units (w_cents/100 — the same
+    float64 division on identical inputs on both sides)."""
     from goose_parser_ray.functions.ml import ridge_fit
 
     types = ["click", "error", "purchase", "signup"]  # 'view' = baseline
@@ -694,7 +701,7 @@ def q_ridge_fit(sf_dir: str):
             )
             for ty in types
         }
-        cols["value"] = t["value"]
+        cols["value"] = pc.cast(_cents(t["value"]), pa.float64())
         return pa.Table.from_pydict(cols)
 
     w = ridge_fit(
@@ -702,6 +709,7 @@ def q_ridge_fit(sf_dir: str):
         [f"is_{ty}" for ty in types],
         "value",
     )
+    w = w / 100.0  # cents → dollars; NOT exact binary, but deterministic
     names = [f"is_{ty}" for ty in types] + ["bias"]
     return pa.Table.from_pydict(
         {
@@ -710,6 +718,39 @@ def q_ridge_fit(sf_dir: str):
             * np.sign(w).astype(np.int64),
         }
     )
+
+
+SQL_RIDGE_FIT = """
+WITH g AS (
+  SELECT event_type AS ty,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(100 * value) AS BIGINT)) AS DOUBLE) AS s
+  FROM events
+  WHERE event_type IN ('click', 'error', 'purchase', 'signup')
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS N,
+         CAST(SUM(CAST(ROUND(100 * value) AS BIGINT)) AS DOUBLE) AS S
+  FROM events
+),
+beta AS (
+  SELECT (t.S - (SELECT SUM(n * s / (n + 0.001)) FROM g))
+         / (t.N - (SELECT SUM(n * n / (n + 0.001)) FROM g)) AS b
+  FROM tot t
+),
+coefs AS (
+  SELECT 'is_' || g.ty AS feature,
+         ((g.s - g.n * beta.b) / (g.n + 0.001)) / 100.0 AS w
+  FROM g, beta
+  UNION ALL
+  SELECT 'bias', beta.b / 100.0 FROM beta
+)
+SELECT feature,
+       CAST(FLOOR(ABS(w) * 10000 + 0.5) AS BIGINT) * CAST(SIGN(w) AS BIGINT)
+         AS coef_e4
+FROM coefs
+"""
 
 
 def q_bfs_levels(sf_dir: str):
@@ -1356,8 +1397,10 @@ def q_bootstrap_ci(sf_dir: str):
     2012 — THE distributed resampling technique: per-row Poisson(1)
     weights seeded from (id, replicate) make resampling map-side; one
     tiny B-vector partial per batch, no shuffle). Deterministic and
-    block-layout-invariant (pytest locks both); rows-only — the seeded
-    hash draw has no SQL twin."""
+    block-layout-invariant (pytest locks both). ORACLE-CHECKED (r5): the
+    twin replays the splitmix64 draw bit-exactly in SQL (HUGEINT
+    32-bit-split modular multiply) against EMBEDDED exact-double
+    Poisson(1) thresholds — see ``_bootstrap_ci_sql``."""
     from goose_parser_ray.functions.stats import bootstrap_mean_ci
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
@@ -1375,7 +1418,8 @@ def q_ab_test(sf_dir: str):
     """Experiment analysis: purchase-vs-view mean event value with a
     Poisson-bootstrap CI on the uplift (one map-side pass, both arms'
     replicate partials per batch). Deterministic + block-invariant like
-    q_bootstrap_ci; rows-only (seeded hash draw has no SQL twin)."""
+    q_bootstrap_ci. ORACLE-CHECKED (r5): the twin replays the splitmix64
+    Poisson draw bit-exactly in SQL — see ``_ab_test_sql``."""
     from goose_parser_ray.functions.stats import bootstrap_ab_uplift
 
     ds = _read(
@@ -1701,4 +1745,146 @@ SELECT doc_id,
          AS times_selected
 FROM s
 WHERE cum_after // step - cum_before // step > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# generated Poisson-bootstrap oracles (r5: rows-only -> hash-checked)
+# ---------------------------------------------------------------------------
+#
+# The "seeded hash draw has no SQL twin" claim died in r5: splitmix64 is
+# exact 64-bit integer arithmetic, which SQL can do via HUGEINT with a
+# 32-bit-split modular multiply (verified bit-equal to numpy on the full
+# pipeline), and the Poisson(1) inverse-CDF thresholds are EMBEDDED as
+# exact float64 reprs — both engines compare the identical doubles, so
+# there is no libm parity risk anywhere. u = mix64(id*B + r)/2^64 is a
+# round-to-nearest cast on both sides.
+
+
+def _sql_mix64(x: str) -> str:
+    """SQL expression computing functions/dedup._mix64 over HUGEINT."""
+
+    def modmul(e: str, c: int) -> str:
+        cl, ch = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"((({e}) % 4294967296) * {cl} + "
+            f"(((({e}) % 4294967296) * {ch} + "
+            f"(({e}) // 4294967296) * {cl}) % 4294967296) * 4294967296"
+            f") % 18446744073709551616"
+        )
+
+    def xsh(e: str) -> str:
+        return (
+            f"CAST(xor(CAST(({e}) AS UBIGINT), "
+            f"CAST(({e}) AS UBIGINT) >> 33) AS HUGEINT)"
+        )
+
+    e = xsh(f"CAST(({x}) AS HUGEINT)")
+    e = modmul(e, 0xFF51AFD7ED558CCD)
+    e = xsh(e)
+    e = modmul(e, 0xC4CEB9FE1A85EC53)
+    e = xsh(e)
+    return e
+
+
+def _sql_pois1_weight(u: str) -> str:
+    """Poisson(1) draw = searchsorted(CDF, u) = #thresholds strictly < u,
+    thresholds embedded as the EXACT doubles numpy uses."""
+    import math as _m
+
+    cdf = []
+    acc = 0.0
+    for k in range(9):
+        acc += _m.exp(-1.0) / _m.factorial(k)
+        cdf.append(acc)
+    return "(" + " + ".join(
+        f"(CASE WHEN ({u}) > {t!r} THEN 1 ELSE 0 END)" for t in cdf
+    ) + ")"
+
+
+def _bootstrap_ci_sql() -> str:
+    m = _sql_mix64("b.id * 64 + r.r")
+    u = f"CAST(({m}) AS DOUBLE) / 18446744073709551616.0"
+    w = _sql_pois1_weight(u)
+    return f"""
+WITH b AS (
+  SELECT o_orderkey AS id,
+         CAST(ROUND(100 * o_totalprice) AS BIGINT) AS v
+  FROM orders
+),
+d AS (
+  SELECT b.id, b.v, r.r, CAST({w} AS BIGINT) AS w
+  FROM b, UNNEST(generate_series(0, 63)) AS r(r)
+),
+reps AS (
+  SELECT r, SUM(w * v) AS s, SUM(w) AS c FROM d GROUP BY r
+),
+means AS (
+  SELECT (s * 10000) // c AS m_e4,
+         ROW_NUMBER() OVER (ORDER BY (s * 10000) // c) - 1 AS i,
+         COUNT(*) OVER () AS nr
+  FROM reps WHERE c > 0
+),
+tot AS (SELECT COUNT(*) AS n, SUM(v) AS tv FROM b)
+SELECT t.n AS n,
+       CAST((t.tv * 10000) // t.n AS BIGINT) AS mean_e4,
+       CAST((SELECT m_e4 FROM means
+             WHERE i = CAST(FLOOR(0.025 * nr) AS BIGINT)) AS BIGINT)
+         AS ci_lo_e4,
+       CAST((SELECT m_e4 FROM means
+             WHERE i = LEAST(nr - 1, CAST(CEIL(0.975 * nr) AS BIGINT)))
+         AS BIGINT) AS ci_hi_e4
+FROM tot t
+"""
+
+
+def _ab_test_sql() -> str:
+    m = _sql_mix64("b.id * 64 + r.r")
+    u = f"CAST(({m}) AS DOUBLE) / 18446744073709551616.0"
+    w = _sql_pois1_weight(u)
+    return f"""
+WITH b AS (
+  SELECT event_id AS id, event_type,
+         CAST(ROUND(100 * value) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+d AS (
+  SELECT b.id, b.event_type, b.v, r.r, CAST({w} AS BIGINT) AS w
+  FROM b, UNNEST(generate_series(0, 63)) AS r(r)
+),
+reps AS (
+  SELECT r,
+         SUM(CASE WHEN event_type = 'purchase' THEN w * v ELSE 0 END) AS s_a,
+         SUM(CASE WHEN event_type = 'purchase' THEN w ELSE 0 END) AS c_a,
+         SUM(CASE WHEN event_type = 'view' THEN w * v ELSE 0 END) AS s_b,
+         SUM(CASE WHEN event_type = 'view' THEN w ELSE 0 END) AS c_b
+  FROM d GROUP BY r
+),
+diffs AS (
+  SELECT (s_a * 10000) // c_a - (s_b * 10000) // c_b AS dm,
+         ROW_NUMBER() OVER (
+             ORDER BY (s_a * 10000) // c_a - (s_b * 10000) // c_b) - 1 AS i,
+         COUNT(*) OVER () AS nr
+  FROM reps WHERE c_a > 0 AND c_b > 0
+),
+tots AS (
+  SELECT COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_a,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_b,
+         SUM(v) FILTER (WHERE event_type = 'purchase') AS tot_a,
+         SUM(v) FILTER (WHERE event_type = 'view') AS tot_b
+  FROM b
+),
+ci AS (
+  SELECT (SELECT dm FROM diffs
+          WHERE i = CAST(FLOOR(0.025 * nr) AS BIGINT)) AS lo,
+         (SELECT dm FROM diffs
+          WHERE i = LEAST(nr - 1, CAST(CEIL(0.975 * nr) AS BIGINT))) AS hi
+)
+SELECT t.n_a AS n_a, t.n_b AS n_b,
+       CAST((t.tot_a * 10000) // GREATEST(1, t.n_a) AS BIGINT) AS mean_a_e4,
+       CAST((t.tot_b * 10000) // GREATEST(1, t.n_b) AS BIGINT) AS mean_b_e4,
+       CAST(ci.lo AS BIGINT) AS diff_lo_e4,
+       CAST(ci.hi AS BIGINT) AS diff_hi_e4,
+       (ci.lo > 0 OR ci.hi < 0) AS significant
+FROM tots t, ci
 """

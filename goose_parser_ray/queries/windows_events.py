@@ -631,16 +631,64 @@ GROUP BY c_mktsegment
 def q_quantile_sketch(sf_dir: str):
     """Scale path for q_quantiles: mergeable log-histogram sketch (map-only
     + tiny driver merge, the HLL pattern; ≤1% relative error by bin
-    construction — rows-only, accuracy asserted vs exact in tests)."""
+    construction — accuracy asserted vs exact in tests). ORACLE-CHECKED
+    (r5: converted from rows-only): the twin recomputes the bin of every
+    value (floor(ln(v/lo)·scale)+1), the merged histogram, and the
+    geometric-midpoint estimate in SQL. Output in e2 fixed point — coarse
+    enough that the ≤1-ulp libm ln/exp differences between numpy and
+    DuckDB (≈1e-13 relative) cannot flip the rounding; the exact BIN
+    indices are emitted alongside as integers."""
     import pandas as _pd
 
     from goose_parser_ray.functions.sketches import sketch_quantiles
 
     ds = _read(sf_dir, "orders", ["o_totalprice"])
-    est = sketch_quantiles(ds, "o_totalprice", [0.5, 0.95])
-    return _pd.DataFrame(
-        {"median_est": [est[0.5]], "p95_est": [est[0.95]]}
+    est, bins = sketch_quantiles(
+        ds, "o_totalprice", [0.5, 0.95], return_bins=True
     )
+    return _pd.DataFrame(
+        {
+            "median_bin": [int(bins[0.5])],
+            "p95_bin": [int(bins[0.95])],
+            "median_est_e2": [int(np.round(est[0.5] * 100))],
+            "p95_est_e2": [int(np.round(est[0.95] * 100))],
+        }
+    )
+
+
+SQL_QUANTILE_SKETCH = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice <= 1e-6 THEN 0
+              ELSE LEAST(GREATEST(CAST(FLOOR(
+                     LN(CAST(o_totalprice AS DOUBLE) / 1e-6)
+                     * (4096 / LN(1e18))) AS BIGINT) + 1, 0), 4097)
+         END AS bin
+  FROM orders
+),
+h AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, SUM(n) OVER () AS tot
+      FROM h),
+pick AS (
+  SELECT q.q, MIN(c.bin) AS bn
+  FROM (VALUES (0.50), (0.95)) q(q), c
+  WHERE c.cum >= GREATEST(1, CAST(CEIL(q.q * c.tot) AS BIGINT))
+  GROUP BY q.q
+),
+est AS (
+  SELECT q, bn,
+         CASE WHEN bn = 0 THEN 1e-6 WHEN bn = 4097 THEN 1e12
+              ELSE 1e-6 * EXP((bn - 1) * (LN(1e18) / 4096))
+                        * EXP((LN(1e18) / 4096) / 2) END AS e
+  FROM pick
+)
+SELECT CAST(MAX(CASE WHEN q = 0.50 THEN bn END) AS BIGINT) AS median_bin,
+       CAST(MAX(CASE WHEN q = 0.95 THEN bn END) AS BIGINT) AS p95_bin,
+       CAST(ROUND(100 * MAX(CASE WHEN q = 0.50 THEN e END)) AS BIGINT)
+         AS median_est_e2,
+       CAST(ROUND(100 * MAX(CASE WHEN q = 0.95 THEN e END)) AS BIGINT)
+         AS p95_est_e2
+FROM est
+"""
 
 
 def q_user_deltas(sf_dir: str):
@@ -1004,8 +1052,12 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 def q_grouped_quantile_sketch(sf_dir: str):
     """Scale path for q_quantiles: PER-GROUP mergeable log-histogram
     quantiles — sparse (key, bin) partial counts, no per-group sort, no
-    driver-held corpus (rows-only; ≤2% relative error vs the exact
-    oracle-checked quantiles asserted in tests)."""
+    driver-held corpus (≤2% relative error vs the exact oracle-checked
+    quantiles asserted in tests). ORACLE-CHECKED (r5: converted from
+    rows-only): the twin recomputes the per-segment sparse histograms and
+    geometric-midpoint estimates; e2 fixed point + exact bin indices
+    (the q_quantile_sketch ulp discipline)."""
+    import pandas as _pd
     import pyarrow.parquet as pq
 
     from goose_parser_ray.functions.sketches import grouped_sketch_quantiles
@@ -1015,7 +1067,57 @@ def q_grouped_quantile_sketch(sf_dir: str):
     ).rename_columns(["c_custkey", "segment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, key="o_custkey", concurrency=_pool())
-    return grouped_sketch_quantiles(joined, "segment", "o_totalprice", [0.5, 0.95])
+    df = grouped_sketch_quantiles(
+        joined, "segment", "o_totalprice", [0.5, 0.95], return_bins=True
+    )
+    return _pd.DataFrame(
+        {
+            "segment": df["segment"],
+            "q50_bin": df["q50_bin"].astype("int64"),
+            "q95_bin": df["q95_bin"].astype("int64"),
+            "q50_est_e2": np.round(df["q50"] * 100).astype("int64"),
+            "q95_est_e2": np.round(df["q95"] * 100).astype("int64"),
+        }
+    )
+
+
+SQL_GROUPED_QUANTILE_SKETCH = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_totalprice <= 1e-6 THEN 0
+              ELSE LEAST(GREATEST(CAST(FLOOR(
+                     LN(CAST(o.o_totalprice AS DOUBLE) / 1e-6)
+                     * (4096 / LN(1e18))) AS BIGINT) + 1, 0), 4097)
+         END AS bin
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+h AS (SELECT segment, bin, COUNT(*) AS n FROM j GROUP BY segment, bin),
+c AS (SELECT segment, bin,
+             SUM(n) OVER (PARTITION BY segment ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY segment) AS tot
+      FROM h),
+pick AS (
+  SELECT c.segment, q.q, MIN(c.bin) AS bn
+  FROM (VALUES (0.50), (0.95)) q(q), c
+  WHERE c.cum >= GREATEST(1, CAST(CEIL(q.q * c.tot) AS BIGINT))
+  GROUP BY c.segment, q.q
+),
+est AS (
+  SELECT segment, q, bn,
+         CASE WHEN bn = 0 THEN 1e-6 WHEN bn = 4097 THEN 1e12
+              ELSE 1e-6 * EXP((bn - 1) * (LN(1e18) / 4096))
+                        * EXP((LN(1e18) / 4096) / 2) END AS e
+  FROM pick
+)
+SELECT segment,
+       CAST(MAX(CASE WHEN q = 0.50 THEN bn END) AS BIGINT) AS q50_bin,
+       CAST(MAX(CASE WHEN q = 0.95 THEN bn END) AS BIGINT) AS q95_bin,
+       CAST(ROUND(100 * MAX(CASE WHEN q = 0.50 THEN e END)) AS BIGINT)
+         AS q50_est_e2,
+       CAST(ROUND(100 * MAX(CASE WHEN q = 0.95 THEN e END)) AS BIGINT)
+         AS q95_est_e2
+FROM est GROUP BY segment
+"""
 
 
 def q_running_totals(sf_dir: str):

@@ -159,9 +159,10 @@ def test_grouped_quantile_sketch_accuracy_vs_exact(ray_session):
     est = q_grouped_quantile_sketch(SF_DIR).set_index("segment")
     assert sorted(exact.index) == sorted(est.index)
     for seg in exact.index:
-        for qcol, ecol in (("q50", "median_cents"), ("q95", "p95_cents")):
+        for qcol, ecol in (("q50_est_e2", "median_cents"),
+                           ("q95_est_e2", "p95_cents")):
             e = exact.loc[seg, ecol] / 100.0  # cents → currency units
-            a = est.loc[seg, qcol]
+            a = est.loc[seg, qcol] / 100.0  # e2 fixed point → currency
             assert abs(a - e) / e < 0.02, (seg, qcol, a, e)
 
 
