@@ -427,3 +427,171 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
        text
 FROM spans
 """
+
+
+# ---------------------------------------------------------------------------
+# responsive-image srcset extraction (r5)
+# ---------------------------------------------------------------------------
+
+
+class _SrcsetActor:
+    """DOM-parse the page, select img[srcset], split the srcset attribute
+    into (url, descriptor) candidates in document order — the responsive-
+    image harvesting step of an image-corpus crawler."""
+
+    def __init__(self) -> None:
+        from goose_parser_ray.css.selector import compile_selector, select
+        from goose_parser_ray.html.treebuilder import parse_html
+
+        self._parse = parse_html
+        self._sel = compile_selector("img[srcset]")
+        self._select = select
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_seq, out_url, out_desc = [], [], [], []
+        for d in batch["doc_id"].to_pylist():
+            k = 1 + d % 3
+            imgs = "".join(
+                f'<img srcset="/i/{(d * 7 + j) % 500}.jpg 1x, '
+                f'/i/{(d * 7 + j) % 500}@2x.jpg 2x, '
+                f'/i/{(d * 7 + j) % 500}w.jpg {320 + 16 * (d % 5)}w" '
+                f'src="/i/{(d * 7 + j) % 500}.jpg">'
+                for j in range(k)
+            )
+            page = f"<html><body><article>{imgs}</article></body></html>"
+            seq = 0
+            for el in self._select(self._sel, self._parse(page)):
+                for cand in el.attrs.get("srcset", "").split(","):
+                    parts = cand.strip().split()
+                    if not parts:
+                        continue
+                    out_id.append(d)
+                    out_seq.append(seq)
+                    out_url.append(parts[0])
+                    out_desc.append(parts[1] if len(parts) > 1 else "1x")
+                    seq += 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_seq, pa.int64()),
+                pa.array(out_url, pa.string()),
+                pa.array(out_desc, pa.string()),
+            ],
+            names=["doc_id", "seq", "url", "descriptor"],
+        )
+
+
+def q_srcset_extract(sf_dir: str):
+    """Responsive-image ``srcset`` harvesting, ORACLE-CHECKED: pages carry
+    1+d%3 ``<img srcset>`` elements with three candidates each (1x, 2x,
+    and a width descriptor); the engine recovers every (url, descriptor)
+    through the REAL stack — tokenizer → tree builder → compiled
+    ``img[srcset]`` attribute selector → the WHATWG comma/space candidate
+    split — while the twin restates the candidate list arithmetically.
+    A dropped candidate, a wrong order, or a descriptor default bug
+    breaks the hash. Scale shape: map-only task pool, no shuffle
+    (reference: goose-parser simple-rule attr extraction applied to the
+    image-corpus crawl)."""
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: _SrcsetActor()(t), batch_format="pyarrow", batch_size=64
+    )
+
+
+SQL_SRCSET_EXTRACT = """
+WITH img AS (
+  SELECT d.doc_id, j.j,
+         (d.doc_id * 7 + j.j) % 500 AS b,
+         320 + 16 * (d.doc_id % 5) AS wdesc
+  FROM documents d, UNNEST(generate_series(0, d.doc_id % 3)) AS j(j)
+),
+cand AS (
+  SELECT doc_id, j * 3 + 0 AS seq, '/i/' || b || '.jpg' AS url,
+         '1x' AS descriptor FROM img
+  UNION ALL
+  SELECT doc_id, j * 3 + 1, '/i/' || b || '@2x.jpg', '2x' FROM img
+  UNION ALL
+  SELECT doc_id, j * 3 + 2, '/i/' || b || 'w.jpg',
+         CAST(wdesc AS VARCHAR) || 'w' FROM img
+)
+SELECT doc_id, CAST(seq AS BIGINT) AS seq, url, descriptor FROM cand
+"""
+
+
+# ---------------------------------------------------------------------------
+# pagination chain reconstruction (r5): rel=prev links -> chain head + pos
+# ---------------------------------------------------------------------------
+
+
+def q_pagination_chains(sf_dir: str):
+    """Static pagination-chain reconstruction, ORACLE-CHECKED: every page
+    carries a ``<link rel="prev">`` to its predecessor (docs form chains
+    of 10 by construction: d links to d−1 unless d%10==0); the engine
+    EXTRACTS the edges through the real DOM stack (tokenizer → tree
+    builder → ``link[rel=prev]`` attr read), then resolves every page to
+    its chain HEAD + position with ``functions.graph.resolve_redirects``
+    pointer doubling (ceil(log2(hops)) rounds — the crawl-side sibling of
+    the HTTP-301 resolver; browser-driven pagination stays out of scope
+    per the driver mandate, this is its static-DOM half). The twin states
+    head = d − d%10 and pos = d%10 closed-form. Scale shape: map-only
+    extract, then the tiered pointer-doubling resolver."""
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.functions.graph import resolve_redirects
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    class PrevActor:
+        def __init__(self) -> None:
+            self._sel = compile_selector("link[rel=prev]")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u, cur, hops, done = [], [], [], []
+            for d in t["doc_id"].to_pylist():
+                prev = d - 1 if d % 10 != 0 else None
+                head = (
+                    '<link rel="prev" href="/doc/%d">' % prev
+                    if prev is not None
+                    else ""
+                )
+                page = (
+                    f"<html><head>{head}</head><body>"
+                    f"<article>page {d}</article></body></html>"
+                )
+                doc = parse_html(page)
+                tgt = None
+                for el in select(self._sel, doc):
+                    href = el.attrs.get("href", "")
+                    tgt = int(href.rsplit("/", 1)[-1])
+                u.append(d)
+                cur.append(tgt if tgt is not None else d)
+                hops.append(1 if tgt is not None else 0)
+                done.append(tgt is None)
+            return pa.Table.from_pydict(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "cur": pa.array(cur, pa.int64()),
+                    "hops": pa.array(hops, pa.int64()),
+                    "done": pa.array(done, pa.bool_()),
+                }
+            )
+
+    state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: PrevActor()(t), batch_format="pyarrow", batch_size=128
+    )
+    resolved = resolve_redirects(state, hop_cap=16)
+    return resolved.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_id": t["u"],
+                "chain_head": t["cur"],
+                "position": t["hops"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PAGINATION_CHAINS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id - doc_id % 10 AS BIGINT) AS chain_head,
+       CAST(doc_id % 10 AS BIGINT) AS position
+FROM documents
+"""

@@ -822,3 +822,127 @@ SELECT * FROM (
   SELECT '3_dsir', CAST(n_gr AS BIGINT), CAST(n_grd AS BIGINT) FROM f
 )
 """
+
+
+def q_fim_transform(sf_dir: str):
+    """Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    PSM reorder every code-LLM data pipeline applies to a slice of the
+    corpus), ORACLE-CHECKED: docs with doc_id%4==0 are FIM-ed with
+    deterministic split points (prefix = first ⌊n/4⌋ chars, middle the
+    next ⌊n/3⌋), re-emitted as <PRE>prefix<SUF>suffix<MID>middle; the
+    rest pass through unchanged. Emitted alongside are the exact byte
+    offsets of the middle span IN THE REORDERED text (the loss-mask
+    input). The twin restates the substring surgery with substr. Scale
+    shape: map-only, vectorized slicing, no shuffle."""
+    PRE, SUF, MID = "<PRE>", "<SUF>", "<MID>"
+
+    def fim(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out, ms, me = [], [], []
+        for d, s in zip(ids, texts):
+            s = s or ""
+            if d % 4 != 0:
+                out.append(s)
+                ms.append(-1)
+                me.append(-1)
+                continue
+            n = len(s)
+            a, b = n // 4, n // 4 + n // 3
+            pre, mid, suf = s[:a], s[a:b], s[b:]
+            rendered = PRE + pre + SUF + suf + MID + mid
+            start = len(PRE) + len(pre) + len(SUF) + len(suf) + len(MID)
+            out.append(rendered)
+            ms.append(start)
+            me.append(start + len(mid))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "fim_text": pa.array(out, pa.string()),
+                "mid_start": pa.array(ms, pa.int64()),
+                "mid_end": pa.array(me, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fim, batch_format="pyarrow"
+    )
+
+
+SQL_FIM_TRANSFORM = """
+WITH f AS (
+  SELECT doc_id, COALESCE(text, '') AS s, length(COALESCE(text, '')) AS n
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, s, n, n // 4 AS a, n // 4 + n // 3 AS b FROM f
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 4 <> 0 THEN s
+            ELSE '<PRE>' || substr(s, 1, a) || '<SUF>' || substr(s, b + 1)
+                 || '<MID>' || substr(s, a + 1, b - a) END AS fim_text,
+       CAST(CASE WHEN doc_id % 4 <> 0 THEN -1
+                 ELSE 5 + a + 5 + (n - b) + 5 END AS BIGINT) AS mid_start,
+       CAST(CASE WHEN doc_id % 4 <> 0 THEN -1
+                 ELSE 5 + a + 5 + (n - b) + 5 + (b - a) END AS BIGINT)
+         AS mid_end
+FROM cut
+"""
+
+
+def q_chat_template(sf_dir: str):
+    """SFT chat-template rendering + loss-mask offsets, ORACLE-CHECKED:
+    each document becomes a two-turn conversation (system prompt from
+    the source column, user = the first 64 chars, assistant = the rest),
+    rendered with an explicit role-tag template; emitted are the full
+    rendered string plus the byte [start, end) of the ASSISTANT span —
+    the mask every SFT trainer needs so loss is computed only on
+    assistant tokens. Wrong concatenation order or an off-by-one in the
+    offsets breaks the hash. Scale shape: map-only string surgery."""
+
+    def render(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        out, st, en = [], [], []
+        for s, x in zip(src, texts):
+            s = s or ""
+            x = x or ""
+            user, asst = x[:64], x[64:]
+            r = (
+                "<|system|>" + s + "<|user|>" + user + "<|assistant|>" + asst
+                + "<|end|>"
+            )
+            a0 = len("<|system|>") + len(s) + len("<|user|>") + len(user) + len(
+                "<|assistant|>"
+            )
+            out.append(r)
+            st.append(a0)
+            en.append(a0 + len(asst))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "rendered": pa.array(out, pa.string()),
+                "asst_start": pa.array(st, pa.int64()),
+                "asst_end": pa.array(en, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        render, batch_format="pyarrow"
+    )
+
+
+SQL_CHAT_TEMPLATE = """
+WITH f AS (
+  SELECT doc_id, COALESCE(source, '') AS s, COALESCE(text, '') AS x
+  FROM documents
+)
+SELECT doc_id,
+       '<|system|>' || s || '<|user|>' || substr(x, 1, 64)
+         || '<|assistant|>' || substr(x, 65) || '<|end|>' AS rendered,
+       CAST(10 + length(s) + 8 + length(substr(x, 1, 64)) + 13 AS BIGINT)
+         AS asst_start,
+       CAST(10 + length(s) + 8 + length(substr(x, 1, 64)) + 13
+            + length(substr(x, 65)) AS BIGINT) AS asst_end
+FROM f
+"""

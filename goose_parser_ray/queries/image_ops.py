@@ -903,3 +903,168 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM h a JOIN h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 1
 """
+
+
+def q_morphology(sf_dir: str):
+    """Binary morphology (3×3 erosion / dilation / opening — the document
+    denoise step before CCL), ORACLE-CHECKED with exact integers: one
+    interior rectangle (w,h ≥ 3, placed ≥ 2 px from every border) is
+    planted per doc; the engine decodes the PGM and computes REAL
+    vectorized morphology (erosion = AND over the 9 shifted masks on the
+    padded image, dilation = OR, opening = erode→dilate), while the twin
+    states the closed forms: erosion area (w−2)(h−2), dilation area
+    (w+2)(h+2) (no border clipping by construction), and the opening of
+    a ≥3×3 rectangle restoring it exactly (area w·h — a hard structural
+    invariant, not a tolerance). Scale shape: map-only, no shuffle."""
+    from goose_parser_ray.functions.netpbm import decode_pgm, encode_pgm
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            img = np.zeros((24, 32), np.uint8)
+            w = 3 + d % 5
+            h = 3 + (d // 5) % 4
+            x0 = 3 + d % 7
+            y0 = 3 + (d // 7) % 6
+            img[y0 : y0 + h, x0 : x0 + w] = 255
+            payloads.append(encode_pgm(img))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def morph(t: pa.Table) -> pa.Table:
+        er, di, op = [], [], []
+        for p in t["payload"].to_pylist():
+            m = decode_pgm(p or b"") > 0
+            pad = np.pad(m, 1)
+            sh = [
+                pad[1 + dy : 1 + dy + m.shape[0], 1 + dx : 1 + dx + m.shape[1]]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+            ero = np.logical_and.reduce(sh)
+            dil = np.logical_or.reduce(sh)
+            pe = np.pad(ero, 1)
+            opn = np.logical_or.reduce(
+                [
+                    pe[1 + dy : 1 + dy + m.shape[0],
+                       1 + dx : 1 + dx + m.shape[1]]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+            er.append(int(ero.sum()))
+            di.append(int(dil.sum()))
+            op.append(int(opn.sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "erosion_area": pa.array(er, pa.int64()),
+                "dilation_area": pa.array(di, pa.int64()),
+                "opening_area": pa.array(op, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(morph, batch_format="pyarrow", batch_size=256)
+
+
+SQL_MORPHOLOGY = """
+WITH r AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS w,
+         3 + (doc_id // 5) % 4 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST((w - 2) * (h - 2) AS BIGINT) AS erosion_area,
+       CAST((w + 2) * (h + 2) AS BIGINT) AS dilation_area,
+       CAST(w * h AS BIGINT) AS opening_area
+FROM r
+"""
+
+
+def q_rle_mask(sf_dir: str):
+    """RLE mask compression (the CCITT-G3/TIFF idea: rows as alternating
+    run lengths), ORACLE-CHECKED end to end: a vertical-stripe mask
+    (stripe width 2 + d%3 over a 16×40 canvas) is RLE-encoded by the REAL
+    in-repo codec (``functions/rlemask.py``, mutation-fuzzed), decoded
+    back (exact roundtrip asserted in-engine — a hard invariant), and
+    summarized as (runs, foreground pixels, encoded bytes). The twin
+    restates all three from the stripe arithmetic: segments per row
+    ceil(40/sw), fg = full odd stripes + the possible odd partial, bytes
+    = 4 + 2·h·(1 + runs_per_row). Any off-by-one in the run split or the
+    wire format breaks the hash. Scale shape: map-only, no shuffle."""
+    from goose_parser_ray.functions.rlemask import (
+        decode_rle_mask,
+        encode_rle_mask,
+    )
+
+    H, W = 16, 40
+
+    def stats(t: pa.Table) -> pa.Table:
+        runs, fg, nbytes = [], [], []
+        for d in t["doc_id"].to_pylist():
+            sw = 2 + d % 3
+            cols = np.arange(W)
+            row = ((cols // sw) % 2).astype(bool)
+            mask = np.tile(row, (H, 1))
+            enc = encode_rle_mask(mask)
+            back = decode_rle_mask(enc)
+            if not np.array_equal(back, mask):
+                raise ValueError("rle roundtrip mismatch")
+            # runs = alternating segments per row × rows (incl. the
+            # 0-length lead when a row starts with foreground — not here)
+            buf = np.frombuffer(enc, np.uint16)
+            n_runs = 0
+            pos = 2
+            for _ in range(H):
+                n = int(buf[pos])
+                n_runs += n
+                pos += 1 + n
+            runs.append(n_runs)
+            fg.append(int(mask.sum()))
+            nbytes.append(len(enc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_runs": pa.array(runs, pa.int64()),
+                "n_fg": pa.array(fg, pa.int64()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=512
+    )
+
+
+SQL_RLE_MASK = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS sw FROM documents
+),
+seg AS (
+  SELECT doc_id, sw,
+         (40 + sw - 1) // sw AS segs,       -- ceil(40/sw) segments per row
+         40 // sw AS full_segs,
+         40 % sw AS part_len
+  FROM p
+),
+fgc AS (
+  SELECT doc_id, sw, segs,
+         -- odd-indexed segments are foreground: among full segments,
+         -- floor(full/2) of them; the partial segment (index full_segs)
+         -- is foreground iff full_segs is odd
+         (full_segs // 2) * sw
+           + CASE WHEN part_len > 0 AND full_segs % 2 = 1
+                  THEN part_len ELSE 0 END AS fg_row
+  FROM seg
+)
+SELECT doc_id,
+       CAST(16 * segs AS BIGINT) AS n_runs,
+       CAST(16 * fg_row AS BIGINT) AS n_fg,
+       CAST(4 + 2 * 16 * (1 + segs) AS BIGINT) AS n_bytes
+FROM fgc
+"""

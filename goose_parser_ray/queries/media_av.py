@@ -719,3 +719,70 @@ SELECT doc_id,
        CAST(MAX(y) AS BIGINT) AS luma_max
 FROM pix GROUP BY doc_id
 """
+
+
+def q_audio_loudness(sf_dir: str):
+    """Loudness / peak audit over REAL RIFF/PCM bytes (the normalization
+    pre-step: energy, true peak, clip count), ORACLE-CHECKED with exact
+    integers: per doc a deterministic mono waveform v_i = (37i + d) mod
+    4000 − 2000 is encoded to PCM16, decoded by the in-repo codec, and
+    summarized as Σv² (the un-normalized energy — exact int64), max |v|,
+    and the count of samples at |v| ≥ 1900 (the clip gate). The twin
+    restates every sample from the formula via generate_series. Scale
+    shape: map-only decode + per-doc bounded reduce, no shuffle."""
+    from goose_parser_ray.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            n = 512 + 64 * (d % 3)
+            ts = np.arange(n, dtype=np.int64)
+            v = (37 * ts + d) % 4000 - 2000
+            payloads.append(encode_wav_pcm16(v.astype(np.int16), channels=1))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def loud(t: pa.Table) -> pa.Table:
+        en, pk, cl, ns = [], [], [], []
+        for p in t["payload"].to_pylist():
+            x, _, ch = decode_wav_pcm16(p or b"")
+            xi = x.astype(np.int64)
+            en.append(int((xi * xi).sum()))
+            pk.append(int(np.abs(xi).max()) if xi.size else 0)
+            cl.append(int((np.abs(xi) >= 1900).sum()))
+            ns.append(int(xi.size))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": pa.array(ns, pa.int64()),
+                "energy": pa.array(en, pa.int64()),
+                "peak": pa.array(pk, pa.int64()),
+                "n_clipped": pa.array(cl, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(loud, batch_format="pyarrow", batch_size=256)
+
+
+SQL_AUDIO_LOUDNESS = """
+WITH s AS (
+  SELECT d.doc_id,
+         (37 * i.i + d.doc_id) % 4000 - 2000 AS v
+  FROM documents d,
+       UNNEST(generate_series(0, 512 + 64 * (d.doc_id % 3) - 1)) AS i(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN ABS(v) >= 1900 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped
+FROM s GROUP BY doc_id
+"""
