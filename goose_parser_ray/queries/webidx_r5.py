@@ -1,0 +1,282 @@
+"""Round-5 crawl-index + parser-conformance surface: SURT/CDX index keys,
+raw HTTP header parsing, DOM depth statistics (tree-builder stress), and
+an HTML entity-decoding conformance query at the oracle gate.
+
+Same synthesized-payload oracle pattern as ``extraction2``: pages/records
+are DETERMINISTIC functions of doc_id, the engine recovers structure
+through the REAL stacks (string pipeline / tokenizer → tree builder →
+selector), and DuckDB restates the expected output in closed form.
+Reference: goose-parser's DOM/static-evaluation surface (parser.parse,
+test/parser.test.js entity + nesting cases) extended to the crawl-index
+ops (SURT is the Wayback/OpenWayback CDX key convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from goose_parser_ray.queries._shared import _pool, _read
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX-style index sort
+# ---------------------------------------------------------------------------
+
+
+def q_surt_index(sf_dir: str):
+    """SURT (Sort-friendly URI Reordering Transform) index keys — the
+    Wayback CDX convention that makes per-site ranges contiguous under a
+    plain sort — ORACLE-CHECKED: per doc a host with 2-3 labels and a
+    path are synthesized, the engine computes the real transform
+    (lowercase, strip www., reverse host labels joined by commas, ')'
+    separator, then path) and GLOBALLY SORTS the index (the CDX write
+    order); the twin restates the key with list ops and ORDER BY. Scale
+    shape: map-only key build + one sort — exactly the production CDX
+    writer plan."""
+
+    def build(t: pa.Table) -> pa.Table:
+        keys = []
+        ids = t["doc_id"].to_pylist()
+        for d in ids:
+            sub = f"a{d % 5}." if d % 3 == 0 else ""
+            www = "www." if d % 2 == 1 else ""
+            host = f"{www}{sub}Example{d % 50}.{'com' if d % 2 == 0 else 'org'}"
+            path = f"/p/{d % 100}"
+            labels = host.lower().split(".")
+            if labels[0] == "www":
+                labels = labels[1:]
+            keys.append(",".join(reversed(labels)) + ")" + path)
+        return pa.Table.from_pydict(
+            {"urlkey": pa.array(keys, pa.string()), "doc_id": t["doc_id"]}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(build, batch_format="pyarrow")
+        .sort(["urlkey", "doc_id"])
+    )
+
+
+SQL_SURT_INDEX = """
+WITH u AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 3 = 0 THEN 'a' || (doc_id % 5) || '.'
+                    ELSE '' END
+               || 'Example' || (doc_id % 50)
+               || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+           AS host,
+         '/p/' || (doc_id % 100) AS path
+  FROM documents
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')' || path AS urlkey,
+       doc_id
+FROM u
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# raw HTTP response header parsing (the WARC-record sibling)
+# ---------------------------------------------------------------------------
+
+
+def q_http_headers(sf_dir: str):
+    """Raw HTTP/1.1 response-header parsing, ORACLE-CHECKED: per doc a
+    real header block is synthesized as bytes (status line + CRLF headers
+    with mixed-case names and a parameterized Content-Type), and the
+    engine parses it the way a WARC ingest must — split on CRLF,
+    case-insensitive header names, charset= parameter extraction —
+    emitting (status, mime, charset, content_length). The twin restates
+    the fields from the same arithmetic. Scale shape: map-only."""
+    _CODES = [200, 200, 301, 404, 503]
+
+    def synth_parse(t: pa.Table) -> pa.Table:
+        st, mi, cs, cl = [], [], [], []
+        for d in t["doc_id"].to_pylist():
+            code = _CODES[d % 5]
+            sub = "html" if d % 2 == 0 else "plain"
+            charset = "utf-8" if d % 3 != 0 else "ISO-8859-1"
+            length = 100 + d % 1000
+            raw = (
+                f"HTTP/1.1 {code} X\r\n"
+                f"cOnTent-TyPe: text/{sub}; charset={charset}\r\n"
+                f"Content-LENGTH: {length}\r\n"
+                f"X-Cache: {'HIT' if d % 4 == 0 else 'MISS'}\r\n\r\n"
+            ).encode("latin-1")
+            # --- real parse (no knowledge of the synth formulas) ---
+            text = raw.decode("latin-1")
+            head, _, _ = text.partition("\r\n\r\n")
+            lines = head.split("\r\n")
+            status = int(lines[0].split(" ")[1])
+            hdrs = {}
+            for ln in lines[1:]:
+                name, _, val = ln.partition(":")
+                hdrs[name.strip().lower()] = val.strip()
+            ctype = hdrs.get("content-type", "")
+            mime, _, params = ctype.partition(";")
+            charset_out = ""
+            for p in params.split(";"):
+                k, _, v = p.strip().partition("=")
+                if k.lower() == "charset":
+                    charset_out = v.strip().lower()
+            st.append(status)
+            mi.append(mime.strip().lower())
+            cs.append(charset_out)
+            cl.append(int(hdrs.get("content-length", "-1")))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "status": pa.array(st, pa.int64()),
+                "mime": pa.array(mi, pa.string()),
+                "charset": pa.array(cs, pa.string()),
+                "content_length": pa.array(cl, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_parse, batch_format="pyarrow", batch_size=512
+    )
+
+
+SQL_HTTP_HEADERS = """
+SELECT doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301
+            WHEN 3 THEN 404 ELSE 503 END AS BIGINT) AS status,
+       'text/' || CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'plain' END
+         AS mime,
+       CASE WHEN doc_id % 3 <> 0 THEN 'utf-8' ELSE 'iso-8859-1' END
+         AS charset,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS content_length
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# DOM depth statistics (tree-builder nesting stress at the oracle gate)
+# ---------------------------------------------------------------------------
+
+
+def q_dom_depth(sf_dir: str):
+    """DOM structural statistics through the REAL HTML5 tree builder,
+    ORACLE-CHECKED: per doc a div chain of depth k = 1 + d%12 is nested
+    (each level also holding a <span> leaf), and the engine walks the
+    parsed tree recursively for max element depth and element count. The
+    implicit html/body insertion is part of what is checked: max_depth =
+    k + 2 (span under the deepest div, html at depth 0), n_elements =
+    2k + 2. A tree builder that mis-nests ANY level breaks the hash.
+    Scale shape: map-only actor-pool parse."""
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    def walk(el, depth=0):
+        mx, cnt = depth, 1
+        for c in el.child_elements():
+            m, n = walk(c, depth + 1)
+            mx = max(mx, m)
+            cnt += n
+        return mx, cnt
+
+    def stats(t: pa.Table) -> pa.Table:
+        md, ne = [], []
+        for d in t["doc_id"].to_pylist():
+            k = 1 + d % 12
+            page = (
+                "<html><body>"
+                + "".join(f"<div><span>s{i}</span>" for i in range(k))
+                + "</div>" * k
+                + "</body></html>"
+            )
+            doc = parse_html(page)
+            root = doc.child_elements()[0]
+            mx, cnt = walk(root)
+            md.append(mx)
+            ne.append(cnt)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "max_depth": pa.array(md, pa.int64()),
+                "n_elements": pa.array(ne, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=128
+    )
+
+
+SQL_DOM_DEPTH = """
+SELECT doc_id,
+       CAST(1 + doc_id % 12 + 2 AS BIGINT) AS max_depth,
+       CAST(2 * (1 + doc_id % 12) + 2 AS BIGINT) AS n_elements
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML entity-decoding conformance at the oracle gate
+# ---------------------------------------------------------------------------
+
+# (escaped source, HTML5-decoded expectation) — named, decimal, hex,
+# astral-plane, and double-escaped forms; verified against the spec.
+_ENTITY_CASES = [
+    ("&amp;", "&"),
+    ("&lt;b&gt;", "<b>"),
+    ("&#65;&#x42;", "AB"),
+    ("&quot;q&quot;", '"q"'),
+    ("&#128169;", "\U0001F4A9"),
+    ("&nbsp;", " "),
+    ("&copy; 2024", "© 2024"),
+    ("&amp;amp;", "&amp;"),
+    ("&#x1F600;", "\U0001F600"),
+    ("&eacute;", "é"),
+]
+
+
+def q_entity_decode(sf_dir: str):
+    """HTML entity-decoding conformance driven through the DRIVER'S
+    oracle gate (named, decimal, hex, astral, and double-escaped
+    references — the cases that break naive decoders): doc d embeds
+    entity case d%10 in a <p>, the engine decodes it through the real
+    tokenizer + tree builder + selector text(), and the twin states the
+    HTML5-correct expansion for each case as a literal. One wrong
+    codepoint anywhere breaks the hash. Scale shape: map-only."""
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    sel = compile_selector("p")
+
+    def decode(t: pa.Table) -> pa.Table:
+        out = []
+        ids = t["doc_id"].to_pylist()
+        for d in ids:
+            src = _ENTITY_CASES[d % len(_ENTITY_CASES)][0]
+            doc = parse_html(f"<html><body><p>{src}</p></body></html>")
+            out.append(select(sel, doc)[0].text())
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "decoded": pa.array(out, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        decode, batch_format="pyarrow", batch_size=256
+    )
+
+
+def _entity_decode_sql() -> str:
+    cases = "\n       ".join(
+        "WHEN {} THEN '{}'".format(
+            i, exp.replace("'", "''")
+        )
+        for i, (_, exp) in enumerate(_ENTITY_CASES)
+    )
+    return f"""
+SELECT doc_id,
+       CASE doc_id % {len(_ENTITY_CASES)}
+       {cases}
+       END AS decoded
+FROM documents
+"""
+
+
+SQL_ENTITY_DECODE = _entity_decode_sql()
