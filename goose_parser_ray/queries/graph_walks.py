@@ -612,3 +612,51 @@ JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE 10 * i >= 6 * (sa.l + sb.l - i)
 """
+
+
+def q_dag_critical_path(sf_dir: str):
+    """Longest-path (critical-path) levels in a DAG, ORACLE-CHECKED: docs
+    form 8-deep DAG blocks with BOTH unit and skip edges (d→d+1 under
+    pos<7, d→d+2 under pos<6 — the skip edges are the trap: a shortest-
+    path relaxation would report level 〈pos/2〉, only a true MAX
+    relaxation yields pos). Engine = ``graph.longest_path_dag`` (tiered:
+    driver numpy relaxation under the edge guard, per-round join +
+    grouped-max past it; raises on non-convergence instead of returning
+    partial levels). The twin states lvl = doc_id % 8 over the edge-
+    incident node set. The scheduling-depth primitive of a pipeline DAG
+    executor."""
+    from goose_parser_ray.functions.graph import longest_path_dag
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).materialize()
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        u1 = d[(d % 8 < 7) & (d + 1 < n)]
+        u2 = d[(d % 8 < 6) & (d + 2 < n)]
+        return pa.Table.from_pydict(
+            {
+                "u": pa.array(np.concatenate([u1, u2]), pa.int64()),
+                "v": pa.array(
+                    np.concatenate([u1 + 1, u2 + 2]), pa.int64()
+                ),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return longest_path_dag(e).sort("node")
+
+
+SQL_DAG_CRITICAL_PATH = """
+WITH nn AS (SELECT COUNT(*) AS N FROM documents),
+e AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents, nn
+  WHERE doc_id % 8 < 7 AND doc_id + 1 < N
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents, nn
+  WHERE doc_id % 8 < 6 AND doc_id + 2 < N
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+SELECT CAST(node AS BIGINT) AS node, CAST(node % 8 AS BIGINT) AS lvl
+FROM nodes ORDER BY node
+"""

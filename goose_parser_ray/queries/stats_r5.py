@@ -197,3 +197,75 @@ SELECT nn.n AS n_days, s.s_stat,
        CAST(SIGN(s.s_stat) AS BIGINT) AS trend
 FROM nn, s, ties
 """
+
+
+def q_prf_metrics(sf_dir: str):
+    """Per-class precision/recall/F1 building blocks for the language-ID
+    classifier, ORACLE-CHECKED with exact integers: the actor-pool
+    predictions (same LangIdActor as q_lang_id) are reduced map-side to
+    the (label, prediction) confusion counts, and per language the exact
+    tp / fp / fn integers are emitted — precision = tp/(tp+fp) and
+    recall = tp/(tp+fn) are fully determined by them without shipping a
+    float. The twin nests the SAME generated stopword classifier SQL
+    (the q_langid_confusion discipline). The eval step every learned
+    gate needs before it filters a corpus."""
+    import pandas as pd
+
+    from goose_parser_ray.functions.textstats import LangIdActor
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = ds.map_batches(
+        lambda t: LangIdActor()(t), batch_format="pyarrow"
+    )
+    conf = pre_aggregated_sum(
+        pred.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["lang"], t["lang_pred"]], names=["lang", "lang_pred"]
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["lang", "lang_pred"],
+        sums={},
+        count_alias="n",
+    ).to_pandas()  # |langs|^2-bounded
+    langs = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    rows = []
+    for lg in langs:
+        tp = int(conf[(conf["lang"] == lg) & (conf["lang_pred"] == lg)]["n"].sum())
+        fp = int(conf[(conf["lang"] != lg) & (conf["lang_pred"] == lg)]["n"].sum())
+        fn = int(conf[(conf["lang"] == lg) & (conf["lang_pred"] != lg)]["n"].sum())
+        rows.append({"lang": lg, "tp": tp, "fp": fp, "fn": fn})
+    return pd.DataFrame(rows)
+
+
+def _prf_metrics_sql() -> str:
+    from goose_parser_ray.queries.text_media import _langid_sql
+
+    inner = _langid_sql().strip()
+    return f"""
+WITH pred AS ({inner}),
+conf AS (
+  SELECT d.lang, pred.lang_pred, COUNT(*) AS n
+  FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+  GROUP BY d.lang, pred.lang_pred
+),
+langs AS (
+  SELECT lang FROM conf UNION SELECT lang_pred FROM conf
+)
+SELECT l.lang,
+       CAST(COALESCE(SUM(CASE WHEN c.lang = l.lang
+                               AND c.lang_pred = l.lang
+                              THEN c.n END), 0) AS BIGINT) AS tp,
+       CAST(COALESCE(SUM(CASE WHEN c.lang <> l.lang
+                               AND c.lang_pred = l.lang
+                              THEN c.n END), 0) AS BIGINT) AS fp,
+       CAST(COALESCE(SUM(CASE WHEN c.lang = l.lang
+                               AND c.lang_pred <> l.lang
+                              THEN c.n END), 0) AS BIGINT) AS fn
+FROM langs l LEFT JOIN conf c
+  ON c.lang = l.lang OR c.lang_pred = l.lang
+GROUP BY l.lang
+"""
+
+
+SQL_PRF_METRICS = _prf_metrics_sql()

@@ -280,3 +280,127 @@ FROM documents
 
 
 SQL_ENTITY_DECODE = _entity_decode_sql()
+
+
+# ---------------------------------------------------------------------------
+# link locality + hreflang clusters (web-curation signals)
+# ---------------------------------------------------------------------------
+
+
+def q_link_locality(sf_dir: str):
+    """Internal/external link-locality signal, ORACLE-CHECKED (the
+    boilerplate/quality feature: nav-heavy pages link internally,
+    spam/aggregators externally): each page carries 1+d%4 anchors, link j
+    internal (path href) unless (d+j)%3==0 (absolute https to another
+    host); the engine classifies REAL extracted hrefs by scheme presence
+    through tokenizer → tree builder → ``a[href]`` selector; the twin
+    counts both classes closed-form. Scale shape: map-only."""
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    sel = compile_selector("a[href]")
+
+    def stats(t: pa.Table) -> pa.Table:
+        ni, ne = [], []
+        for d in t["doc_id"].to_pylist():
+            k = 1 + d % 4
+            anchors = "".join(
+                (
+                    f'<a href="https://ext{j}.example.org/x{d}">e</a>'
+                    if (d + j) % 3 == 0
+                    else f'<a href="/p/{d * 3 + j}">i</a>'
+                )
+                for j in range(k)
+            )
+            page = f"<html><body><nav>{anchors}</nav></body></html>"
+            doc = parse_html(page)
+            n_int = n_ext = 0
+            for el in select(sel, doc):
+                href = el.attrs.get("href", "")
+                if "://" in href:
+                    n_ext += 1
+                else:
+                    n_int += 1
+            ni.append(n_int)
+            ne.append(n_ext)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_internal": pa.array(ni, pa.int64()),
+                "n_external": pa.array(ne, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=256
+    )
+
+
+SQL_LINK_LOCALITY = """
+WITH l AS (
+  SELECT d.doc_id, j.j,
+         CASE WHEN (d.doc_id + j.j) % 3 = 0 THEN 1 ELSE 0 END AS ext
+  FROM documents d, UNNEST(generate_series(0, d.doc_id % 4)) AS j(j)
+)
+SELECT doc_id,
+       CAST(SUM(1 - ext) AS BIGINT) AS n_internal,
+       CAST(SUM(ext) AS BIGINT) AS n_external
+FROM l GROUP BY doc_id
+"""
+
+
+def q_hreflang_clusters(sf_dir: str):
+    """hreflang alternate-cluster resolution, ORACLE-CHECKED (the i18n
+    dedup step: language variants of one page must collapse to one
+    canonical group before content dedup): docs form clusters of 3
+    (head = d − d%3), and every member lists ``<link rel=alternate
+    hreflang>`` for ALL 3 members (alternates may reference pages outside
+    the crawl — realistic and checked). The
+    engine extracts the member ids through the real DOM stack and emits
+    (doc, cluster = min member, n_alternates); the twin states head and
+    size arithmetically. Scale shape: map-only extract (cluster id is
+    derivable per page — the connected-components fallback is only
+    needed for inconsistent alternate sets)."""
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    sel = compile_selector("link[rel=alternate]")
+
+    def stats(t: pa.Table) -> pa.Table:
+        cl, na = [], []
+        ids = t["doc_id"].to_pylist()
+        for d in ids:
+            h = d - d % 3
+            # alternates may reference not-yet-crawled pages — list all 3
+            members = (h, h + 1, h + 2)
+            links = "".join(
+                f'<link rel="alternate" hreflang="l{i}" href="/doc/{m}">'
+                for i, m in enumerate(members)
+            )
+            page = f"<html><head>{links}</head><body>x</body></html>"
+            doc = parse_html(page)
+            got = []
+            for el in select(sel, doc):
+                href = el.attrs.get("href", "")
+                got.append(int(href.rsplit("/", 1)[-1]))
+            cl.append(min(got))
+            na.append(len(got))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "cluster": pa.array(cl, pa.int64()),
+                "n_alternates": pa.array(na, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=256
+    )
+
+
+SQL_HREFLANG_CLUSTERS = """
+SELECT doc_id,
+       CAST(doc_id - doc_id % 3 AS BIGINT) AS cluster,
+       CAST(3 AS BIGINT) AS n_alternates
+FROM documents
+"""
