@@ -306,20 +306,35 @@ def grouped_sketch_quantiles(
 # false negatives; false-positive rate ≈ (1 - e^{-kn/m})^k.
 
 
-def bloom_batch(values, n_bits: int, n_hashes: int) -> np.ndarray:
-    """One batch → packed bit array (uint8[n_bits/8]). Vectorized: one
-    deterministic 64-bit hash pass per salt, no per-value Python."""
+def _bloom_positions(values, salt: int, n_bits: int) -> np.ndarray:
+    """Per-salt bit positions. Integer keys take the splitmix64 path —
+    pos = mix64(x·2654435761 + salt) mod n_bits — which a SQL oracle can
+    replay bit-exactly (the r5 HUGEINT modmul construction); other types
+    fall back to the pandas string hash (same determinism, no SQL twin)."""
     import pandas as pd
 
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
-    s = pd.Series(values, dtype=object).astype(str)
-    if s.empty:
-        return bits
-    for salt in range(n_hashes):
+    from goose_parser_ray.functions.dedup import _mix64
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        base = arr.astype(np.uint64) * np.uint64(2654435761) + np.uint64(salt)
+        h = _mix64(base)
+    else:
+        s = pd.Series(values, dtype=object).astype(str)
         h = pd.util.hash_pandas_object(
             s + f"#b{salt}", index=False
         ).to_numpy()
-        pos = (h % np.uint64(n_bits)).astype(np.int64)
+    return (h % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_batch(values, n_bits: int, n_hashes: int) -> np.ndarray:
+    """One batch → packed bit array (uint8[n_bits/8]). Vectorized: one
+    deterministic 64-bit hash pass per salt, no per-value Python."""
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    for salt in range(n_hashes):
+        pos = _bloom_positions(values, salt, n_bits)
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     return bits
 
@@ -328,17 +343,11 @@ def bloom_contains(
     bits: np.ndarray, values, n_bits: int, n_hashes: int
 ) -> np.ndarray:
     """Vectorized membership probe → bool array (no false negatives)."""
-    import pandas as pd
-
-    s = pd.Series(values, dtype=object).astype(str)
-    if s.empty:
+    if len(values) == 0:
         return np.zeros(0, dtype=bool)
-    hit = np.ones(len(s), dtype=bool)
+    hit = np.ones(len(values), dtype=bool)
     for salt in range(n_hashes):
-        h = pd.util.hash_pandas_object(
-            s + f"#b{salt}", index=False
-        ).to_numpy()
-        pos = (h % np.uint64(n_bits)).astype(np.int64)
+        pos = _bloom_positions(values, salt, n_bits)
         hit &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
     return hit
 

@@ -948,3 +948,78 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
 """
+
+
+def q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar-shard interchange, ORACLE-CHECKED row-for-row (r5):
+    every document becomes a two-member sample ({id}.txt = text bytes,
+    {id}.cls = lang) in REAL POSIX ustar shards — the de-facto sharded
+    multimodal training format; the in-repo codec is differential-tested
+    against stdlib tarfile in BOTH directions — written one archive per
+    block (``sources/io.py:write_tar_shards``), read back through the
+    parallel member stream, regrouped by sample key, and re-parsed into
+    (doc_id, n_chars, lang). Header checksums of every member re-verified
+    at read. Ingest format: the file is the parallelism unit."""
+    import shutil
+    import tempfile
+
+    from goose_parser_ray.sources.io import read_tar_shards, write_tar_shards
+
+    out = tempfile.mkdtemp(prefix="webdataset_")
+
+    def members(t: pa.Table):
+        ms = []
+        for d, txt, lang in zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            ms.append((f"{d:08d}.txt", (txt or "").encode("utf-8")))
+            ms.append((f"{d:08d}.cls", (lang or "").encode("utf-8")))
+        return ms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    write_tar_shards(ds, out, members)
+
+    def regroup(t: pa.Table) -> pa.Table:
+        import collections
+
+        samples: "dict[str, dict[str, bytes]]" = collections.defaultdict(dict)
+        for k, e, p in zip(
+            t["key"].to_pylist(), t["ext"].to_pylist(), t["payload"].to_pylist()
+        ):
+            samples[k][e] = p
+        ids, ncs, langs = [], [], []
+        for k, mem in samples.items():
+            ids.append(int(k))
+            ncs.append(len(mem.get("txt", b"").decode("utf-8")))
+            langs.append(mem.get("cls", b"").decode("utf-8"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(ncs, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    # members of one sample land in the same archive (same write block),
+    # so the regroup is complete without a shuffle. batch_size=None keeps
+    # batch == decoded block; dynamic block splitting only bisects blocks
+    # far above target_max_block_size (≫ any shard here), so a sample's
+    # two members cannot straddle a regroup batch.
+    result = (
+        read_tar_shards(out)
+        .map_batches(regroup, batch_format="pyarrow", batch_size=None)
+        .sort("doc_id")
+        .materialize()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+SQL_WEBDATASET_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       lang
+FROM documents ORDER BY doc_id
+"""

@@ -1350,3 +1350,53 @@ JOIN (SELECT user_id, COUNT(*) AS n_intervals FROM iv GROUP BY user_id) c
   ON c.user_id = m.user_id
 GROUP BY m.user_id, c.n_intervals
 """
+
+
+def _bloom_semi_join_sql() -> str:
+    """Generated oracle for q_bloom_semi_join (r5): integer keys now hash
+    via splitmix64 (functions/sketches._bloom_positions), which SQL
+    replays bit-exactly — the bloom bit positions, the 4-of-4 membership
+    rule, and all three counters are recomputed in DuckDB."""
+    from goose_parser_ray.queries.versioning_graph2 import _sql_mix64
+
+    n_bits = 1 << 20
+    pos = (
+        "(" + _sql_mix64("k.id * 2654435761 + s.s") + f") % {n_bits}"
+    )
+    return f"""
+WITH purch AS (
+  SELECT DISTINCT user_id AS id FROM events
+  WHERE event_type = 'purchase' AND value > 80.0
+),
+clicks AS (
+  SELECT user_id AS id FROM events WHERE event_type = 'click'
+),
+cids AS (SELECT DISTINCT id FROM clicks),
+salts AS (SELECT s FROM UNNEST(generate_series(0, 3)) AS t(s)),
+ppos AS (
+  SELECT DISTINCT CAST({pos} AS BIGINT) AS p
+  FROM purch k, salts s
+),
+cpos AS (
+  SELECT k.id, CAST({pos} AS BIGINT) AS p
+  FROM cids k, salts s
+),
+member AS (
+  SELECT c.id
+  FROM cpos c LEFT JOIN ppos ON ppos.p = c.p
+  GROUP BY c.id
+  HAVING SUM(CASE WHEN ppos.p IS NOT NULL THEN 1 ELSE 0 END) = 4
+)
+SELECT CAST((SELECT COUNT(*) FROM clicks) AS BIGINT) AS n_probes,
+       CAST((SELECT COUNT(*) FROM clicks JOIN member USING (id))
+            AS BIGINT) AS n_probable,
+       CAST((SELECT COUNT(*) FROM clicks
+             WHERE id IN (SELECT id FROM purch)) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM clicks JOIN member USING (id))
+            - (SELECT COUNT(*) FROM clicks
+               WHERE id IN (SELECT id FROM purch)) AS BIGINT)
+         AS n_false_positives
+"""
+
+
+SQL_BLOOM_SEMI_JOIN = _bloom_semi_join_sql()
