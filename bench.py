@@ -84,6 +84,20 @@ TIMED_QUERIES = [
     "snippets",
     "redirect_resolve",
     "vocab_growth",
+    # additive round-5 keys (extraction flagships at the oracle gate,
+    # new codecs, web-index + SFT-prep ops)
+    "extract_spans",
+    "rules_oracle",
+    "webdataset_roundtrip",
+    "morphology",
+    "audio_loudness",
+    "surt_index",
+    "srcset_extract",
+    "pagination_chains",
+    "fim_transform",
+    "dag_critical_path",
+    "bloom_semi_join",
+    "spearman",
 ]
 
 
