@@ -271,15 +271,67 @@ def run_bench() -> dict:
     }
 
 
+def _prepare_docs_corpus(repl: int) -> tuple[str, int]:
+    """Replicated flat-documents corpus for the spans scaling job (the sf
+    documents table alone underfeeds even 8 CPUs — fixed costs dominate
+    and the efficiency ratio is meaningless). ×repl with distinct int
+    doc_ids, 32 shard files under <dir>/documents.parquet/ so the query
+    surface reads it like any sf_dir. Idempotent across processes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = SF_DIR.strip("/").replace("/", "_")
+    root = f"/tmp/bench_docs_{tag}_x{repl}"
+    done = os.path.join(root, "_DONE")
+    src = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_docs = src * repl
+    if os.path.exists(done):
+        return root, n_docs
+    flat = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    out_dir = os.path.join(root, "documents.parquet")
+    os.makedirs(out_dir)
+    base = flat["doc_id"].to_numpy()
+    stride = int(base.max()) + 1
+    tables = []
+    for k in range(repl):
+        tables.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(base + k * stride, pa.int64()),
+                    flat["text"],
+                    flat["source"],
+                ],
+                names=["doc_id", "text", "source"],
+            )
+        )
+    full = pa.concat_tables(tables)
+    n_shards = 32
+    per = (full.num_rows + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        part = full.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(
+                part, os.path.join(out_dir, f"shard-{s:04d}.parquet")
+            )
+    open(done, "w").write(str(n_docs))
+    return root, n_docs
+
+
 def run_spans_job() -> dict:
     """Child mode (GRAFT_BENCH_JOB=spans): time the q_extract_spans
     flagship — wrap → extraction pipeline (actor pool) → REGROUP (the
-    shuffle) → flatten — at NUM_CPUS over the sf documents table. The
-    second measured job of the scaling protocol: the headline extraction
-    job is map-dominated, this one carries a groupby exchange."""
+    shuffle) → flatten — at NUM_CPUS over the ×GRAFT_SPANS_REPL
+    replicated documents corpus. The second measured job of the scaling
+    protocol: the headline extraction job is map-dominated, this one
+    carries a groupby exchange."""
     import ray
 
     load_ambient = round(os.getloadavg()[0], 1)
+    repl = int(os.environ.get("GRAFT_SPANS_REPL", "200"))
+    spans_dir, n_docs = _prepare_docs_corpus(repl)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -295,20 +347,23 @@ def run_spans_job() -> dict:
 
     import goose_parser_ray.queries as Q
 
-    # untimed warm-up (spawns workers + imports) then timed steady state
+    # untimed warm-up on the RAW sf table (spawns workers + imports),
+    # then the timed steady-state run over the replicated corpus
     Q.QUERIES["extract_spans"](SF_DIR).count()
     t0 = time.monotonic()
-    n_spans = Q.QUERIES["extract_spans"](SF_DIR).count()
+    n_spans = Q.QUERIES["extract_spans"](spans_dir).count()
     wall = time.monotonic() - t0
     ray.shutdown()
     return {
         "metric": "extract_spans_wall_seconds",
         "value": round(wall, 3),
         "unit": "sec",
-        "sf": SF_DIR,
+        "sf": spans_dir,
         "num_cpus": NUM_CPUS,
+        "docs": n_docs,
         "spans": n_spans,
         "spans_per_sec": round(n_spans / wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
         "loadavg_ambient_1m": load_ambient,
     }
 
@@ -333,6 +388,10 @@ def run_scaling() -> dict:
         )
         if job:
             env["GRAFT_BENCH_JOB"] = job
+            # same pool FRACTION at both levels (autoscaling off): the
+            # _pool() floor of 8 would hand the 8-CPU leg 6/8 of the host
+            # as actors vs 16/32 at the big leg and bias the ratio
+            env["GRAFT_POOL_SIZE"] = str(max(1, ncpu // 2))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

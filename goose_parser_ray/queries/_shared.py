@@ -46,7 +46,17 @@ def _pool() -> int:
     cluster, floor 8) rather than a fixed cap — a fixed 8 starves a big
     cluster's actor stages; the floor keeps spin-up overhead bounded on
     small hosts. Measured at 32 CPUs/sf0.1: 8→16 left the pure-map
-    queries flat and shaved the actor-pool-heavy ones (see commit)."""
+    queries flat and shaved the actor-pool-heavy ones (see commit).
+
+    ``GRAFT_POOL_SIZE`` overrides with an exact count — the scaling
+    protocol pins the SAME pool fraction at both parallelism levels
+    (the floor would give the small leg proportionally more actors and
+    bias the efficiency ratio); autoscaling stays off either way."""
+    import os as _os
+
+    env = _os.environ.get("GRAFT_POOL_SIZE")
+    if env:
+        return max(1, int(env))
     cpus = int(ray.cluster_resources().get("CPU", 4))
     return max(1, min(cpus - 2, max(8, cpus // 2)))
 
