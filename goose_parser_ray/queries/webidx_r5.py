@@ -404,3 +404,126 @@ SELECT doc_id,
        CAST(3 AS BIGINT) AS n_alternates
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# meta-robots gate + base-href relative URL resolution (r5 finale)
+# ---------------------------------------------------------------------------
+
+
+def q_meta_robots(sf_dir: str):
+    """``<meta name=robots>`` directive gate, ORACLE-CHECKED — the
+    page-level half of the robots protocol (robots.txt is the crawl-side
+    half, q_robots_rules): pages carry one of five directive strings by
+    d%5 (including the all/empty defaults and a mixed-case, padded
+    form); the engine extracts the content attribute through the real
+    DOM stack and evaluates index/follow per the de-facto rule
+    (token-split on commas, case/space-insensitive, noindex/nofollow
+    win). The twin states both flags closed-form. Scale shape:
+    map-only."""
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    _DIRS = ["noindex,nofollow", "NoIndex , follow", "", "all",
+             "index,NOFOLLOW"]
+    sel = compile_selector("meta[name=robots]")
+
+    def gate(t: pa.Table) -> pa.Table:
+        idx, fol = [], []
+        for d in t["doc_id"].to_pylist():
+            directive = _DIRS[d % 5]
+            meta = (
+                f'<meta name="robots" content="{directive}">'
+                if directive
+                else ""
+            )
+            page = f"<html><head>{meta}</head><body>x</body></html>"
+            doc = parse_html(page)
+            content = ""
+            for el in select(sel, doc):
+                content = el.attrs.get("content", "")
+            toks = {s.strip().lower() for s in content.split(",")}
+            idx.append(0 if "noindex" in toks else 1)
+            fol.append(0 if "nofollow" in toks else 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "indexable": pa.array(idx, pa.int64()),
+                "followable": pa.array(fol, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        gate, batch_format="pyarrow", batch_size=256
+    )
+
+
+SQL_META_ROBOTS = """
+SELECT doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 0 ELSE 1 END
+            AS BIGINT) AS indexable,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 4 THEN 0 ELSE 1 END
+            AS BIGINT) AS followable
+FROM documents
+"""
+
+
+def q_base_href(sf_dir: str):
+    """``<base href>`` relative-URL resolution, ORACLE-CHECKED — the
+    RFC 3986 merge every link extractor must apply before URLs are
+    comparable: pages declare a base and one anchor whose reference form
+    cycles through the seven canonical cases (dot-dot, dot, absolute
+    path, nested relative, query-only, fragment-only,
+    protocol-relative); the engine reads both through the real DOM stack
+    and resolves with the reference-merge algorithm; the twin states
+    every resolved URL closed-form. A wrong dot-segment pop or a dropped
+    authority breaks the hash. Scale shape: map-only."""
+    from urllib.parse import urljoin
+
+    from goose_parser_ray.css.selector import compile_selector, select
+    from goose_parser_ray.html.treebuilder import parse_html
+
+    _REFS = ["../c", "./d", "/abs/e", "f/g", "?q=1", "#frag",
+             "//cdn.ex.org/h"]
+    sel_base = compile_selector("base[href]")
+    sel_a = compile_selector("a[href]")
+
+    def resolve(t: pa.Table) -> pa.Table:
+        out = []
+        for d in t["doc_id"].to_pylist():
+            base = f"https://ex{d % 9}.com/a/b/index.html"
+            ref = _REFS[d % 7]
+            page = (
+                f'<html><head><base href="{base}"></head>'
+                f'<body><a href="{ref}">x</a></body></html>'
+            )
+            doc = parse_html(page)
+            b = select(sel_base, doc)[0].attrs["href"]
+            r = select(sel_a, doc)[0].attrs["href"]
+            out.append(urljoin(b, r))
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "resolved": pa.array(out, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        resolve, batch_format="pyarrow", batch_size=256
+    )
+
+
+SQL_BASE_HREF = """
+SELECT doc_id,
+       'https://' ||
+       CASE doc_id % 7
+         WHEN 6 THEN 'cdn.ex.org/h'
+         ELSE 'ex' || (doc_id % 9) || '.com' ||
+           CASE doc_id % 7
+             WHEN 0 THEN '/a/c'
+             WHEN 1 THEN '/a/b/d'
+             WHEN 2 THEN '/abs/e'
+             WHEN 3 THEN '/a/b/f/g'
+             WHEN 4 THEN '/a/b/index.html?q=1'
+             ELSE '/a/b/index.html#frag'
+           END
+       END AS resolved
+FROM documents
+"""
