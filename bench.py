@@ -98,6 +98,8 @@ TIMED_QUERIES = [
     "dag_critical_path",
     "bloom_semi_join",
     "spearman",
+    "meta_robots",
+    "base_href",
 ]
 
 
